@@ -1,0 +1,86 @@
+"""Size-based claim check (reference A10, ``dynamo-stream-handler.ts:130-166``).
+
+Large payloads are offloaded to a blob side-store keyed by ``event_id``
+and the main row carries only a pointer (``images_url``) — the Spark
+analogue of the reference's S3 put + 24 h presigned URL. The side-store
+here is a JSON dataset under ``base_path`` (any Hadoop-compatible URI:
+``s3a://``, ``hdfs://``, ``file://``), one object per event keyed by
+``event_id``, which makes the write idempotent across micro-batch retries
+(same key -> same content), the engine's exactly-once story for this
+side effect.
+
+Retention (reference A13: 24 h S3 lifecycle, ``dynamo.ts:111-116``) is
+:func:`vacuum_side_store` — a partition-drop by write date.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from cdk_dynamodb_cdc_spark.schemas import CLAIM_CHECK_THRESHOLD
+
+
+def side_store_writes(
+    records: DataFrame, threshold: int = CLAIM_CHECK_THRESHOLD
+) -> DataFrame:
+    """Rows whose images must be offloaded, projected to the side-store
+    schema ``(event_id, old_image, new_image, dt)``.
+
+    Mirrors the reference's ``{oldImage, newImage}`` S3 object body
+    (:140-148); ``dt`` partitions the store so retention is a cheap
+    partition drop instead of a per-object scan.
+    """
+    big = records.filter(
+        F.col("size_bytes").isNull()
+        | (F.col("size_bytes") == 0)
+        | (F.col("size_bytes") >= threshold)
+    )
+    return big.select(
+        "event_id",
+        "old_image",
+        "new_image",
+        F.to_date(F.coalesce(F.col("ts"), F.current_timestamp())).alias("dt"),
+    )
+
+
+def write_side_store(records: DataFrame, base_path: str,
+                     threshold: int = CLAIM_CHECK_THRESHOLD) -> None:
+    """Append offloaded images to the side store, partitioned by date."""
+    (
+        side_store_writes(records, threshold)
+        .write.mode("append")
+        .partitionBy("dt")
+        .parquet(base_path)
+    )
+
+
+def vacuum_side_store(spark, base_path: str, retain_days: int = 1) -> list[str]:
+    """Drop side-store date partitions older than ``retain_days``.
+
+    The engine analogue of the reference's 24 h lifecycle expiry
+    (``dynamo.ts:111-116``): retention as metadata-only partition removal —
+    no data scan, so it stays O(partitions) at any table size.
+    Returns the removed partition paths.
+    """
+    import datetime
+
+    from py4j.java_gateway import java_import
+
+    cutoff = (
+        datetime.date.today() - datetime.timedelta(days=retain_days)
+    ).isoformat()
+    jvm = spark.sparkContext._jvm
+    java_import(jvm, "org.apache.hadoop.fs.Path")
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    root = jvm.Path(base_path)
+    fs = root.getFileSystem(conf)
+    removed = []
+    if not fs.exists(root):
+        return removed
+    for status in fs.listStatus(root):
+        name = status.getPath().getName()
+        if name.startswith("dt=") and name[3:] < cutoff:
+            fs.delete(status.getPath(), True)
+            removed.append(str(status.getPath()))
+    return removed

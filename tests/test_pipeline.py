@@ -1,0 +1,126 @@
+"""End-to-end batch CDC pipeline over the golden fixture corpus."""
+
+import json
+
+from pyspark.sql import functions as F
+
+from cdk_dynamodb_cdc_spark.operators.claim_check import (
+    side_store_writes,
+    write_side_store,
+)
+from cdk_dynamodb_cdc_spark.operators.pipeline import (
+    cdc_change_events,
+    pk_filter,
+    publish,
+    quarantine,
+    route,
+)
+from cdk_dynamodb_cdc_spark.sources.fixtures import cdc_fixture_df
+
+
+def events_by_id(spark):
+    df = cdc_change_events(cdc_fixture_df(spark))
+    return {r["event_id"]: r.asDict() for r in df.collect()}
+
+
+def test_pipeline_event_set(spark):
+    ev = events_by_id(spark)
+    # no-op MODIFY, set-reorder no-op, null guards, and the parse-error row drop out
+    assert set(ev) == {
+        "ev-insert", "ev-scalar", "ev-nested", "ev-array", "ev-add",
+        "ev-remove-attr", "ev-remove", "ev-big", "ev-zero-size", "ev-order-ins",
+    }
+
+
+def test_insert_event(spark):
+    e = events_by_id(spark)["ev-insert"]
+    assert e["operation"] == "INSERT"
+    assert e["pk"] == "USER#1" and e["sk"] == "PROFILE"
+    assert sorted(e["attributes_changed"]) == sorted(
+        ["name", "n", "big", "ok", "nil", "tags", "addr", "ss", "ns", "blob"]
+    )
+    assert json.loads(e["before"]) == {}
+    assert json.loads(e["after"])["big"] == 123456789012345678901
+    assert e["new_image"] is not None and e["old_image"] is None
+    assert e["images_url"] is None
+
+
+def test_scalar_modify(spark):
+    e = events_by_id(spark)["ev-scalar"]
+    assert e["attributes_changed"] == ["n"]
+    assert json.loads(e["before"]) == {"n": 1.5}
+    assert json.loads(e["after"]) == {"n": 2.5}
+    assert e["old_image"] is None  # only REMOVEs inline the old image
+
+
+def test_nested_modify_dot_paths(spark):
+    e = events_by_id(spark)["ev-nested"]
+    assert e["attributes_changed"] == ["addr", "addr.city"]
+    assert json.loads(e["before"]) == {"addr": {"city": "nyc"}}
+    assert json.loads(e["after"]) == {"addr": {"city": "sf"}}
+
+
+def test_array_atomic(spark):
+    e = events_by_id(spark)["ev-array"]
+    assert e["attributes_changed"] == ["tags"]
+    assert json.loads(e["after"]) == {"tags": ["x", 3]}
+
+
+def test_remove_inlines_old_image(spark):
+    e = events_by_id(spark)["ev-remove"]
+    assert e["operation"] == "REMOVE"
+    assert e["old_image"] is not None
+    assert json.loads(e["old_image"])["name"] == "alice"
+
+
+def test_claim_check_branches(spark):
+    ev = events_by_id(spark)
+    for eid in ("ev-big", "ev-zero-size"):  # >=64KiB and JS-falsy 0 both offload
+        e = ev[eid]
+        assert e["images_url"] == f"claim-check://images/{eid}.json"
+        assert e["new_image"] is None and e["old_image"] is None
+    assert ev["ev-scalar"]["images_url"] is None
+
+
+def test_claim_check_side_store(spark, tmp_path):
+    src = cdc_fixture_df(spark)
+    offl = {r["event_id"] for r in side_store_writes(src).collect()}
+    assert "ev-big" in offl and "ev-zero-size" in offl and "ev-scalar" not in offl
+    path = str(tmp_path / "side-store")
+    write_side_store(src, path)
+    back = spark.read.parquet(path)
+    assert back.filter(F.col("event_id") == "ev-big").count() == 1
+
+
+def test_quarantine_collects_parse_errors(spark):
+    q = quarantine(cdc_fixture_df(spark)).collect()
+    assert [r["event_id"] for r in q] == ["ev-malformed"]
+    assert "JSONDecodeError" in q[0]["error"]
+
+
+def test_pk_filter_exact_and_prefix(spark):
+    src = cdc_fixture_df(spark)
+    only_orders = pk_filter(src, ["ORDER#*"])
+    assert {r["pk"] for r in only_orders.collect()} == {"ORDER#1", "ORDER#42"}
+    exact = pk_filter(src, ["USER#1"])
+    assert {r["pk"] for r in exact.collect()} == {"USER#1"}
+    both = pk_filter(src, ["USER#1", "ORDER#*"])
+    assert {r["pk"] for r in both.collect()} == {"USER#1", "ORDER#1", "ORDER#42"}
+
+
+def test_pk_filter_pushes_down(spark, tmp_path):
+    """The prefix predicate must reach the parquet scan (SURVEY.md §4)."""
+    path = str(tmp_path / "records")
+    cdc_fixture_df(spark).write.parquet(path)
+    plan = pk_filter(spark.read.parquet(path), ["USER#*"])._jdf.queryExecution().executedPlan().toString()
+    assert "StartsWith" in plan and "PushedFilters" in plan
+
+
+def test_publish_and_route(spark):
+    events = cdc_change_events(cdc_fixture_df(spark))
+    pub = publish(events, event_source="engine-test")
+    routed = route(pub, "engine-test", "dynamo.item.changed")
+    assert routed.count() == events.count()
+    detail = json.loads(routed.first()["detail"])
+    assert {"operation", "pk", "sk", "attributesChanged"} <= set(detail)
+    assert route(pub, "other", "dynamo.item.changed").count() == 0
