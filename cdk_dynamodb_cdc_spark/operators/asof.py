@@ -1,0 +1,83 @@
+"""As-of join — nearest prior version (SURVEY.md §2B).
+
+Natural for CDC ("state at time T") but absent from both the reference
+and Spark built-ins. Implemented with the union-merge trick: tag both
+sides, union, and take ``last(value, ignoreNulls)`` over a per-key window
+ordered by (time, side). ONE shuffle on the join key, no row blowup —
+unlike the naive range-join + argmax which multiplies rows before
+re-aggregating. At 100 TB this is the difference between a linear pass
+and a quadratic blow-up on hot keys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    left_on: str,
+    right_on: str,
+    left_by: str,
+    right_by: str,
+    value_cols: list[str],
+    tolerance: str | None = None,
+) -> DataFrame:
+    """For each left row, attach the most recent right row with
+    ``right.right_on <= left.left_on`` within the same key group.
+
+    ``value_cols`` are the right-side columns to carry. Right rows sort
+    before left rows at equal timestamps (side tag 0 < 1), i.e. a right
+    row AT the left timestamp matches — the `<=` convention of
+    ``pandas.merge_asof`` and DuckDB ASOF JOIN.
+    """
+    overlap = set(left.columns) & set(value_cols)
+    if overlap:
+        raise ValueError(f"value_cols collide with left columns: {sorted(overlap)}")
+    tagged_left = left.select(
+        F.col(left_by).alias("__key"),
+        F.col(left_on).alias("__t"),
+        F.lit(1).alias("__side"),
+        *[F.col(c) for c in left.columns],
+        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(f"__v_{c}") for c in value_cols],
+    )
+    tagged_right = right.select(
+        F.col(right_by).alias("__key"),
+        F.col(right_on).alias("__t"),
+        F.lit(0).alias("__side"),
+        *[F.lit(None).cast(dict(left.dtypes)[c]).alias(c) for c in left.columns],
+        *[F.col(c).alias(f"__v_{c}") for c in value_cols],
+    )
+    w = (
+        Window.partitionBy("__key")
+        .orderBy(F.col("__t").asc(), F.col("__side").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    merged = tagged_left.unionByName(tagged_right)
+    filled = merged.select(
+        "*",
+        *[
+            F.last(f"__v_{c}", ignorenulls=True).over(w).alias(f"__m_{c}")
+            for c in value_cols
+        ],
+        F.last(F.when(F.col("__side") == 0, F.col("__t")), ignorenulls=True)
+        .over(w)
+        .alias("__m_t"),
+    )
+    out = filled.filter(F.col("__side") == 1)
+    if tolerance is not None:
+        within = F.col("__m_t") >= F.col("__t") - F.expr(f"INTERVAL {tolerance}")
+        out = out.select(
+            *left.columns,
+            *[
+                F.when(within, F.col(f"__m_{c}")).alias(c) for c in value_cols
+            ],
+        )
+    else:
+        out = out.select(
+            *left.columns, *[F.col(f"__m_{c}").alias(c) for c in value_cols]
+        )
+    return out

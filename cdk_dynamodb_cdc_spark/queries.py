@@ -1,0 +1,592 @@
+"""Query registry: every implemented operator exposed as a
+``(spark, sf_dir) -> DataFrame`` callable plus a DuckDB oracle SQL string.
+
+This is the engine's coverage checklist made executable (SURVEY.md §2):
+each entry demonstrates one operator family end-to-end on the test corpus
+and is verified row-for-row against DuckDB by the driver (and locally by
+``tools/check_correctness.py``).
+
+Determinism discipline (so order-insensitive value hashes match DuckDB):
+
+* All money/measure aggregation happens in DECIMAL (exact in both
+  engines, any summation order), cast to DOUBLE only in the final
+  projection. Raw double sums are banned — parallel summation order
+  would change low bits.
+* Double division/products only on operands that are already
+  bit-identical in both engines (decimal-sum results, counts).
+* Top-k always sorts with a unique tiebreaker; LIMIT without one is
+  nondeterministic across engines.
+* Timestamps leave results as DATE or epoch integers; `events.ts` is
+  µs-precision in both engines (see sources/tables.py).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from cdk_dynamodb_cdc_spark.operators.asof import asof_join
+from cdk_dynamodb_cdc_spark.operators.pipeline import cdc_change_events
+from cdk_dynamodb_cdc_spark.sources.tables import load_table
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLES: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn: QueryFn) -> QueryFn:
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def _dec(col, prec: int = 12, scale: int = 2):
+    return F.col(col).cast(f"decimal({prec},{scale})")
+
+
+# ---------------------------------------------------------------------------
+# Aggregation: TPC-H Q1 — scan + filter + groupBy with partial aggregation.
+# Catalyst pushes the shipdate filter into the parquet scan and plans a
+# partial (map-side) HashAggregate before the single shuffle.
+# ---------------------------------------------------------------------------
+@query(
+    "q1_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))) * (CAST(1 AS DECIMAL(4,2)) + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+           CAST(SUM(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+           CAST(COUNT(*) AS BIGINT) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
+    )
+    one = F.lit(1).cast("decimal(4,2)")
+    disc_price = _dec("l_extendedprice") * (one - _dec("l_discount", 4, 2))
+    charge = disc_price * (one + _dec("l_tax", 4, 2))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+        F.sum(_dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+        F.sum(disc_price).cast("double").alias("sum_disc_price"),
+        F.sum(charge).cast("double").alias("sum_charge"),
+        (F.sum(_dec("l_quantity")).cast("double") / F.count(F.lit(1))).alias("avg_qty"),
+        (F.sum(_dec("l_extendedprice")).cast("double") / F.count(F.lit(1))).alias("avg_price"),
+        (F.sum(_dec("l_discount", 4, 2)).cast("double") / F.count(F.lit(1))).alias("avg_disc"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multi-way join + agg + top-k: TPC-H Q3 shape. customer is the small build
+# side (broadcast); top-k uses a unique tiebreaker for determinism.
+# ---------------------------------------------------------------------------
+@query(
+    "q3_shipping_priority",
+    oracle="""
+    SELECT l_orderkey,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+           CAST(o_orderdate AS DATE) AS orderdate, o_orderpriority
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+      AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+    GROUP BY l_orderkey, orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1995-03-15").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp")
+    )
+    one = F.lit(1).cast("decimal(4,2)")
+    revenue = _dec("l_extendedprice") * (one - _dec("l_discount", 4, 2))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy(
+            "l_orderkey",
+            F.col("o_orderdate").cast("date").alias("orderdate"),
+            "o_orderpriority",
+        )
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .select("l_orderkey", "revenue", "orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Star join (TPC-H Q5 shape): two broadcastable dims + three fact-side
+# tables; co-partitioned shuffle joins on the big sides.
+# ---------------------------------------------------------------------------
+@query(
+    "q5_local_supplier_volume",
+    oracle="""
+    SELECT n_name,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+                  JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+                  JOIN nation ON s_nationkey = n_nationkey
+                  JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1994-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1995-01-01 00:00:00'
+    GROUP BY n_name
+    """,
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1994-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1995-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    one = F.lit(1).cast("decimal(4,2)")
+    revenue = _dec("l_extendedprice") * (one - _dec("l_discount", 4, 2))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(
+            supp,
+            (li.l_suppkey == supp.s_suppkey)
+            & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Semi / anti joins (EXISTS / NOT EXISTS)
+# ---------------------------------------------------------------------------
+@query(
+    "semi_join_customers_with_orders",
+    oracle="""
+    SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_customers
+    FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    GROUP BY c_mktsegment
+    """,
+)
+def semi_join_customers_with_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+@query(
+    "anti_join_customers_without_orders",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+)
+def anti_join_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+# ---------------------------------------------------------------------------
+# Window functions: ranking top-k per group, running totals, lag deltas.
+# ---------------------------------------------------------------------------
+@query(
+    "window_topk_orders_per_customer",
+    oracle="""
+    SELECT o_custkey, o_orderkey, CAST(o_totalprice AS DOUBLE) AS totalprice, CAST(rk AS INT) AS rk
+    FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rk
+      FROM orders
+    ) WHERE rk <= 3
+    """,
+)
+def window_topk_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        orders.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.col("o_totalprice").alias("totalprice"),
+            "rk",
+        )
+    )
+
+
+@query(
+    "window_running_revenue",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+                OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             AS running_total,
+           CAST(LAG(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS BIGINT)
+             AS prev_orderkey
+    FROM orders
+    """,
+)
+def window_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(_dec("o_totalprice"))
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("double")
+        .alias("running_total"),
+        F.lag("o_orderkey").over(w).alias("prev_orderkey"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Grouping sets / rollup and pivot (conditional aggregation)
+# ---------------------------------------------------------------------------
+@query(
+    "rollup_lineitem_status",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def rollup_lineitem_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(_dec("l_quantity")).cast("double").alias("qty"),
+    )
+
+
+@query(
+    "pivot_returnflag_by_status",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(SUM(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(12,2)) END) AS DOUBLE) AS qty_o,
+           CAST(SUM(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(12,2)) END) AS DOUBLE) AS qty_f
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def pivot_returnflag_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.sum(F.when(F.col("l_linestatus") == "O", _dec("l_quantity")))
+        .cast("double")
+        .alias("qty_o"),
+        F.sum(F.when(F.col("l_linestatus") == "F", _dec("l_quantity")))
+        .cast("double")
+        .alias("qty_f"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set operations
+# ---------------------------------------------------------------------------
+@query(
+    "setop_active_1994_not_1995",
+    oracle="""
+    SELECT o_custkey FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1994-01-01' AND o_orderdate < TIMESTAMP '1995-01-01'
+    EXCEPT
+    SELECT o_custkey FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1996-01-01'
+    """,
+)
+def setop_active_1994_not_1995(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+
+    def year(y: int) -> DataFrame:
+        return orders.filter(
+            (F.col("o_orderdate") >= F.lit(f"{y}-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit(f"{y + 1}-01-01").cast("timestamp"))
+        ).select("o_custkey")
+
+    return year(1994).exceptAll(year(1995)).distinct()
+
+
+# ---------------------------------------------------------------------------
+# Distinct / exact distinct-count
+# ---------------------------------------------------------------------------
+@query(
+    "distinct_parts_per_brand",
+    oracle="""
+    SELECT p_brand,
+           CAST(COUNT(DISTINCT p_type) AS BIGINT) AS n_types,
+           CAST(COUNT(DISTINCT p_size) AS BIGINT) AS n_sizes
+    FROM part GROUP BY p_brand
+    """,
+)
+def distinct_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    return part.groupBy("p_brand").agg(
+        F.countDistinct("p_type").alias("n_types"),
+        F.countDistinct("p_size").alias("n_sizes"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Semi-structured: JSON extraction from the events.props payload —
+# the dynamic-lane access path (get_json_object ≙ DuckDB json_extract).
+# ---------------------------------------------------------------------------
+@query(
+    "json_extract_events_props",
+    oracle="""
+    SELECT event_type,
+           CAST(CAST(json_extract(props, '$.k') AS INTEGER) % 10 AS INT) AS k_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events
+    GROUP BY event_type, k_bucket
+    """,
+)
+def json_extract_events_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return ev.groupBy(
+        "event_type", (k % 10).alias("k_bucket")
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+
+# ---------------------------------------------------------------------------
+# Sessionization: gap-based sessions via lag + cumulative sum window.
+# ---------------------------------------------------------------------------
+@query(
+    "sessionize_events",
+    oracle="""
+    WITH gaps AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800000000
+                  OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_id
+      FROM gaps
+    )
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS BIGINT) AS duration_us
+    FROM sess GROUP BY user_id, session_id
+    """,
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    new_session = F.when(
+        gap_us.isNull() | (gap_us > 30 * 60 * 1_000_000), 1
+    ).otherwise(0)
+    wsum = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    sess = ev.withColumn("new_session", new_session).withColumn(
+        "session_id", F.sum("new_session").over(wsum)
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias("duration_us"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# As-of join: state of a customer's (pre-aggregated) order book at each
+# event time. Engine side uses the union-merge asof operator (one shuffle,
+# no row blowup); oracle uses DuckDB's native ASOF JOIN.
+# ---------------------------------------------------------------------------
+@query(
+    "asof_latest_order_at_event",
+    oracle="""
+    WITH orders_daily AS (
+      SELECT o_custkey, o_orderdate,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS day_total
+      FROM orders GROUP BY o_custkey, o_orderdate
+    )
+    SELECT e.user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(od.day_total) AS BIGINT) AS n_matched,
+           CAST(SUM(CAST(od.day_total AS DECIMAL(18,2))) AS DOUBLE) AS sum_matched_total
+    FROM events e
+    ASOF LEFT JOIN orders_daily od
+      ON e.user_id = od.o_custkey AND e.ts >= od.o_orderdate
+    GROUP BY e.user_id
+    """,
+)
+def asof_latest_order_at_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    orders = load_table(spark, sf_dir, "orders")
+    orders_daily = orders.groupBy("o_custkey", "o_orderdate").agg(
+        F.sum(_dec("o_totalprice")).cast("double").alias("day_total")
+    )
+    joined = asof_join(
+        ev,
+        orders_daily,
+        left_on="ts",
+        right_on="o_orderdate",
+        left_by="user_id",
+        right_by="o_custkey",
+        value_cols=["day_total"],
+    )
+    return joined.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count("day_total").alias("n_matched"),
+        F.sum(F.col("day_total").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_matched_total"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# CDC pipeline on a synthesized change stream: events -> per-user version
+# log -> marshalled CDC records -> the full engine pipeline -> change-event
+# stats. The oracle re-derives the same counts relationally, which checks
+# unmarshall + diff + no-op suppression end-to-end against SQL semantics.
+# ---------------------------------------------------------------------------
+def synthesize_cdc_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Turn the events table into a marshalled CDC stream: each user is an
+    item whose document {event_type, value} mutates at every event."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+
+    def marshal(et, v):
+        return F.concat(
+            F.lit('{"event_type":{"S":"'), et,
+            F.lit('"},"value":{"N":"'), v.cast("string"), F.lit('"}}'),
+        )
+
+    return ev.select(
+        F.col("event_id").cast("string").alias("event_id"),
+        F.row_number().over(w).cast("long").alias("seq"),
+        F.col("ts"),
+        F.when(F.lag("event_id").over(w).isNull(), "INSERT")
+        .otherwise("MODIFY")
+        .alias("operation"),
+        F.concat(F.lit("USER#"), F.col("user_id")).alias("pk"),
+        F.lit("STATE").alias("sk"),
+        F.when(
+            F.lag("event_id").over(w).isNotNull(),
+            marshal(F.lag("event_type").over(w), F.lag("value").over(w)),
+        ).alias("old_image"),
+        marshal(F.col("event_type"), F.col("value")).alias("new_image"),
+        F.lit(512).cast("long").alias("size_bytes"),
+    )
+
+
+@query(
+    "cdc_change_stats",
+    oracle="""
+    WITH versions AS (
+      SELECT user_id, event_type, value,
+             LAG(event_type) OVER w AS prev_type,
+             LAG(value) OVER w AS prev_value,
+             LAG(event_id) OVER w AS prev_id
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), diffs AS (
+      SELECT CASE WHEN prev_id IS NULL THEN 'INSERT' ELSE 'MODIFY' END AS operation,
+             CASE WHEN prev_id IS NULL THEN 2
+                  ELSE (CASE WHEN event_type <> prev_type THEN 1 ELSE 0 END)
+                     + (CASE WHEN value <> prev_value THEN 1 ELSE 0 END) END AS n_changed
+      FROM versions
+    )
+    SELECT operation, CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(n_changed) AS BIGINT) AS total_attrs_changed
+    FROM diffs WHERE n_changed > 0
+    GROUP BY operation
+    """,
+)
+def cdc_change_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    records = synthesize_cdc_records(spark, sf_dir)
+    changes = cdc_change_events(records)
+    return changes.groupBy("operation").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.size("attributes_changed")).alias("total_attrs_changed"),
+    )
+
+
+@query(
+    "cdc_unmarshall_roundtrip",
+    oracle="""
+    WITH versions AS (
+      SELECT event_type, value,
+             LAG(event_type) OVER w AS prev_type,
+             LAG(value) OVER w AS prev_value,
+             LAG(event_id) OVER w AS prev_id
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+    FROM versions
+    WHERE prev_id IS NULL OR event_type <> prev_type OR value <> prev_value
+    GROUP BY event_type
+    """,
+)
+def cdc_unmarshall_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marshal -> engine unmarshall -> extract: proves the wire codec
+    round-trips values bit-exactly (N decimal strings -> doubles)."""
+    records = synthesize_cdc_records(spark, sf_dir)
+    changes = cdc_change_events(records)
+    return (
+        changes.select(
+            F.get_json_object("new_image", "$.event_type").alias("event_type"),
+            F.get_json_object("new_image", "$.value")
+            .cast("double")
+            .cast("decimal(12,2)")
+            .alias("value"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("value").cast("double").alias("sum_value"),
+        )
+    )
