@@ -154,16 +154,19 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
                   JOIN nation ON s_nationkey = n_nationkey
                   JOIN region ON n_regionkey = r_regionkey
     WHERE r_name = 'ASIA'
-      AND o_orderdate >= TIMESTAMP '1994-01-01 00:00:00'
-      AND o_orderdate < TIMESTAMP '1995-01-01 00:00:00'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
     GROUP BY n_name
     """,
 )
 def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # 1996 (not TPC-H's canonical 1994): the corpus's o_orderdate spans
+    # 1995-01-01..2001-08-01, so 1994 would filter to an empty (vacuous)
+    # result.
     cust = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders").filter(
-        (F.col("o_orderdate") >= F.lit("1994-01-01").cast("timestamp"))
-        & (F.col("o_orderdate") < F.lit("1995-01-01").cast("timestamp"))
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
     )
     li = load_table(spark, sf_dir, "lineitem")
     supp = load_table(spark, sf_dir, "supplier")
@@ -213,12 +216,20 @@ def semi_join_customers_with_orders(spark: SparkSession, sf_dir: str) -> DataFra
     oracle="""
     SELECT c_custkey, c_name
     FROM customer
-    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                      AND o_orderdate >= TIMESTAMP '1996-01-01'
+                      AND o_orderdate < TIMESTAMP '1997-01-01')
     """,
 )
 def anti_join_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # "no orders in 1996" rather than "no orders ever": every customer in
+    # the corpus has at least one order, which would make the plain anti
+    # join pass vacuously on 0 rows.
     cust = load_table(spark, sf_dir, "customer")
-    orders = load_table(spark, sf_dir, "orders")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
     return cust.join(
         orders, cust.c_custkey == orders.o_custkey, "left_anti"
     ).select("c_custkey", "c_name")
@@ -330,16 +341,18 @@ def pivot_returnflag_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Set operations
 # ---------------------------------------------------------------------------
 @query(
-    "setop_active_1994_not_1995",
+    "setop_active_1996_not_1997",
     oracle="""
     SELECT o_custkey FROM orders
-    WHERE o_orderdate >= TIMESTAMP '1994-01-01' AND o_orderdate < TIMESTAMP '1995-01-01'
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
     EXCEPT
     SELECT o_custkey FROM orders
-    WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1996-01-01'
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
     """,
 )
-def setop_active_1994_not_1995(spark: SparkSession, sf_dir: str) -> DataFrame:
+def setop_active_1996_not_1997(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # 1996/1997 (inside the corpus's 1995-2001 o_orderdate range) so the
+    # EXCEPT produces survivors — 1994/1995 made this vacuous.
     orders = load_table(spark, sf_dir, "orders")
 
     def year(y: int) -> DataFrame:
@@ -348,7 +361,11 @@ def setop_active_1994_not_1995(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("o_orderdate") < F.lit(f"{y + 1}-01-01").cast("timestamp"))
         ).select("o_custkey")
 
-    return year(1994).exceptAll(year(1995)).distinct()
+    # subtract == SQL EXCEPT (set semantics): a key appearing in both
+    # years is removed entirely. exceptAll().distinct() would keep keys
+    # that merely appear MORE OFTEN in 1996 — a bug the previously
+    # vacuous (0-row) predicate masked.
+    return year(1996).subtract(year(1997))
 
 
 # ---------------------------------------------------------------------------

@@ -31,7 +31,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     for c in _NANO_TS_COLS.get(name, []):
         if dict(df.dtypes).get(c) == "bigint":
-            df = df.withColumn(c, F.timestamp_micros((F.col(c) / 1000).cast("long")))
+            # Integer division: epoch-nanos (~1.7e18) exceed double's 2^53
+            # exact range, so `/ 1000` through double truncates ~1.6% of
+            # values 1 µs low. `div` stays in long arithmetic.
+            df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
     return df
 
 
