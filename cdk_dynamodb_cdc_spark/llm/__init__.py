@@ -1,0 +1,25 @@
+"""LLM-training-data pipeline operators (SURVEY.md §2C).
+
+Extension scope beyond the reference (north star in BASELINE.json):
+deduplication (exact / MinHash-LSH / SimHash), similarity search over
+embeddings, text analysis, and multimodal binary-column plumbing — all
+over the `documents` and `embeddings` corpus tables.
+"""
+
+from cdk_dynamodb_cdc_spark.llm.text import (  # noqa: F401
+    doc_fingerprint,
+    lang_id,
+    simhash60,
+    text_quality,
+    token_hash60,
+    tokens,
+)
+from cdk_dynamodb_cdc_spark.llm.dedup import (  # noqa: F401
+    exact_dedup_groups,
+    minhash_near_dup_pairs,
+    simhash_near_dup_pairs,
+)
+from cdk_dynamodb_cdc_spark.llm.vectors import (  # noqa: F401
+    ann_cosine_topk,
+    cosine_topk,
+)

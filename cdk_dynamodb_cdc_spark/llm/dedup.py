@@ -1,0 +1,259 @@
+"""Deduplication operators over the `documents` table (SURVEY.md §2C).
+
+Three tiers, each with the scale-correct shape:
+
+* exact      — hash-groupBy on md5(text): one shuffle on the digest,
+               map-side partial agg. Never compares texts pairwise.
+* MinHash    — shingle -> 128 minhashes -> 32 LSH bands of 4 -> shuffle
+  +LSH         on (band, band_hash) -> candidate pairs within buckets
+               -> exact-Jaccard verify. All-pairs comparison NEVER
+               happens; cost is O(docs * shingles) + the banded join.
+               At 100 TB the band join is the only shuffle and its key
+               cardinality (band_hash) is uniform by construction.
+* SimHash    — 60-bit per-doc signature, 4 x 15-bit chunk bands; any
+               pair within Hamming distance 3 shares >= 1 chunk
+               (pigeonhole), so chunk-equality buckets find EXACTLY the
+               pairs with distance <= 3 after the verify filter — no
+               false negatives, deterministic, oracle-checkable.
+
+The MinHash signatures use xxhash64 (JVM, no DuckDB twin) — that's fine
+because LSH only proposes candidates; the verify step recomputes exact
+n-gram Jaccard, so the final output equals the all-pairs oracle as long
+as banding misses nothing above threshold (P[miss] < 1e-7 at j >= 0.8
+with 32 bands of 4).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from cdk_dynamodb_cdc_spark.llm.text import simhash60, token_hash60, tokens
+
+SHINGLE_WORDS = 3
+MINHASH_PERMS = 128
+LSH_BANDS = 32
+LSH_ROWS = MINHASH_PERMS // LSH_BANDS  # 4
+SIMHASH_CHUNKS = 4
+SIMHASH_CHUNK_BITS = 15
+SIMHASH_MAX_HAMMING = SIMHASH_CHUNKS - 1  # pigeonhole guarantee
+
+
+def word_shingles(text, k: int = SHINGLE_WORDS):
+    """Distinct word k-gram shingles (space-joined) of a text column.
+
+    DuckDB twin (1-indexed, identical output):
+      list_distinct(list_transform(range(1, len(ws)-k+2),
+                                   i -> ws[i] || ' ' || ... ws[i+k-1]))
+    """
+    ws = tokens(text)
+    idx = F.sequence(F.lit(1), F.greatest(F.size(ws) - (k - 1), F.lit(1)))
+    gram = F.transform(
+        idx, lambda i: F.concat_ws(" ", *[F.element_at(ws, i + j) for j in range(k)])
+    )
+    return F.array_distinct(gram)
+
+
+def exact_dedup_groups(docs: DataFrame) -> DataFrame:
+    """Exact dedup: group on md5(text). Returns one row per duplicate
+    group: canonical (minimum) doc_id, copy count, and the digest.
+
+    Scale: single shuffle keyed by the 128-bit digest (uniform), with
+    map-side partial aggregation. The text itself never shuffles."""
+    return (
+        docs.select(F.col("doc_id"), F.md5("text").alias("text_md5"))
+        .groupBy("text_md5")
+        .agg(
+            F.min("doc_id").alias("canonical_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .filter(F.col("n_copies") > 1)
+        .select("canonical_doc_id", "n_copies", "text_md5")
+    )
+
+
+_MERSENNE31 = (1 << 31) - 1
+
+
+def _perm_constants(n: int = MINHASH_PERMS) -> list[tuple[int, int]]:
+    """Fixed (a, b) pairs for the classic universal-hash permutation
+    family h -> (a*h + b) mod p over a 31-bit domain (p = 2^31 - 1).
+    31-bit operands keep a*h + b under 2^62, inside long range — Spark
+    runs ANSI mode by default, so wraparound tricks would throw."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    return [
+        (int(rng.integers(1, _MERSENNE31)), int(rng.integers(0, _MERSENNE31)))
+        for _ in range(n)
+    ]
+
+
+_PERMS = _perm_constants()
+
+
+def minhash_signatures(docs: DataFrame) -> DataFrame:
+    """(doc_id, mh array<128 long>) minhash signatures.
+
+    Shape chosen for scale AND for Catalyst reality: each shingle is
+    hashed ONCE on an exploded row, then the 128 permutations are
+    mul-add-mod min-AGGREGATES over those rows. Expressing the 128
+    minima as array_min(transform(...)) per row would inline the whole
+    tokenize->shingle->hash subtree into every one of the 128
+    expressions (higher-order functions defeat subexpression reuse),
+    which measured ~100x slower. The groupBy ships one partial-agg row
+    per doc per partition — shuffle volume is docs x 128 longs, and
+    the shingle strings themselves never shuffle."""
+    h = F.pmod(F.xxhash64("s"), F.lit(_MERSENNE31)).alias("h")
+    exploded = docs.select(
+        "doc_id", F.explode(word_shingles(F.col("text"))).alias("s")
+    ).select("doc_id", h)
+    mins = [
+        F.min(
+            F.pmod(F.col("h") * F.lit(a).cast("long") + F.lit(b), F.lit(_MERSENNE31))
+        ).alias(f"mh{j}")
+        for j, (a, b) in enumerate(_PERMS)
+    ]
+    sig = exploded.groupBy("doc_id").agg(*mins)
+    return sig.select(
+        "doc_id", F.array(*[f"mh{j}" for j in range(MINHASH_PERMS)]).alias("mh")
+    )
+
+
+def simhash_signatures(docs: DataFrame) -> DataFrame:
+    """(doc_id, sh) SimHash signatures via explode + 60 sign-of-sum
+    aggregates — bit-identical to llm.text.simhash60 (majority test
+    2*ones > n  ==  sum(+/-1) > 0) but shaped for Catalyst: the token
+    hash is computed once per exploded row instead of being re-inlined
+    into 60 per-row filter expressions (see minhash_signatures)."""
+    from cdk_dynamodb_cdc_spark.llm.text import SIMHASH_BITS
+
+    exploded = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("w")
+    ).select("doc_id", token_hash60(F.col("w")).alias("h"))
+    sums = [
+        F.sum(
+            F.when(
+                F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+            ).otherwise(F.lit(-1))
+        ).alias(f"s{i}")
+        for i in range(SIMHASH_BITS)
+    ]
+    agg = exploded.groupBy("doc_id").agg(*sums)
+    bit_terms = [
+        F.when(F.col(f"s{i}") > 0, F.lit(1 << i).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        for i in range(SIMHASH_BITS)
+    ]
+    total = bit_terms[0]
+    for t in bit_terms[1:]:
+        total = total + t
+    return agg.select("doc_id", total.alias("sh"))
+
+
+def minhash_candidate_pairs(docs: DataFrame) -> DataFrame:
+    """LSH candidate pairs (doc_a < doc_b) from banded minhash buckets."""
+    sigs = minhash_signatures(docs)
+    bands = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.hash(
+                            *[F.col("mh")[b * LSH_ROWS + r] for r in range(LSH_ROWS)]
+                        ).alias("bh"),
+                    )
+                    for b in range(LSH_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bh")
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(b, ["band", "bh"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+def minhash_near_dup_pairs(docs: DataFrame, threshold: float = 0.8) -> DataFrame:
+    """Near-duplicate pairs with exact word-3-gram Jaccard >= threshold,
+    found via banded MinHash-LSH and then verified exactly.
+
+    Output: (doc_a, doc_b, n_common, n_union, jaccard) with doc_a <
+    doc_b — equal to the all-pairs answer (see module docstring for the
+    miss bound), at banded-join cost instead of O(n^2)."""
+    cands = minhash_candidate_pairs(docs)
+    sh = docs.select("doc_id", word_shingles(F.col("text")).alias("s"))
+    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("sa"))
+    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("sb"))
+    n_common = F.size(F.array_intersect("sa", "sb"))
+    n_union = F.size(F.array_union("sa", "sb"))
+    return (
+        cands.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            n_common.alias("n_common"),
+            n_union.alias("n_union"),
+            (n_common.cast("double") / n_union).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash_near_dup_pairs(
+    docs: DataFrame, max_hamming: int = SIMHASH_MAX_HAMMING
+) -> DataFrame:
+    """All pairs with SimHash Hamming distance <= max_hamming.
+
+    Candidate generation: split the 60-bit signature into 4 chunks of
+    15 bits and bucket-join on chunk equality. For max_hamming <= 3
+    this is EXACT (a pair differing in <= 3 bits cannot differ in all
+    4 chunks), so the result matches the all-pairs oracle precisely.
+    """
+    if max_hamming > SIMHASH_CHUNKS - 1:
+        raise ValueError(
+            f"chunk banding guarantees completeness only up to "
+            f"{SIMHASH_CHUNKS - 1} bits, got {max_hamming}"
+        )
+    sh = simhash_signatures(docs)
+    chunks = sh.select(
+        "doc_id",
+        "sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftright(F.col("sh"), c * SIMHASH_CHUNK_BITS)
+                        .bitwiseAND(F.lit((1 << SIMHASH_CHUNK_BITS) - 1))
+                        .alias("cv"),
+                    )
+                    for c in range(SIMHASH_CHUNKS)
+                ]
+            )
+        ).alias("cc"),
+    ).select("doc_id", "sh", "cc.chunk", "cc.cv")
+    a, b = chunks.alias("a"), chunks.alias("b")
+    hamming = F.bit_count(F.col("sha").bitwiseXOR(F.col("shb")))
+    return (
+        a.join(b, ["chunk", "cv"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.sh").alias("sha"),
+            F.col("b.sh").alias("shb"),
+        )
+        .distinct()
+        .select("doc_a", "doc_b", hamming.cast("int").alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )

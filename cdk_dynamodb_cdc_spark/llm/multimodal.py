@@ -1,0 +1,126 @@
+"""Multimodal binary-column plumbing (SURVEY.md §2C).
+
+Images/audio/video are opaque `binary` payload columns plus typed
+metadata, processed by Arrow-batched `mapInPandas` stages — the same
+claim-check pattern the CDC pipeline uses for oversized images
+(operators/pipeline.py A10) generalized to media.
+
+The container has no image/audio codecs, so the DECODE step is a
+deterministic fake (documented below) while everything Spark-side —
+BinaryType schema, Arrow batch shape, multi-row emission
+(frame sampling), partition-preserving plumbing — is real and tested.
+`decode_media` raises NotImplementedError for real codecs unless
+Pillow/soundfile happen to be importable; `fake_decode` derives
+metadata purely from the byte length so oracles can replicate it.
+
+Scale: both UDF stages are per-row / per-batch (no shuffle, no state);
+a 100 TB media corpus streams through executors at Arrow-batch
+granularity with the binary column never leaving the JVM->Arrow path
+except inside each batch.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MEDIA_SCHEMA = (
+    "doc_id bigint, media_type string, payload binary"
+)
+DECODED_SCHEMA = (
+    "doc_id bigint, media_type string, n_bytes bigint, "
+    "width int, height int, n_frames int"
+)
+FRAME_SCHEMA = "doc_id bigint, frame_idx int, frame_offset bigint"
+
+
+def attach_binary_payload(docs: DataFrame) -> DataFrame:
+    """Fabricate a media table from `documents`: the UTF-8 text bytes
+    stand in for an encoded media payload (deterministic, so DuckDB
+    can reproduce all byte-length-derived metadata via
+    octet_length(encode(text)))."""
+    return docs.select(
+        "doc_id",
+        F.when(F.col("source").isin("src0", "src1"), "image")
+        .when(F.col("source").isin("src2", "src3"), "audio")
+        .otherwise("video")
+        .alias("media_type"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+    )
+
+
+def _fake_dims(n_bytes: int) -> tuple[int, int, int]:
+    """Deterministic stand-in for a codec header parse.
+
+    width  = n_bytes % 64 + 16
+    height = (n_bytes // 64) % 64 + 16
+    frames = n_bytes % 7 + 1
+    """
+    return n_bytes % 64 + 16, (n_bytes // 64) % 64 + 16, n_bytes % 7 + 1
+
+
+def fake_decode(payload: bytes) -> tuple[int, int, int, int]:
+    n = len(payload)
+    w, h, fr = _fake_dims(n)
+    return n, w, h, fr
+
+
+def decode_media(payload: bytes, media_type: str):
+    """Real-codec decode hook. STUB: the container ships no codec
+    libraries; wire Pillow/soundfile/pyav here in a real deployment."""
+    try:  # pragma: no cover - codec libs absent in this container
+        if media_type == "image":
+            import PIL.Image  # noqa: F401
+        raise NotImplementedError
+    except ImportError:
+        raise NotImplementedError(
+            "media codecs not available in this environment; "
+            "use fake_decode for the deterministic test path"
+        ) from None
+
+
+def decode_media_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """mapInPandas stage: payload -> metadata via the fake decoder."""
+    for pdf in batches:
+        meta = [fake_decode(p) for p in pdf["payload"]]
+        out = pd.DataFrame(
+            meta, columns=["n_bytes", "width", "height", "n_frames"],
+            index=pdf.index,
+        )
+        yield pd.concat(
+            [pdf[["doc_id", "media_type"]], out], axis=1
+        )
+
+
+def decode_metadata(media: DataFrame) -> DataFrame:
+    """Media payloads -> typed metadata rows (Arrow-batched)."""
+    return media.mapInPandas(decode_media_batches, schema=DECODED_SCHEMA)
+
+
+def sample_frame_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """mapInPandas stage emitting MULTIPLE rows per input: one row per
+    sampled frame with its byte offset — the UDTF/explode shape for
+    video frame extraction."""
+    for pdf in batches:
+        rows = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            n, _, _, n_frames = fake_decode(payload)
+            stride = n // n_frames
+            rows.extend(
+                (doc_id, i, i * stride) for i in range(n_frames)
+            )
+        yield pd.DataFrame(rows, columns=["doc_id", "frame_idx", "frame_offset"])
+
+
+def sample_frames(media: DataFrame) -> DataFrame:
+    """Video payloads -> one row per evenly-spaced sampled frame."""
+    return media.filter(F.col("media_type") == "video").mapInPandas(
+        sample_frame_batches, schema=FRAME_SCHEMA
+    )

@@ -1,0 +1,182 @@
+"""Text-analysis operators over the `documents` table (SURVEY.md §2C).
+
+Everything here is pure Column expressions — JVM-side, whole-stage
+codegen, zero Python in the hot path, no shuffle (all per-row). At
+100 TB these run at parquet-scan speed with the `text` column as the
+only wide read.
+
+Cross-engine determinism: wherever a hash feeds an oracle comparison,
+the hash is the first 15 hex chars of md5 parsed as a 60-bit integer —
+identical in Spark (`conv(substring(md5(x),1,15),16,10)`) and DuckDB
+(`('0x' || substr(md5(x),1,15))::BIGINT`), unlike xxhash64/murmur which
+exist in only one engine. 60 bits keeps the value inside a signed
+64-bit long in both.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+from operator import add
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+SIMHASH_BITS = 60
+FINGERPRINT_GRAM_CHARS = 8
+
+# Tiny function-word lists for the lang-id heuristic. Deliberately small:
+# the operator demonstrates n-gram/stopword language scoring machinery;
+# real deployments would swap in fastText-style wordlists.
+LANG_WORDLISTS: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "on"],
+    "es": ["el", "la", "de", "que", "y", "en", "los", "una"],
+    "de": ["der", "die", "das", "und", "ist", "von", "mit"],
+    "fr": ["le", "les", "et", "des", "une", "dans", "pour"],
+}
+EN_STOPWORDS = LANG_WORDLISTS["en"]
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenizer: array<string> of words."""
+    return F.split(text, " ")
+
+
+def token_hash60(s: Column) -> Column:
+    """Deterministic 60-bit hash of a string, identical in DuckDB.
+
+    DuckDB twin: ``('0x' || substr(md5(x), 1, 15))::BIGINT``.
+    """
+    return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+
+
+def duck_token_hash60(sql_expr: str) -> str:
+    """The DuckDB SQL string computing exactly :func:`token_hash60`."""
+    return f"('0x' || substr(md5({sql_expr}), 1, 15))::BIGINT"
+
+
+def simhash60(toks: Column) -> Column:
+    """60-bit SimHash over a token array (with multiplicity).
+
+    Bit i of the output is 1 iff more than half the tokens have bit i
+    set in their 60-bit hash (ties -> 0). Near-duplicate documents land
+    within small Hamming distance; see dedup.simhash_near_dup_pairs.
+
+    Per-row arrays only — no shuffle, no UDF. The token hashes are
+    computed once into an array, then each bit test is a cheap filter
+    over longs.
+    """
+    hashes = F.transform(toks, token_hash60)
+    n = F.size(hashes)
+
+    def bit_set(i: int):
+        # single-parameter lambda: a 2-parameter lambda would make
+        # F.filter bind the second parameter to the element index
+        return lambda h: F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1
+
+    terms = []
+    for i in range(SIMHASH_BITS):
+        ones = F.size(F.filter(hashes, bit_set(i)))
+        bit = F.when(ones * 2 > n, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
+        terms.append(bit)
+    return reduce(add, terms)
+
+
+def duck_simhash60(text_expr: str) -> str:
+    """DuckDB SQL computing exactly :func:`simhash60` of
+    ``string_split(text_expr, ' ')`` — generated, since 60 bit-sums
+    cannot be written by hand sanely."""
+    hs = (
+        f"list_transform(string_split({text_expr}, ' '), "
+        f"w -> ('0x' || substr(md5(w), 1, 15))::BIGINT)"
+    )
+    terms = [
+        f"(CASE WHEN 2 * len(list_filter(hs, h -> (h >> {i}) & 1 = 1)) > len(hs) "
+        f"THEN {1 << i}::BIGINT ELSE 0 END)"
+        for i in range(SIMHASH_BITS)
+    ]
+    return f"(SELECT {' + '.join(terms)} FROM (SELECT {hs} AS hs) __sh)"
+
+
+def doc_fingerprint(text: Column, k: int = FINGERPRINT_GRAM_CHARS) -> Column:
+    """Rolling-hash document fingerprint: min 60-bit hash over all
+    character k-grams. Equal fingerprints cluster documents sharing
+    their minimal k-gram — the single-fingerprint special case of
+    winnowing. Per-row, JVM-side."""
+    positions = F.sequence(F.lit(1), F.greatest(F.length(text) - (k - 1), F.lit(1)))
+    grams = F.transform(positions, lambda i: text.substr(i, F.lit(k)))
+    return F.array_min(F.transform(grams, token_hash60))
+
+
+def duck_doc_fingerprint(text_expr: str, k: int = FINGERPRINT_GRAM_CHARS) -> str:
+    """DuckDB SQL twin of :func:`doc_fingerprint`."""
+    return (
+        f"list_min(list_transform(range(1, greatest(len({text_expr}) - {k - 1}, 1) + 1), "
+        f"i -> ('0x' || substr(md5(substr({text_expr}, i, {k})), 1, 15))::BIGINT))"
+    )
+
+
+def _hits(toks: Column, words: list[str]) -> Column:
+    return F.size(F.filter(toks, lambda w: w.isin(words)))
+
+
+def text_quality(text: Column) -> dict[str, Column]:
+    """Quality-scoring signals for corpus filtering.
+
+    Returns named Column expressions: token count, char count, mean
+    token length, stopword ratio, and a composite quality score. All
+    ratios divide integers that are bit-identical across engines, so
+    the doubles are too (IEEE division is exact given equal operands).
+    """
+    toks = tokens(text)
+    n_tokens = F.size(toks)
+    n_chars = F.length(text)
+    # single-space separated: token chars = total - (n_tokens - 1)
+    mean_token_len = (n_chars - n_tokens + 1).cast("double") / n_tokens
+    stop_ratio = _hits(toks, EN_STOPWORDS).cast("double") / n_tokens
+    # Favor longer docs (saturating at 80 tokens) with healthy stopword
+    # density — the shape of Gopher/C4-style quality rules.
+    length_score = F.least(n_tokens, F.lit(80)).cast("double") / F.lit(80.0)
+    score = length_score * 0.7 + stop_ratio * 0.3
+    return {
+        "n_tokens": n_tokens,
+        "n_chars_calc": n_chars,
+        "mean_token_len": mean_token_len,
+        "stopword_ratio": stop_ratio,
+        "quality_score": score,
+    }
+
+
+def lang_id(text: Column) -> Column:
+    """Heuristic language ID: argmax of function-word hits per language
+    (deterministic tie-break by fixed language precedence, zero hits ->
+    'und'). Pure Column expressions; the DuckDB twin lives in
+    queries.py so the heuristic is oracle-verified."""
+    toks = tokens(text)
+    hits = {lang: _hits(toks, ws) for lang, ws in LANG_WORDLISTS.items()}
+    en, es, de, fr = hits["en"], hits["es"], hits["de"], hits["fr"]
+    best = F.greatest(en, es, de, fr)
+    return (
+        F.when(best == 0, F.lit("und"))
+        .when(en == best, F.lit("en"))
+        .when(es == best, F.lit("es"))
+        .when(de == best, F.lit("de"))
+        .otherwise(F.lit("fr"))
+    )
+
+
+def duck_lang_id(text_expr: str) -> str:
+    """DuckDB SQL twin of :func:`lang_id` (same precedence order)."""
+    def hits(words: list[str]) -> str:
+        lst = ", ".join(f"'{w}'" for w in words)
+        return (
+            f"len(list_filter(string_split({text_expr}, ' '), w -> w IN ({lst})))"
+        )
+
+    en, es, de, fr = (hits(LANG_WORDLISTS[b]) for b in ("en", "es", "de", "fr"))
+    return (
+        f"(SELECT CASE WHEN best = 0 THEN 'und' "
+        f"WHEN h_en = best THEN 'en' WHEN h_es = best THEN 'es' "
+        f"WHEN h_de = best THEN 'de' ELSE 'fr' END "
+        f"FROM (SELECT {en} AS h_en, {es} AS h_es, {de} AS h_de, {fr} AS h_fr, "
+        f"greatest({en}, {es}, {de}, {fr}) AS best) __l)"
+    )

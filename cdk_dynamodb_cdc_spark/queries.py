@@ -27,6 +27,10 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from cdk_dynamodb_cdc_spark.llm import dedup as llm_dedup
+from cdk_dynamodb_cdc_spark.llm import multimodal as llm_media
+from cdk_dynamodb_cdc_spark.llm import text as llm_text
+from cdk_dynamodb_cdc_spark.llm import vectors as llm_vectors
 from cdk_dynamodb_cdc_spark.operators.asof import asof_join
 from cdk_dynamodb_cdc_spark.operators.pipeline import cdc_change_events
 from cdk_dynamodb_cdc_spark.sources.tables import load_table
@@ -607,3 +611,252 @@ def cdc_unmarshall_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("value").cast("double").alias("sum_value"),
         )
     )
+
+
+# ===========================================================================
+# LLM-pipeline operators (SURVEY.md §2C) over documents / embeddings.
+# ===========================================================================
+
+# ---------------------------------------------------------------------------
+# Exact dedup. The corpus has no exact duplicates at sf<=0.01, so the
+# query unions in deterministic copies (every 7th doc, re-keyed) to make
+# the dedup observable and non-vacuous at every scale factor.
+# ---------------------------------------------------------------------------
+@query(
+    "dedup_exact_groups",
+    oracle="""
+    WITH all_docs AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 7 = 0
+    )
+    SELECT MIN(doc_id) AS canonical_doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_copies,
+           md5(text) AS text_md5
+    FROM all_docs GROUP BY md5(text) HAVING COUNT(*) > 1
+    """,
+)
+def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    copies = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text", "lang", "source", "n_chars"
+    )
+    return llm_dedup.exact_dedup_groups(docs.unionByName(copies))
+
+
+# ---------------------------------------------------------------------------
+# MinHash-LSH near-dedup. Engine side: banded LSH candidates + exact
+# Jaccard verify (never all-pairs). Oracle: all-pairs exact Jaccard —
+# feasible in DuckDB at sf0.01, and equal to the LSH answer because the
+# verify step makes false positives impossible and 32x4 banding makes
+# false negatives vanishingly unlikely at j >= 0.8.
+# ---------------------------------------------------------------------------
+@query(
+    "near_dup_minhash_pairs",
+    oracle="""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    sh AS (SELECT doc_id,
+                  list_distinct(list_transform(range(1, len(ws) - 1),
+                      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS s
+           FROM w),
+    p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 len(list_intersect(a.s, b.s)) AS n_common,
+                 len(list_distinct(a.s || b.s)) AS n_union
+          FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+    SELECT doc_a, doc_b,
+           CAST(n_common AS INT) AS n_common,
+           CAST(n_union AS INT) AS n_union,
+           CAST(n_common AS DOUBLE) / n_union AS jaccard
+    FROM p WHERE CAST(n_common AS DOUBLE) / n_union >= 0.8
+    """,
+)
+def near_dup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return llm_dedup.minhash_near_dup_pairs(docs, threshold=0.8)
+
+
+# ---------------------------------------------------------------------------
+# SimHash near-dedup: 60-bit signatures, 4x15-bit chunk banding. Exact
+# for Hamming <= 3 by pigeonhole, so the all-pairs oracle must match
+# bit-for-bit. The oracle's simhash SQL is generated (60 bit-sums).
+# ---------------------------------------------------------------------------
+@query(
+    "near_dup_simhash_pairs",
+    oracle=f"""
+    WITH sh AS (SELECT doc_id, {llm_text.duck_simhash60('text')} AS sh
+                FROM documents)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS hamming
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.sh, b.sh)) <= 3
+    """,
+)
+def near_dup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return llm_dedup.simhash_near_dup_pairs(docs, max_hamming=3)
+
+
+# ---------------------------------------------------------------------------
+# Per-document signatures: full 60-bit SimHash + rolling-hash
+# fingerprint. Verifies every bit of both signature operators per doc
+# (the pairs queries above only see the near-dup subset).
+# ---------------------------------------------------------------------------
+@query(
+    "doc_signatures",
+    oracle=f"""
+    SELECT doc_id,
+           {llm_text.duck_simhash60('text')} AS simhash,
+           {llm_text.duck_doc_fingerprint('text')} AS fingerprint
+    FROM documents
+    """,
+)
+def doc_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        llm_text.simhash60(llm_text.tokens(F.col("text"))).alias("simhash"),
+        llm_text.doc_fingerprint(F.col("text")).alias("fingerprint"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text quality scoring (token counts, stopword density, composite
+# score). All doubles are exact-IEEE functions of bit-identical ints,
+# so the hashes match despite float columns.
+# ---------------------------------------------------------------------------
+_STOP_LIST_SQL = ", ".join(f"'{w}'" for w in llm_text.EN_STOPWORDS)
+
+
+@query(
+    "text_quality_stats",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, text,
+             len(string_split(text, ' ')) AS n_tokens,
+             len(text) AS n_chars,
+             len(list_filter(string_split(text, ' '),
+                             w -> w IN ({_STOP_LIST_SQL}))) AS n_stop
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(n_tokens AS INT) AS n_tokens,
+           CAST(n_chars AS INT) AS n_chars_calc,
+           CAST(n_chars - n_tokens + 1 AS DOUBLE) / n_tokens AS mean_token_len,
+           CAST(n_stop AS DOUBLE) / n_tokens AS stopword_ratio,
+           (CAST(least(n_tokens, 80) AS DOUBLE) / 80.0) * 0.7
+             + (CAST(n_stop AS DOUBLE) / n_tokens) * 0.3 AS quality_score
+    FROM t
+    """,
+)
+def text_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    cols = llm_text.text_quality(F.col("text"))
+    return docs.select(
+        "doc_id", *[expr.alias(name) for name, expr in cols.items()]
+    )
+
+
+# ---------------------------------------------------------------------------
+# Heuristic language ID vs the corpus label: confusion counts. (The
+# corpus text is synthetic English-ish word salad regardless of label,
+# so the interesting output is the machinery, verified exactly.)
+# ---------------------------------------------------------------------------
+@query(
+    "lang_id_confusion",
+    oracle=f"""
+    SELECT lang, {llm_text.duck_lang_id('text')} AS predicted,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM documents GROUP BY lang, predicted
+    """,
+)
+def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", llm_text.lang_id(F.col("text")).alias("predicted"))
+        .groupBy("lang", "predicted")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Similarity search: exact brute-force cosine top-10 for 5 query
+# vectors. Integer-only output (qid, rank, neighbor) so the comparison
+# is robust to float formatting while the ranking pins the cosines.
+# ---------------------------------------------------------------------------
+@query(
+    "embedding_cosine_topk",
+    oracle="""
+    WITH q AS (SELECT vec_id AS qid, embedding AS qv
+               FROM embeddings WHERE vec_id IN (0, 1, 2, 3, 4)),
+    s AS (SELECT qid, e.vec_id AS neighbor_id,
+            list_sum(list_transform(range(1, len(qv) + 1),
+                     i -> qv[i]::DOUBLE * e.embedding[i]::DOUBLE))
+            / (sqrt(list_sum(list_transform(range(1, len(qv) + 1),
+                     i -> qv[i]::DOUBLE * qv[i]::DOUBLE)))
+               * sqrt(list_sum(list_transform(range(1, len(qv) + 1),
+                     i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE))))
+            AS cos
+          FROM q, embeddings e WHERE e.vec_id <> qid)
+    SELECT qid, CAST(rk AS INT) AS rk, neighbor_id
+    FROM (SELECT qid, neighbor_id,
+                 ROW_NUMBER() OVER (PARTITION BY qid
+                                    ORDER BY cos DESC, neighbor_id) AS rk
+          FROM s)
+    WHERE rk <= 10
+    """,
+)
+def embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return llm_vectors.cosine_topk(emb, query_ids=[0, 1, 2, 3, 4], k=10)
+
+
+def embedding_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate (sign-LSH, multiprobe) cosine top-10 — rows-only
+    check: the output is approximate by design; its recall floor vs
+    the brute-force path is pinned in tests/test_llm.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return llm_vectors.ann_cosine_topk(emb, query_ids=[0, 1, 2, 3, 4], k=10)
+
+
+QUERIES["embedding_ann_topk"] = embedding_ann_topk
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing: binary payload -> Arrow-batched metadata decode
+# (deterministic fake codec) and frame sampling (multi-row emission).
+# ---------------------------------------------------------------------------
+@query(
+    "media_metadata",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN source IN ('src0', 'src1') THEN 'image'
+                WHEN source IN ('src2', 'src3') THEN 'audio'
+                ELSE 'video' END AS media_type,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           CAST(octet_length(encode(text)) % 64 + 16 AS INT) AS width,
+           CAST((octet_length(encode(text)) // 64) % 64 + 16 AS INT) AS height,
+           CAST(octet_length(encode(text)) % 7 + 1 AS INT) AS n_frames
+    FROM documents
+    """,
+)
+def media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return llm_media.decode_metadata(llm_media.attach_binary_payload(docs))
+
+
+@query(
+    "media_frame_sample",
+    oracle="""
+    WITH m AS (SELECT doc_id,
+                      octet_length(encode(text)) AS n,
+                      octet_length(encode(text)) % 7 + 1 AS nf
+               FROM documents
+               WHERE source NOT IN ('src0', 'src1', 'src2', 'src3'))
+    SELECT doc_id, CAST(f AS INT) AS frame_idx,
+           CAST(f * (n // nf) AS BIGINT) AS frame_offset
+    FROM (SELECT doc_id, n, nf, unnest(range(0, nf)) AS f FROM m)
+    """,
+)
+def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return llm_media.sample_frames(llm_media.attach_binary_payload(docs))

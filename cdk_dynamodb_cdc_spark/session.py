@@ -26,6 +26,16 @@ def get_spark(
     high initial value (set ``spark.sql.adaptive.coalescePartitions.
     initialPartitionNum`` instead).
     """
+    # Python UDF workers resolve imports from PYTHONPATH/cwd, not the
+    # driver's sys.path — make the package importable on workers even
+    # when the driver process started outside the repo root.
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    pp = os.environ.get("PYTHONPATH", "")
+    if pkg_root not in pp.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            f"{pkg_root}{os.pathsep}{pp}" if pp else pkg_root
+        )
+
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
     master = master or f"local[{cpus}]"
     if shuffle_partitions is None:
