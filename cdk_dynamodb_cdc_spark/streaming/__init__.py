@@ -1,0 +1,6 @@
+from cdk_dynamodb_cdc_spark.streaming.stream import (  # noqa: F401
+    dedup_within_watermark,
+    read_cdc_stream,
+    run_cdc_stream,
+    windowed_change_counts,
+)

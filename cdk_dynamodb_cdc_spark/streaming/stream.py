@@ -1,0 +1,166 @@
+"""Structured Streaming CDC consumer (reference operator A1 + §2B
+streaming rows).
+
+The reference is a *stream* processor: a Lambda subscribed to a
+DynamoDB change stream (`/root/reference/lib/constructs/dynamo.ts:153-155,193`
+— `DynamoEventSource`, `StartingPosition.LATEST`, NEW_AND_OLD_IMAGES
+view at `dynamo.ts:69`). This module is the Spark-native equivalent:
+
+    read_cdc_stream     — `readStream` over a file/CDC-record source
+                          (A1; `latest` start maps to processing only
+                          files arriving after stream start, `trim_horizon`
+                          to reading the backlog)
+    run_cdc_stream      — the batch-tested `cdc_change_events` transform
+                          applied per micro-batch via `foreachBatch`,
+                          with the claim-check side write and an
+                          IDEMPOTENT main-sink write (dynamic partition
+                          overwrite keyed by batch_id), checkpointed;
+                          `availableNow` for backlog-then-stop runs
+    dedup_within_watermark — at-least-once -> exactly-once semantics on
+                          a keyed stream (`dropDuplicatesWithinWatermark`)
+    windowed_change_counts — event-time tumbling-window aggregation with
+                          watermarked late-data handling
+
+Exactly-once story: the checkpoint tracks source offsets per micro
+batch; the main sink writes `batch_id=<n>` partitions with DYNAMIC
+partition overwrite, so a replayed batch overwrites its own partition
+instead of appending duplicates; the claim-check side store is keyed by
+`event_id` (same key -> same content, idempotent). This is the standard
+file-sink exactly-once recipe when a transactional table format isn't
+available.
+
+Scale: the pipeline transform is shuffle-free (see operators/pipeline.py)
+so each micro-batch is embarrassingly parallel; stateful operators
+(dedup, windows) shuffle on their keys with state pruned by watermark —
+state size is bounded by (keys active within the watermark horizon).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cdk_dynamodb_cdc_spark.operators.claim_check import write_side_store
+from cdk_dynamodb_cdc_spark.operators.pipeline import cdc_change_events
+from cdk_dynamodb_cdc_spark.schemas import CDC_RECORD_SCHEMA, CLAIM_CHECK_THRESHOLD
+
+
+def read_cdc_stream(
+    spark: SparkSession,
+    source_path: str,
+    *,
+    starting_position: str = "latest",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """A1: subscribe to a CDC record stream (JSON files arriving in
+    `source_path`, one record per line, CDC_RECORD_SCHEMA).
+
+    `starting_position="latest"` mirrors the reference's
+    `StartingPosition.LATEST` (`dynamo.ts:193`): the backlog present at
+    stream start is skipped (`latestFirst` + checkpoint initialization);
+    `"trim_horizon"` reads it. A Kafka/Kinesis source would map to
+    `startingOffsets` directly.
+    """
+    reader = (
+        spark.readStream.schema(CDC_RECORD_SCHEMA)
+        .option("latestFirst", str(starting_position == "latest").lower())
+    )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.json(source_path)
+
+
+def run_cdc_stream(
+    records: DataFrame,
+    *,
+    sink_path: str,
+    checkpoint_path: str,
+    side_store_path: str | None = None,
+    pk_filters: list[str] | None = None,
+    claim_check_threshold: int = CLAIM_CHECK_THRESHOLD,
+    available_now: bool = True,
+):
+    """Run the CDC pipeline over a record stream into a parquet sink.
+
+    Returns the started StreamingQuery; callers `awaitTermination()`.
+    Each micro-batch applies the SAME pure transform the batch path
+    uses (operators/pipeline.py), then:
+
+      1. writes oversized images to the side store (idempotent by
+         event_id),
+      2. writes change events to `sink_path/batch_id=<n>/` with
+         dynamic partition overwrite — replays overwrite, never
+         duplicate.
+    """
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        events = cdc_change_events(
+            batch_df,
+            pk_filters=pk_filters,
+            claim_check_base=(
+                f"{side_store_path}/" if side_store_path else None
+            ),
+            claim_check_threshold=claim_check_threshold,
+        )
+        if side_store_path is not None:
+            write_side_store(batch_df, side_store_path, claim_check_threshold)
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            (
+                events.withColumn("batch_id", F.lit(batch_id))
+                .write.mode("overwrite")
+                .partitionBy("batch_id")
+                .parquet(sink_path)
+            )
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+    writer = (
+        records.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_path)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def dedup_within_watermark(
+    records: DataFrame,
+    *,
+    key_cols: list[str] | None = None,
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """§2B stateful op: collapse at-least-once redelivery to
+    exactly-once within the watermark horizon.
+
+    State is one entry per key seen within `watermark` of the max event
+    time — pruned continuously, so it is bounded at any corpus size by
+    the key arrival rate, not the stream length.
+    """
+    return records.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        key_cols or ["event_id"]
+    )
+
+
+def windowed_change_counts(
+    records: DataFrame,
+    *,
+    window_duration: str = "5 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """§2B streaming window: per-operation counts in event-time tumbling
+    windows; rows later than `watermark` behind the max seen `ts` are
+    dropped (late-data policy), letting the window state finalize."""
+    return (
+        records.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window_duration), F.col("operation"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "operation",
+            "n_events",
+        )
+    )

@@ -1,0 +1,192 @@
+"""Structured Streaming tests (SURVEY.md §5.4).
+
+Covers: availableNow backlog processing, checkpointed exactly-once
+across a forced restart (including a replayed batch overwriting its own
+partition rather than duplicating), streaming dedup within watermark,
+and watermarked windowed aggregation with late data.
+"""
+
+from __future__ import annotations
+
+import datetime
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from cdk_dynamodb_cdc_spark.sources.fixtures import fixture_rows
+from cdk_dynamodb_cdc_spark.streaming import (
+    dedup_within_watermark,
+    read_cdc_stream,
+    run_cdc_stream,
+    windowed_change_counts,
+)
+
+UTC = datetime.timezone.utc
+
+
+def _write_records_file(path, rows):
+    """One JSON-lines file of CDC records."""
+    with open(path, "w") as fh:
+        for r in rows:
+            (event_id, seq, ts, op, pk, sk, old, new, size) = r
+            fh.write(
+                json.dumps(
+                    {
+                        "event_id": event_id,
+                        "seq": seq,
+                        "ts": ts.strftime("%Y-%m-%dT%H:%M:%S.%f%z"),
+                        "operation": op,
+                        "pk": pk,
+                        "sk": sk,
+                        "old_image": old,
+                        "new_image": new,
+                        "size_bytes": size,
+                    }
+                )
+                + "\n"
+            )
+
+
+def _run_until_done(query):
+    query.awaitTermination(120)
+    assert not query.isActive
+
+
+def test_stream_processes_backlog_and_is_exactly_once_across_restart(
+    spark, tmp_path
+):
+    src = tmp_path / "src"
+    src.mkdir()
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    side = str(tmp_path / "side")
+
+    rows = fixture_rows()
+    _write_records_file(src / "batch0.json", rows[:9])
+
+    stream = read_cdc_stream(spark, str(src), starting_position="trim_horizon")
+    _run_until_done(
+        run_cdc_stream(
+            stream, sink_path=sink, checkpoint_path=ckpt, side_store_path=side
+        )
+    )
+    first = spark.read.parquet(sink)
+    first_ids = {r.event_id for r in first.select("event_id").collect()}
+    # 9 records in; ev-noop is dropped by the no-op MODIFY filter
+    assert "ev-noop" not in first_ids and "ev-set-reorder" not in first_ids
+    assert "ev-insert" in first_ids and "ev-remove" in first_ids
+
+    # restart with MORE data: only the new file may be processed
+    _write_records_file(src / "batch1.json", rows[9:])
+    stream2 = read_cdc_stream(spark, str(src), starting_position="trim_horizon")
+    _run_until_done(
+        run_cdc_stream(
+            stream2, sink_path=sink, checkpoint_path=ckpt, side_store_path=side
+        )
+    )
+    out = spark.read.parquet(sink)
+    ids = [r.event_id for r in out.select("event_id").collect()]
+    # exactly-once: no event id appears twice across the restart
+    assert len(ids) == len(set(ids))
+    assert first_ids <= set(ids)
+    # second batch contributed: claim-check row present with pointer only
+    big = out.filter(F.col("event_id") == "ev-big").collect()[0]
+    assert big.images_url is not None and big.new_image is None
+
+    # side store holds the oversized + sizeless images, keyed by event_id
+    side_df = spark.read.parquet(side)
+    side_ids = {r.event_id for r in side_df.collect()}
+    assert {"ev-big", "ev-zero-size"} <= side_ids
+
+
+def test_replayed_batch_overwrites_instead_of_duplicating(spark, tmp_path):
+    """Simulate a sink replay: rerunning a batch with the same batch_id
+    must overwrite its own partition (dynamic partition overwrite), the
+    idempotence the checkpoint relies on after a mid-write crash."""
+    src = tmp_path / "src"
+    src.mkdir()
+    sink = str(tmp_path / "sink")
+
+    rows = fixture_rows()[:3]
+    _write_records_file(src / "b.json", rows)
+
+    for _ in range(2):  # same data, same checkpoint-less rerun -> batch_id 0 twice
+        ckpt = str(tmp_path / f"ckpt{_}")
+        stream = read_cdc_stream(spark, str(src), starting_position="trim_horizon")
+        _run_until_done(
+            run_cdc_stream(stream, sink_path=sink, checkpoint_path=ckpt)
+        )
+    ids = [r.event_id for r in spark.read.parquet(sink).select("event_id").collect()]
+    assert sorted(ids) == sorted(set(ids))
+
+
+def test_dedup_within_watermark_collapses_redelivery(spark, tmp_path):
+    src = tmp_path / "src"
+    src.mkdir()
+    rows = fixture_rows()[:2]
+    _write_records_file(src / "a.json", rows + rows)  # redelivered twice
+
+    stream = read_cdc_stream(spark, str(src), starting_position="trim_horizon")
+    deduped = dedup_within_watermark(stream, watermark="1 hour")
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    _run_until_done(q)
+    out = spark.sql("SELECT event_id FROM dedup_out").collect()
+    ids = [r.event_id for r in out]
+    assert sorted(ids) == ["ev-insert", "ev-scalar"]
+
+
+def test_windowed_counts_drop_late_data(spark, tmp_path):
+    src = tmp_path / "src"
+    src.mkdir()
+    t0 = datetime.datetime(2024, 1, 1, 12, 0, tzinfo=UTC)
+
+    def rec(eid, minutes, op="INSERT"):
+        return (
+            eid, 1, t0 + datetime.timedelta(minutes=minutes), op,
+            "PK", "SK", None, json.dumps({"v": {"N": "1"}}), 64,
+        )
+
+    # file 1: events up to 12:30 -> watermark advances to 12:20
+    _write_records_file(src / "f1.json", [rec("e1", 0), rec("e2", 1), rec("e3", 30)])
+    # file 2: watermark 12:20 finalizes + emits the 12:00 window
+    _write_records_file(src / "f2.json", [rec("e4", 31)])
+    # file 3: an event at 12:02 — 28 min late, beyond the 10-min
+    # watermark, arriving AFTER its window's state was evicted. (Spark
+    # still merges late rows into windows whose state is open; the
+    # watermark guarantee is only that finalized windows stay final.)
+    _write_records_file(src / "f3.json", [rec("late", 2), rec("e5", 32)])
+    # distinct mtimes: the file source orders batches by modification
+    # time, and sub-second writes can tie
+    import os
+    import time
+
+    now = time.time()
+    for i, name in enumerate(["f1.json", "f2.json", "f3.json"]):
+        os.utime(src / name, (now - 60 + 30 * i, now - 60 + 30 * i))
+
+    stream = read_cdc_stream(
+        spark, str(src), starting_position="trim_horizon", max_files_per_trigger=1
+    )
+    counts = windowed_change_counts(stream, window_duration="5 minutes", watermark="10 minutes")
+    q = (
+        counts.writeStream.format("memory")
+        .queryName("win_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    _run_until_done(q)
+    out = {
+        (r.window_start.strftime("%H:%M"), r.n_events)
+        for r in spark.sql("SELECT * FROM win_out").collect()
+    }
+    # the finalized 12:00 window counts e1+e2 but NOT the late arrival
+    assert ("12:00", 2) in out
