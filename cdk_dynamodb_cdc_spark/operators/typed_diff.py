@@ -1,0 +1,280 @@
+"""Typed-lane CDC: generated Column expressions for declared schemas.
+
+The dynamic lane (functions/diff.py + operators/pipeline.py) pays one
+Arrow exchange and per-row Python for unmarshall + diff because the
+item schema is unknown. When the user DECLARES a StructType, this
+module generates the whole unmarshall -> diff path as pure Column
+expressions — `from_json` + field comparisons, fully JVM-side and
+whole-stage-codegen'd. At 100 TB this is the difference between
+interpreter-bound and scan-bound CDC.
+
+Semantics match the dynamic lane (functions/diff.py, which mirrors the
+reference's `compareJSON`, `dynamo-stream-handler.ts:29-87`) with ONE
+documented convention shift: a typed struct cannot distinguish "key
+absent" from "key null", so NULL means ABSENT here — a field going
+null -> non-null is an add, non-null -> null a remove. Arrays compare
+atomically, nested structs recurse with dot-paths and parent-path
+propagation, path order is added / removed / changed-in-place (schema
+order within each class), exactly like the reference.
+
+Wire-format support: S, N (long / double / decimal targets), BOOL,
+M (nested struct), L (typed array), B (base64 -> binary), and SS / NS
+via StructField metadata {"dynamo_type": "SS"|"NS"} — canonicalized
+with array_sort exactly like the dynamic lane's sorted-list convention.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from cdk_dynamodb_cdc_spark.schemas import CLAIM_CHECK_THRESHOLD
+
+
+def wire_schema_for(schema: T.StructType) -> T.StructType:
+    """The AttributeValue wire StructType `from_json` needs so that a
+    marshalled image parses losslessly for the declared target."""
+    return T.StructType(
+        [
+            T.StructField(f.name, _wire_type(f), True)
+            for f in schema.fields
+        ]
+    )
+
+
+def _wire_type(field: T.StructField) -> T.StructType:
+    dt = field.dataType
+    set_tag = (field.metadata or {}).get("dynamo_type")
+    if set_tag in ("SS", "NS"):
+        if not isinstance(dt, T.ArrayType):
+            raise TypeError(f"{field.name}: {set_tag} requires an ArrayType target")
+        return T.StructType(
+            [T.StructField(set_tag, T.ArrayType(T.StringType()), True)]
+        )
+    if isinstance(dt, T.StringType):
+        return T.StructType([T.StructField("S", T.StringType(), True)])
+    if isinstance(dt, (T.LongType, T.IntegerType, T.DoubleType, T.FloatType,
+                       T.DecimalType)):
+        return T.StructType([T.StructField("N", T.StringType(), True)])
+    if isinstance(dt, T.BooleanType):
+        return T.StructType([T.StructField("BOOL", T.BooleanType(), True)])
+    if isinstance(dt, T.BinaryType):
+        return T.StructType([T.StructField("B", T.StringType(), True)])
+    if isinstance(dt, T.StructType):
+        return T.StructType(
+            [T.StructField("M", wire_schema_for(dt), True)]
+        )
+    if isinstance(dt, T.ArrayType):
+        elem = T.StructField("elem", dt.elementType)
+        return T.StructType(
+            [T.StructField("L", T.ArrayType(_wire_type(elem)), True)]
+        )
+    raise TypeError(f"unsupported typed-lane type for {field.name}: {dt}")
+
+
+def _extract(wire_col: Column, field: T.StructField) -> Column:
+    """wire node -> typed value Column."""
+    dt = field.dataType
+    set_tag = (field.metadata or {}).get("dynamo_type")
+    if set_tag in ("SS", "NS"):
+        # sets are unordered on the wire: canonicalize sorted, like the
+        # dynamic lane (functions/dynamo.py)
+        arr = F.array_sort(wire_col[set_tag])
+        if set_tag == "NS":
+            elem = dt.elementType.simpleString()
+            arr = F.array_sort(
+                F.transform(wire_col[set_tag], lambda x: x.cast(elem))
+            )
+        return arr
+    if isinstance(dt, T.StringType):
+        return wire_col["S"]
+    if isinstance(dt, (T.LongType, T.IntegerType, T.DoubleType, T.FloatType,
+                       T.DecimalType)):
+        return wire_col["N"].cast(dt.simpleString())
+    if isinstance(dt, T.BooleanType):
+        return wire_col["BOOL"]
+    if isinstance(dt, T.BinaryType):
+        return F.unbase64(wire_col["B"])
+    if isinstance(dt, T.StructType):
+        return _extract_struct(wire_col["M"], dt)
+    if isinstance(dt, T.ArrayType):
+        elem = T.StructField("elem", dt.elementType)
+        return F.transform(wire_col["L"], lambda x: _extract(x, elem))
+    raise TypeError(f"unsupported typed-lane type for {field.name}: {dt}")
+
+
+def _extract_struct(wire_struct: Column, schema: T.StructType) -> Column:
+    return F.when(
+        wire_struct.isNotNull(),
+        F.struct(
+            *[
+                _extract(wire_struct[f.name], f).alias(f.name)
+                for f in schema.fields
+            ]
+        ),
+    )
+
+
+def unmarshall_typed(marshalled_json: Column, schema: T.StructType) -> Column:
+    """Marshalled AttributeValue JSON string -> typed struct, entirely
+    via `from_json` + projections (JVM, codegen; no Python)."""
+    wire = F.from_json(marshalled_json, wire_schema_for(schema))
+    return F.when(
+        marshalled_json.isNotNull(), _extract_struct(wire, schema)
+    )
+
+
+def _leaf_changed(old: Column, new: Column) -> Column:
+    return ~old.eqNullSafe(new)
+
+
+def struct_diff_exprs(
+    old: Column, new: Column, schema: T.StructType, level: str = ""
+) -> tuple[Column, Column, Column]:
+    """(attributes_changed, before_struct, after_struct) for two typed
+    structs. before/after contain only changed subtrees (unchanged
+    fields are NULL, which to_json omits); path semantics mirror
+    functions/diff.py: added & removed contribute one path each with
+    the whole subtree copied, changed structs recurse with the parent
+    path recorded before the children's.
+    """
+    added, removed, changed = [], [], []
+    before_fields, after_fields = [], []
+
+    for f in schema.fields:
+        path = f"{level}{f.name}"
+        o, n = old[f.name], new[f.name]
+        is_added = o.isNull() & n.isNotNull()
+        is_removed = o.isNotNull() & n.isNull()
+        added.append(F.when(is_added, F.lit(path)))
+        removed.append(F.when(is_removed, F.lit(path)))
+
+        if isinstance(f.dataType, T.StructType):
+            sub_changed, sub_before, sub_after = struct_diff_exprs(
+                o, n, f.dataType, level=f"{path}."
+            )
+            both = o.isNotNull() & n.isNotNull()
+            in_place = both & (F.size(sub_changed) > 0)
+            changed.append(
+                F.when(in_place, F.concat(F.array(F.lit(path)), sub_changed))
+                .otherwise(F.array().cast("array<string>"))
+            )
+            before_fields.append(
+                F.when(is_removed, o).when(in_place, sub_before).alias(f.name)
+            )
+            after_fields.append(
+                F.when(is_added, n).when(in_place, sub_after).alias(f.name)
+            )
+        else:
+            both = o.isNotNull() & n.isNotNull()
+            in_place = both & _leaf_changed(o, n)
+            changed.append(
+                F.when(in_place, F.array(F.lit(path)))
+                .otherwise(F.array().cast("array<string>"))
+            )
+            before_fields.append(
+                F.when(is_removed | in_place, o).alias(f.name)
+            )
+            after_fields.append(
+                F.when(is_added | in_place, n).alias(f.name)
+            )
+
+    paths = F.concat(
+        F.filter(F.array(*added), lambda x: x.isNotNull()),
+        F.filter(F.array(*removed), lambda x: x.isNotNull()),
+        F.flatten(F.array(*changed)),
+    )
+    return (
+        paths,
+        F.struct(*before_fields),
+        F.struct(*after_fields),
+    )
+
+
+def cdc_change_events_typed(
+    records: DataFrame,
+    schema: T.StructType,
+    *,
+    claim_check_base: str | None = None,
+    claim_check_threshold: int = CLAIM_CHECK_THRESHOLD,
+) -> DataFrame:
+    """The typed-lane twin of operators/pipeline.py:cdc_change_events —
+    same input (CDC_RECORD_SCHEMA) and output columns, zero Python.
+
+    `.explain()` shows one WholeStageCodegen span from scan to output:
+    no exchange, no BatchEvalPython — THE plan to run when the item
+    schema is declared."""
+    src = records.filter(
+        F.col("operation").isNotNull()
+        & F.col("event_id").isNotNull()
+        & (F.col("new_image").isNotNull() | F.col("old_image").isNotNull())
+    )
+    # Parse each image ONCE in its own projection; the diff expressions
+    # below reference the parsed structs as column refs. Building them
+    # directly from the from_json expression objects would duplicate
+    # the parse into every field comparison (~20x per row — measured
+    # 100x slower); CollapseProject keeps this split because from_json
+    # is non-cheap and multiply-referenced.
+    parsed = src.select(
+        "*",
+        unmarshall_typed(F.col("old_image"), schema).alias("__old_t"),
+        unmarshall_typed(F.col("new_image"), schema).alias("__new_t"),
+    )
+    # a NULL image behaves like an empty document: field access on a
+    # null struct yields null, so every new field classifies as added
+    # (the JS null-as-object quirk, functions/diff.py)
+    paths, before, after = struct_diff_exprs(
+        F.col("__old_t"), F.col("__new_t"), schema
+    )
+    base = parsed.select(
+        "*",
+        paths.alias("__paths"),
+        F.to_json(before).alias("__before"),
+        F.to_json(after).alias("__after"),
+    )
+    # No-op test: empty diff  <=>  every top-level field null-safe
+    # equal (field access on a null struct is null, so a missing image
+    # behaves as an empty document, exactly like the path logic).
+    # Deliberately NOT size(__paths) == 0: PushDownPredicates inlines
+    # alias definitions into pushed predicates unconditionally, and
+    # inlining the full diff tree re-evaluates from_json ~16x per row
+    # (measured 10x slower). This predicate inlines as just two
+    # parses.
+    fields_equal = [
+        F.col("__old_t")[f.name].eqNullSafe(F.col("__new_t")[f.name])
+        for f in schema.fields
+    ]
+    all_equal = fields_equal[0]
+    for fe in fields_equal[1:]:
+        all_equal = all_equal & fe
+    noop = (F.col("operation") == "MODIFY") & all_equal
+    ok = base.filter(~noop)
+    small = (
+        F.col("size_bytes").isNotNull()
+        & (F.col("size_bytes") != 0)
+        & (F.col("size_bytes") < F.lit(claim_check_threshold))
+    )
+    images_url = F.when(
+        ~small,
+        F.concat(
+            F.lit(claim_check_base or "claim-check://images/"),
+            F.col("event_id"),
+            F.lit(".json"),
+        ),
+    )
+    return ok.select(
+        "event_id",
+        "seq",
+        "ts",
+        "operation",
+        "pk",
+        "sk",
+        F.col("__paths").alias("attributes_changed"),
+        F.col("__before").alias("before"),
+        F.col("__after").alias("after"),
+        F.when(small, F.to_json("__new_t")).alias("new_image"),
+        F.when(small & (F.col("operation") == "REMOVE"), F.to_json("__old_t"))
+        .alias("old_image"),
+        images_url.alias("images_url"),
+    )

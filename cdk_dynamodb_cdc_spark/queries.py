@@ -923,3 +923,51 @@ def session_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Typed-lane CDC: the same synthesized change stream processed with ZERO
+# Python — declared schema, generated from_json unmarshall + Column
+# diff (operators/typed_diff.py). Must produce the dynamic lane's
+# numbers (same oracle as cdc_change_stats).
+# ---------------------------------------------------------------------------
+@query(
+    "cdc_change_stats_typed",
+    oracle="""
+    WITH versions AS (
+      SELECT user_id, event_type, value,
+             LAG(event_type) OVER w AS prev_type,
+             LAG(value) OVER w AS prev_value,
+             LAG(event_id) OVER w AS prev_id
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), diffs AS (
+      SELECT CASE WHEN prev_id IS NULL THEN 'INSERT' ELSE 'MODIFY' END AS operation,
+             CASE WHEN prev_id IS NULL THEN 2
+                  ELSE (CASE WHEN event_type <> prev_type THEN 1 ELSE 0 END)
+                     + (CASE WHEN value <> prev_value THEN 1 ELSE 0 END) END AS n_changed
+      FROM versions
+    )
+    SELECT operation, CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(n_changed) AS BIGINT) AS total_attrs_changed
+    FROM diffs WHERE n_changed > 0
+    GROUP BY operation
+    """,
+)
+def cdc_change_stats_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import types as T
+
+    from cdk_dynamodb_cdc_spark.operators.typed_diff import cdc_change_events_typed
+
+    item_schema = T.StructType(
+        [
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    records = synthesize_cdc_records(spark, sf_dir)
+    changes = cdc_change_events_typed(records, item_schema)
+    return changes.groupBy("operation").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.size("attributes_changed")).alias("total_attrs_changed"),
+    )
