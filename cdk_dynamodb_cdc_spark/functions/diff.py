@@ -19,6 +19,15 @@ including its JavaScript quirks:
   types are always different (``1 !== "1"``, ``true !== 1``) EXCEPT that
   JS has a single number type, so int/float compare by numeric value.
 
+One INTENTIONAL divergence: DynamoDB sets (SS/NS/BS). The reference's
+``unmarshall`` yields JS ``Set`` objects, and ``Object.keys(Set)`` is
+``[]``, so ``compareJSON`` recurses into them finding nothing — the
+reference silently NEVER detects set-membership changes. This engine
+canonicalizes sets to sorted lists (functions/dynamo.py) and compares
+them atomically like other arrays, so membership changes ARE detected
+(and pure reorderings are no-ops). The golden fixtures encode this
+engine's behavior, not reference output.
+
 Two implementations:
   1. :func:`compare_images` — pure Python on parsed JSON (dynamic lane),
      wrapped Arrow-vectorized in :func:`diff_udf`.

@@ -57,27 +57,30 @@ def asof_join(
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     merged = tagged_left.unionByName(tagged_right)
+    # Fill ONE struct per right row (timestamp + all value columns) so
+    # every carried field comes from the SAME matched right row —
+    # per-column last(ignorenulls) would stitch a NULL field in the
+    # matched row together with an older row's value, which pandas
+    # merge_asof / DuckDB ASOF JOIN never do.
+    right_payload = F.when(
+        F.col("__side") == 0,
+        F.struct(
+            F.col("__t").alias("__rt"),
+            *[F.col(f"__v_{c}").alias(c) for c in value_cols],
+        ),
+    )
     filled = merged.select(
-        "*",
-        *[
-            F.last(f"__v_{c}", ignorenulls=True).over(w).alias(f"__m_{c}")
-            for c in value_cols
-        ],
-        F.last(F.when(F.col("__side") == 0, F.col("__t")), ignorenulls=True)
-        .over(w)
-        .alias("__m_t"),
+        "*", F.last(right_payload, ignorenulls=True).over(w).alias("__m")
     )
     out = filled.filter(F.col("__side") == 1)
     if tolerance is not None:
-        within = F.col("__m_t") >= F.col("__t") - F.expr(f"INTERVAL {tolerance}")
+        within = F.col("__m.__rt") >= F.col("__t") - F.expr(f"INTERVAL {tolerance}")
         out = out.select(
             *left.columns,
-            *[
-                F.when(within, F.col(f"__m_{c}")).alias(c) for c in value_cols
-            ],
+            *[F.when(within, F.col(f"__m.{c}")).alias(c) for c in value_cols],
         )
     else:
         out = out.select(
-            *left.columns, *[F.col(f"__m_{c}").alias(c) for c in value_cols]
+            *left.columns, *[F.col(f"__m.{c}").alias(c) for c in value_cols]
         )
     return out

@@ -67,8 +67,12 @@ def vacuum_side_store(spark, base_path: str, retain_days: int = 1) -> list[str]:
 
     from py4j.java_gateway import java_import
 
+    # UTC, not driver-local: partitions are dated from UTC timestamps
+    # (to_date under the session's UTC timezone), so a local-date cutoff
+    # could be a day off and delete a partition still inside the window.
     cutoff = (
-        datetime.date.today() - datetime.timedelta(days=retain_days)
+        datetime.datetime.now(datetime.timezone.utc).date()
+        - datetime.timedelta(days=retain_days)
     ).isoformat()
     jvm = spark.sparkContext._jvm
     java_import(jvm, "org.apache.hadoop.fs.Path")

@@ -69,7 +69,16 @@ def pk_filter(df: DataFrame, pk_filters: list[str] | None) -> DataFrame:
 
 
 def null_guards(df: DataFrame) -> DataFrame:
-    """Drop records missing operation / event_id / payload (A4, :92-97)."""
+    """Drop records missing operation / event_id / payload (A4, :92-97).
+
+    Deliberate deviation: the reference only bails when the
+    ``record.dynamodb`` envelope itself is missing (:96-97) and would
+    still publish an event with empty before/after for an image-less
+    record. This engine's record schema has no envelope column, so
+    "both images null" stands in for "no payload" and such records are
+    dropped — stricter than the reference, by design (an event with no
+    images, no diff, and no keys carries no information downstream).
+    """
     has_payload = F.col("new_image").isNotNull() | F.col("old_image").isNotNull()
     return df.filter(
         F.col("operation").isNotNull() & F.col("event_id").isNotNull() & has_payload

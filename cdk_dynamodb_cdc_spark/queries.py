@@ -971,3 +971,108 @@ def cdc_change_stats_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.sum(F.size("attributes_changed")).alias("total_attrs_changed"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Range (theta) join: events landing within 7 days after one of the
+# user's order dates. Equi key (user) + range predicate — Catalyst
+# plans the equi part as the join key and evaluates the range as a
+# post-join condition, so the shuffle stays keyed and skew-bounded.
+# ---------------------------------------------------------------------------
+@query(
+    "range_join_clicks_after_errors",
+    oracle="""
+    SELECT err.user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(COUNT(DISTINCT clk.event_id) AS BIGINT) AS n_clicks
+    FROM events err
+    JOIN events clk
+      ON err.user_id = clk.user_id
+     AND clk.ts > err.ts
+     AND clk.ts <= err.ts + INTERVAL 30 MINUTE
+    WHERE err.event_type = 'error' AND clk.event_type = 'click'
+    GROUP BY err.user_id
+    """,
+)
+def range_join_clicks_after_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clicks within 30 min after an error by the same user — equi key
+    (user) + time-range predicate. Catalyst keys the shuffle on the
+    equi part and applies the range as the join residual, so the plan
+    stays a hash join, not a cartesian."""
+    ev = load_table(spark, sf_dir, "events")
+    err = ev.filter(F.col("event_type") == "error").select(
+        F.col("user_id"), F.col("ts").alias("err_ts")
+    )
+    clk = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    cond = (
+        (err.user_id == clk.c_user)
+        & (clk.click_ts > err.err_ts)
+        & (clk.click_ts <= err.err_ts + F.expr("INTERVAL 30 MINUTE"))
+    )
+    return (
+        err.join(clk, cond)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.countDistinct("click_id").alias("n_clicks"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cube (full GROUPING SETS lattice) with grouping_id so subtotal NULLs
+# are distinguishable from data NULLs.
+# ---------------------------------------------------------------------------
+@query(
+    "cube_lineitem_flag_status",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT)
+             AS gid,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS qty
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def cube_lineitem_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.grouping_id().alias("gid"),
+        F.count(F.lit(1)).alias("n"),
+        F.sum(_dec("l_quantity")).cast("double").alias("qty"),
+    ).select("l_returnflag", "l_linestatus", "gid", "n", "qty")
+
+
+# ---------------------------------------------------------------------------
+# Approximate distinct count (HyperLogLog++). Estimates are engine-
+# specific, so the oracle contract is the ACCURACY BOUND, not the
+# estimate: the query emits exact counts plus a within-2%-of-exact
+# flag; the oracle asserts the flag is TRUE with the same exact counts.
+# ---------------------------------------------------------------------------
+@query(
+    "approx_distinct_custkeys",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_custkeys,
+           TRUE AS approx_within_2pct
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def approx_distinct_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    agg = orders.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("exact_custkeys"),
+        F.approx_count_distinct("o_custkey", rsd=0.01).alias("approx"),
+    )
+    within = (
+        F.abs(F.col("approx") - F.col("exact_custkeys"))
+        / F.col("exact_custkeys")
+        <= 0.02
+    )
+    return agg.select(
+        "o_orderpriority", "exact_custkeys", within.alias("approx_within_2pct")
+    )

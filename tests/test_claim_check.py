@@ -1,0 +1,68 @@
+"""Claim-check side store + retention (A10/A13) tests."""
+
+from __future__ import annotations
+
+import datetime
+import os
+
+from pyspark.sql import functions as F
+
+from cdk_dynamodb_cdc_spark.operators.claim_check import (
+    side_store_writes,
+    vacuum_side_store,
+    write_side_store,
+)
+from cdk_dynamodb_cdc_spark.sources.fixtures import cdc_fixture_df
+
+UTC = datetime.timezone.utc
+
+
+def test_side_store_selects_oversized_and_sizeless(spark):
+    records = cdc_fixture_df(spark)
+    ids = {r.event_id for r in side_store_writes(records).collect()}
+    # >=64 KiB and size 0 take the claim-check branch (JS falsy size)
+    assert ids == {"ev-big", "ev-zero-size"}
+
+
+def test_vacuum_drops_only_expired_partitions(spark, tmp_path):
+    base = str(tmp_path / "side")
+    today = datetime.datetime.now(UTC).date()
+    old_day = today - datetime.timedelta(days=5)
+
+    def fabricate(day, eid):
+        spark.createDataFrame(
+            [(eid, None, "{}")],
+            "event_id string, old_image string, new_image string",
+        ).write.parquet(os.path.join(base, f"dt={day.isoformat()}"))
+
+    fabricate(old_day, "ev-ancient")
+    fabricate(today, "ev-fresh")
+
+    removed = vacuum_side_store(spark, base, retain_days=2)
+    assert [p for p in removed if old_day.isoformat() in p]
+    ids = {r.event_id for r in spark.read.parquet(base).collect()}
+    assert ids == {"ev-fresh"}
+
+
+def test_vacuum_keeps_partitions_inside_window(spark, tmp_path):
+    base = str(tmp_path / "side")
+    records = cdc_fixture_df(spark)
+    write_side_store(records, base)
+    # fixture ts is 2024-01-01 -> far past the 1-day default retention;
+    # with a huge retain_days nothing may be deleted
+    assert vacuum_side_store(spark, base, retain_days=10_000) == []
+
+
+def test_vacuum_missing_store_is_noop(spark, tmp_path):
+    assert vacuum_side_store(spark, str(tmp_path / "absent"), 1) == []
+
+
+def test_claim_checked_rows_point_at_side_store(spark):
+    from cdk_dynamodb_cdc_spark.operators.pipeline import cdc_change_events
+
+    records = cdc_fixture_df(spark)
+    events = cdc_change_events(records, claim_check_base="x://store/")
+    big = {r.event_id: r for r in events.filter(F.col("images_url").isNotNull()).collect()}
+    assert set(big) == {"ev-big", "ev-zero-size"}
+    assert big["ev-big"].images_url == "x://store/ev-big.json"
+    assert big["ev-big"].new_image is None
