@@ -16,7 +16,8 @@ pushdown / pruning / join selection; Python only runs in Arrow-vectorized
 batches where semantics genuinely require it (the dynamic-schema diff).
 """
 
+from cdk_dynamodb_cdc_spark.api import CdcPipeline
 from cdk_dynamodb_cdc_spark.session import get_spark
 
-__all__ = ["get_spark"]
-__version__ = "0.1.0"
+__all__ = ["CdcPipeline", "get_spark"]
+__version__ = "0.2.0"

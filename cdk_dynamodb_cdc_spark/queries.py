@@ -1076,3 +1076,113 @@ def approx_distinct_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select(
         "o_orderpriority", "exact_custkeys", within.alias("approx_within_2pct")
     )
+
+
+# ---------------------------------------------------------------------------
+# Old-image reconstruction: strip old_image from the synthesized stream
+# (simulating a NEW_IMAGE-only source view) and rebuild it from the
+# per-key version history. The oracle is cdc_change_stats' — the
+# reconstructed stream must be indistinguishable downstream.
+# ---------------------------------------------------------------------------
+@query(
+    "cdc_change_stats_reconstructed",
+    oracle="""
+    WITH versions AS (
+      SELECT user_id, event_type, value,
+             LAG(event_type) OVER w AS prev_type,
+             LAG(value) OVER w AS prev_value,
+             LAG(event_id) OVER w AS prev_id
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), diffs AS (
+      SELECT CASE WHEN prev_id IS NULL THEN 'INSERT' ELSE 'MODIFY' END AS operation,
+             CASE WHEN prev_id IS NULL THEN 2
+                  ELSE (CASE WHEN event_type <> prev_type THEN 1 ELSE 0 END)
+                     + (CASE WHEN value <> prev_value THEN 1 ELSE 0 END) END AS n_changed
+      FROM versions
+    )
+    SELECT operation, CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(n_changed) AS BIGINT) AS total_attrs_changed
+    FROM diffs WHERE n_changed > 0
+    GROUP BY operation
+    """,
+)
+def cdc_change_stats_reconstructed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdk_dynamodb_cdc_spark.operators.reconstruct import reconstruct_old_images
+
+    records = synthesize_cdc_records(spark, sf_dir).withColumn(
+        "old_image", F.lit(None).cast("string")
+    )
+    changes = cdc_change_events(reconstruct_old_images(records))
+    return changes.groupBy("operation").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.size("attributes_changed")).alias("total_attrs_changed"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scalar-function breadth: string / date / math / conditional suites in
+# one oracle-checked projection. Float discipline: only IEEE-exact
+# functions on bit-identical operands (sqrt, abs, floor/ceil, +-*) —
+# no libm-dependent ln/exp/pow whose last bit varies across engines.
+# ---------------------------------------------------------------------------
+@query(
+    "scalar_function_suite",
+    oracle="""
+    SELECT o_orderkey,
+           upper(o_orderpriority) AS pri_upper,
+           lower(o_orderstatus) AS status_lower,
+           substr(o_orderpriority, 1, 1) AS pri_code,
+           CAST(length(o_orderpriority) AS INT) AS pri_len,
+           concat_ws('-', o_orderstatus, o_orderpriority) AS status_pri,
+           lpad(CAST(o_orderkey AS VARCHAR), 12, '0') AS key_padded,
+           reverse(o_orderstatus) AS status_rev,
+           replace(o_orderpriority, '-', '_') AS pri_snake,
+           CAST(strpos(o_orderpriority, '-') AS INT) AS dash_pos,
+           CAST(year(o_orderdate) AS INT) AS y,
+           CAST(quarter(o_orderdate) AS INT) AS q,
+           CAST(month(o_orderdate) AS INT) AS m,
+           CAST(day(o_orderdate) AS INT) AS d,
+           CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+           CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '1999-01-01') AS INT)
+             AS days_to_99,
+           abs(CAST(o_totalprice AS DOUBLE) - 100000.0) AS price_dist,
+           CAST(floor(CAST(o_totalprice AS DOUBLE)) AS BIGINT) AS price_floor,
+           CAST(ceil(CAST(o_totalprice AS DOUBLE)) AS BIGINT) AS price_ceil,
+           sqrt(CAST(o_orderkey AS DOUBLE)) AS key_sqrt,
+           CAST(o_orderkey % 97 AS BIGINT) AS mod97,
+           CAST(greatest(o_orderkey % 7, o_orderkey % 11) AS BIGINT) AS g711,
+           coalesce(nullif(o_orderstatus, 'O'), 'OPEN') AS status_or_open
+    FROM orders
+    """,
+)
+def scalar_function_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    price = F.col("o_totalprice").cast("double")
+    return o.select(
+        "o_orderkey",
+        F.upper("o_orderpriority").alias("pri_upper"),
+        F.lower("o_orderstatus").alias("status_lower"),
+        F.substring("o_orderpriority", 1, 1).alias("pri_code"),
+        F.length("o_orderpriority").alias("pri_len"),
+        F.concat_ws("-", "o_orderstatus", "o_orderpriority").alias("status_pri"),
+        F.lpad(F.col("o_orderkey").cast("string"), 12, "0").alias("key_padded"),
+        F.reverse(F.col("o_orderstatus")).alias("status_rev"),
+        F.replace(F.col("o_orderpriority"), F.lit("-"), F.lit("_")).alias("pri_snake"),
+        F.instr(F.col("o_orderpriority"), "-").alias("dash_pos"),
+        F.year("o_orderdate").alias("y"),
+        F.quarter("o_orderdate").alias("q"),
+        F.month("o_orderdate").alias("m"),
+        F.dayofmonth("o_orderdate").alias("d"),
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month_start"),
+        F.datediff(F.lit("1999-01-01").cast("date"), F.col("o_orderdate").cast("date"))
+        .alias("days_to_99"),
+        F.abs(price - 100000.0).alias("price_dist"),
+        F.floor(price).alias("price_floor"),
+        F.ceil(price).alias("price_ceil"),
+        F.sqrt(F.col("o_orderkey").cast("double")).alias("key_sqrt"),
+        (F.col("o_orderkey") % 97).alias("mod97"),
+        F.greatest(F.col("o_orderkey") % 7, F.col("o_orderkey") % 11).alias("g711"),
+        F.coalesce(F.nullif("o_orderstatus", F.lit("O")), F.lit("OPEN"))
+        .alias("status_or_open"),
+    )

@@ -1,0 +1,66 @@
+"""CdcPipeline builder tests: lane selection, custom transform hook,
+reconstruction wiring, and publish envelope."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from cdk_dynamodb_cdc_spark import CdcPipeline
+from cdk_dynamodb_cdc_spark.sources.fixtures import cdc_fixture_df
+
+
+def test_batch_events_with_transform_hook(spark):
+    records = cdc_fixture_df(spark)
+    pipe = CdcPipeline(
+        transform=lambda df: df.filter(F.col("operation") == "INSERT")
+    )
+    ops = {r.operation for r in pipe.events(records).collect()}
+    assert ops == {"INSERT"}
+
+
+def test_pk_filter_applies_in_both_lanes(spark):
+    records = cdc_fixture_df(spark)
+    dynamic = CdcPipeline(pk_filters=["ORDER#*"])
+    typed = CdcPipeline(
+        pk_filters=["ORDER#*"],
+        item_schema=T.StructType(
+            [
+                T.StructField("total", T.DoubleType()),
+                T.StructField("name", T.StringType()),
+                T.StructField("n", T.DoubleType()),
+            ]
+        ),
+    )
+    dyn_pks = {r.pk for r in dynamic.events(records).collect()}
+    typ_pks = {r.pk for r in typed.events(records).collect()}
+    assert dyn_pks and all(pk.startswith("ORDER#") for pk in dyn_pks)
+    assert typ_pks and all(pk.startswith("ORDER#") for pk in typ_pks)
+
+
+def test_reconstruction_wired_into_batch_lane(spark):
+    rows = [
+        ("r1", 1, None, "INSERT", "K", "S", None, json.dumps({"v": {"N": "1"}}), 64),
+        ("r2", 2, None, "MODIFY", "K", "S", None, json.dumps({"v": {"N": "2"}}), 64),
+    ]
+    records = spark.createDataFrame(
+        rows,
+        "event_id string, seq long, ts timestamp, operation string, "
+        "pk string, sk string, old_image string, new_image string, size_bytes long",
+    )
+    pipe = CdcPipeline(reconstruct_missing_old=True)
+    by_id = {r.event_id: r for r in pipe.events(records).collect()}
+    assert json.loads(by_id["r2"].before) == {"v": 1}
+    assert json.loads(by_id["r2"].after) == {"v": 2}
+
+
+def test_published_envelope(spark):
+    records = cdc_fixture_df(spark)
+    pipe = CdcPipeline(event_source="acme")
+    rows = pipe.published(records).collect()
+    assert {r.source for r in rows} == {"acme"}
+    assert {r.detail_type for r in rows} == {"dynamo.item.changed"}
+    detail = json.loads(rows[0].detail)
+    assert "attributesChanged" in detail and "operation" in detail
