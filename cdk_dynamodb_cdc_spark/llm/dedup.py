@@ -39,19 +39,23 @@ SIMHASH_CHUNK_BITS = 15
 SIMHASH_MAX_HAMMING = SIMHASH_CHUNKS - 1  # pigeonhole guarantee
 
 
-def word_shingles(text, k: int = SHINGLE_WORDS):
-    """Distinct word k-gram shingles (space-joined) of a text column.
+def word_shingles(text, k: int = SHINGLE_WORDS, *, distinct: bool = True):
+    """Word k-gram shingles (space-joined) of a text column, distinct
+    by default (set semantics for Jaccard).
 
     DuckDB twin (1-indexed, identical output):
       list_distinct(list_transform(range(1, len(ws)-k+2),
                                    i -> ws[i] || ' ' || ... ws[i+k-1]))
+
+    `distinct=False` skips the O(n^2)-per-array dedup for consumers
+    that are duplicate-insensitive (minhash minima).
     """
     ws = tokens(text)
     idx = F.sequence(F.lit(1), F.greatest(F.size(ws) - (k - 1), F.lit(1)))
     gram = F.transform(
         idx, lambda i: F.concat_ws(" ", *[F.element_at(ws, i + j) for j in range(k)])
     )
-    return F.array_distinct(gram)
+    return F.array_distinct(gram) if distinct else gram
 
 
 def exact_dedup_groups(docs: DataFrame) -> DataFrame:
@@ -103,7 +107,7 @@ def minhash_signatures(docs: DataFrame) -> DataFrame:
     measured ~20x slower, and an explode + 128-min-agg variant ~1.6x
     slower plus a shuffle). Entirely per-row: zero shuffle, zero state;
     100 TB of documents stream map-side."""
-    shingles = word_shingles(F.col("text"))
+    shingles = word_shingles(F.col("text"), distinct=False)
     p = F.lit(_MERSENNE31)
     hashes = F.transform(shingles, lambda s: F.pmod(F.xxhash64(s), p))
     init = F.array_repeat(F.lit(1 << 31).cast("long"), MINHASH_PERMS)
@@ -171,15 +175,31 @@ def minhash_candidate_pairs(docs: DataFrame) -> DataFrame:
             )
         ).alias("bb"),
     ).select("doc_id", "bb.band", "bb.bh")
-    a, b = bands.alias("a"), bands.alias("b")
-    return (
-        a.join(b, ["band", "bh"])
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .distinct()
+    # Pairs via per-bucket collect + array combinatorics, NOT a
+    # bands-self-join: a self-join evaluates the signature subplan on
+    # both branches (no exchange to reuse), doubling the dominant
+    # cost. This shape computes signatures once, shuffles (band, bh)
+    # keyed rows once, and expands C(n,2) only inside buckets — bucket
+    # sizes are tiny by construction (16-bit band hashes).
+    buckets = (
+        bands.groupBy("band", "bh")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") > 1)
     )
+    pairs = buckets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("ids"),
+                    lambda x, i: F.transform(
+                        F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                        lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+                    ),
+                )
+            )
+        ).alias("p")
+    )
+    return pairs.select("p.doc_a", "p.doc_b").distinct()
 
 
 def minhash_near_dup_pairs(docs: DataFrame, threshold: float = 0.8) -> DataFrame:
