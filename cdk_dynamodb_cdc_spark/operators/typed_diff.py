@@ -12,10 +12,17 @@ Semantics match the dynamic lane (functions/diff.py, which mirrors the
 reference's `compareJSON`, `dynamo-stream-handler.ts:29-87`) with ONE
 documented convention shift: a typed struct cannot distinguish "key
 absent" from "key null", so NULL means ABSENT here — a field going
-null -> non-null is an add, non-null -> null a remove. Arrays compare
+null -> non-null is an add, non-null -> null a remove. A corollary: a
+wire value whose tag doesn't match the declared type (e.g. a field
+declared array arriving as {"S": ...}) parses to null and therefore
+reads as absent; the dynamic lane would instead report a scalar/array
+type-flip change. Records outside the declared schema's domain belong
+on the dynamic lane. Arrays compare
 atomically, nested structs recurse with dot-paths and parent-path
-propagation, path order is added / removed / changed-in-place (schema
-order within each class), exactly like the reference.
+propagation, path order is added / removed / changed-in-place like the
+reference — but within each class the order is SCHEMA order, since a
+typed struct erases the image's JSON key-insertion order the dynamic
+lane preserves. Path SETS always agree between lanes.
 
 Wire-format support: S, N (long / double / decimal targets), BOOL,
 M (nested struct), L (typed array), B (base64 -> binary), and SS / NS

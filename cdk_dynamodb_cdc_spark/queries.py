@@ -1190,3 +1190,53 @@ def scalar_function_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.nullif("o_orderstatus", F.lit("O")), F.lit("OPEN"))
         .alias("status_or_open"),
     )
+
+
+# ---------------------------------------------------------------------------
+# TTL expiry (A13): synthesize an item snapshot from events (ttl = last
+# activity + user_id%20 days, so expiry splits the population
+# deterministically), expire at a fixed cutoff, and push the synthetic
+# REMOVEs through the full CDC pipeline. The oracle re-derives the
+# expired set relationally.
+# ---------------------------------------------------------------------------
+@query(
+    "ttl_expiry_removes",
+    oracle="""
+    WITH items AS (
+      SELECT user_id,
+             CAST(epoch(MAX(ts)) + (user_id % 20) * 86400 AS BIGINT) AS ttl_s,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM events GROUP BY user_id
+    )
+    SELECT 'REMOVE' AS operation,
+           CAST(COUNT(*) AS BIGINT) AS n_expired,
+           CAST(SUM(n_events) AS BIGINT) AS events_of_expired
+    FROM items
+    WHERE to_timestamp(ttl_s) < TIMESTAMP '2024-02-09 00:00:00'
+    """,
+)
+def ttl_expiry_removes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdk_dynamodb_cdc_spark.operators.ttl import expire_ttl
+
+    ev = load_table(spark, sf_dir, "events")
+    items = ev.groupBy("user_id").agg(
+        (F.unix_timestamp(F.max("ts")) + (F.col("user_id") % 20) * 86400)
+        .alias("ttl_s"),
+        F.count(F.lit(1)).alias("n_events"),
+    ).select(
+        F.concat(F.lit("USER#"), F.col("user_id")).alias("pk"),
+        F.lit("STATE").alias("sk"),
+        F.concat(
+            F.lit('{"ttl":{"N":"'), F.col("ttl_s").cast("string"),
+            F.lit('"},"n":{"N":"'), F.col("n_events").cast("string"),
+            F.lit('"}}'),
+        ).alias("image"),
+    )
+    removes = expire_ttl(items, "2024-02-09 00:00:00")
+    events = cdc_change_events(removes)
+    return events.agg(
+        F.first(F.lit("REMOVE")).alias("operation"),
+        F.count(F.lit(1)).alias("n_expired"),
+        F.sum(F.get_json_object("before", "$.n").cast("long"))
+        .alias("events_of_expired"),
+    ).select("operation", "n_expired", "events_of_expired")

@@ -155,3 +155,76 @@ def test_wire_schema_rejects_unsupported(spark):
         raise AssertionError("expected TypeError")
     except TypeError:
         pass
+
+
+def test_randomized_parity_with_dynamic_lane(spark):
+    """200 random (old, new) image pairs over the typed schema: both
+    lanes must emit identical paths, subtrees, and no-op decisions."""
+    import random
+
+    rng = random.Random(1234)
+
+    def rand_image():
+        img = {}
+        if rng.random() < 0.9:
+            img["name"] = {"S": rng.choice(["a", "b", "c", "dd"])}
+        if rng.random() < 0.9:
+            img["n"] = {"N": str(rng.choice([1, 2.5, -3, 1e6]))}
+        if rng.random() < 0.7:
+            img["ok"] = {"BOOL": rng.random() < 0.5}
+        if rng.random() < 0.7:
+            img["tags"] = {"L": [{"S": w} for w in
+                                 rng.sample(["x", "y", "z", "w"], rng.randint(0, 3))]}
+        if rng.random() < 0.8:
+            img["addr"] = {"M": {
+                "city": {"S": rng.choice(["nyc", "sf", "la"])},
+                "zip": {"S": rng.choice(["1", "2"])},
+            }}
+        return img
+
+    # type-consistent mutations only: a type flip (e.g. tags: L -> S)
+    # is outside the declared schema's domain — the typed lane reads a
+    # mistyped field as absent by design, so lanes diverge there
+    mutants = {
+        "name": {"S": "mut"},
+        "n": {"N": "777"},
+        "ok": {"BOOL": False},
+        "tags": {"L": [{"S": "mut"}]},
+        "addr": {"M": {"city": {"S": "mut"}, "zip": {"S": "9"}}},
+    }
+
+    def mutate(img):
+        new = json.loads(json.dumps(img))
+        if new and rng.random() < 0.8:
+            k = rng.choice(list(new))
+            if rng.random() < 0.4:
+                del new[k]
+            else:
+                new[k] = mutants[k]
+        if rng.random() < 0.3:
+            new.update(rand_image())
+        return new
+
+    rows = []
+    for i in range(200):
+        old = rand_image()
+        new = mutate(old) if rng.random() < 0.8 else old
+        rows.append((f"r{i}", i, None, "MODIFY", "PK", "SK",
+                     json.dumps(old), json.dumps(new), 64))
+    recs = spark.createDataFrame(rows, CDC_RECORD_SCHEMA)
+
+    typed = {
+        r.event_id: r
+        for r in typed_diff.cdc_change_events_typed(recs, ITEM_SCHEMA).collect()
+    }
+    dynamic = {r.event_id: r for r in cdc_change_events(recs).collect()}
+    assert set(typed) == set(dynamic)  # identical no-op suppression
+    for eid, t in typed.items():
+        d = dynamic[eid]
+        # sets, not lists: the dynamic lane orders paths by the image's
+        # JSON key-insertion order, the typed lane by schema order —
+        # the exact-order contract (when they coincide) is pinned by
+        # the fixture tests above
+        assert set(t.attributes_changed) == set(d.attributes_changed), eid
+        assert json.loads(t.before or "{}") == json.loads(d.before or "{}"), eid
+        assert json.loads(t.after or "{}") == json.loads(d.after or "{}"), eid
