@@ -1240,3 +1240,81 @@ def ttl_expiry_removes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.get_json_object("before", "$.n").cast("long"))
         .alias("events_of_expired"),
     ).select("operation", "n_expired", "events_of_expired")
+
+
+# ---------------------------------------------------------------------------
+# Variant lane (Spark 4): parse_json + variant_get over the dynamic
+# events.props payload — the engine's third dynamic-schema access path
+# after get_json_object and the typed lane (SURVEY.md §1.2).
+# ---------------------------------------------------------------------------
+@query(
+    "variant_props_stats",
+    oracle="""
+    SELECT event_type,
+           CAST(SUM(CAST(json_extract(props, '$.k') AS INTEGER)) AS BIGINT)
+             AS sum_k,
+           CAST(MAX(CAST(json_extract(props, '$.k') AS INTEGER)) AS INT) AS max_k
+    FROM events GROUP BY event_type
+    """,
+)
+def variant_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    k = F.variant_get(F.parse_json(F.col("props")), "$.k", "int")
+    return ev.groupBy("event_type").agg(
+        F.sum(k.cast("long")).alias("sum_k"),
+        F.max(k).alias("max_k"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Python UDTF (table function): explode each change event's dot paths
+# into rows with their depth — the UDTF lane of §2B (the lateral-join
+# shape a SQL user writes as `SELECT ... FROM events, LATERAL t(...)`).
+# ---------------------------------------------------------------------------
+def attribute_path_udtf():
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="path string, depth int, top string")
+    class AttributePaths:
+        def eval(self, paths: list):
+            for p in paths or []:
+                yield p, p.count(".") + 1, p.split(".")[0]
+
+    return AttributePaths
+
+
+@query(
+    "udtf_changed_path_stats",
+    oracle="""
+    WITH versions AS (
+      SELECT user_id, event_type, value,
+             LAG(event_type) OVER w AS prev_type,
+             LAG(value) OVER w AS prev_value,
+             LAG(event_id) OVER w AS prev_id
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), paths AS (
+      SELECT 'event_type' AS path FROM versions
+      WHERE prev_id IS NULL OR event_type <> prev_type
+      UNION ALL
+      SELECT 'value' AS path FROM versions
+      WHERE prev_id IS NULL OR value <> prev_value
+    )
+    SELECT path, CAST(1 AS INT) AS depth,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM paths GROUP BY path
+    """,
+)
+def udtf_changed_path_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changed-attribute paths of the synthesized CDC stream, exploded
+    by a Python UDTF and aggregated. The oracle re-derives per-path
+    change counts relationally."""
+    records = synthesize_cdc_records(spark, sf_dir)
+    changes = cdc_change_events(records)
+    AttributePaths = attribute_path_udtf()
+    exploded = changes.lateralJoin(
+        AttributePaths(F.col("attributes_changed").outer())
+    )
+    return exploded.groupBy("path", "depth").agg(
+        F.count(F.lit(1)).alias("n")
+    ).select("path", "depth", "n")
