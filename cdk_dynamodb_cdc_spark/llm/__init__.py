@@ -23,3 +23,8 @@ from cdk_dynamodb_cdc_spark.llm.vectors import (  # noqa: F401
     ann_cosine_topk,
     cosine_topk,
 )
+from cdk_dynamodb_cdc_spark.llm.multimodal import (  # noqa: F401
+    attach_binary_payload,
+    decode_metadata,
+    sample_frames,
+)

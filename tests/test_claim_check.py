@@ -66,3 +66,24 @@ def test_claim_checked_rows_point_at_side_store(spark):
     assert set(big) == {"ev-big", "ev-zero-size"}
     assert big["ev-big"].images_url == "x://store/ev-big.json"
     assert big["ev-big"].new_image is None
+
+
+def test_gsi_projection_clusters_by_alternate_key(spark, tmp_path):
+    from cdk_dynamodb_cdc_spark.operators.gsi import gsi_projection, write_gsi_copy
+
+    df = spark.createDataFrame(
+        [(i, f"g{i % 3}", f"s{i}") for i in range(30)],
+        "id long, gsipk string, gsisk string",
+    )
+    out = gsi_projection(df, "gsipk", "gsisk", num_partitions=3)
+    # each gsipk value lands wholly inside one partition
+    per_part = out.withColumn(
+        "part", __import__("pyspark").sql.functions.spark_partition_id()
+    ).select("gsipk", "part").distinct()
+    counts = per_part.groupBy("gsipk").count().collect()
+    assert all(r["count"] == 1 for r in counts)
+
+    path = str(tmp_path / "gsi")
+    write_gsi_copy(df, path, "gsipk", "gsisk", buckets=4)
+    back = spark.read.parquet(path)
+    assert back.count() == 30 and "__bucket" in back.columns
