@@ -1318,3 +1318,108 @@ def udtf_changed_path_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exploded.groupBy("path", "depth").agg(
         F.count(F.lit(1)).alias("n")
     ).select("path", "depth", "n")
+
+
+# ---------------------------------------------------------------------------
+# Token counting, BPE-ish: whitespace tokens vs a GPT-2-style regex
+# lexer (letter runs / digit runs / single punctuation). Pattern kept
+# ASCII-anchored so Java and RE2 regex dialects agree.
+# ---------------------------------------------------------------------------
+@query(
+    "token_counts_bpeish",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INT)
+             AS n_bpeish,
+           CAST(len(string_split(text, ' ')) AS INT) AS n_ws
+    FROM documents
+    """,
+)
+def token_counts_bpeish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(
+            F.regexp_extract_all("text", F.lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), 0)
+        ).alias("n_bpeish"),
+        F.size(F.split(F.col("text"), " ")).alias("n_ws"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-dup: exact pairwise pass over a bounded id
+# range (the correctness baseline; the scale path for open-ended
+# corpora is the sign-LSH bucketing in llm/vectors.py). Integer pair
+# output; this corpus's near-random vectors put the top pair at 0.51.
+# ---------------------------------------------------------------------------
+@query(
+    "near_dup_embedding_pairs",
+    oracle="""
+    WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 2000)
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE list_sum(list_transform(range(1, len(a.embedding) + 1),
+                   i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
+          / (sqrt(list_sum(list_transform(range(1, len(a.embedding) + 1),
+                   i -> a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE)))
+             * sqrt(list_sum(list_transform(range(1, len(b.embedding) + 1),
+                   i -> b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))))
+          >= 0.4
+    """,
+)
+def near_dup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdk_dynamodb_cdc_spark.llm.vectors import _cosine
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 2000)
+    v = F.col("embedding").cast("array<double>")
+    a = emb.select(F.col("vec_id").alias("vec_a"), v.alias("va"))
+    b = emb.select(F.col("vec_id").alias("vec_b"), v.alias("vb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .filter(_cosine(F.col("va"), F.col("vb")) >= 0.4)
+        .select("vec_a", "vec_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Quarantine (A3) oracle: corrupt a deterministic slice of the stream
+# (every 10th record's old image) and verify the error lane catches
+# exactly those records while the publish lane keeps the rest.
+# ---------------------------------------------------------------------------
+@query(
+    "quarantine_stats",
+    oracle="""
+    WITH versions AS (
+      SELECT event_id, event_type, value,
+             LAG(event_type) OVER w AS prev_type,
+             LAG(value) OVER w AS prev_value,
+             LAG(event_id) OVER w AS prev_id
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT
+      CAST(COUNT(*) FILTER (prev_id IS NOT NULL AND event_id % 10 = 0)
+           AS BIGINT) AS n_quarantined,
+      CAST(COUNT(*) FILTER (
+             prev_id IS NULL
+             OR (event_id % 10 <> 0
+                 AND (event_type <> prev_type OR value <> prev_value)))
+           AS BIGINT) AS n_published
+    FROM versions
+    """,
+)
+def quarantine_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdk_dynamodb_cdc_spark.operators.pipeline import quarantine
+
+    records = synthesize_cdc_records(spark, sf_dir).withColumn(
+        "old_image",
+        F.when(
+            F.col("old_image").isNotNull()
+            & (F.col("event_id").cast("long") % 10 == 0),
+            F.lit("{corrupted-wire-bytes"),
+        ).otherwise(F.col("old_image")),
+    )
+    bad = quarantine(records).agg(F.count(F.lit(1)).alias("n_quarantined"))
+    good = cdc_change_events(records).agg(F.count(F.lit(1)).alias("n_published"))
+    return bad.crossJoin(good)
