@@ -1579,3 +1579,74 @@ def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_lines"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# pk predicate pushdown (A2): prefix filter 'USER#1*' on the synthesized
+# stream — the oracle re-derives which users survive the prefix.
+# ---------------------------------------------------------------------------
+@query(
+    "pk_filter_prefix_counts",
+    oracle="""
+    WITH versions AS (
+      SELECT user_id, event_type, value,
+             LAG(event_type) OVER w AS prev_type,
+             LAG(value) OVER w AS prev_value,
+             LAG(event_id) OVER w AS prev_id
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT CASE WHEN prev_id IS NULL THEN 'INSERT' ELSE 'MODIFY' END AS operation,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM versions
+    WHERE CAST(user_id AS VARCHAR) LIKE '1%'
+      AND (prev_id IS NULL OR event_type <> prev_type OR value <> prev_value)
+    GROUP BY operation
+    """,
+)
+def pk_filter_prefix_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    records = synthesize_cdc_records(spark, sf_dir)
+    events = cdc_change_events(records, pk_filters=["USER#1*"])
+    return events.groupBy("operation").agg(F.count(F.lit(1)).alias("n"))
+
+
+# ---------------------------------------------------------------------------
+# Publish + route (A11/A12): wrap change events in the published
+# envelope, pattern-match subscribe, and count distinct payloads. The
+# oracle re-derives distinct-transition counts (detail carries no
+# event id, so identical transitions collapse).
+# ---------------------------------------------------------------------------
+@query(
+    "publish_route_counts",
+    oracle="""
+    WITH versions AS (
+      SELECT user_id, event_type, value,
+             LAG(event_type) OVER w AS prev_type,
+             LAG(value) OVER w AS prev_value,
+             LAG(event_id) OVER w AS prev_id
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), published AS (
+      SELECT user_id, event_type, value, prev_type, prev_value,
+             prev_id IS NULL AS is_insert
+      FROM versions
+      WHERE prev_id IS NULL OR event_type <> prev_type OR value <> prev_value
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_routed,
+           CAST(COUNT(DISTINCT (user_id, event_type, value, prev_type,
+                                prev_value, is_insert)) AS BIGINT)
+             AS n_distinct_details
+    FROM published
+    """,
+)
+def publish_route_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdk_dynamodb_cdc_spark.operators.pipeline import publish, route
+
+    records = synthesize_cdc_records(spark, sf_dir)
+    events = cdc_change_events(records)
+    bus = publish(events, event_source="engine-test")
+    routed = route(bus, "engine-test", "dynamo.item.changed")
+    return routed.agg(
+        F.count(F.lit(1)).alias("n_routed"),
+        F.countDistinct("detail").alias("n_distinct_details"),
+    )
