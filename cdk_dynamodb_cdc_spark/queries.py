@@ -1664,3 +1664,88 @@ def publish_route_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_routed"),
         F.countDistinct("detail").alias("n_distinct_details"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Continuous aggregate (hypertable rollup): daily per-type stats
+# answered FROM an hourly rollup — composition (sum-of-sums etc.) must
+# equal aggregating the raw events, which is exactly what the oracle
+# computes.
+# ---------------------------------------------------------------------------
+@query(
+    "rollup_daily_from_hourly",
+    oracle="""
+    SELECT time_bucket(INTERVAL '1 day', ts) AS bucket_start,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
+           CAST(MIN(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS min_value,
+           CAST(MAX(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS max_value
+    FROM events
+    GROUP BY bucket_start, event_type
+    """,
+)
+def rollup_daily_from_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdk_dynamodb_cdc_spark.operators.rollup import (
+        continuous_aggregate,
+        reaggregate,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    hourly = continuous_aggregate(
+        ev, bucket="1 hour", key_cols=["event_type"], value_col="value"
+    )
+    daily = reaggregate(hourly, bucket="1 day", key_cols=["event_type"])
+    return daily.select(
+        "bucket_start",
+        "event_type",
+        "n",
+        F.col("sum_value").cast("double").alias("sum_value"),
+        F.col("min_value").cast("double").alias("min_value"),
+        F.col("max_value").cast("double").alias("max_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Document chunking: fixed-size token windows with overlap — the
+# pre-tokenization shape of a training-data pipeline. Pure array ops
+# (slice over a stride sequence), exploded to one row per chunk.
+# ---------------------------------------------------------------------------
+@query(
+    "chunk_documents",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    c AS (
+      SELECT doc_id,
+             CAST(s AS INT) AS start_1,
+             ws[s : least(s + 19, len(ws))] AS chunk
+      FROM t, unnest(range(1, greatest(len(ws) - 9, 1) + 1, 10)) AS u(s)
+    )
+    SELECT doc_id,
+           CAST((start_1 - 1) / 10 AS INT) AS chunk_idx,
+           array_to_string(chunk, ' ') AS chunk_text,
+           CAST(len(chunk) AS INT) AS n_tokens
+    FROM c
+    """,
+)
+def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """20-token chunks, stride 10 (50% overlap); last window kept when
+    at least 10 tokens remain past the previous start."""
+    docs = load_table(spark, sf_dir, "documents")
+    ws = F.split(F.col("text"), " ")
+    n = F.size(ws)
+    starts = F.sequence(F.lit(1), F.greatest(n - 9, F.lit(1)), F.lit(10))
+    chunks = F.transform(
+        starts,
+        lambda s, i: F.struct(
+            i.alias("chunk_idx"),
+            F.slice(ws, s, F.lit(20)).alias("chunk"),
+        ),
+    )
+    out = docs.select("doc_id", F.explode(chunks).alias("c"))
+    return out.select(
+        "doc_id",
+        F.col("c.chunk_idx").cast("int").alias("chunk_idx"),
+        F.array_join(F.col("c.chunk"), " ").alias("chunk_text"),
+        F.size(F.col("c.chunk")).alias("n_tokens"),
+    )
