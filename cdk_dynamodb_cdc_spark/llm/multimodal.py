@@ -71,15 +71,15 @@ def fake_decode(payload: bytes) -> tuple[int, int, int, int]:
 def decode_media(payload: bytes, media_type: str):
     """Real-codec decode hook. STUB: the container ships no codec
     libraries; wire Pillow/soundfile/pyav here in a real deployment."""
-    try:  # pragma: no cover - codec libs absent in this container
+    try:
         if media_type == "image":
             import PIL.Image  # noqa: F401
-        raise NotImplementedError
     except ImportError:
-        raise NotImplementedError(
-            "media codecs not available in this environment; "
-            "use fake_decode for the deterministic test path"
-        ) from None
+        pass
+    raise NotImplementedError(
+        "media codec decode not wired in this environment; "
+        "use fake_decode for the deterministic test path"
+    )
 
 
 def decode_media_batches(

@@ -1749,3 +1749,38 @@ def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(F.col("c.chunk"), " ").alias("chunk_text"),
         F.size(F.col("c.chunk")).alias("n_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic hash splits: reproducible train/val/test assignment by
+# content-independent key hashing (the standard reproducible-sampling
+# pattern for training corpora — no RNG state, stable under reruns and
+# repartitioning). Cross-engine md5-based bucket, so DuckDB derives
+# identical assignments.
+# ---------------------------------------------------------------------------
+@query(
+    "train_val_test_split",
+    oracle="""
+    WITH b AS (
+      SELECT lang,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100
+               AS bucket
+      FROM documents
+    )
+    SELECT lang,
+           CASE WHEN bucket < 80 THEN 'train'
+                WHEN bucket < 90 THEN 'val'
+                ELSE 'test' END AS split,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM b GROUP BY lang, split
+    """,
+)
+def train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = llm_text.token_hash60(F.col("doc_id").cast("string")) % 100
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    return docs.select("lang", split.alias("split")).groupBy(
+        "lang", "split"
+    ).agg(F.count(F.lit(1)).alias("n"))
