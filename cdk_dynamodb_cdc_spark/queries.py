@@ -1784,3 +1784,33 @@ def train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("lang", split.alias("split")).groupBy(
         "lang", "split"
     ).agg(F.count(F.lit(1)).alias("n"))
+
+
+# ---------------------------------------------------------------------------
+# SQL surface: the SAME ANSI text executes verbatim on spark.sql (over
+# registered temp views) and on DuckDB — the query layer is not just
+# the DataFrame API.
+# ---------------------------------------------------------------------------
+_SQL_SURFACE_TEXT = """
+    WITH revenue AS (
+      SELECT o_custkey AS custkey,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      GROUP BY o_custkey
+    )
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(MAX(total) AS DOUBLE) AS max_total
+    FROM customer JOIN revenue ON c_custkey = custkey
+    GROUP BY c_mktsegment
+"""
+
+
+@query("sql_surface_identical_text", oracle=_SQL_SURFACE_TEXT)
+def sql_surface_identical_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdk_dynamodb_cdc_spark.sources.tables import register_tables
+
+    register_tables(spark, sf_dir, ["orders", "customer"])
+    return spark.sql(_SQL_SURFACE_TEXT)
