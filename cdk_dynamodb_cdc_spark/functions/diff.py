@@ -38,6 +38,7 @@ Two implementations:
 from __future__ import annotations
 
 import json
+from decimal import Decimal
 from typing import Any
 
 import pandas as pd
@@ -52,13 +53,22 @@ def _is_js_object(v: Any) -> bool:
     return isinstance(v, dict) or v is None
 
 
+_NUMBER_TYPES = (int, float, Decimal)
+
+
 def _scalar_differs(a: Any, b: Any) -> bool:
-    """JS strict inequality (``!==``) transplanted to unmarshalled Python."""
+    """JS strict inequality (``!==``) transplanted to unmarshalled Python.
+
+    Numbers compare by numeric value (JS has one number type) — but at
+    FULL precision when a Decimal is involved (Python compares
+    int/float/Decimal exactly), a documented fidelity upgrade over the
+    reference's float64: two 25-digit ``N`` values differing in the last
+    digit are a change here, a silent no-op in JS."""
     a_bool, b_bool = isinstance(a, bool), isinstance(b, bool)
     if a_bool or b_bool:
         return not (a_bool and b_bool and a == b)
-    if isinstance(a, (int, float)) and isinstance(b, (int, float)):
-        return float(a) != float(b)  # JS has one number type
+    if isinstance(a, _NUMBER_TYPES) and isinstance(b, _NUMBER_TYPES):
+        return a != b  # exact mixed-type numeric comparison
     if type(a) is not type(b):
         return True
     return bool(a != b)
@@ -126,8 +136,16 @@ DIFF_RESULT_TYPE = T.StructType(
 
 
 def diff_json_strings(new_json: str | None, old_json: str | None) -> tuple:
-    new_image = json.loads(new_json) if new_json is not None else None
-    old_image = json.loads(old_json) if old_json is not None else None
+    # parse_float=Decimal keeps the dynamic lane exact end-to-end: the
+    # canonical JSON images carry arbitrary-precision numbers written by
+    # functions/dynamo.py, and a float re-parse here would truncate them
+    # right before the comparison that exists to detect their changes.
+    new_image = (
+        json.loads(new_json, parse_float=Decimal) if new_json is not None else None
+    )
+    old_image = (
+        json.loads(old_json, parse_float=Decimal) if old_json is not None else None
+    )
     changed, before, after = compare_images(new_image, old_image)
     return changed, dumps_canonical(before), dumps_canonical(after)
 

@@ -63,8 +63,12 @@ def word_shingles(text, k: int = SHINGLE_WORDS, *, distinct: bool = True):
             F.slice(ws, j + 1, n),
             lambda acc, w: F.concat(acc, F.lit(" "), w),
         )
-    # zip_with pads to the LONGER input (null tail); trim to the k-gram count
-    gram = F.slice(gram, 1, F.greatest(n - (k - 1), F.lit(1)))
+    # zip_with pads to the LONGER input (null tail); trim to the k-gram
+    # count. Floor 0, not 1: a doc with fewer than k tokens has NO
+    # shingles — keeping one null-concat element would give two short
+    # docs Jaccard 1.0 (a phantom near-dup pair the oracle's empty
+    # shingle lists would never produce).
+    gram = F.slice(gram, 1, F.greatest(n - (k - 1), F.lit(0)))
     return F.array_distinct(gram) if distinct else gram
 
 
@@ -225,6 +229,12 @@ def minhash_near_dup_pairs(docs: DataFrame, threshold: float = 0.8) -> DataFrame
     sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("sb"))
     n_common = F.size(F.array_intersect("sa", "sb"))
     n_union = F.size(F.array_union("sa", "sb"))
+    # two sub-k-token docs have EMPTY shingle sets (identical minhash
+    # signatures, so they do become candidates): Jaccard is 0, not 0/0
+    # (ANSI mode raises on the bare division)
+    jaccard = F.when(
+        n_union > 0, n_common.cast("double") / n_union
+    ).otherwise(F.lit(0.0))
     return (
         cands.join(sa, "doc_a")
         .join(sb, "doc_b")
@@ -233,7 +243,7 @@ def minhash_near_dup_pairs(docs: DataFrame, threshold: float = 0.8) -> DataFrame
             "doc_b",
             n_common.alias("n_common"),
             n_union.alias("n_union"),
-            (n_common.cast("double") / n_union).alias("jaccard"),
+            jaccard.alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
     )

@@ -9,8 +9,8 @@ The container has no image/audio codecs, so the DECODE step is a
 deterministic fake (documented below) while everything Spark-side —
 BinaryType schema, Arrow batch shape, multi-row emission
 (frame sampling), partition-preserving plumbing — is real and tested.
-`decode_media` raises NotImplementedError for real codecs unless
-Pillow/soundfile happen to be importable; `fake_decode` derives
+`decode_media` is the real-codec hook and ALWAYS raises
+NotImplementedError in this environment; `fake_decode` derives
 metadata purely from the byte length so oracles can replicate it.
 
 Scale: both UDF stages are per-row / per-batch (no shuffle, no state);
@@ -69,13 +69,11 @@ def fake_decode(payload: bytes) -> tuple[int, int, int, int]:
 
 
 def decode_media(payload: bytes, media_type: str):
-    """Real-codec decode hook. STUB: the container ships no codec
-    libraries; wire Pillow/soundfile/pyav here in a real deployment."""
-    try:
-        if media_type == "image":
-            import PIL.Image  # noqa: F401
-    except ImportError:
-        pass
+    """Real-codec decode hook. STUB: this ALWAYS raises — the container
+    ships no codec libraries and nothing is conditionally wired. A real
+    deployment replaces this function with Pillow / soundfile / pyav
+    calls; the Arrow plumbing around it (decode_media_batches and the
+    schemas above) is real and oracle-tested via fake_decode."""
     raise NotImplementedError(
         "media codec decode not wired in this environment; "
         "use fake_decode for the deterministic test path"

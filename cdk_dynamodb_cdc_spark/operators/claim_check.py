@@ -4,10 +4,11 @@ Large payloads are offloaded to a blob side-store keyed by ``event_id``
 and the main row carries only a pointer (``images_url``) — the Spark
 analogue of the reference's S3 put + 24 h presigned URL. The side-store
 here is a JSON dataset under ``base_path`` (any Hadoop-compatible URI:
-``s3a://``, ``hdfs://``, ``file://``), one object per event keyed by
-``event_id``, which makes the write idempotent across micro-batch retries
-(same key -> same content), the engine's exactly-once story for this
-side effect.
+``s3a://``, ``hdfs://``, ``file://``), rows keyed by ``event_id``. The
+streaming path writes ``dt=<d>/batch_id=<n>/`` partitions with dynamic
+partition overwrite, so a replayed micro-batch overwrites its own
+partitions — exactly-once across checkpoint retries, same recipe as the
+main sink (streaming/stream.py).
 
 Retention (reference A13: 24 h S3 lifecycle, ``dynamo.ts:111-116``) is
 :func:`vacuum_side_store` — a partition-drop by write date.
@@ -45,14 +46,35 @@ def side_store_writes(
 
 
 def write_side_store(records: DataFrame, base_path: str,
-                     threshold: int = CLAIM_CHECK_THRESHOLD) -> None:
-    """Append offloaded images to the side store, partitioned by date."""
-    (
-        side_store_writes(records, threshold)
-        .write.mode("append")
-        .partitionBy("dt")
-        .parquet(base_path)
-    )
+                     threshold: int = CLAIM_CHECK_THRESHOLD,
+                     batch_id: int | None = None) -> None:
+    """Write offloaded images to the side store, partitioned by date.
+
+    With a ``batch_id`` (the streaming path), rows land under
+    ``dt=<d>/batch_id=<n>/`` via DYNAMIC partition overwrite — a
+    checkpoint replay of the same micro-batch overwrites its own
+    partitions instead of appending duplicates, matching the main
+    sink's exactly-once recipe (streaming/stream.py). `dt` stays the
+    LEADING partition key so :func:`vacuum_side_store`'s top-level
+    date-partition drop is unchanged. Without a batch_id (one-shot
+    batch use) the write is a plain append.
+    """
+    out = side_store_writes(records, threshold)
+    if batch_id is None:
+        out.write.mode("append").partitionBy("dt").parquet(base_path)
+        return
+    spark = records.sparkSession
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            out.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .partitionBy("dt", "batch_id")
+            .parquet(base_path)
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 
 
 def vacuum_side_store(spark, base_path: str, retain_days: int = 1) -> list[str]:

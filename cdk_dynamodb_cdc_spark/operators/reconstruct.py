@@ -55,8 +55,12 @@ def _reconstruct_group(
         old_out = []
         for old, new in zip(pdf["old_image"], pdf["new_image"]):
             old_out.append(old if isinstance(old, str) else last_image)
-            if isinstance(new, str):
-                last_image = new
+            # Track the raw previous new_image INCLUDING null: a REMOVE
+            # (null new_image) must clear the state so a later INSERT
+            # sees old_image = null, exactly like the batch lane's
+            # lag(new_image). Keeping the last non-null image would hand
+            # the INSERT a stale pre-REMOVE image.
+            last_image = new if isinstance(new, str) else None
         pdf = pdf.assign(old_image=pd.array(old_out, dtype=object))
         yield pdf
     state.update((last_image,))

@@ -24,8 +24,8 @@ view at `dynamo.ts:69`). This module is the Spark-native equivalent:
 Exactly-once story: the checkpoint tracks source offsets per micro
 batch; the main sink writes `batch_id=<n>` partitions with DYNAMIC
 partition overwrite, so a replayed batch overwrites its own partition
-instead of appending duplicates; the claim-check side store is keyed by
-`event_id` (same key -> same content, idempotent). This is the standard
+instead of appending duplicates; the claim-check side store does the
+same under `dt=<d>/batch_id=<n>` partitions. This is the standard
 file-sink exactly-once recipe when a transactional table format isn't
 available.
 
@@ -56,18 +56,34 @@ def read_cdc_stream(
     `source_path`, one record per line, CDC_RECORD_SCHEMA).
 
     `starting_position="latest"` mirrors the reference's
-    `StartingPosition.LATEST` (`dynamo.ts:193`): the backlog present at
-    stream start is skipped (`latestFirst` + checkpoint initialization);
-    `"trim_horizon"` reads it. A Kafka/Kinesis source would map to
-    `startingOffsets` directly.
+    `StartingPosition.LATEST` (`dynamo.ts:154,193`): records that
+    existed BEFORE subscription never reach the pipeline. The file
+    source has no offset to seek past (unlike Kafka's
+    `startingOffsets="latest"`), so this records the subscription time
+    and drops rows from files whose `_metadata.file_modification_time`
+    predates it — backlog files are listed once and their rows
+    filtered, new files pass whole. `"trim_horizon"` reads the backlog
+    too. (A 100 TB-backlog deployment would instead initialize the
+    checkpoint with an empty `availableNow` pass, or use a seekable
+    source; the row filter is the portable semantics-first cut.)
     """
-    reader = (
-        spark.readStream.schema(CDC_RECORD_SCHEMA)
-        .option("latestFirst", str(starting_position == "latest").lower())
-    )
+    import datetime
+
+    reader = spark.readStream.schema(CDC_RECORD_SCHEMA)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    return reader.json(source_path)
+    records = reader.json(source_path)
+    if starting_position == "latest":
+        subscribed_at = datetime.datetime.now(datetime.timezone.utc)
+        records = records.where(
+            F.col("_metadata.file_modification_time") >= F.lit(subscribed_at)
+        )
+    elif starting_position != "trim_horizon":
+        raise ValueError(
+            f"starting_position must be 'latest' or 'trim_horizon', "
+            f"got {starting_position!r}"
+        )
+    return records
 
 
 def run_cdc_stream(
@@ -104,7 +120,10 @@ def run_cdc_stream(
             claim_check_threshold=claim_check_threshold,
         )
         if side_store_path is not None:
-            write_side_store(batch_df, side_store_path, claim_check_threshold)
+            write_side_store(
+                batch_df, side_store_path, claim_check_threshold,
+                batch_id=batch_id,
+            )
         prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         try:

@@ -40,3 +40,33 @@ def test_item_and_json_roundtrip():
 
 def test_canonical_dumps_stable():
     assert dumps_canonical({"b": 1, "a": [2, 1]}) == '{"a":[2,1],"b":1}'
+    # byte-identical to json.dumps for the non-Decimal domain
+    import json
+
+    obj = {"s": "héllo\n", "n": -1.5, "l": [None, True, {"k": 0}], "i": 10**20}
+    assert dumps_canonical(obj) == json.dumps(
+        obj, sort_keys=True, separators=(",", ":")
+    )
+
+
+def test_decimal_fidelity():
+    """SURVEY §1.2: N is an arbitrary-precision decimal string; the
+    dynamic lane must not round it through float64."""
+    from decimal import Decimal
+
+    v = unmarshall_value({"N": "1.234567890123456789012345"})
+    assert isinstance(v, Decimal)
+    assert v == Decimal("1.234567890123456789012345")
+    # canonical text: exact digits, normalized trailing zeros, no quotes
+    assert dumps_canonical({"x": v}) == '{"x":1.234567890123456789012345}'
+    assert dumps_canonical({"x": unmarshall_value({"N": "1.50"})}) == '{"x":1.5}'
+    assert (
+        unmarshall_json('{"v":{"N":"0.10000000000000000000000001"}}')
+        == '{"v":0.10000000000000000000000001}'
+    )
+    # NS ordering is exact, not float-keyed
+    ns = unmarshall_value({"NS": ["0.30000000000000000000000002",
+                                  "0.30000000000000000000000001"]})
+    assert [str(x) for x in ns] == [
+        "0.30000000000000000000000001", "0.30000000000000000000000002"
+    ]

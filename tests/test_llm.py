@@ -164,3 +164,15 @@ def test_fingerprint_invariant_to_word_order_only_if_grams_shared(spark):
         for r in df.select(llm_text.doc_fingerprint(F.col("text")).alias("fp")).collect()
     ]
     assert fps[0] == fps[1]
+
+
+def test_short_docs_have_no_shingles_and_no_phantom_pairs(spark):
+    """Docs with fewer than k tokens produce EMPTY shingle sets (ADVICE
+    r2): two unrelated 2-token docs must not report Jaccard 1.0."""
+    docs = _docs(spark, ["alpha beta", "gamma delta", "x", ""])
+    sh = docs.select(
+        "doc_id", dedup.word_shingles(F.col("text")).alias("s")
+    ).collect()
+    assert all(r.s == [] for r in sh)
+    pairs = dedup.minhash_near_dup_pairs(docs).collect()
+    assert pairs == []

@@ -47,6 +47,47 @@ def test_batch_reconstruction_preserves_provided_old_images(spark):
     assert got["a2"] == _img(42)
 
 
+def test_remove_then_insert_matches_batch_lane(spark, tmp_path):
+    """REMOVE (null new_image) must CLEAR per-key state: the next
+    INSERT's old_image is null in the batch lane (lag over a null), and
+    the streaming lane must agree — not resurrect the pre-REMOVE image."""
+    rows = [
+        _rec("a1", 1, "A", _img(1)),
+        ("a2", 2, _T0 + datetime.timedelta(minutes=2), "REMOVE",
+         "A", "SK", _img(1), None, 64),
+        ("a3", 3, _T0 + datetime.timedelta(minutes=3), "INSERT",
+         "A", "SK", None, _img(7), 64),
+    ]
+    df = spark.createDataFrame(rows, CDC_RECORD_SCHEMA)
+    batch = {r.event_id: r.old_image for r in reconstruct_old_images(df).collect()}
+    # the streaming group fn, driven directly over one pandas batch
+    import pandas as pd
+
+    from cdk_dynamodb_cdc_spark.operators.reconstruct import _reconstruct_group
+
+    class _FakeState:
+        exists = False
+        get = None
+
+        def update(self, v):
+            self.exists, self.get = True, v
+
+    pdf = pd.DataFrame(
+        [{"event_id": r[0], "seq": r[1], "ts": r[2], "operation": r[3],
+          "pk": r[4], "sk": r[5], "old_image": r[6], "new_image": r[7],
+          "size_bytes": r[8]} for r in rows]
+    )
+    # streaming fills source nulls from state; provided old images pass through
+    pdf.loc[:, "old_image"] = [None, _img(1), None]
+    state = _FakeState()
+    (out,) = list(_reconstruct_group(("A", "SK"), iter([pdf]), state))
+    stream = dict(zip(out["event_id"], out["old_image"]))
+    assert batch["a3"] is None  # lag(new_image) over the REMOVE row is null
+    assert stream["a3"] is None  # state cleared by the REMOVE
+    assert stream["a2"] == _img(1)
+    assert state.get == (_img(7),)
+
+
 def test_stream_reconstruction_carries_state_across_batches(spark, tmp_path):
     src = tmp_path / "src"
     src.mkdir()

@@ -121,6 +121,58 @@ def test_replayed_batch_overwrites_instead_of_duplicating(spark, tmp_path):
     assert sorted(ids) == sorted(set(ids))
 
 
+def test_latest_skips_backlog_trim_horizon_reads_it(spark, tmp_path):
+    """StartingPosition.LATEST semantics (`dynamo.ts:154,193`): records
+    present BEFORE subscription must never reach the sink under
+    `latest`, while `trim_horizon` reads them."""
+    import os
+    import time
+
+    src = tmp_path / "src"
+    src.mkdir()
+    rows = fixture_rows()
+    backlog, fresh = rows[:5], rows[6:9]
+    _write_records_file(src / "backlog.json", backlog)
+    past = time.time() - 60  # backlog mtime clearly predates subscription
+    os.utime(src / "backlog.json", (past, past))
+
+    stream = read_cdc_stream(spark, str(src), starting_position="latest")
+    time.sleep(0.2)  # file mtime must exceed the subscription timestamp
+    _write_records_file(src / "fresh.json", fresh)
+    sink, ckpt = str(tmp_path / "sink"), str(tmp_path / "ckpt")
+    _run_until_done(run_cdc_stream(stream, sink_path=sink, checkpoint_path=ckpt))
+    ids = {r.event_id for r in spark.read.parquet(sink).select("event_id").collect()}
+    backlog_ids = {r[0] for r in backlog}
+    assert ids == {"ev-add", "ev-remove-attr", "ev-remove"}
+    assert not ids & backlog_ids
+
+    # same directory, trim_horizon: the backlog IS processed
+    stream2 = read_cdc_stream(spark, str(src), starting_position="trim_horizon")
+    sink2, ckpt2 = str(tmp_path / "sink2"), str(tmp_path / "ckpt2")
+    _run_until_done(run_cdc_stream(stream2, sink_path=sink2, checkpoint_path=ckpt2))
+    ids2 = {r.event_id for r in spark.read.parquet(sink2).select("event_id").collect()}
+    assert "ev-insert" in ids2 and "ev-scalar" in ids2
+
+    with pytest.raises(ValueError, match="starting_position"):
+        read_cdc_stream(spark, str(src), starting_position="earliest")
+
+
+def test_side_store_replay_overwrites_instead_of_duplicating(spark, tmp_path):
+    """A replayed micro-batch (same batch_id) must overwrite its own
+    side-store partition, not append a second copy of every image."""
+    from cdk_dynamodb_cdc_spark.operators.claim_check import write_side_store
+    from cdk_dynamodb_cdc_spark.sources.fixtures import cdc_fixture_df
+
+    records = cdc_fixture_df(spark)
+    side = str(tmp_path / "side")
+    for _ in range(2):  # crash-and-replay of batch 7
+        write_side_store(records, side, batch_id=7)
+    out = spark.read.parquet(side)
+    ids = [r.event_id for r in out.select("event_id").collect()]
+    assert sorted(ids) == sorted(set(ids))
+    assert {"ev-big", "ev-zero-size"} <= set(ids)
+
+
 def test_dedup_within_watermark_collapses_redelivery(spark, tmp_path):
     src = tmp_path / "src"
     src.mkdir()
