@@ -15,9 +15,6 @@ exist in only one engine. 60 bits keeps the value inside a signed
 
 from __future__ import annotations
 
-from functools import reduce
-from operator import add
-
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -58,27 +55,49 @@ def simhash60(toks: Column) -> Column:
     """60-bit SimHash over a token array (with multiplicity).
 
     Bit i of the output is 1 iff more than half the tokens have bit i
-    set in their 60-bit hash (ties -> 0). Near-duplicate documents land
-    within small Hamming distance; see dedup.simhash_near_dup_pairs.
+    set in their 60-bit hash (ties -> 0; the majority test ``2*ones >
+    n`` is equivalent to ``sum(+/-1 per token) > 0``). Near-duplicate
+    documents land within small Hamming distance; see
+    dedup.simhash_near_dup_pairs.
 
-    Per-row arrays only — no shuffle, no UDF. The token hashes are
-    computed once into an array, then each bit test is a cheap filter
-    over longs.
+    Shape: ONE ``aggregate`` fold over the token-hash array keeps 60
+    running bit-sums in an ``array<long>`` — each token hash enters the
+    60 sign tests as a lambda VARIABLE, so the md5 subtree is evaluated
+    once per token instead of being re-inlined into 60 per-bit filters
+    (the naive per-bit ``size(filter(...))`` variant measured ~16x
+    slower at sf0.1), and the whole thing is per-row: no shuffle, no
+    UDF (an explode + 60-conditional-SUM groupBy variant costs a
+    full-corpus shuffle and 60 separate aggregate buffers).
     """
     hashes = F.transform(toks, token_hash60)
-    n = F.size(hashes)
+    init = F.array_repeat(F.lit(0).cast("long"), SIMHASH_BITS)
 
-    def bit_set(i: int):
-        # single-parameter lambda: a 2-parameter lambda would make
-        # F.filter bind the second parameter to the element index
-        return lambda h: F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1
+    def merge(acc: Column, h: Column) -> Column:
+        contribs = F.array(
+            *[
+                F.when(
+                    F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+                )
+                .otherwise(F.lit(-1))
+                .cast("long")
+                for i in range(SIMHASH_BITS)
+            ]
+        )
+        return F.zip_with(acc, contribs, lambda x, y: x + y)
 
-    terms = []
-    for i in range(SIMHASH_BITS):
-        ones = F.size(F.filter(hashes, bit_set(i)))
-        bit = F.when(ones * 2 > n, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
-        terms.append(bit)
-    return reduce(add, terms)
+    sums = F.aggregate(hashes, init, merge)
+    # Assemble the signature from the 60 sums WITHOUT referencing the
+    # fold expression 60 times (CollapseProject would re-inline it):
+    # zip the sums against their bit positions and sum 2^i weights.
+    # pow(2.0, i) is exact for i <= 59 (powers of two in a double).
+    weights = F.zip_with(
+        sums,
+        F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1)),
+        lambda s, i: F.when(s > 0, F.pow(F.lit(2.0), i).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        ),
+    )
+    return F.aggregate(weights, F.lit(0).cast("long"), lambda a, b: a + b)
 
 
 def duck_simhash60(text_expr: str) -> str:

@@ -711,16 +711,15 @@ def near_dup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def doc_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # simhash via the explode+aggregate path: the per-row Column
-    # variant (llm_text.simhash60, equality-tested against this in
-    # tests/test_llm.py) re-inlines the token-hash transform into all
-    # 60 bit filters — 16x slower at sf0.1 under full materialization.
+    # Both signatures in ONE projection over one scan — each expression
+    # is referenced exactly once, so nothing re-inlines, and there is
+    # no join/shuffle at all: 100 TB of documents stream map-side.
     docs = load_table(spark, sf_dir, "documents")
-    sims = llm_dedup.simhash_signatures(docs).withColumnRenamed("sh", "simhash")
-    fps = docs.select(
-        "doc_id", llm_text.doc_fingerprint(F.col("text")).alias("fingerprint")
+    return docs.select(
+        "doc_id",
+        llm_text.simhash60(llm_text.tokens(F.col("text"))).alias("simhash"),
+        llm_text.doc_fingerprint(F.col("text")).alias("fingerprint"),
     )
-    return fps.join(sims, "doc_id").select("doc_id", "simhash", "fingerprint")
 
 
 # ---------------------------------------------------------------------------

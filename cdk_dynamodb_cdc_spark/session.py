@@ -56,7 +56,14 @@ def get_spark(
         # (losslessly — corpus values are µs-precision) to TimestampType.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "64g"))
+        # Modest heap on purpose: measured on the 32-core/128 GiB test
+        # VM, a 64g heap runs the allocation-heavy interpreted
+        # expression paths (higher-order-function folds) 2-6x SLOWER
+        # than 8g — G1 regions sprawl across cold pages that fault in
+        # on first touch, while a small heap stays in hot memory. All
+        # sf0.1 workloads fit comfortably; override via
+        # SPARK_DRIVER_MEMORY for bigger local corpora.
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -15,6 +15,9 @@ place:
 
 from __future__ import annotations
 
+import glob
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -27,6 +30,20 @@ TABLE_NAMES = [
 _NANO_TS_COLS = {"events": ["ts"]}
 
 
+def _estimated_scan_partitions(spark: SparkSession, path: str) -> int:
+    """Spark's own file-split arithmetic (FilePartition.maxSplitBytes),
+    computed driver-side from file sizes — no Spark job, no RDD
+    conversion."""
+    files = glob.glob(os.path.join(path, "*.parquet")) or [path]
+    sizes = [os.path.getsize(f) for f in files if os.path.isfile(f)]
+    if not sizes:
+        return 1 << 30  # non-local path (s3://, hdfs://): assume many splits
+    open_cost = int(spark.conf.get("spark.sql.files.openCostInBytes", "4194304"))
+    max_split = int(spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728"))
+    total = sum(sizes) + open_cost * len(sizes)
+    return max(1, total // max_split)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     for c in _NANO_TS_COLS.get(name, []):
@@ -35,6 +52,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # exact range, so `/ 1000` through double truncates ~1.6% of
             # values 1 µs low. `div` stays in long arithmetic.
             df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    # The synthetic corpus writes each table as ONE parquet file with
+    # ONE row group, which Spark cannot split: every scan would run as
+    # a single task no matter how many cores local[N] has, serializing
+    # the map side of every query. Round-robin the rows across the
+    # machine once, ONLY when the scan is provably under-parallel
+    # (fewer byte-splits than cores). Real deployments read thousands
+    # of row groups per table, scan partitions >= cores, and this
+    # branch never triggers — no shuffle is added at 100 TB.
+    if os.environ.get("SPARK_GRAFT_NO_SCAN_SHIM") != "1":
+        cores = spark.sparkContext.defaultParallelism
+        if _estimated_scan_partitions(spark, f"{sf_dir}/{name}.parquet") < cores:
+            df = df.repartition(cores)
     return df
 
 
