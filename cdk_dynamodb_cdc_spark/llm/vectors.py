@@ -13,7 +13,13 @@ Two paths:
   (fixed seeded hyperplanes -> n-bit bucket), multiprobe at Hamming
   distance <= 2, exact cosine only within probed buckets. Trades
   recall for touching ~ (probes/2^bits) of the corpus per query; the
-  recall floor is pinned by a pytest against the brute-force path.
+  recall floor is pinned both by a pytest against the brute-force path
+  and by the `embedding_ann_topk` recall-contract oracle.
+
+Cost shape shared by both: vector norms are computed ONCE per row in
+the row's own projection (below the join), so each candidate pair costs
+a single dot-product fold — the naive cosine(a, b) form re-folds both
+norms per pair, tripling the dominant per-pair work.
 """
 
 from __future__ import annotations
@@ -23,7 +29,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 ANN_PLANES = 6
-ANN_MULTIPROBE_HAMMING = 2  # _probe_buckets enumerates up to distance 2
+ANN_MULTIPROBE_HAMMING = 2  # _probe_masks enumerates up to distance 2
 _PLANE_SEED = 42
 
 
@@ -35,8 +41,13 @@ def _dot(a, b):
     )
 
 
-def _cosine(a, b):
-    return _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
+def _normed(emb: DataFrame) -> DataFrame:
+    """(vec_id, v, nrm): the double-cast vector and its L2 norm, each
+    computed once per row map-side."""
+    v = F.col("embedding").cast("array<double>")
+    return emb.select(
+        "vec_id", v.alias("v"), F.sqrt(_dot(v, v)).alias("nrm")
+    )
 
 
 def cosine_topk(
@@ -48,15 +59,22 @@ def cosine_topk(
     comparison is immune to float formatting; the ranking itself fully
     exercises the cosine values.
     """
-    v = F.col("embedding").cast("array<double>")
-    q = emb.filter(F.col("vec_id").isin(query_ids)).select(
-        F.col("vec_id").alias("qid"), v.alias("qv")
+    base = _normed(emb)
+    q = base.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("qid"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
     )
-    cand = emb.select(F.col("vec_id").alias("neighbor_id"), v.alias("cv"))
+    cand = base.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("v").alias("cv"),
+        F.col("nrm").alias("cn"),
+    )
+    cos = _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
     scored = (
         cand.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("qid"))
-        .select("qid", "neighbor_id", _cosine(F.col("qv"), F.col("cv")).alias("cos"))
+        .select("qid", "neighbor_id", cos.alias("cos"))
     )
     w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
     return (
@@ -85,26 +103,29 @@ def _bucket_expr(vec, planes: list[list[float]]):
     return out.cast("int")
 
 
-def _probe_buckets(bucket: int, n_planes: int, max_hamming: int) -> list[int]:
-    """All bucket ids within Hamming distance min(max_hamming, 2)
-    (multiprobe); distances > 2 would probe most of a small bucket
-    space anyway — raise n_planes instead."""
-    probes = [bucket]
+def _probe_masks(n_planes: int, max_hamming: int) -> list[int]:
+    """XOR masks reaching every bucket within Hamming distance
+    min(max_hamming, 2); distances > 2 would probe most of a small
+    bucket space anyway — raise n_planes instead. Distinct by
+    construction, which is what lets the probe join skip dedup."""
+    masks = [0]
     if max_hamming >= 1:
-        probes += [bucket ^ (1 << i) for i in range(n_planes)]
+        masks += [1 << i for i in range(n_planes)]
     if max_hamming >= 2:
-        probes += [
-            bucket ^ (1 << i) ^ (1 << j)
+        masks += [
+            (1 << i) | (1 << j)
             for i in range(n_planes)
             for j in range(i + 1, n_planes)
         ]
-    return probes
+    return masks
 
 
 def ann_cosine_topk(
     emb: DataFrame,
     query_ids: list[int],
     k: int = 10,
+    *,
+    dim: int,
     n_planes: int = ANN_PLANES,
     max_hamming: int = ANN_MULTIPROBE_HAMMING,
 ) -> DataFrame:
@@ -113,32 +134,51 @@ def ann_cosine_topk(
     Candidates = corpus rows whose bucket is within Hamming
     `max_hamming` of the query's bucket; exact cosine + top-k within
     candidates. Output schema matches :func:`cosine_topk`.
-    """
-    dim = len(emb.select("embedding").first()[0])
-    planes = _hyperplanes(dim, n_planes)
-    v = F.col("embedding").cast("array<double>")
 
-    corpus = emb.select(
+    `dim` is the (declared) vector dimensionality — a parameter, not a
+    peek at the data: deriving it with `.first()` would run a Spark job
+    at plan-construction time.
+
+    No dedup is needed on the candidate pairs: each corpus row has
+    exactly one bucket and the probe masks are distinct, so a
+    (qid, neighbor) pair matches at most one probe row.
+    """
+    planes = _hyperplanes(dim, n_planes)
+    base = _normed(emb)
+    bucket = _bucket_expr(F.col("v"), planes)
+
+    corpus = base.select(
         F.col("vec_id").alias("neighbor_id"),
-        v.alias("cv"),
-        _bucket_expr(v, planes).alias("bucket"),
+        F.col("v").alias("cv"),
+        F.col("nrm").alias("cn"),
+        bucket.alias("bucket"),
     )
-    q = emb.filter(F.col("vec_id").isin(query_ids)).select(
+    q = base.filter(F.col("vec_id").isin(query_ids)).select(
         F.col("vec_id").alias("qid"),
-        v.alias("qv"),
-        _bucket_expr(v, planes).alias("qbucket"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+        bucket.alias("qbucket"),
     )
-    probe_fn = F.udf(
-        lambda b: _probe_buckets(b, n_planes, max_hamming), "array<int>"
-    )
+    # Multiprobe expansion in pure Column arithmetic (no Python UDF).
+    # The narrow exchange pins the 6-plane bucket fold to one
+    # evaluation before the 22 XOR references (CollapseProject would
+    # otherwise inline it per mask); the query set is broadcast-sized
+    # by contract, so the shuffle is negligible.
+    q = q.repartition(F.col("qid"))
+    masks = _probe_masks(n_planes, max_hamming)
     probes = q.select(
-        "qid", "qv", F.explode(probe_fn(F.col("qbucket"))).alias("bucket")
+        "qid",
+        "qv",
+        "qn",
+        F.explode(
+            F.array(*[F.col("qbucket").bitwiseXOR(F.lit(m)) for m in masks])
+        ).alias("bucket"),
     )
+    cos = _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
     scored = (
         corpus.join(F.broadcast(probes), "bucket")
         .filter(F.col("neighbor_id") != F.col("qid"))
-        .select("qid", "neighbor_id", _cosine(F.col("qv"), F.col("cv")).alias("cos"))
-        .distinct()
+        .select("qid", "neighbor_id", cos.alias("cos"))
     )
     w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
     return (

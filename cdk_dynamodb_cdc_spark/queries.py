@@ -813,15 +813,42 @@ def embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return llm_vectors.cosine_topk(emb, query_ids=[0, 1, 2, 3, 4], k=10)
 
 
+# ---------------------------------------------------------------------------
+# ANN with a recall CONTRACT oracle (the approx_distinct pattern): the
+# ANN result itself is approximate by design, so the driver-checkable
+# claim is "recall@10 vs the exact path >= floor for every query".
+# Spark emits (qid, recall_ok); the oracle is the constant-TRUE table
+# over the same qids — any recall regression flips a boolean and fails
+# the hash compare. The recall VALUE is additionally floor-pinned in
+# tests/test_llm.py.
+# ---------------------------------------------------------------------------
+_ANN_QUERY_IDS = [0, 1, 2, 3, 4]
+_ANN_RECALL_FLOOR = 0.4
+
+
+@query(
+    "embedding_ann_topk",
+    oracle="SELECT * FROM (VALUES "
+    + ", ".join(f"({i}, TRUE)" for i in _ANN_QUERY_IDS)
+    + ") AS t(qid, recall_ok)",
+)
 def embedding_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate (sign-LSH, multiprobe) cosine top-10 — rows-only
-    check: the output is approximate by design; its recall floor vs
-    the brute-force path is pinned in tests/test_llm.py."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return llm_vectors.ann_cosine_topk(emb, query_ids=[0, 1, 2, 3, 4], k=10)
-
-
-QUERIES["embedding_ann_topk"] = embedding_ann_topk
+    ann = llm_vectors.ann_cosine_topk(
+        emb, query_ids=_ANN_QUERY_IDS, k=10, dim=64
+    )
+    exact = llm_vectors.cosine_topk(emb, query_ids=_ANN_QUERY_IDS, k=10)
+    hits = exact.select("qid", "neighbor_id").join(
+        ann.select("qid", "neighbor_id"), ["qid", "neighbor_id"], "left_semi"
+    )
+    return (
+        hits.groupBy("qid")
+        .agg((F.count(F.lit(1)) / 10.0).alias("recall"))
+        .select(
+            F.col("qid").cast("int").alias("qid"),
+            (F.col("recall") >= F.lit(_ANN_RECALL_FLOOR)).alias("recall_ok"),
+        )
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -101,7 +101,7 @@ def test_ann_recall_floor_vs_brute_force(spark):
     bf = {(r.qid, r.neighbor_id) for r in vectors.cosine_topk(emb, qids, 10).collect()}
     ann = {
         (r.qid, r.neighbor_id)
-        for r in vectors.ann_cosine_topk(emb, qids, 10).collect()
+        for r in vectors.ann_cosine_topk(emb, qids, 10, dim=64).collect()
     }
     assert len(bf) == 50
     # sign-LSH on near-random vectors: measured 0.52 at defaults; pin a
