@@ -613,6 +613,65 @@ def cdc_unmarshall_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Claim check (A10, dynamo-stream-handler.ts:130-166): records above the
+# 64 KiB threshold must carry a well-formed images_url POINTER and no
+# inline images; records below it inline new_image and carry no pointer.
+# Size is derived deterministically from the user id so the oracle can
+# re-partition the stream into the same two classes relationally.
+# ---------------------------------------------------------------------------
+@query(
+    "claim_check_pointer_stats",
+    oracle="""
+    WITH versions AS (
+      SELECT user_id, event_type, value,
+             LAG(event_type) OVER w AS prev_type,
+             LAG(value) OVER w AS prev_value,
+             LAG(event_id) OVER w AS prev_id
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), diffs AS (
+      SELECT user_id,
+             CASE WHEN prev_id IS NULL THEN 2
+                  ELSE (CASE WHEN event_type <> prev_type THEN 1 ELSE 0 END)
+                     + (CASE WHEN value <> prev_value THEN 1 ELSE 0 END) END AS n_changed
+      FROM versions
+    )
+    SELECT CAST(SUM(CASE WHEN user_id % 7 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pointer,
+           CAST(SUM(CASE WHEN user_id % 7 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_inline,
+           CAST(0 AS BIGINT) AS n_url_malformed,
+           CAST(0 AS BIGINT) AS n_both_forms
+    FROM diffs WHERE n_changed > 0
+    """,
+)
+def claim_check_pointer_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    uid = F.col("pk").substr(F.lit(6), F.lit(30)).cast("long")  # "USER#<id>"
+    records = synthesize_cdc_records(spark, sf_dir).withColumn(
+        "size_bytes",
+        F.when(uid % 7 == 0, F.lit(100_000))
+        .otherwise(F.lit(512))
+        .cast("long"),
+    )
+    ev = cdc_change_events(records, claim_check_base="claim-check://images/")
+    expected_url = F.concat(
+        F.lit("claim-check://images/"), F.col("event_id"), F.lit(".json")
+    )
+    has_ptr = F.col("images_url").isNotNull()
+    has_inline = F.col("new_image").isNotNull()
+    return ev.agg(
+        F.sum(F.when(has_ptr, 1).otherwise(0)).cast("long").alias("n_pointer"),
+        F.sum(F.when(has_inline, 1).otherwise(0)).cast("long").alias("n_inline"),
+        F.sum(
+            F.when(has_ptr & (F.col("images_url") != expected_url), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_url_malformed"),
+        F.sum(F.when(has_ptr & has_inline, 1).otherwise(0))
+        .cast("long")
+        .alias("n_both_forms"),
+    )
+
+
 # ===========================================================================
 # LLM-pipeline operators (SURVEY.md §2C) over documents / embeddings.
 # ===========================================================================

@@ -33,6 +33,9 @@ ITEM_SCHEMA = T.StructType(
         T.StructField(
             "ns", T.ArrayType(T.LongType()), metadata={"dynamo_type": "NS"}
         ),
+        T.StructField(
+            "bs", T.ArrayType(T.BinaryType()), metadata={"dynamo_type": "BS"}
+        ),
     ]
 )
 
@@ -49,6 +52,8 @@ _BASE = {
     "addr": {"M": {"city": {"S": "nyc"}, "zip": {"S": "10001"}}},
     "ss": {"SS": ["b", "a"]},
     "ns": {"NS": ["10", "2"]},
+    # base64 of b"beta", b"alpha" — unordered on the wire like SS/NS
+    "bs": {"BS": ["YmV0YQ==", "YWxwaGE="]},
 }
 
 
@@ -91,6 +96,17 @@ def test_set_reorder_is_noop(spark):
     assert _one_typed(spark, _m(_BASE), _m(new)) == []
 
 
+def test_binary_set_reorder_is_noop_and_change_detected(spark):
+    reordered = dict(_BASE, bs={"BS": ["YWxwaGE=", "YmV0YQ=="]})
+    assert _one_typed(spark, _m(_BASE), _m(reordered)) == []
+    changed = dict(_BASE, bs={"BS": ["YWxwaGE=", "Z2FtbWE="]})  # alpha, gamma
+    [r] = _one_typed(spark, _m(_BASE), _m(changed))
+    assert r.attributes_changed == ["bs"]
+    # typed lane decodes to binary; to_json re-encodes base64 in the
+    # dynamic lane's canonical (base64-text-sorted) order
+    assert json.loads(r.after)["bs"] == ["YWxwaGE=", "Z2FtbWE="]
+
+
 def test_add_remove_classification(spark):
     old = {k: v for k, v in _BASE.items() if k != "ok"}
     new = dict(_BASE)
@@ -105,9 +121,10 @@ def test_add_remove_classification(spark):
 def test_insert_marks_all_fields_added(spark):
     [r] = _one_typed(spark, None, _m(_BASE), op="INSERT")
     assert set(r.attributes_changed) == {
-        "name", "n", "ok", "tags", "addr", "ss", "ns"
+        "name", "n", "ok", "tags", "addr", "ss", "ns", "bs"
     }
     assert json.loads(r.after)["ns"] == [2, 10]  # NS canonicalized sorted
+    assert json.loads(r.after)["bs"] == ["YWxwaGE=", "YmV0YQ=="]  # BS sorted
 
 
 def test_parity_with_dynamic_lane_on_shared_fixtures(spark):
@@ -180,6 +197,10 @@ def test_randomized_parity_with_dynamic_lane(spark):
                 "city": {"S": rng.choice(["nyc", "sf", "la"])},
                 "zip": {"S": rng.choice(["1", "2"])},
             }}
+        if rng.random() < 0.5:
+            img["bs"] = {"BS": rng.sample(
+                ["YWxwaGE=", "YmV0YQ==", "Z2FtbWE=", "ZGVsdGE="],
+                rng.randint(1, 3))}
         return img
 
     # type-consistent mutations only: a type flip (e.g. tags: L -> S)
@@ -191,6 +212,7 @@ def test_randomized_parity_with_dynamic_lane(spark):
         "ok": {"BOOL": False},
         "tags": {"L": [{"S": "mut"}]},
         "addr": {"M": {"city": {"S": "mut"}, "zip": {"S": "9"}}},
+        "bs": {"BS": ["bXV0YXRlZA=="]},
     }
 
     def mutate(img):
