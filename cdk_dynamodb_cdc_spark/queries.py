@@ -1899,3 +1899,232 @@ def sql_surface_identical_text(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_tables(spark, sf_dir, ["orders", "customer"])
     return spark.sql(_SQL_SURFACE_TEXT)
+
+
+# ===========================================================================
+# TPC-H-shape subquery / outer-join patterns (SURVEY.md §2B widening):
+# EXISTS semi-joins with compound conditions, correlated scalar
+# subqueries (decorrelated to a broadcast agg join), left-outer
+# count distributions, HAVING-subquery joins, and NOT EXISTS + global
+# scalar filters. Decimal discipline throughout: every float predicate
+# that could flip on engine-specific summation order is rewritten as an
+# exact integer/decimal inequality (see q17 / q22).
+# ===========================================================================
+
+@query(
+    "q4_late_shipment_priority",
+    oracle="""
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+    FROM orders o
+    WHERE EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+    GROUP BY o_orderpriority
+    """,
+)
+def q4_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS with a correlated compound condition ->
+    left-semi join carrying the extra predicate in the join condition.
+    The semi join shuffles on the equi key only; the range term is a
+    post-match filter, so the plan stays skew-bounded at any scale."""
+    od = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    cond = (od["o_orderkey"] == li["l_orderkey"]) & (
+        li["l_shipdate"] > od["o_orderdate"] + F.expr("INTERVAL 60 DAYS")
+    )
+    return (
+        od.join(li, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+@query(
+    "q12_priority_by_linestatus",
+    oracle="""
+    SELECT l_linestatus,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY l_linestatus
+    """,
+)
+def q12_priority_by_linestatus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: fact-fact equi join + conditional aggregation.
+    The shipdate filter is pushed into the lineitem scan; only the two
+    join keys plus three narrow columns survive to the shuffle."""
+    od = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01")
+    ).select("l_orderkey", "l_linestatus")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(od, li["l_orderkey"] == od["o_orderkey"])
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@query(
+    "q13_customer_order_distribution",
+    oracle="""
+    SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+    FROM (SELECT c.c_custkey, CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count
+          FROM customer c LEFT JOIN orders o
+            ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+          GROUP BY c.c_custkey)
+    GROUP BY c_count
+    """,
+)
+def q13_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: left outer join preserving zero-order
+    customers, COUNT over the nullable side, then a distribution
+    re-aggregation. Two shuffles total (join key, then c_count), both
+    with map-side partial aggregation."""
+    cu = load_table(spark, sf_dir, "customer").select("c_custkey")
+    od = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    ).select("o_custkey", "o_orderkey")
+    per_cust = (
+        cu.join(od, cu["c_custkey"] == od["o_custkey"], "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).alias("custdist")
+    )
+
+
+@query(
+    "q17_small_quantity_revenue",
+    oracle="""
+    WITH pq AS (
+      SELECT l_partkey AS pk,
+             CAST(COUNT(*) AS BIGINT) AS cnt,
+             SUM(CAST(l_quantity AS DECIMAL(12,2))) AS qty_sum
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+                / 7.0 AS DOUBLE) AS avg_yearly
+    FROM lineitem JOIN pq ON l_partkey = pk
+    WHERE 5 * CAST(l_quantity AS DECIMAL(12,2)) * cnt < qty_sum
+    """,
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated scalar subquery (quantity below 20%
+    of the part's average) decorrelated into a per-part aggregate
+    joined back to the fact table — the join side is one row per part,
+    broadcastable at any corpus where the part dimension fits.
+
+    The threshold predicate is the EXACT integer/decimal inequality
+    5*qty*cnt < sum(qty) rather than qty < 0.2*avg(qty): float
+    averages differ between engines in the last ulp (summation order),
+    which could flip boundary rows and break the value-hash compare.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    pq = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(_dec("l_quantity")).alias("qty_sum"),
+    )
+    joined = li.join(F.broadcast(pq), li["l_partkey"] == pq["pk"])
+    small = (F.lit(5) * _dec("l_quantity") * F.col("cnt")) < F.col("qty_sum")
+    return joined.filter(small).agg(
+        (F.sum(_dec("l_extendedprice")).cast("double") / 7.0)
+        .cast("double")
+        .alias("avg_yearly")
+    )
+
+
+@query(
+    "q18_large_volume_orders",
+    oracle="""
+    WITH big AS (
+      SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(12,2))) AS sum_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 280
+    )
+    SELECT c_custkey, o_orderkey, o_orderdate,
+           CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS o_totalprice,
+           CAST(sum_qty AS DOUBLE) AS sum_qty
+    FROM big
+    JOIN orders ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    """,
+)
+def q18_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: HAVING-filtered aggregate subquery joined back
+    through orders to customers. The HAVING survivor set is tiny
+    (~0.1% of orders), so it broadcasts into both joins — no fact-fact
+    shuffle at all after the one groupBy."""
+    li = load_table(spark, sf_dir, "lineitem")
+    od = load_table(spark, sf_dir, "orders")
+    cu = load_table(spark, sf_dir, "customer").select("c_custkey")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(_dec("l_quantity")).alias("sum_qty"))
+        .filter(F.col("sum_qty") > 280)
+    )
+    return (
+        od.join(F.broadcast(big), od["o_orderkey"] == big["l_orderkey"])
+        .join(cu, od["o_custkey"] == cu["c_custkey"])
+        .select(
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            _dec("o_totalprice").cast("double").alias("o_totalprice"),
+            F.col("sum_qty").cast("double").alias("sum_qty"),
+        )
+    )
+
+
+@query(
+    "q22_idle_high_balance_customers",
+    oracle="""
+    WITH pos AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_pos,
+             SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS bal_sum
+      FROM customer WHERE c_acctbal > 0
+    )
+    SELECT c_nationkey,
+           CAST(COUNT(*) AS BIGINT) AS n_cust,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_acctbal
+    FROM customer c, pos
+    WHERE CAST(c_acctbal AS DECIMAL(12,2)) * n_pos > bal_sum
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_totalprice > 300000)
+    GROUP BY c_nationkey
+    """,
+)
+def q22_idle_high_balance_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: global scalar-aggregate filter (balance above
+    the positive-balance average) + NOT EXISTS anti join (no large
+    orders), per-nation rollup. The 1-row global aggregate broadcasts;
+    the anti join shuffles on the customer key only. The average test
+    is the exact inequality bal*n > sum (see q17 on why)."""
+    cu = load_table(spark, sf_dir, "customer")
+    pos = cu.filter(F.col("c_acctbal") > 0).agg(
+        F.count(F.lit(1)).alias("n_pos"),
+        F.sum(_dec("c_acctbal")).alias("bal_sum"),
+    )
+    big_orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") > 300000
+    ).select("o_custkey")
+    rich = cu.crossJoin(F.broadcast(pos)).filter(
+        _dec("c_acctbal") * F.col("n_pos") > F.col("bal_sum")
+    )
+    idle = rich.join(
+        big_orders, rich["c_custkey"] == big_orders["o_custkey"], "left_anti"
+    )
+    return idle.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_cust"),
+        F.sum(_dec("c_acctbal")).cast("double").alias("total_acctbal"),
+    )
