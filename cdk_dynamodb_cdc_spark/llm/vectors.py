@@ -16,6 +16,15 @@ Two paths:
   recall floor is pinned both by a pytest against the brute-force path
   and by the `embedding_ann_topk` recall-contract oracle.
 
+* :func:`ivf_cosine_topk` — approximate: IVF-flat with a deterministic
+  sampled-centroid coarse quantizer (the nlist lowest vec_ids — no
+  k-means iterations, so the cell assignment is reproducible across
+  engines and runs). Every vector lands in the cell of its
+  max-cosine centroid; each query probes its nprobe nearest cells and
+  scans only those (~nprobe/nlist of the corpus). Same scale shape as
+  the LSH path: centroids and probe lists broadcast, the corpus
+  streams map-side, only per-query top-k shuffles.
+
 Cost shape shared by both: vector norms are computed ONCE per row in
 the row's own projection (below the join), so each candidate pair costs
 a single dot-product fold — the naive cosine(a, b) form re-folds both
@@ -31,6 +40,8 @@ from pyspark.sql import functions as F
 ANN_PLANES = 6
 ANN_MULTIPROBE_HAMMING = 2  # _probe_masks enumerates up to distance 2
 _PLANE_SEED = 42
+IVF_NLIST = 32
+IVF_NPROBE = 6
 
 
 def _dot(a, b):
@@ -177,6 +188,85 @@ def ann_cosine_topk(
     cos = _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
     scored = (
         corpus.join(F.broadcast(probes), "bucket")
+        .filter(F.col("neighbor_id") != F.col("qid"))
+        .select("qid", "neighbor_id", cos.alias("cos"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("qid", "rk", "neighbor_id")
+    )
+
+
+def ivf_cosine_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    *,
+    nlist: int = IVF_NLIST,
+    nprobe: int = IVF_NPROBE,
+) -> DataFrame:
+    """Approximate top-k cosine neighbors via IVF-flat.
+
+    Coarse quantizer: the `nlist` lowest-vec_id vectors act as
+    centroids (a deterministic sample — real deployments would train
+    k-means offline and broadcast the codebook the same way; sampled
+    centroids keep the operator reproducible across engines with zero
+    training iterations). Assignment and probing both use max-cosine
+    against the broadcast centroid set: `nlist` dot folds per corpus
+    row map-side, then each query scans only its `nprobe` nearest
+    cells. Output schema matches :func:`cosine_topk`.
+
+    Scale: centroids (nlist rows) and the query probe list
+    (len(query_ids) * nprobe rows) broadcast; the corpus never
+    shuffles — cell assignment is a map-side column, candidate
+    matching is a broadcast join, and only the per-query top-k
+    (k rows per partition after the partial sort) crosses the wire.
+    """
+    base = _normed(emb)
+    cents = (
+        base.orderBy("vec_id")
+        .limit(nlist)
+        .select(
+            F.col("vec_id").alias("cent_id"),
+            F.col("v").alias("cv_cent"),
+            F.col("nrm").alias("cn_cent"),
+        )
+    )
+    sim_to_cent = _dot(F.col("v"), F.col("cv_cent")) / (
+        F.col("nrm") * F.col("cn_cent")
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.col("cent_sim").desc(), F.col("cent_id")
+    )
+    scored_cells = (
+        base.crossJoin(F.broadcast(cents))
+        .select(
+            "vec_id", "v", "nrm", "cent_id", sim_to_cent.alias("cent_sim")
+        )
+        .withColumn("cell_rk", F.row_number().over(w_assign))
+    )
+    corpus = scored_cells.filter(F.col("cell_rk") == 1).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("v").alias("cv"),
+        F.col("nrm").alias("cn"),
+        F.col("cent_id").alias("cell"),
+    )
+    probes = (
+        scored_cells.filter(
+            F.col("vec_id").isin(query_ids) & (F.col("cell_rk") <= nprobe)
+        )
+        .select(
+            F.col("vec_id").alias("qid"),
+            F.col("v").alias("qv"),
+            F.col("nrm").alias("qn"),
+            F.col("cent_id").alias("cell"),
+        )
+    )
+    cos = _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
+    scored = (
+        corpus.join(F.broadcast(probes), "cell")
         .filter(F.col("neighbor_id") != F.col("qid"))
         .select("qid", "neighbor_id", cos.alias("cos"))
     )

@@ -911,6 +911,39 @@ def embedding_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# IVF-flat ANN (the second approximate path besides sign-LSH): same
+# recall-contract oracle shape as embedding_ann_topk. Floor 0.3 —
+# measured per-query recall@10 at defaults is {0.4..1.0} at sf0.01 and
+# {0.9..1.0} at sf0.1, and the operator is fully deterministic
+# (sampled centroids, exact cosine, unique tiebreakers).
+# ---------------------------------------------------------------------------
+_IVF_RECALL_FLOOR = 0.3
+
+
+@query(
+    "embedding_ivf_topk",
+    oracle="SELECT * FROM (VALUES "
+    + ", ".join(f"({i}, TRUE)" for i in _ANN_QUERY_IDS)
+    + ") AS t(qid, recall_ok)",
+)
+def embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    ivf = llm_vectors.ivf_cosine_topk(emb, query_ids=_ANN_QUERY_IDS, k=10)
+    exact = llm_vectors.cosine_topk(emb, query_ids=_ANN_QUERY_IDS, k=10)
+    hits = exact.select("qid", "neighbor_id").join(
+        ivf.select("qid", "neighbor_id"), ["qid", "neighbor_id"], "left_semi"
+    )
+    return (
+        hits.groupBy("qid")
+        .agg((F.count(F.lit(1)) / 10.0).alias("recall"))
+        .select(
+            F.col("qid").cast("int").alias("qid"),
+            (F.col("recall") >= F.lit(_IVF_RECALL_FLOOR)).alias("recall_ok"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Multimodal plumbing: binary payload -> Arrow-batched metadata decode
 # (deterministic fake codec) and frame sampling (multi-row emission).
 # ---------------------------------------------------------------------------
