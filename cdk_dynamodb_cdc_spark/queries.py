@@ -2161,3 +2161,123 @@ def q22_idle_high_balance_customers(spark: SparkSession, sf_dir: str) -> DataFra
         F.count(F.lit(1)).alias("n_cust"),
         F.sum(_dec("c_acctbal")).cast("double").alias("total_acctbal"),
     )
+
+
+# ===========================================================================
+# Window RANGE frames, grouped-agg pandas UDAF, and dynamic-lane decimal
+# fidelity — §2B completions.
+# ===========================================================================
+
+@query(
+    "window_range_frame_revenue",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(COUNT(*) OVER w AS BIGINT) AS n_near,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER w AS DOUBLE)
+             AS near_total
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey
+                 RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW)
+    """,
+)
+def window_range_frame_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame (value-based, not row-based): all orders whose key
+    lies within 1000 of the current one — the frame type
+    window_running_revenue's ROWS frame doesn't exercise."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderkey")
+        .rangeBetween(-1000, 0)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.count(F.lit(1)).over(w).alias("n_near"),
+        F.sum(_dec("o_totalprice")).over(w).cast("double").alias("near_total"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Grouped-aggregate pandas UDF (vectorized UDAF): the one UDF shape §2B
+# lists that no other query exercises. Integer-exact arithmetic inside
+# the UDAF (cents * quantity in int64) so the result is bit-identical
+# to the oracle despite crossing the Arrow boundary.
+# ---------------------------------------------------------------------------
+@query(
+    "udaf_weighted_revenue_cents",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+                    * CAST(l_quantity AS BIGINT)) AS BIGINT)
+             AS weighted_cents,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def udaf_weighted_revenue_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    # explicit GROUPED_AGG: this module's `from __future__ import
+    # annotations` stringifies type hints, so hint-based inference
+    # can't see the Series -> scalar shape
+    @pandas_udf("long", PandasUDFType.GROUPED_AGG)
+    def weighted_cents(price_cents, qty):
+        # int64 throughout: max |price_cents * qty| ~ 6e8, summed over
+        # <1e7 rows stays far inside int64 — exact, order-insensitive
+        return int((price_cents * qty).sum())
+
+    @pandas_udf("long", PandasUDFType.GROUPED_AGG)
+    def n_rows(price_cents):
+        # Spark disallows mixing pandas and JVM aggregates in one agg,
+        # so the row count rides through a second pandas UDAF
+        return len(price_cents)
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        (_dec("l_extendedprice") * 100).cast("long").alias("pc"),
+        F.col("l_quantity").cast("long").alias("q"),
+    )
+    return li.groupBy("l_returnflag").agg(
+        weighted_cents("pc", "q").alias("weighted_cents"),
+        n_rows("pc").alias("n"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dynamic-lane decimal fidelity: 23-significant-digit N values (far past
+# double's 17) must round-trip marshal -> unmarshall -> diff -> canonical
+# JSON bit-exactly. The value ends in a non-zero digit so the engine's
+# canonical form (trailing-zero strip) equals the constructed input and
+# the oracle can rebuild the exact 'after' document textually.
+# ---------------------------------------------------------------------------
+@query(
+    "cdc_decimal_fidelity",
+    oracle="""
+    SELECT 'CUST#' || CAST(c_custkey AS VARCHAR) AS pk,
+           '{"v":' || CAST(c_custkey AS VARCHAR) || '.'
+                   || lpad(CAST(c_custkey * 7 % 1000000000 AS VARCHAR), 9, '0')
+                   || '000000001' || '}' AS after
+    FROM customer
+    """,
+)
+def cdc_decimal_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cu = load_table(spark, sf_dir, "customer")
+    num = F.concat(
+        F.col("c_custkey").cast("string"),
+        F.lit("."),
+        F.lpad((F.col("c_custkey") * 7 % 1000000000).cast("string"), 9, "0"),
+        F.lit("000000001"),
+    )
+    records = cu.select(
+        F.col("c_custkey").cast("string").alias("event_id"),
+        F.lit(1).cast("long").alias("seq"),
+        F.lit(None).cast("timestamp").alias("ts"),
+        F.lit("INSERT").alias("operation"),
+        F.concat(F.lit("CUST#"), F.col("c_custkey")).alias("pk"),
+        F.lit("STATE").alias("sk"),
+        F.lit(None).cast("string").alias("old_image"),
+        F.concat(F.lit('{"v":{"N":"'), num, F.lit('"}}')).alias("new_image"),
+        F.lit(512).cast("long").alias("size_bytes"),
+    )
+    return cdc_change_events(records).select("pk", "after")
