@@ -183,3 +183,33 @@ def windowed_change_counts(
             "n_events",
         )
     )
+
+
+def interval_join_streams(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    key: str,
+    left_time: str,
+    right_time: str,
+    max_delay: str = "30 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """§2B stream-stream join: right-side rows within (0, max_delay]
+    AFTER a left row with the same key.
+
+    Both sides carry watermarks and the join condition bounds
+    right_time to a closed interval of left_time — the two facts Spark
+    needs to prune join state: each side retains only rows younger
+    than watermark + max_delay, so state is bounded by arrival rate,
+    not stream length. Without the time bound, a stream-stream inner
+    join would buffer both streams forever.
+    """
+    lw = left.withWatermark(left_time, watermark)
+    rw = right.withWatermark(right_time, watermark)
+    cond = (
+        (lw[key] == rw[key])
+        & (rw[right_time] > lw[left_time])
+        & (rw[right_time] <= lw[left_time] + F.expr(f"INTERVAL {max_delay}"))
+    )
+    return lw.join(rw, cond, "inner")

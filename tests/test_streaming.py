@@ -14,6 +14,7 @@ import json
 import pytest
 from pyspark.sql import functions as F
 
+from cdk_dynamodb_cdc_spark.schemas import CDC_RECORD_SCHEMA
 from cdk_dynamodb_cdc_spark.sources.fixtures import fixture_rows
 from cdk_dynamodb_cdc_spark.streaming import (
     dedup_within_watermark,
@@ -242,3 +243,122 @@ def test_windowed_counts_drop_late_data(spark, tmp_path):
     }
     # the finalized 12:00 window counts e1+e2 but NOT the late arrival
     assert ("12:00", 2) in out
+
+
+def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
+    """Stream-stream interval join (watermarked, state-bounded) must
+    produce exactly the rows the equivalent batch join produces."""
+    import datetime
+
+    from cdk_dynamodb_cdc_spark.streaming.stream import interval_join_streams
+
+    UTC = datetime.timezone.utc
+    t0 = datetime.datetime(2024, 1, 1, tzinfo=UTC)
+
+    def rec(eid, minutes, op, pk):
+        return {
+            "event_id": eid, "seq": minutes,
+            "ts": (t0 + datetime.timedelta(minutes=minutes)).strftime(
+                "%Y-%m-%dT%H:%M:%S.%f%z"),
+            "operation": op, "pk": pk, "sk": "SK",
+            "old_image": None, "new_image": "{}", "size_bytes": 64,
+        }
+
+    rows = [
+        rec("i1", 0, "INSERT", "A"),
+        rec("m1", 10, "MODIFY", "A"),   # within 30 min of i1 -> pair
+        rec("m2", 50, "MODIFY", "A"),   # too late -> no pair
+        rec("i2", 45, "INSERT", "A"),   # m2 within 5 min of i2 -> pair
+        rec("m3", 20, "MODIFY", "B"),   # no INSERT for B -> no pair
+    ]
+    src = tmp_path / "src"
+    src.mkdir()
+    import json as _json
+    (src / "data.json").write_text(
+        "\n".join(_json.dumps(r) for r in rows) + "\n")
+
+    def split(df):
+        ins = df.filter(F.col("operation") == "INSERT").select(
+            F.col("pk"), F.col("ts").alias("ins_ts"),
+            F.col("event_id").alias("ins_id"))
+        mods = df.filter(F.col("operation") == "MODIFY").select(
+            F.col("pk"), F.col("ts").alias("mod_ts"),
+            F.col("event_id").alias("mod_id"))
+        return ins, mods
+
+    # batch expectation
+    batch_df = spark.read.schema(CDC_RECORD_SCHEMA).json(str(src))
+    bi, bm = split(batch_df)
+    expected = {
+        (r.ins_id, r.mod_id)
+        for r in bi.join(
+            bm,
+            (bi["pk"] == bm["pk"])
+            & (bm["mod_ts"] > bi["ins_ts"])
+            & (bm["mod_ts"] <= bi["ins_ts"] + F.expr("INTERVAL 30 MINUTES")),
+        ).collect()
+    }
+    assert expected == {("i1", "m1"), ("i2", "m2")}
+
+    # streaming
+    stream = spark.readStream.schema(CDC_RECORD_SCHEMA).json(str(src))
+    si, sm = split(stream)
+    joined = interval_join_streams(
+        si, sm, key="pk", left_time="ins_ts", right_time="mod_ts",
+        max_delay="30 minutes",
+    ).select("ins_id", "mod_id")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ssj_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_ssj"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert not q.isActive
+    got = {
+        (r.ins_id, r.mod_id)
+        for r in spark.sql("SELECT * FROM ssj_out").collect()
+    }
+    assert got == expected
+
+
+def test_stream_static_join_enriches_records(spark, tmp_path):
+    """Stream-static join: the static side is re-read per micro-batch
+    and broadcast — no stream state at all."""
+    import datetime
+    import json as _json
+
+    UTC = datetime.timezone.utc
+    t0 = datetime.datetime(2024, 1, 1, tzinfo=UTC)
+    rows = [
+        {"event_id": "e1", "seq": 1,
+         "ts": t0.strftime("%Y-%m-%dT%H:%M:%S.%f%z"),
+         "operation": "INSERT", "pk": "USER#1", "sk": "SK",
+         "old_image": None, "new_image": "{}", "size_bytes": 64},
+        {"event_id": "e2", "seq": 2,
+         "ts": t0.strftime("%Y-%m-%dT%H:%M:%S.%f%z"),
+         "operation": "INSERT", "pk": "USER#2", "sk": "SK",
+         "old_image": None, "new_image": "{}", "size_bytes": 64},
+    ]
+    src = tmp_path / "src2"
+    src.mkdir()
+    (src / "d.json").write_text("\n".join(_json.dumps(r) for r in rows) + "\n")
+
+    dim = spark.createDataFrame(
+        [("USER#1", "gold")], "pk string, tier string")
+    stream = spark.readStream.schema(CDC_RECORD_SCHEMA).json(str(src))
+    enriched = stream.join(F.broadcast(dim), "pk", "left")
+    q = (
+        enriched.select("event_id", "tier")
+        .writeStream.format("memory")
+        .queryName("ssj_static")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_static"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r.event_id: r.tier for r in spark.sql("SELECT * FROM ssj_static").collect()}
+    assert got == {"e1": "gold", "e2": None}
