@@ -199,33 +199,46 @@ def ann_cosine_topk(
     )
 
 
-def ivf_cosine_topk(
-    emb: DataFrame,
-    query_ids: list[int],
-    k: int = 10,
-    *,
-    nlist: int = IVF_NLIST,
-    nprobe: int = IVF_NPROBE,
-) -> DataFrame:
-    """Approximate top-k cosine neighbors via IVF-flat.
+def ivf_build(emb: DataFrame, *, nlist: int = IVF_NLIST) -> DataFrame:
+    """Build the IVF-flat index: (vec_id, v, nrm, cell).
 
     Coarse quantizer: the `nlist` lowest-vec_id vectors act as
     centroids (a deterministic sample — real deployments would train
     k-means offline and broadcast the codebook the same way; sampled
     centroids keep the operator reproducible across engines with zero
-    training iterations). Assignment and probing both use max-cosine
-    against the broadcast centroid set: `nlist` dot folds per corpus
-    row map-side, then each query scans only its `nprobe` nearest
-    cells. Output schema matches :func:`cosine_topk`.
+    training iterations). Cell = argmax cosine against the broadcast
+    centroid set; ties go to the lowest centroid id.
 
-    Scale: centroids (nlist rows) and the query probe list
-    (len(query_ids) * nprobe rows) broadcast; the corpus never
-    shuffles — cell assignment is a map-side column, candidate
-    matching is a broadcast join, and only the per-query top-k
-    (k rows per partition after the partial sort) crosses the wire.
+    Shuffle discipline: similarities are projected down to NARROW
+    (vec_id, cent_id, sim) triples immediately after the broadcast
+    crossJoin, so the argmax aggregation shuffles ~12 bytes x nlist
+    per vector instead of the nlist-times-replicated vector itself
+    (~16 KB per 64-dim row — a 40x volume difference at corpus
+    scale); the vectors themselves move exactly once, in the
+    assignment join.
+
+    The returned DataFrame is the INDEX — the thing to persist. Write
+    it once, bucketed by `cell` (colocate.write_bucketed), and every
+    subsequent :func:`ivf_search` reads only the probed cells with no
+    assignment work at all. Re-deriving it per query (what
+    :func:`ivf_cosine_topk` does for the oracle-checkable single-plan
+    form) re-scans the corpus — fine at test scale, wasteful at 100 TB.
     """
     base = _normed(emb)
-    cents = (
+    cents = _ivf_centroids(base, nlist)
+    sims = _ivf_centroid_sims(base, cents)
+    # max_by struct: highest sim, ties to the LOWEST cent_id
+    assign = sims.groupBy("vec_id").agg(
+        F.max_by(
+            "cent_id",
+            F.struct(F.col("cent_sim"), (-F.col("cent_id")).cast("double")),
+        ).alias("cell")
+    )
+    return base.join(assign, "vec_id")
+
+
+def _ivf_centroids(base: DataFrame, nlist: int) -> DataFrame:
+    return (
         base.orderBy("vec_id")
         .limit(nlist)
         .select(
@@ -234,35 +247,60 @@ def ivf_cosine_topk(
             F.col("nrm").alias("cn_cent"),
         )
     )
-    sim_to_cent = _dot(F.col("v"), F.col("cv_cent")) / (
+
+
+def _ivf_centroid_sims(vectors: DataFrame, cents: DataFrame) -> DataFrame:
+    """NARROW (vec_id, cent_id, cent_sim) triples via broadcast."""
+    sim = _dot(F.col("v"), F.col("cv_cent")) / (
         F.col("nrm") * F.col("cn_cent")
     )
-    w_assign = Window.partitionBy("vec_id").orderBy(
+    return vectors.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "cent_id", sim.alias("cent_sim")
+    )
+
+
+def ivf_search(
+    index: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    *,
+    nlist: int = IVF_NLIST,
+    nprobe: int = IVF_NPROBE,
+) -> DataFrame:
+    """Search an IVF index (output of :func:`ivf_build`, possibly read
+    back from cell-bucketed storage) for each query's approximate
+    top-k cosine neighbors. Output schema matches :func:`cosine_topk`.
+
+    Each query probes its `nprobe` max-cosine cells and scans only
+    those (~nprobe/nlist of the corpus). The centroid set is recovered
+    from the index by the same deterministic rule used to build it
+    (lowest nlist vec_ids), so the index file is self-contained. The
+    probe list broadcasts; stored cell-bucketed, the candidate join
+    needs no shuffle of the corpus at all.
+    """
+    vecs = index.select("vec_id", "v", "nrm")
+    cents = _ivf_centroids(vecs, nlist)
+    q = vecs.filter(F.col("vec_id").isin(query_ids))
+    qsims = _ivf_centroid_sims(q, cents)
+    w_probe = Window.partitionBy("vec_id").orderBy(
         F.col("cent_sim").desc(), F.col("cent_id")
     )
-    scored_cells = (
-        base.crossJoin(F.broadcast(cents))
-        .select(
-            "vec_id", "v", "nrm", "cent_id", sim_to_cent.alias("cent_sim")
-        )
-        .withColumn("cell_rk", F.row_number().over(w_assign))
-    )
-    corpus = scored_cells.filter(F.col("cell_rk") == 1).select(
-        F.col("vec_id").alias("neighbor_id"),
-        F.col("v").alias("cv"),
-        F.col("nrm").alias("cn"),
-        F.col("cent_id").alias("cell"),
-    )
     probes = (
-        scored_cells.filter(
-            F.col("vec_id").isin(query_ids) & (F.col("cell_rk") <= nprobe)
-        )
+        qsims.withColumn("cell_rk", F.row_number().over(w_probe))
+        .filter(F.col("cell_rk") <= nprobe)
+        .join(q, "vec_id")
         .select(
             F.col("vec_id").alias("qid"),
             F.col("v").alias("qv"),
             F.col("nrm").alias("qn"),
             F.col("cent_id").alias("cell"),
         )
+    )
+    corpus = index.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("v").alias("cv"),
+        F.col("nrm").alias("cn"),
+        F.col("cell"),
     )
     cos = _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
     scored = (
@@ -275,4 +313,20 @@ def ivf_cosine_topk(
         scored.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= k)
         .select("qid", "rk", "neighbor_id")
+    )
+
+
+def ivf_cosine_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    *,
+    nlist: int = IVF_NLIST,
+    nprobe: int = IVF_NPROBE,
+) -> DataFrame:
+    """Build-and-search in one plan (the oracle-checkable form); for
+    repeated queries, persist :func:`ivf_build`'s output bucketed by
+    cell and call :func:`ivf_search` against it instead."""
+    return ivf_search(
+        ivf_build(emb, nlist=nlist), query_ids, k, nlist=nlist, nprobe=nprobe
     )

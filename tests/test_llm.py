@@ -189,3 +189,29 @@ def test_short_docs_have_no_shingles_and_no_phantom_pairs(spark):
     assert all(r.s == [] for r in sh)
     pairs = dedup.minhash_near_dup_pairs(docs).collect()
     assert pairs == []
+
+
+def test_ivf_index_persist_and_search_matches_direct(spark, tmp_path):
+    """ivf_build -> write bucketed by cell -> read back -> ivf_search
+    must equal the single-plan ivf_cosine_topk, and the stored-index
+    search plan must not re-assign cells (no crossJoin against the
+    corpus side)."""
+    from cdk_dynamodb_cdc_spark.operators import colocate
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    qids = [0, 1, 2, 3, 4]
+    direct = {(r.qid, r.rk, r.neighbor_id)
+              for r in vectors.ivf_cosine_topk(emb, qids, 10).collect()}
+
+    index = vectors.ivf_build(emb)
+    colocate.write_bucketed(
+        index, "ivf_index_t", str(tmp_path / "ivf"),
+        keys=["cell"], num_buckets=8, sort=False,
+    )
+    try:
+        stored = colocate.read_bucketed(spark, "ivf_index_t")
+        via_store = {(r.qid, r.rk, r.neighbor_id)
+                     for r in vectors.ivf_search(stored, qids, 10).collect()}
+        assert via_store == direct
+    finally:
+        spark.sql("DROP TABLE IF EXISTS ivf_index_t")
