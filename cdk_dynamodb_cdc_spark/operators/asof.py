@@ -25,15 +25,21 @@ def asof_join(
     right_by: str,
     value_cols: list[str],
     tolerance: str | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
-    """For each left row, attach the most recent right row with
-    ``right.right_on <= left.left_on`` within the same key group.
+    """For each left row, attach the nearest right row within the same
+    key group: the most recent with ``right_on <= left_on`` when
+    ``direction="backward"`` (the default, pandas merge_asof / DuckDB
+    ASOF JOIN semantics), or the earliest with ``right_on >= left_on``
+    when ``direction="forward"``.
 
-    ``value_cols`` are the right-side columns to carry. Right rows sort
-    before left rows at equal timestamps (side tag 0 < 1), i.e. a right
-    row AT the left timestamp matches — the `<=` convention of
-    ``pandas.merge_asof`` and DuckDB ASOF JOIN.
+    ``value_cols`` are the right-side columns to carry. A right row AT
+    the left timestamp matches in both directions (side-tag ordering
+    puts the right row inside the window frame at equal timestamps).
+    Either way: ONE shuffle on the key, no row blowup.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward/forward, got {direction!r}")
     overlap = set(left.columns) & set(value_cols)
     if overlap:
         raise ValueError(f"value_cols collide with left columns: {sorted(overlap)}")
@@ -51,11 +57,23 @@ def asof_join(
         *[F.lit(None).cast(dict(left.dtypes)[c]).alias(c) for c in left.columns],
         *[F.col(c).alias(f"__v_{c}") for c in value_cols],
     )
-    w = (
-        Window.partitionBy("__key")
-        .orderBy(F.col("__t").asc(), F.col("__side").asc())
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
+    if direction == "backward":
+        # right (side 0) sorts before left at equal t; LAST over the
+        # preceding frame = most recent right row at-or-before
+        w = (
+            Window.partitionBy("__key")
+            .orderBy(F.col("__t").asc(), F.col("__side").asc())
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+    else:
+        # right sorts after left at equal t (descending side puts left
+        # tag 1 first); FIRST over the following frame = earliest right
+        # row at-or-after
+        w = (
+            Window.partitionBy("__key")
+            .orderBy(F.col("__t").asc(), F.col("__side").desc())
+            .rowsBetween(0, Window.unboundedFollowing)
+        )
     merged = tagged_left.unionByName(tagged_right)
     # Fill ONE struct per right row (timestamp + all value columns) so
     # every carried field comes from the SAME matched right row —
@@ -69,12 +87,18 @@ def asof_join(
             *[F.col(f"__v_{c}").alias(c) for c in value_cols],
         ),
     )
-    filled = merged.select(
-        "*", F.last(right_payload, ignorenulls=True).over(w).alias("__m")
+    fill = (
+        F.last(right_payload, ignorenulls=True)
+        if direction == "backward"
+        else F.first(right_payload, ignorenulls=True)
     )
+    filled = merged.select("*", fill.over(w).alias("__m"))
     out = filled.filter(F.col("__side") == 1)
     if tolerance is not None:
-        within = F.col("__m.__rt") >= F.col("__t") - F.expr(f"INTERVAL {tolerance}")
+        if direction == "backward":
+            within = F.col("__m.__rt") >= F.col("__t") - F.expr(f"INTERVAL {tolerance}")
+        else:
+            within = F.col("__m.__rt") <= F.col("__t") + F.expr(f"INTERVAL {tolerance}")
         out = out.select(
             *left.columns,
             *[F.when(within, F.col(f"__m.{c}")).alias(c) for c in value_cols],

@@ -2337,3 +2337,89 @@ def corr_qty_price_exact_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sqrt(nd * sxx - sx * sx) * F.sqrt(nd * syy - sy * sy)
     )
     return m.select("l_returnflag", "n", corr.cast("double").alias("corr_qty_price"))
+
+
+# ---------------------------------------------------------------------------
+# Ordered-set aggregates: exact interpolated percentiles. Spark's
+# percentile() and DuckDB's quantile_cont() share the same linear-
+# interpolation definition over exactly-sorted doubles, so the values
+# are bit-identical (verified at sf0.01/sf0.1) — unlike mean/stddev,
+# no decimal detour is needed.
+# ---------------------------------------------------------------------------
+@query(
+    "percentile_order_values",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(quantile_cont(o_totalprice, 0.5) AS DOUBLE) AS p50,
+           CAST(quantile_cont(o_totalprice, 0.9) AS DOUBLE) AS p90,
+           CAST(quantile_cont(o_totalprice, 0.99) AS DOUBLE) AS p99
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def percentile_order_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = load_table(spark, sf_dir, "orders")
+    return od.groupBy("o_orderpriority").agg(
+        F.percentile("o_totalprice", 0.5).alias("p50"),
+        F.percentile("o_totalprice", 0.9).alias("p90"),
+        F.percentile("o_totalprice", 0.99).alias("p99"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Forward as-of join: each order-day attaches the customer's EARLIEST
+# event at-or-after the order date (the corpus's events all postdate
+# its orders, so customers who appear in the events table match — the
+# reverse direction would be vacuous). Events are pre-aggregated to
+# one row per (user, ts) so the nearest-row pick is deterministic; the
+# oracle decorrelates as min-future-ts + join-back.
+# ---------------------------------------------------------------------------
+@query(
+    "asof_next_event_after_order",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, ts, MIN(event_type) AS event_type
+      FROM events GROUP BY user_id, ts
+    ), od AS (
+      SELECT DISTINCT o_custkey, o_orderdate FROM orders
+    ), nxt AS (
+      SELECT od.o_custkey, od.o_orderdate, MIN(ev.ts) AS nts
+      FROM od LEFT JOIN ev
+        ON ev.user_id = od.o_custkey AND ev.ts >= od.o_orderdate
+      GROUP BY od.o_custkey, od.o_orderdate
+    )
+    SELECT n.o_custkey AS user_key,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           CAST(COUNT(n.nts) AS BIGINT) AS n_matched,
+           CAST(SUM(CASE WHEN e2.event_type = 'click' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_click_next
+    FROM nxt n LEFT JOIN ev e2
+      ON e2.user_id = n.o_custkey AND e2.ts = n.nts
+    GROUP BY n.o_custkey
+    """,
+)
+def asof_next_event_after_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id", "ts")
+        .agg(F.min("event_type").alias("event_type"))
+    )
+    od = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate"
+    ).distinct()
+    joined = asof_join(
+        od,
+        ev,
+        left_on="o_orderdate",
+        right_on="ts",
+        left_by="o_custkey",
+        right_by="user_id",
+        value_cols=["event_type"],
+        direction="forward",
+    )
+    return joined.groupBy(F.col("o_custkey").alias("user_key")).agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.count("event_type").alias("n_matched"),
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("long")
+        .alias("n_click_next"),
+    )

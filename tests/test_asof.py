@@ -71,3 +71,27 @@ def test_tolerance_uses_matched_row_timestamp(spark):
     got = {r.lbl: r.v for r in _join(left, right, tolerance="10 MINUTE").collect()}
     # 'a' is 5 min after the match (within); 'b' is 34 min after (out)
     assert got == {"a": 1.0, "b": None}
+
+
+def test_forward_direction_matches_next_row(spark):
+    left, right = _frames(
+        spark,
+        [(1, _ts(10), "a"), (1, _ts(30), "b"), (2, _ts(10), "c")],
+        [(1, _ts(5), 1.0, "x"), (1, _ts(20), 2.0, "y")],
+    )
+    got = {r.lbl: r.v for r in _join(left, right, direction="forward").collect()}
+    # a (t=10) -> next right at 20; b (t=30) -> none after; c -> no key
+    assert got == {"a": 2.0, "b": None, "c": None}
+
+
+def test_forward_equal_timestamp_matches_and_tolerance(spark):
+    left, right = _frames(
+        spark,
+        [(1, _ts(20), "eq"), (1, _ts(2), "far")],
+        [(1, _ts(20), 7.0, "x")],
+    )
+    got = {r.lbl: r.v for r in _join(
+        left, right, direction="forward", tolerance="10 MINUTE").collect()}
+    # eq matches the right row AT its own timestamp; far is 18 min
+    # before the only right row — outside tolerance
+    assert got == {"eq": 7.0, "far": None}
