@@ -18,6 +18,18 @@ Determinism discipline (so order-insensitive value hashes match DuckDB):
   nondeterministic across engines.
 * Timestamps leave results as DATE or epoch integers; `events.ts` is
   µs-precision in both engines (see sources/tables.py).
+
+Broadcast-hint discipline (100 TB safety): ``F.broadcast()`` FORCES the
+build side into executor memory regardless of its actual size, so hints
+are reserved for sides whose cardinality is bounded by the schema — the
+nation (25) / region (5) dims and 1-row global aggregates. Sides that
+merely LOOK small at test scale but grow linearly with a base table
+(filtered customer/part/supplier slices, per-key aggregates like
+q17's per-part stats or q18's HAVING survivors) carry NO hint: AQE
+re-plans the join from the runtime shuffle size, broadcasting exactly
+when the side actually fits (it does at every test SF, so local plans
+are unchanged) and falling back to a shuffle join at cluster scale
+instead of OOMing the forced build.
 """
 
 from __future__ import annotations
@@ -97,8 +109,9 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Multi-way join + agg + top-k: TPC-H Q3 shape. customer is the small build
-# side (broadcast); top-k uses a unique tiebreaker for determinism.
+# Multi-way join + agg + top-k: TPC-H Q3 shape. The segment-filtered
+# customer side is AQE-broadcast when it fits (no forced hint — module
+# docstring); top-k uses a unique tiebreaker for determinism.
 # ---------------------------------------------------------------------------
 @query(
     "q3_shipping_priority",
@@ -130,7 +143,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue = _dec("l_extendedprice") * (one - _dec("l_discount", 4, 2))
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy(
             "l_orderkey",
             F.col("o_orderdate").cast("date").alias("orderdate"),
@@ -1666,7 +1679,7 @@ def q14_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, sf_dir, "part")
     one = F.lit(1).cast("decimal(4,2)")
     revenue = _dec("l_extendedprice") * (one - _dec("l_discount", 4, 2))
-    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    joined = li.join(part, li.l_partkey == part.p_partkey)
     return joined.agg(
         (
             F.sum(F.when(F.col("p_type").like("PROMO%"), revenue))
@@ -1712,7 +1725,7 @@ def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
         & F.col("l_quantity").between(10, 20)
     )
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .filter(cond1 | cond2)
         .agg(
             F.sum(revenue).cast("double").alias("revenue"),
@@ -2062,8 +2075,9 @@ def q13_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFra
 def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q17 shape: correlated scalar subquery (quantity below 20%
     of the part's average) decorrelated into a per-part aggregate
-    joined back to the fact table — the join side is one row per part,
-    broadcastable at any corpus where the part dimension fits.
+    joined back to the fact table — the join side is one row per part;
+    AQE broadcasts it when it fits and shuffle-joins otherwise (no
+    forced hint: one-row-per-part grows with the part dimension).
 
     The threshold predicate is the EXACT integer/decimal inequality
     5*qty*cnt < sum(qty) rather than qty < 0.2*avg(qty): float
@@ -2075,7 +2089,7 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("cnt"),
         F.sum(_dec("l_quantity")).alias("qty_sum"),
     )
-    joined = li.join(F.broadcast(pq), li["l_partkey"] == pq["pk"])
+    joined = li.join(pq, li["l_partkey"] == pq["pk"])
     small = (F.lit(5) * _dec("l_quantity") * F.col("cnt")) < F.col("qty_sum")
     return joined.filter(small).agg(
         (F.sum(_dec("l_extendedprice")).cast("double") / 7.0)
@@ -2103,8 +2117,9 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q18_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q18 shape: HAVING-filtered aggregate subquery joined back
     through orders to customers. The HAVING survivor set is tiny
-    (~0.1% of orders), so it broadcasts into both joins — no fact-fact
-    shuffle at all after the one groupBy."""
+    (~0.1% of orders), so AQE broadcasts it into both joins at every
+    test SF — no fact-fact shuffle after the one groupBy. No forced
+    hint: 0.1% of orders still scales with orders."""
     li = load_table(spark, sf_dir, "lineitem")
     od = load_table(spark, sf_dir, "orders")
     cu = load_table(spark, sf_dir, "customer").select("c_custkey")
@@ -2114,7 +2129,7 @@ def q18_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("sum_qty") > 280)
     )
     return (
-        od.join(F.broadcast(big), od["o_orderkey"] == big["l_orderkey"])
+        od.join(big, od["o_orderkey"] == big["l_orderkey"])
         .join(cu, od["o_custkey"] == cu["c_custkey"])
         .select(
             "c_custkey",
@@ -2488,8 +2503,9 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q2 shape: correlated MIN scalar subquery (cheapest regional
     supplier per part) decorrelated into a per-part min-aggregate joined
     back on (part, exact decimal cost) — q17's decorrelation pattern over
-    a three-way dim join. The region-filtered supplier dim broadcasts;
-    the only shuffles are the two part-keyed aggregates. Exact decimal
+    a three-way dim join. The region-filtered supplier dim is AQE-
+    broadcast when it fits; the only shuffles are the two part-keyed
+    aggregates. Exact decimal
     MIN makes the cost-equality join deterministic across engines."""
     li = load_table(spark, sf_dir, "lineitem")
     ps = li.groupBy("l_partkey", "l_suppkey").agg(
@@ -2507,8 +2523,8 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("p_type") == "SMALL") & F.col("p_size").between(20, 30)
     )
     offers = (
-        ps.join(F.broadcast(part), ps.l_partkey == part.p_partkey)
-        .join(F.broadcast(eu), ps.l_suppkey == eu.s_suppkey)
+        ps.join(part, ps.l_partkey == part.p_partkey)
+        .join(eu, ps.l_suppkey == eu.s_suppkey)
         .select("p_partkey", "s_suppkey", "s_name", "s_acctbal", "n_name", "supplycost")
     )
     mn = offers.groupBy(F.col("p_partkey").alias("mpk")).agg(
@@ -2516,7 +2532,7 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         offers.join(
-            F.broadcast(mn),
+            mn,
             (offers.p_partkey == mn.mpk) & (offers.supplycost == mn.min_cost),
         )
         .select(
@@ -2558,9 +2574,10 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q7 shape: nation-pair volume with the nation dim joined
     TWICE under different roles (supplier's vs customer's nation) and a
-    disjunctive pair predicate. Both nation-filtered dims broadcast, so
-    lineitem is pre-pruned map-side to the two nations' suppliers before
-    the one fact-fact shuffle on the order key; the pair predicate
+    disjunctive pair predicate. Both nation-filtered dims are AQE-broadcast at test SF (unhinted —
+    they scale with their base tables), pre-pruning lineitem map-side
+    to the two nations' suppliers before the one fact-fact shuffle on
+    the order key; the pair predicate
     reduces to supp_nation <> cust_nation after both roles attach."""
     two = ["NATION_1", "NATION_2"]
     nation = load_table(spark, sf_dir, "nation").filter(F.col("n_name").isin(two))
@@ -2582,9 +2599,9 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     one = F.lit(1).cast("decimal(4,2)")
     vol = _dec("l_extendedprice") * (one - _dec("l_discount", 4, 2))
     return (
-        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .filter(F.col("supp_nation") != F.col("cust_nation"))
         .groupBy(
             "supp_nation",
@@ -2626,8 +2643,10 @@ def q8_national_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     conditional-over-total ratio per year. Numerator and denominator
     are both exact decimal sums of the SAME rows, so the final double
     division is bit-identical across engines (the division operands
-    rule from the module docstring). All five dims broadcast; the only
-    shuffles are lineitem->orders on the order key and the year agg."""
+    rule from the module docstring). nation/region carry hints; the
+    filtered part/supplier/customer sides are AQE-broadcast when they
+    fit; the only shuffles are lineitem->orders on the order key and
+    the year agg."""
     part = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
     nation = load_table(spark, sf_dir, "nation")
     region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
@@ -2651,10 +2670,10 @@ def q8_national_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     one = F.lit(1).cast("decimal(4,2)")
     vol = (_dec("l_extendedprice") * (one - _dec("l_discount", 4, 2))).alias("vol")
     rows = (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .select(F.year("o_orderdate").alias("o_year"), vol, "supp_nation")
     )
     zero = F.lit(0).cast("decimal(12,2)")
@@ -2693,8 +2712,9 @@ def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     name-pattern part slice. No partsupp in the corpus, so unit cost is
     p_retailprice (documented stand-in for ps_supplycost) — the shape
     (two-sided decimal expression, LIKE-pruned part dim, double nation
-    role-join through supplier) is unchanged. part and supplier
-    broadcast; lineitem->orders is the one fact shuffle."""
+    role-join through supplier) is unchanged. The part and supplier
+    sides are AQE-broadcast when they fit; lineitem->orders is the one
+    fact shuffle."""
     part = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
     nation = load_table(spark, sf_dir, "nation")
     supp = (
@@ -2710,8 +2730,8 @@ def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         - _dec("p_retailprice") * _dec("l_quantity")
     ).alias("amount")
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
         .select("nation", F.year("o_orderdate").alias("o_year"), amount)
         .groupBy("nation", "o_year")
@@ -2755,7 +2775,7 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_partkey", "l_suppkey", "l_extendedprice"
     )
     val = (
-        li.join(F.broadcast(asia_supp), li.l_suppkey == asia_supp.s_suppkey)
+        li.join(asia_supp, li.l_suppkey == asia_supp.s_suppkey)
         .groupBy("l_partkey")
         .agg(F.sum(_dec("l_extendedprice")).alias("value"))
     )
@@ -2789,8 +2809,9 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q15 shape: the revenue CTE ("view") consumed twice — once
     for MAX (scalar subquery), once joined back on exact equality with
-    that max. Decimal sums make the equality deterministic; the 1-row
-    max broadcasts; supplier dim broadcasts into the survivor set."""
+    that max. Decimal sums make the equality deterministic; the 1-row max
+    carries a hint; the survivor-vs-supplier join is left to AQE,
+    which broadcasts the (typically 1-row) survivor side."""
     li = load_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
@@ -2806,7 +2827,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         rev.crossJoin(F.broadcast(mx))
         .filter(F.col("total_revenue") == F.col("max_rev"))
-        .join(F.broadcast(supp), F.col("supplier_no") == F.col("s_suppkey"))
+        .join(supp, F.col("supplier_no") == F.col("s_suppkey"))
         .select(
             "s_suppkey",
             "s_name",
@@ -2834,8 +2855,9 @@ def q16_parts_supplier_relationship(spark: SparkSession, sf_dir: str) -> DataFra
     is the distinct lineitem pair (no partsupp — header note); the
     exclusion set is negative-balance suppliers (stand-in for the
     spec's comment-pattern filter). s_suppkey is never null, so NOT IN
-    == anti join (null-tripwire documented). Anti side and part dim
-    both broadcast; the distinct collapses map-side first."""
+    == anti join (null-tripwire documented). The anti side and part
+    dim are AQE-broadcast when they fit; the distinct collapses
+    map-side first."""
     li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
     part = load_table(spark, sf_dir, "part").filter(
         (F.col("p_brand") != "Brand#5")
@@ -2846,8 +2868,8 @@ def q16_parts_supplier_relationship(spark: SparkSession, sf_dir: str) -> DataFra
         F.col("s_acctbal") < 0
     ).select("s_suppkey")
     return (
-        li.join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
-        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(bad, li.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(part, li.l_partkey == part.p_partkey)
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.count_distinct(F.col("l_suppkey")).alias("supplier_cnt"))
     )
@@ -2874,8 +2896,8 @@ def q16_parts_supplier_relationship(spark: SparkSession, sf_dir: str) -> DataFra
 def q20_potential_part_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q20 shape: nested IN subqueries — suppliers who moved more
     than a threshold of a name-pattern part slice in a year, within one
-    region. The inner IN (part slice) is a broadcast semi join into the
-    lineitem scan; the HAVING survivors collapse to a distinct supplier
+    region. The inner IN (part slice) is a semi join AQE plans as broadcast
+    at test SF; the HAVING survivors collapse to a distinct supplier
     set that semi-joins the region's suppliers. Threshold is an exact
     decimal comparison (corpus stand-in for 0.5*availqty — header)."""
     part = load_table(spark, sf_dir, "part").filter(
@@ -2886,7 +2908,7 @@ def q20_potential_part_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
     )
     movers = (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey, "left_semi")
+        li.join(part, li.l_partkey == part.p_partkey, "left_semi")
         .groupBy("l_suppkey", "l_partkey")
         .agg(F.sum(_dec("l_quantity")).alias("qty"))
         .filter(F.col("qty") > 50)
@@ -2899,7 +2921,7 @@ def q20_potential_part_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         supp.join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
-        .join(F.broadcast(movers), supp.s_suppkey == movers.l_suppkey, "left_semi")
+        .join(movers, supp.s_suppkey == movers.l_suppkey, "left_semi")
         .select("s_name", F.col("s_acctbal").cast("double").alias("s_acctbal"))
     )
 
@@ -2974,7 +2996,7 @@ def q21_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "s_name")
     )
     return (
-        blamed.join(F.broadcast(supp), blamed.l_suppkey == supp.s_suppkey)
+        blamed.join(supp, blamed.l_suppkey == supp.s_suppkey)
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
         .orderBy(F.col("numwait").desc(), "s_name")
