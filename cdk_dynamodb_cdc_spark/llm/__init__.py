@@ -15,6 +15,7 @@ from cdk_dynamodb_cdc_spark.llm.text import (  # noqa: F401
     tokens,
 )
 from cdk_dynamodb_cdc_spark.llm.dedup import (  # noqa: F401
+    connected_components,
     exact_dedup_groups,
     minhash_near_dup_pairs,
     simhash_near_dup_pairs,

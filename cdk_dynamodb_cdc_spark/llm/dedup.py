@@ -304,3 +304,80 @@ def simhash_near_dup_pairs(
         .select("doc_a", "doc_b", hamming.cast("int").alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "doc_a",
+    id_b: str = "doc_b",
+    max_iterations: int = 25,
+) -> DataFrame:
+    """Connected components over an undirected pair list: returns
+    ``(node, cluster_id)`` for every node appearing in ``pairs``, where
+    ``cluster_id`` is the minimum node id reachable through any chain
+    of pairs — the canonical representative of a near-duplicate
+    cluster (A~B, B~C puts A, B, C in one cluster even though A and C
+    were never compared).
+
+    Algorithm: distributed min-label propagation. Every node starts
+    labeled with itself; each round replaces a node's label with the
+    minimum of its own and its neighbors' labels; a fixpoint is a
+    components labeling. Rounds needed = the longest label-propagation
+    path (graph diameter), which for near-dup graphs is small — they
+    are unions of dense cliques, not long chains.
+
+    Scale notes (each round is one shuffle join + one keyed agg):
+
+    * Labels only ever DECREASE, so ``sum(label)`` is a strictly
+      decreasing convergence metric — one cheap aggregate per round
+      instead of a change-detection join.
+    * ``localCheckpoint(eager=True)`` after each round truncates plan
+      lineage, which otherwise doubles per iteration and overwhelms
+      the optimizer by ~iteration 10. On a cluster with unreliable
+      executors, prefer reliable ``checkpoint()`` with a checkpoint
+      dir — same shape, fault-tolerant storage.
+    * For adversarial high-diameter graphs, the exchange-reducing
+      production alternative is large-star/small-star (Kiveris et al.,
+      "Connected Components in MapReduce and Beyond", SoCC'14); the
+      propagation loop here is the simpler plan with the same output.
+
+    Raises RuntimeError if the loop fails to converge within
+    ``max_iterations`` — a silently partial labeling would poison every
+    downstream canonical-doc choice.
+    """
+    fwd = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    rev = pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+    edges = fwd.unionByName(rev).localCheckpoint(eager=True)
+
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    prev_sum = labels.agg(F.sum("label")).first()[0]
+
+    for _ in range(max_iterations):
+        nbr_min = (
+            edges.join(labels, edges.src == labels.node)
+            .groupBy(F.col("dst").alias("nbr_node"))
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        labels = (
+            labels.join(nbr_min, labels.node == nbr_min.nbr_node, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        new_sum = labels.agg(F.sum("label")).first()[0]
+        if new_sum == prev_sum:
+            return labels.select("node", F.col("label").alias("cluster_id"))
+        prev_sum = new_sum
+
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iterations} rounds"
+    )

@@ -3002,3 +3002,74 @@ def q21_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("numwait").desc(), "s_name")
         .limit(10)
     )
+
+
+# ===========================================================================
+# Dedup clustering: connected components over the near-dup pair graph
+# (iterative distributed algorithm — min-label propagation; see
+# llm/dedup.py:connected_components). The oracle computes the same
+# clusters non-iteratively via a DuckDB recursive CTE (transitive
+# closure + MIN per node), so even the iterative operator gets a full
+# rows+schema+hash check.
+# ===========================================================================
+
+@query(
+    "dedup_clusters",
+    oracle="""
+    WITH RECURSIVE
+    w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    sh AS (SELECT doc_id,
+                  list_distinct(list_transform(range(1, len(ws) - 1),
+                      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS s
+           FROM w),
+    p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+          WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                / len(list_distinct(a.s || b.s)) >= 0.8),
+    e AS (SELECT doc_a AS src, doc_b AS dst FROM p
+          UNION ALL
+          SELECT doc_b, doc_a FROM p),
+    reach(node, lbl) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.dst, r.lbl FROM reach r JOIN e ON e.src = r.node
+    ),
+    cl AS (SELECT node AS doc_id, MIN(lbl) AS cluster_id
+           FROM reach GROUP BY node)
+    SELECT doc_id, cluster_id,
+           CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT)
+             AS cluster_size,
+           doc_id = cluster_id AS is_canonical
+    FROM cl
+    """,
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate clustering: MinHash-LSH pairs -> connected
+    components -> one cluster id (the minimum reachable doc_id) per
+    document, singletons included. `is_canonical` marks the kept
+    representative — the row a dedup pass would retain.
+
+    Scale: the pair graph is tiny relative to the corpus (only
+    near-dups), so the propagation loop iterates over edges/labels
+    DataFrames orders of magnitude smaller than `documents`; the final
+    assignment is one left join from the corpus to the labels. The
+    DuckDB twin is a recursive CTE — non-iterative, so it cross-checks
+    the loop's fixpoint rather than mirroring its plan."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = llm_dedup.minhash_near_dup_pairs(docs, threshold=0.8)
+    cc = llm_dedup.connected_components(pairs)
+    assigned = (
+        docs.select("doc_id")
+        .join(cc, F.col("doc_id") == F.col("node"), "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("cluster_id"),
+        )
+    )
+    w = Window.partitionBy("cluster_id")
+    return assigned.select(
+        "doc_id",
+        "cluster_id",
+        F.count(F.lit(1)).over(w).alias("cluster_size"),
+        (F.col("doc_id") == F.col("cluster_id")).alias("is_canonical"),
+    )

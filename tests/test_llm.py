@@ -215,3 +215,37 @@ def test_ivf_index_persist_and_search_matches_direct(spark, tmp_path):
         assert via_store == direct
     finally:
         spark.sql("DROP TABLE IF EXISTS ivf_index_t")
+
+
+def test_connected_components_merges_transitive_chains(spark):
+    # chain 1-2-3 and clique 10-11-12 plus cross pair 11-12: two
+    # components; 1 and 3 were never directly paired but share a
+    # cluster through 2.
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (10, 12), (11, 12)],
+        "doc_a long, doc_b long",
+    )
+    got = {
+        (r["node"], r["cluster_id"])
+        for r in dedup.connected_components(pairs).collect()
+    }
+    assert got == {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10), (12, 10)}
+
+
+def test_connected_components_long_chain_converges(spark):
+    # a 12-node path is the adversarial high-diameter case for
+    # min-label propagation; the label must walk the whole chain.
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "doc_a long, doc_b long"
+    )
+    rows = dedup.connected_components(pairs).collect()
+    assert {r["cluster_id"] for r in rows} == {0}
+    assert len(rows) == 13
+
+
+def test_connected_components_raises_when_iteration_budget_too_small(spark):
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "doc_a long, doc_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup.connected_components(pairs, max_iterations=2)
