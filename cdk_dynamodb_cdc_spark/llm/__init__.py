@@ -20,6 +20,11 @@ from cdk_dynamodb_cdc_spark.llm.dedup import (  # noqa: F401
     minhash_near_dup_pairs,
     simhash_near_dup_pairs,
 )
+from cdk_dynamodb_cdc_spark.llm.curation import (  # noqa: F401
+    decontaminate,
+    pack_sequences,
+    stratified_sample,
+)
 from cdk_dynamodb_cdc_spark.llm.vectors import (  # noqa: F401
     ann_cosine_topk,
     cosine_topk,

@@ -1,0 +1,155 @@
+"""Training-corpus curation operators: decontamination, sequence
+packing, and stratified sampling (SURVEY.md §2C extension — the steps
+between "deduped corpus" and "training batches").
+
+Scale shapes:
+
+* decontaminate — the eval/benchmark side is CONTRACTUALLY small (a
+  fixed benchmark suite, not a corpus slice), so its distinct-gram set
+  carries a broadcast hint like the vector query set; the corpus side
+  streams map-side through one semi-style join on the gram hash.
+* pack_sequences — contiguous fill packing (the GPT-style pretraining
+  concat order): one window cumsum over a deterministic document
+  order, pack id = starting token offset // budget. No driver loop —
+  first-fit-DECREASING would be inherently sequential; contiguous fill
+  is what large-scale packers actually run because it preserves
+  locality and is embarrassingly parallel.
+* stratified_sample — per-stratum deterministic top-N by a salted
+  md5 of the key: reproducible across engines and runs (no RNG
+  state), one window per stratum, rank <= N.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from cdk_dynamodb_cdc_spark.llm.dedup import word_shingles
+from cdk_dynamodb_cdc_spark.llm.text import tokens
+
+DECONTAM_GRAM_WORDS = 8
+
+
+def decontaminate(
+    corpus: DataFrame,
+    eval_set: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = DECONTAM_GRAM_WORDS,
+) -> DataFrame:
+    """Per-document benchmark-overlap report: how many distinct word
+    k-grams of each corpus document also occur anywhere in the eval
+    set. A training pipeline drops (or flags) any document with
+    n_shared_grams > 0 so benchmark answers can't leak into training.
+
+    Returns (id_col, n_grams, n_shared_grams) — one row per corpus
+    document, including zero-overlap ones (left join, not semi), so
+    the caller can both filter and report contamination rates."""
+    grams = word_shingles(F.col(text_col), k)
+    eval_grams = (
+        eval_set.select(F.explode(grams).alias("gram")).distinct()
+    )
+    doc_grams = corpus.select(
+        F.col(id_col), F.explode_outer(grams).alias("gram")
+    )
+    shared = (
+        doc_grams.join(F.broadcast(eval_grams), "gram", "inner")
+        .groupBy(id_col)
+        .agg(F.count_distinct("gram").alias("n_shared_grams"))
+    )
+    per_doc = corpus.select(
+        F.col(id_col), F.size(grams).alias("n_grams")
+    )
+    return (
+        per_doc.join(shared, id_col, "left")
+        .select(
+            id_col,
+            "n_grams",
+            F.coalesce("n_shared_grams", F.lit(0)).cast("long").alias(
+                "n_shared_grams"
+            ),
+        )
+    )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    budget: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    order_col: str | None = None,
+    shard_col: str | None = None,
+) -> DataFrame:
+    """Assign each document to a training pack: documents are laid out
+    in a deterministic order and concatenated; a document belongs to
+    the pack where its first token lands (pack = start_offset //
+    budget). Contiguous fill — documents longer than the budget span
+    packs and are flagged for the caller to split or drop.
+
+    ``shard_col`` partitions the packing (pack ids are per-shard): a
+    single global order is a one-partition window — fine for a
+    driver-sized corpus slice, wrong at 100 TB. Production packing is
+    per shard/source, which keeps every window partition
+    executor-sized and embarrassingly parallel.
+
+    Returns (shard?, id_col, n_tokens, start_offset, pack_id,
+    spans_packs)."""
+    order = F.col(order_col) if order_col else F.col(id_col)
+    n_tokens = F.size(tokens(F.col(text_col)))
+    w = (
+        Window.partitionBy(shard_col).orderBy(order)
+        if shard_col
+        else Window.orderBy(order)
+    )
+    keep = ([shard_col] if shard_col else []) + [id_col]
+    sized = docs.select(*keep, n_tokens.alias("n_tokens"))
+    # cumsum up to and including this doc, then subtract own length:
+    # the token offset (within the shard) where this document starts.
+    start = (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias("start_offset")
+    out = sized.select(*keep, "n_tokens", start)
+    return out.select(
+        *keep,
+        "n_tokens",
+        "start_offset",
+        F.floor(F.col("start_offset") / budget).cast("long").alias("pack_id"),
+        (
+            F.floor((F.col("start_offset") + F.col("n_tokens") - 1) / budget)
+            > F.floor(F.col("start_offset") / budget)
+        ).alias("spans_packs"),
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    stratum_col: str,
+    n_per_stratum: int,
+    id_col: str = "doc_id",
+    salt: str = "split-0",
+) -> DataFrame:
+    """Deterministic per-stratum sample: the n_per_stratum rows with
+    the smallest md5(salt || id) per stratum. Reproducible across
+    engines/runs/partitionings (no RNG state — the same discipline as
+    the train/val/test hash split), and changing `salt` draws an
+    independent sample.
+
+    Returns the sampled rows: (stratum_col, id_col, sample_rank)."""
+    key = F.md5(F.concat(F.lit(salt), F.lit(":"), F.col(id_col).cast("string")))
+    w = Window.partitionBy(stratum_col).orderBy(key, F.col(id_col))
+    return (
+        df.select(F.col(stratum_col), F.col(id_col))
+        .withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= n_per_stratum)
+    )
+
+
+def duck_grams(ws_expr: str = "ws", k: int = DECONTAM_GRAM_WORDS) -> str:
+    """DuckDB twin of ``word_shingles(text, k)`` over an already-split
+    token array (bind ``string_split(text, ' ')`` to a CTE column and
+    pass its name)."""
+    concat = " || ' ' || ".join(
+        f"{ws_expr}[i+{j}]" if j else f"{ws_expr}[i]" for j in range(k)
+    )
+    return (
+        f"list_distinct(list_transform("
+        f"range(1, len({ws_expr}) - {k - 2}), i -> {concat}))"
+    )

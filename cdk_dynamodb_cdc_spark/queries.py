@@ -3073,3 +3073,103 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(w).alias("cluster_size"),
         (F.col("doc_id") == F.col("cluster_id")).alias("is_canonical"),
     )
+
+
+# ===========================================================================
+# Corpus curation (llm/curation.py): benchmark decontamination, sequence
+# packing, stratified sampling — the steps between "deduped corpus" and
+# "training batches".
+# ===========================================================================
+
+@query(
+    "decontam_eval_overlap",
+    oracle="""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    g AS (SELECT doc_id, list_distinct(list_transform(range(1, len(ws) - 6), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4] || ' ' || ws[i+5] || ' ' || ws[i+6] || ' ' || ws[i+7])) AS gs FROM w),
+    e AS (SELECT DISTINCT unnest(gs) AS gram FROM g WHERE doc_id % 97 = 0),
+    c AS (SELECT doc_id, gs FROM g WHERE doc_id % 97 <> 0),
+    cg AS (SELECT doc_id, unnest(gs) AS gram FROM c),
+    sh AS (SELECT cg.doc_id, COUNT(DISTINCT cg.gram) AS n_shared
+           FROM cg JOIN e USING (gram) GROUP BY cg.doc_id)
+    SELECT c.doc_id, CAST(len(c.gs) AS INT) AS n_grams,
+           CAST(COALESCE(sh.n_shared, 0) AS BIGINT) AS n_shared_grams
+    FROM c LEFT JOIN sh ON c.doc_id = sh.doc_id
+    """,
+)
+def decontam_eval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: per-document count of distinct word
+    8-grams shared with a held-out eval slice (doc_id % 97 == 0 stands
+    in for the fixed benchmark suite). A pipeline drops rows with
+    n_shared_grams > 0 before training. The eval gram set is
+    contractually small (benchmarks don't grow with the corpus), so it
+    carries a broadcast hint; the corpus side streams map-side."""
+    from cdk_dynamodb_cdc_spark.llm import curation
+
+    docs = load_table(spark, sf_dir, "documents")
+    eval_set = docs.filter(F.col("doc_id") % 97 == 0)
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    return curation.decontaminate(corpus, eval_set)
+
+
+@query(
+    "pack_training_sequences",
+    oracle="""
+    WITH sized AS (
+      SELECT source, doc_id,
+             CAST(len(string_split(text, ' ')) AS INT) AS n_tokens
+      FROM documents
+    ),
+    placed AS (
+      SELECT source, doc_id, n_tokens,
+             CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id)
+                  - n_tokens AS BIGINT) AS start_offset
+      FROM sized
+    )
+    SELECT source, doc_id, n_tokens, start_offset,
+           CAST(FLOOR(start_offset / 256.0) AS BIGINT) AS pack_id,
+           FLOOR((start_offset + n_tokens - 1) / 256.0)
+             > FLOOR(start_offset / 256.0) AS spans_packs
+    FROM placed
+    """,
+)
+def pack_training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: contiguous fill of fixed-budget training packs,
+    partitioned by source shard (a global pack order would be a
+    one-partition window — llm/curation.py docstring). Documents that
+    straddle a pack boundary are flagged, not silently split.
+
+    Budget 256 (not a production 2048/8192): each source shard holds
+    ~1.4k tokens at the correctness-gate SF, so a larger budget would
+    put every shard in one pack and the oracle would never see a
+    non-zero pack_id or boundary straddle — a vacuous check. 256 packs
+    every shard several times over at every SF."""
+    from cdk_dynamodb_cdc_spark.llm import curation
+
+    docs = load_table(spark, sf_dir, "documents")
+    return curation.pack_sequences(docs, budget=256, shard_col="source")
+
+
+@query(
+    "stratified_sample_by_lang",
+    oracle="""
+    WITH r AS (
+      SELECT lang, doc_id,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY lang
+               ORDER BY md5('split-0:' || CAST(doc_id AS VARCHAR)), doc_id
+             ) AS INT) AS sample_rank
+      FROM documents
+    )
+    SELECT lang, doc_id, sample_rank FROM r WHERE sample_rank <= 20
+    """,
+)
+def stratified_sample_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: 20 documents per language,
+    chosen by the smallest salted md5(doc_id) per stratum — the
+    data-mixing primitive (equalize language shares) with zero RNG
+    state, reproducible on any engine/partitioning; a different salt
+    draws an independent sample."""
+    from cdk_dynamodb_cdc_spark.llm import curation
+
+    docs = load_table(spark, sf_dir, "documents")
+    return curation.stratified_sample(docs, "lang", 20)

@@ -249,3 +249,57 @@ def test_connected_components_raises_when_iteration_budget_too_small(spark):
     )
     with pytest.raises(RuntimeError, match="did not converge"):
         dedup.connected_components(pairs, max_iterations=2)
+
+
+def test_decontaminate_flags_planted_overlap(spark):
+    from cdk_dynamodb_cdc_spark.llm import curation
+
+    leak = "alpha beta gamma delta epsilon zeta eta theta"  # exactly 8 words
+    corpus = spark.createDataFrame(
+        [(1, f"prefix words here {leak} suffix tail"),
+         (2, "totally unrelated text with no benchmark overlap at all")],
+        "doc_id long, text string",
+    )
+    eval_set = spark.createDataFrame(
+        [(100, f"question: {leak} answer: 42")], "doc_id long, text string"
+    )
+    rows = {r["doc_id"]: r for r in curation.decontaminate(corpus, eval_set).collect()}
+    assert rows[1]["n_shared_grams"] >= 1
+    assert rows[2]["n_shared_grams"] == 0
+    assert rows[2]["n_grams"] > 0
+
+
+def test_pack_sequences_contiguous_fill_and_boundary_flag(spark):
+    from cdk_dynamodb_cdc_spark.llm import curation
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d"), (2, "e f g"), (3, "h i j k l"), (4, "m n")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in
+            curation.pack_sequences(docs, budget=5).collect()}
+    # offsets: 0, 4, 7, 12 -> packs 0, 0, 1, 2
+    assert [rows[i]["pack_id"] for i in (1, 2, 3, 4)] == [0, 0, 1, 2]
+    # doc 2 occupies tokens 4..6, straddling the 5-token boundary
+    assert rows[2]["spans_packs"] is True
+    assert rows[1]["spans_packs"] is False
+
+
+def test_stratified_sample_deterministic_and_bounded(spark):
+    from cdk_dynamodb_cdc_spark.llm import curation
+
+    df = spark.createDataFrame(
+        [(i, "en" if i % 2 else "fr") for i in range(50)],
+        "doc_id long, lang string",
+    )
+    s1 = sorted((r["lang"], r["doc_id"]) for r in
+                curation.stratified_sample(df, "lang", 5, salt="a").collect())
+    s2 = sorted((r["lang"], r["doc_id"]) for r in
+                curation.stratified_sample(df, "lang", 5, salt="a").collect())
+    s3 = sorted((r["lang"], r["doc_id"]) for r in
+                curation.stratified_sample(df, "lang", 5, salt="b").collect())
+    assert s1 == s2  # reproducible
+    assert s1 != s3  # independent draw under a different salt
+    from collections import Counter
+
+    assert Counter(lang for lang, _ in s1) == {"en": 5, "fr": 5}
