@@ -62,9 +62,15 @@ def test_oracle_tables_are_registered_views():
             for m in re.finditer(r"\b(FROM|JOIN)\s+([A-Za-z_][A-Za-z0-9_]*)", scannable)
         )
         # names bound by a WITH clause in the same statement are fine
+        # (WITH RECURSIVE and column-list CTEs like `reach(node, lbl) AS`
+        # included)
         ctes = set(
             m.group(1).lower()
-            for m in re.finditer(r"(?:WITH|,)\s*([A-Za-z_][A-Za-z0-9_]*)\s+AS\s*\(", sql)
+            for m in re.finditer(
+                r"(?:WITH(?:\s+RECURSIVE)?|,)\s*([A-Za-z_][A-Za-z0-9_]*)"
+                r"\s*(?:\([^)]*\))?\s+AS\s*\(",
+                sql,
+            )
         )
         # subquery aliases appear as "FROM (" and are skipped by the regex
         unknown = tables - known - ctes
