@@ -43,6 +43,7 @@ from cdk_dynamodb_cdc_spark.llm import dedup as llm_dedup
 from cdk_dynamodb_cdc_spark.llm import multimodal as llm_media
 from cdk_dynamodb_cdc_spark.llm import text as llm_text
 from cdk_dynamodb_cdc_spark.llm import vectors as llm_vectors
+from cdk_dynamodb_cdc_spark.llm import curation as llm_curation
 from cdk_dynamodb_cdc_spark.operators.asof import asof_join
 from cdk_dynamodb_cdc_spark.operators.pipeline import cdc_change_events
 from cdk_dynamodb_cdc_spark.sources.tables import load_table
@@ -3086,8 +3087,8 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
     g AS (SELECT doc_id, list_distinct(list_transform(range(1, len(ws) - 6), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4] || ' ' || ws[i+5] || ' ' || ws[i+6] || ' ' || ws[i+7])) AS gs FROM w),
-    e AS (SELECT DISTINCT unnest(gs) AS gram FROM g WHERE doc_id % 97 = 0),
-    c AS (SELECT doc_id, gs FROM g WHERE doc_id % 97 <> 0),
+    e AS (SELECT DISTINCT unnest(gs) AS gram FROM g WHERE doc_id % 29 = 0),
+    c AS (SELECT doc_id, gs FROM g WHERE doc_id % 29 <> 0),
     cg AS (SELECT doc_id, unnest(gs) AS gram FROM c),
     sh AS (SELECT cg.doc_id, COUNT(DISTINCT cg.gram) AS n_shared
            FROM cg JOIN e USING (gram) GROUP BY cg.doc_id)
@@ -3098,7 +3099,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def decontam_eval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: per-document count of distinct word
-    8-grams shared with a held-out eval slice (doc_id % 97 == 0 stands
+    8-grams shared with a held-out eval slice (doc_id % 29 == 0 stands
     in for the fixed benchmark suite). A pipeline drops rows with
     n_shared_grams > 0 before training. The eval gram set is
     contractually small (benchmarks don't grow with the corpus), so it
@@ -3106,8 +3107,11 @@ def decontam_eval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cdk_dynamodb_cdc_spark.llm import curation
 
     docs = load_table(spark, sf_dir, "documents")
-    eval_set = docs.filter(F.col("doc_id") % 97 == 0)
-    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    # % 29 (not a sparser slice): the eval slice must intersect the
+    # corpus's planted near-dup graph or n_shared_grams is all-zero at
+    # the gate SF and the overlap machinery is never exercised.
+    eval_set = docs.filter(F.col("doc_id") % 29 == 0)
+    corpus = docs.filter(F.col("doc_id") % 29 != 0)
     return curation.decontaminate(corpus, eval_set)
 
 
@@ -3173,3 +3177,115 @@ def stratified_sample_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return curation.stratified_sample(docs, "lang", 20)
+
+
+# ===========================================================================
+# Flagship curation pipeline: every LLM-corpus stage composed into ONE
+# per-document disposition — near-dup clustering (keep the canonical),
+# eval-slice exclusion, benchmark decontamination, quality floor, and
+# the deterministic train/val/test split for survivors. The oracle
+# re-derives the whole pipeline in SQL (recursive CTE for the
+# clusters), so the composition is hash-checked end to end.
+# ===========================================================================
+
+@query(
+    "curate_corpus_dispositions",
+    oracle=f"""
+    WITH RECURSIVE
+    w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    shg AS (SELECT doc_id,
+                   list_distinct(list_transform(range(1, len(ws) - 1),
+                       i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS s
+            FROM w),
+    p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM shg a JOIN shg b ON a.doc_id < b.doc_id
+          WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                / len(list_distinct(a.s || b.s)) >= 0.8),
+    e AS (SELECT doc_a AS src, doc_b AS dst FROM p
+          UNION ALL SELECT doc_b, doc_a FROM p),
+    reach(node, lbl) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.dst, r.lbl FROM reach r JOIN e ON e.src = r.node
+    ),
+    cl AS (SELECT node AS doc_id, MIN(lbl) AS cluster_id
+           FROM reach GROUP BY node),
+    g8 AS (SELECT doc_id, list_distinct(list_transform(range(1, len(ws) - 6), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4] || ' ' || ws[i+5] || ' ' || ws[i+6] || ' ' || ws[i+7])) AS gs FROM w),
+    eg AS (SELECT DISTINCT unnest(gs) AS gram FROM g8 WHERE doc_id % 29 = 0),
+    contam AS (SELECT DISTINCT cg.doc_id
+               FROM (SELECT doc_id, unnest(gs) AS gram FROM g8) cg
+               JOIN eg USING (gram)),
+    q AS (SELECT doc_id,
+                 (CAST(least(len(ws), 80) AS DOUBLE) / 80.0) * 0.7
+                 + (CAST(len(list_filter(ws, x -> x IN ('the', 'a', 'of', 'and', 'to', 'in', 'is', 'on')))
+                         AS DOUBLE) / len(ws)) * 0.3 AS quality
+          FROM w),
+    d AS (
+      SELECT doc.doc_id,
+             CASE WHEN doc.doc_id % 29 = 0 THEN 'eval'
+                  WHEN contam.doc_id IS NOT NULL THEN 'contaminated'
+                  WHEN cl.cluster_id <> doc.doc_id THEN 'duplicate'
+                  WHEN q.quality < 0.3 THEN 'low_quality'
+                  ELSE 'kept' END AS disposition,
+             ('0x' || substr(md5(CAST(doc.doc_id AS VARCHAR)), 1, 15))::BIGINT
+               % 100 AS bucket
+      FROM documents doc
+      JOIN cl ON cl.doc_id = doc.doc_id
+      JOIN q ON q.doc_id = doc.doc_id
+      LEFT JOIN contam ON contam.doc_id = doc.doc_id
+    )
+    SELECT doc_id, disposition,
+           CASE WHEN disposition = 'kept' THEN
+             CASE WHEN bucket < 80 THEN 'train'
+                  WHEN bucket < 90 THEN 'val'
+                  ELSE 'test' END
+           END AS split
+    FROM d
+    """,
+)
+def curate_corpus_dispositions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus curation: one row per document with why it
+    left the corpus ('eval' = held-out slice, 'contaminated' = shares
+    an 8-gram with the eval slice, 'duplicate' = not its near-dup
+    cluster's canonical, 'low_quality' = score < 0.3) or, for
+    survivors, the deterministic train/val/test split. Composes
+    minhash clustering, decontamination, quality scoring, and the
+    hash split — each stage an operator this registry also verifies
+    in isolation; this query pins the COMPOSITION."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = llm_dedup.minhash_near_dup_pairs(docs, threshold=0.8)
+    cc = llm_dedup.connected_components(pairs)
+    eval_docs = docs.filter(F.col("doc_id") % 29 == 0)
+    contam = (
+        llm_curation.decontaminate(docs, eval_docs)
+        .filter(F.col("n_shared_grams") > 0)
+        .select("doc_id", F.lit(True).alias("contam"))
+    )
+    quality = llm_text.text_quality(F.col("text"))["quality_score"]
+    bucket = llm_text.token_hash60(F.col("doc_id").cast("string")) % 100
+    base = (
+        docs.select("doc_id", quality.alias("quality"), bucket.alias("bucket"))
+        .join(cc, F.col("doc_id") == F.col("node"), "left")
+        .withColumn("cluster_id", F.coalesce("cluster_id", "doc_id"))
+        .join(contam, "doc_id", "left")
+    )
+    # Priority: eval membership and contamination outrank 'duplicate' —
+    # a near-copy of an eval document must read as leakage, not as a
+    # routine dedup casualty (and with the reverse order every
+    # contaminated doc in an eval doc's cluster would be shadowed,
+    # leaving the branch untestable).
+    disposition = (
+        F.when(F.col("doc_id") % 29 == 0, "eval")
+        .when(F.col("contam"), "contaminated")
+        .when(F.col("cluster_id") != F.col("doc_id"), "duplicate")
+        .when(F.col("quality") < 0.3, "low_quality")
+        .otherwise("kept")
+    )
+    split = F.when(
+        disposition == "kept",
+        F.when(F.col("bucket") < 80, "train")
+        .when(F.col("bucket") < 90, "val")
+        .otherwise("test"),
+    )
+    return base.select("doc_id", disposition.alias("disposition"),
+                       split.alias("split"))
