@@ -44,27 +44,35 @@ def main() -> int:
 
     runs_per_query = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name, fn in entrymod.queries().items():
         best = float("inf")
-        for _ in range(runs_per_query):
-            t0 = time.perf_counter()
-            df = fn(spark, sf_dir)
-            # Force full execution of every operator in the plan; a
-            # bare count() could prune computed columns, so write the
-            # materialized result to the noop sink instead.
-            df.write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
+        try:
+            for _ in range(runs_per_query):
+                t0 = time.perf_counter()
+                df = fn(spark, sf_dir)
+                # Force full execution of every operator in the plan; a
+                # bare count() could prune computed columns, so write the
+                # materialized result to the noop sink instead.
+                df.write.format("noop").mode("overwrite").save()
+                best = min(best, time.perf_counter() - t0)
+        except Exception as exc:  # one broken query must not zero the run
+            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+            continue
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
-    print(json.dumps({
+    out = {
         "metric": "total_query_wall_sec",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "runs_per_query": runs_per_query,
         "sf": sf,
-    }))
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
     return 0
 
 

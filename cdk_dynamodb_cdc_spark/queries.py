@@ -68,6 +68,23 @@ def _dec(col, prec: int = 12, scale: int = 2):
     return F.col(col).cast(f"decimal({prec},{scale})")
 
 
+def _epoch_us(col):
+    """Epoch microseconds for TIMESTAMP or TIMESTAMP_NTZ input.
+
+    ``unix_micros`` accepts only TIMESTAMP (LTZ) and raises on the
+    TIMESTAMP_NTZ columns the parquet corpus now carries
+    (isAdjustedToUTC=false). ``timestampdiff`` from the NTZ epoch works
+    for both types — LTZ inputs are first cast to NTZ in the session
+    zone (UTC for this engine), matching DuckDB's ``epoch_us`` reading
+    of the same naive values.
+    """
+    return F.timestamp_diff(
+        "MICROSECOND",
+        F.lit("1970-01-01 00:00:00").cast("timestamp_ntz"),
+        col.cast("timestamp_ntz"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Aggregation: TPC-H Q1 — scan + filter + groupBy with partial aggregation.
 # Catalyst pushes the shipdate filter into the parquet scan and plans a
@@ -456,7 +473,7 @@ def json_extract_events_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    gap_us = _epoch_us(F.col("ts")) - _epoch_us(F.lag("ts").over(w))
     new_session = F.when(
         gap_us.isNull() | (gap_us > 30 * 60 * 1_000_000), 1
     ).otherwise(0)
@@ -468,7 +485,7 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return sess.groupBy("user_id", "session_id").agg(
         F.count(F.lit(1)).alias("n_events"),
-        (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias("duration_us"),
+        (_epoch_us(F.max("ts")) - _epoch_us(F.min("ts"))).alias("duration_us"),
     )
 
 
