@@ -1,0 +1,126 @@
+"""Corpus-cleaning signals for training-data pipelines (SURVEY.md §2C).
+
+Two families, both standard pretraining-curation filters:
+
+* Within-document repetition (the Gopher "repetition" heuristics —
+  Rae et al., "Scaling Language Models: ... Gopher", 2021, §A1.1):
+  the fraction of a document's n-gram positions occupied by n-grams
+  that occur more than once in that document. High values flag
+  degenerate/boilerplate-heavy text. Pure per-row Column expressions:
+  zero Python, zero shuffle, scan-speed at 100 TB.
+
+* Cross-document boilerplate (the C4 line-dedup rule — Raffel et al.,
+  JMLR 2020, §2.2 — lifted from lines to word k-grams, since the test
+  corpus has no newlines): a k-gram appearing in >= min_docs distinct
+  documents is boilerplate; each document reports what fraction of its
+  distinct k-grams are boilerplate. Shape: one document-frequency
+  aggregation keyed by the 60-bit gram hash (map-side partial agg),
+  one join back to postings, one per-doc count — grams travel as
+  16-byte hashed rows, never as strings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from cdk_dynamodb_cdc_spark.llm.dedup import word_shingles
+from cdk_dynamodb_cdc_spark.llm.text import token_hash60
+
+REPETITION_GRAM_WORDS = 2
+BOILERPLATE_GRAM_WORDS = 5
+BOILERPLATE_MIN_DOCS = 3
+
+
+def duplicated_gram_fraction(text: Column, k: int = REPETITION_GRAM_WORDS) -> Column:
+    """Fraction of word k-gram positions whose k-gram occurs more than
+    once within the document (0.0 for docs with no k-grams).
+
+    Row-local O(g^2) membership counting over the gram array — for
+    typical document lengths this is thousands of comparisons per row,
+    which stays cheaper than any alternative involving an explode +
+    shuffle, and it parallelizes perfectly across rows.
+    """
+    grams = word_shingles(text, k, distinct=False)
+    n = F.size(grams)
+    dup_positions = F.size(
+        F.filter(
+            grams,
+            lambda g: F.size(F.filter(grams, lambda h: h == g)) > 1,
+        )
+    )
+    return F.when(
+        n > 0, dup_positions.cast("double") / n
+    ).otherwise(F.lit(0.0))
+
+
+def duck_duplicated_gram_fraction(text_expr: str, k: int = REPETITION_GRAM_WORDS) -> str:
+    """DuckDB SQL twin of :func:`duplicated_gram_fraction`."""
+    ws = f"string_split({text_expr}, ' ')"
+    parts = " || ' ' || ".join(f"ws[i+{j}]" for j in range(k))
+    grams = (
+        f"(SELECT list_transform(range(1, len(ws) - {k - 1} + 1), i -> {parts}) "
+        f"FROM (SELECT {ws} AS ws) __w)"
+    )
+    return (
+        f"(SELECT CASE WHEN len(gs) > 0 THEN "
+        f"len(list_filter(gs, g -> len(list_filter(gs, h -> h = g)) > 1))"
+        f"::DOUBLE / len(gs) ELSE 0.0 END FROM (SELECT {grams} AS gs) __g)"
+    )
+
+
+def boilerplate_gram_stats(
+    docs: DataFrame,
+    k: int = BOILERPLATE_GRAM_WORDS,
+    min_docs: int = BOILERPLATE_MIN_DOCS,
+) -> DataFrame:
+    """Per-document boilerplate exposure: of the document's distinct
+    word k-grams, how many appear in >= ``min_docs`` distinct documents
+    corpus-wide. Returns (doc_id, n_grams, n_boilerplate,
+    boilerplate_frac); the fraction is int/int so it is bit-identical
+    across engines.
+
+    Documents with fewer than k tokens have no k-grams and report
+    (0, 0, 0.0) rather than disappearing — a curation pipeline must
+    not silently drop rows it could not score.
+    """
+    grams = docs.select(
+        "doc_id",
+        F.transform(word_shingles(F.col("text"), k), token_hash60).alias("gs"),
+    )
+    posts = grams.select("doc_id", F.explode("gs").alias("g"))
+    # df counts distinct docs per gram; postings are distinct-per-doc
+    # already (word_shingles dedups), so a plain count equals the
+    # distinct-doc count without a count_distinct expand.
+    boiler = (
+        posts.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+        .select("g", F.lit(1).alias("is_boiler"))
+    )
+    per_doc = (
+        posts.join(boiler, "g", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.coalesce(F.col("is_boiler"), F.lit(0))).alias("n_boilerplate"),
+        )
+    )
+    all_docs = docs.select("doc_id")
+    return (
+        all_docs.join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_grams"), F.lit(0)).cast("int").alias("n_grams"),
+            F.coalesce(F.col("n_boilerplate"), F.lit(0))
+            .cast("int")
+            .alias("n_boilerplate"),
+            F.when(
+                F.coalesce(F.col("n_grams"), F.lit(0)) > 0,
+                F.coalesce(F.col("n_boilerplate"), F.lit(0)).cast("double")
+                / F.col("n_grams"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("boilerplate_frac"),
+        )
+    )

@@ -306,6 +306,131 @@ def simhash_near_dup_pairs(
     )
 
 
+def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
+    """EXACT all-pairs n-gram Jaccard similarity join via prefix
+    filtering (the AllPairs/PPJoin family — Bayardo, Ma & Srikant,
+    "Scaling Up All Pairs Similarity Search", WWW'07).
+
+    Unlike :func:`minhash_near_dup_pairs` this has no probabilistic
+    miss bound at all — it is exact at ANY threshold, including ones
+    far below where 32x4 LSH banding keeps its miss probability low.
+
+    Prefix-filter guarantee: order every document's shingles by a
+    global total order (ascending corpus document-frequency, ties by
+    shingle text). If J(A,B) >= t then |A∩B| >= ceil(t*|A|), and an
+    intersection that large cannot avoid the first
+    |A| - ceil(t*|A|) + 1 shingles of A — so every qualifying pair
+    shares at least one *prefix* shingle and candidate generation over
+    prefix postings misses nothing.
+
+    Scale shape (three keyed shuffles, no all-pairs stage):
+      1. document-frequency aggregation keyed by shingle hash
+         (map-side partial agg; the Zipf head costs one counter each);
+      2. candidate generation keyed by prefix-shingle hash — prefix
+         filtering removes the frequent head of the distribution from
+         postings (a shingle appearing in half the corpus is almost
+         never among a doc's rarest |A|-ceil(t|A|)+1), so posting
+         lists stay short where C(df,2) expansion would hurt;
+      3. verify join keyed by doc_id recomputing exact Jaccard on the
+         full shingle sets — so emitted pairs are exactly the all-pairs
+         answer.
+    Shingles travel as 60-bit hashes, not strings (16 bytes/row in
+    every exchange); Jaccard over hashed sets equals Jaccard over the
+    sets themselves absent a 2^-60 collision.
+    """
+    from cdk_dynamodb_cdc_spark.llm.text import token_hash60
+
+    # The plan consumes the shingle-hash fold on THREE branches
+    # (postings for candidate generation, then each side of the verify
+    # join), and Spark re-evaluates a non-materialized subplan per
+    # branch — measured 3x the dominant per-row cost. Materialize the
+    # (doc_id, hashed-shingle-array) table once; this is the standard
+    # "signature table" step of AllPairs, sized at ~8 bytes per shingle
+    # occurrence (no text), far below the corpus it indexes. On a
+    # cluster with unreliable executors prefer reliable checkpoint()
+    # over localCheckpoint — same shape, fault-tolerant storage.
+    sh = (
+        docs.select(
+            "doc_id",
+            F.array_distinct(
+                F.transform(word_shingles(F.col("text")), token_hash60)
+            ).alias("s"),
+        )
+        .filter(F.size("s") > 0)
+        .localCheckpoint(eager=True)
+    )
+    posts = sh.select("doc_id", F.explode("s").alias("g"))
+    freq = posts.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+    # Rank each doc's shingles by (df, g) — a global total order — and
+    # keep the prefix. struct array_sort gives the lexicographic
+    # (df, g) order directly.
+    ranked = (
+        posts.join(freq, "g")
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list(F.struct("df", "g"))).alias("r"))
+    )
+    n = F.size("r")
+    plen = (n - F.ceil(F.lit(threshold) * n) + 1).cast("int")
+    prefix = ranked.select(
+        "doc_id",
+        n.alias("n"),
+        F.transform(F.slice("r", 1, plen), lambda x: x["g"]).alias("p"),
+    )
+    pp = prefix.select("doc_id", "n", F.explode("p").alias("g"))
+    buckets = (
+        pp.groupBy("g")
+        .agg(F.array_sort(F.collect_list(F.struct("doc_id", "n"))).alias("ds"))
+        .filter(F.size("ds") > 1)
+    )
+    # Size filter inside the bucket expansion: J(A,B) >= t forces
+    # |A∩B| >= t*max(|A|,|B|), hence min(|A|,|B|) >= t*max(|A|,|B|) —
+    # pairs outside the size ratio never reach the candidate set.
+    cands = (
+        buckets.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        F.col("ds"),
+                        lambda x, i: F.filter(
+                            F.transform(
+                                F.slice(F.col("ds"), i + 2, F.size(F.col("ds"))),
+                                lambda y: F.struct(
+                                    x["doc_id"].alias("doc_a"),
+                                    y["doc_id"].alias("doc_b"),
+                                    x["n"].alias("na"),
+                                    y["n"].alias("nb"),
+                                ),
+                            ),
+                            lambda s: F.least(s["na"], s["nb"]).cast("double")
+                            >= F.lit(threshold)
+                            * F.greatest(s["na"], s["nb"]),
+                        ),
+                    )
+                )
+            ).alias("c")
+        )
+        .select("c.doc_a", "c.doc_b")
+        .distinct()
+    )
+    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("sa"))
+    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("sb"))
+    n_common = F.size(F.array_intersect("sa", "sb"))
+    n_union = F.size(F.array_union("sa", "sb"))
+    jaccard = n_common.cast("double") / n_union  # both sides non-empty
+    return (
+        cands.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            n_common.alias("n_common"),
+            n_union.alias("n_union"),
+            jaccard.alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     id_a: str = "doc_a",

@@ -44,6 +44,7 @@ from cdk_dynamodb_cdc_spark.llm import multimodal as llm_media
 from cdk_dynamodb_cdc_spark.llm import text as llm_text
 from cdk_dynamodb_cdc_spark.llm import vectors as llm_vectors
 from cdk_dynamodb_cdc_spark.llm import curation as llm_curation
+from cdk_dynamodb_cdc_spark.llm import cleaning as llm_cleaning
 from cdk_dynamodb_cdc_spark.operators.asof import asof_join
 from cdk_dynamodb_cdc_spark.operators.pipeline import cdc_change_events
 from cdk_dynamodb_cdc_spark.sources.tables import load_table
@@ -3306,3 +3307,92 @@ def curate_corpus_dispositions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return base.select("doc_id", disposition.alias("disposition"),
                        split.alias("split"))
+
+
+# ---------------------------------------------------------------------------
+# Exact n-gram Jaccard similarity join (prefix filtering, AllPairs /
+# PPJoin family). Unlike the MinHash query this is exact at ANY
+# threshold — here 0.7, below where 32x4 banding keeps its miss
+# probability negligible. Oracle = brute-force all-pairs.
+# ---------------------------------------------------------------------------
+@query(
+    "near_dup_ngram_jaccard",
+    oracle="""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    sh AS (SELECT doc_id,
+                  list_distinct(list_transform(range(1, len(ws) - 1),
+                      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS s
+           FROM w
+           WHERE len(ws) >= 3),
+    p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 len(list_intersect(a.s, b.s)) AS n_common,
+                 len(list_distinct(a.s || b.s)) AS n_union
+          FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+    SELECT doc_a, doc_b,
+           CAST(n_common AS INT) AS n_common,
+           CAST(n_union AS INT) AS n_union,
+           CAST(n_common AS DOUBLE) / n_union AS jaccard
+    FROM p WHERE CAST(n_common AS DOUBLE) / n_union >= 0.7
+    """,
+)
+def near_dup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return llm_dedup.ngram_jaccard_pairs(docs, threshold=0.7)
+
+
+# ---------------------------------------------------------------------------
+# Within-document repetition (Gopher-style duplicated-2-gram fraction).
+# Pure per-row Column expressions: scan-speed, no shuffle.
+# ---------------------------------------------------------------------------
+@query(
+    "repetition_stats",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(greatest(len(string_split(text, ' ')) - 1, 0) AS INT)
+             AS n_grams,
+           {llm_cleaning.duck_duplicated_gram_fraction('text')} AS dup_frac
+    FROM documents
+    """,
+)
+def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    grams = llm_dedup.word_shingles(
+        F.col("text"), llm_cleaning.REPETITION_GRAM_WORDS, distinct=False
+    )
+    return docs.select(
+        "doc_id",
+        F.size(grams).alias("n_grams"),
+        llm_cleaning.duplicated_gram_fraction(F.col("text")).alias("dup_frac"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cross-document boilerplate (C4's line-frequency rule over word
+# 5-grams): per-doc fraction of distinct 5-grams appearing in >= 3
+# documents corpus-wide. One gram-keyed DF aggregation + one join.
+# ---------------------------------------------------------------------------
+@query(
+    "boilerplate_ngram_stats",
+    oracle="""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    sh AS (SELECT doc_id,
+                  list_distinct(list_transform(range(1, len(ws) - 3),
+                      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                           || ' ' || ws[i+3] || ' ' || ws[i+4])) AS gs
+           FROM w),
+    posts AS (SELECT doc_id, unnest(gs) AS g FROM sh),
+    boiler AS (SELECT g FROM posts GROUP BY g HAVING COUNT(*) >= 3),
+    pd AS (SELECT p.doc_id, COUNT(*) AS n_grams, COUNT(b.g) AS n_boilerplate
+           FROM posts p LEFT JOIN boiler b ON p.g = b.g GROUP BY p.doc_id)
+    SELECT d.doc_id,
+           CAST(COALESCE(pd.n_grams, 0) AS INT) AS n_grams,
+           CAST(COALESCE(pd.n_boilerplate, 0) AS INT) AS n_boilerplate,
+           CASE WHEN COALESCE(pd.n_grams, 0) > 0
+                THEN CAST(pd.n_boilerplate AS DOUBLE) / pd.n_grams
+                ELSE 0.0 END AS boilerplate_frac
+    FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id
+    """,
+)
+def boilerplate_ngram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return llm_cleaning.boilerplate_gram_stats(docs)

@@ -303,3 +303,92 @@ def test_stratified_sample_deterministic_and_bounded(spark):
     from collections import Counter
 
     assert Counter(lang for lang, _ in s1) == {"en": 5, "fr": 5}
+
+
+# --- ngram jaccard (prefix-filtered exact similarity join) ----------------
+
+def test_ngram_jaccard_matches_brute_force(spark):
+    """The prefix-filtered join must equal all-pairs exact Jaccard —
+    including pairs LSH banding could miss at low thresholds."""
+    base = " ".join(f"w{i}" for i in range(30))
+    mid = " ".join(f"w{i}" for i in range(20)) + " " + " ".join(
+        f"y{i}" for i in range(10)
+    )  # moderate overlap with base
+    near = " ".join(f"w{i}" for i in range(29)) + " zz"
+    far = " ".join(f"x{i}" for i in range(30))
+    rows = [base, mid, near, far]
+    docs = _docs(spark, rows)
+    got = {
+        (r.doc_a, r.doc_b, r.n_common, r.n_union)
+        for r in dedup.ngram_jaccard_pairs(docs, threshold=0.3).collect()
+    }
+
+    def shingles(t):
+        ws = t.split(" ")
+        return {" ".join(ws[i:i + 3]) for i in range(len(ws) - 2)}
+
+    want = set()
+    for a in range(len(rows)):
+        for b in range(a + 1, len(rows)):
+            sa, sb = shingles(rows[a]), shingles(rows[b])
+            inter, union = len(sa & sb), len(sa | sb)
+            if union and inter / union >= 0.3:
+                want.add((a, b, inter, union))
+    assert got == want and len(want) >= 2
+
+
+def test_ngram_jaccard_size_filter_keeps_qualifying_pairs(spark):
+    """A short prefix of a long doc fails the size ratio and must be
+    pruned; an identical copy must survive with jaccard 1.0."""
+    long = " ".join(f"w{i}" for i in range(40))
+    short = " ".join(f"w{i}" for i in range(8))  # subset, tiny
+    copy = long
+    docs = _docs(spark, [long, short, copy])
+    pairs = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedup.ngram_jaccard_pairs(docs, threshold=0.9).collect()
+    }
+    assert set(pairs) == {(0, 2)} and pairs[(0, 2)] == 1.0
+
+
+# --- cleaning: repetition + boilerplate -----------------------------------
+
+def test_duplicated_gram_fraction_hand_computed(spark):
+    from cdk_dynamodb_cdc_spark.llm import cleaning
+
+    # 2-grams of "a b a b c": [a b, b a, a b, b c] -> 'a b' dup (2 of 4)
+    docs = _docs(spark, ["a b a b c", "a b c d", "x"])
+    got = {
+        r.doc_id: r.dup_frac
+        for r in docs.select(
+            "doc_id",
+            cleaning.duplicated_gram_fraction(F.col("text")).alias("dup_frac"),
+        ).collect()
+    }
+    assert got[0] == 0.5 and got[1] == 0.0 and got[2] == 0.0
+
+
+def test_boilerplate_gram_stats_flags_corpus_frequent_grams(spark):
+    from cdk_dynamodb_cdc_spark.llm import cleaning
+
+    shared = "alpha beta gamma delta epsilon"  # one 5-gram, in 3 docs
+    docs = _docs(
+        spark,
+        [
+            shared + " one two",
+            shared + " three four",
+            shared,
+            "unique words only here now too",
+            "tiny",
+        ],
+    )
+    got = {
+        r.doc_id: (r.n_grams, r.n_boilerplate, r.boilerplate_frac)
+        for r in cleaning.boilerplate_gram_stats(
+            docs, k=5, min_docs=3
+        ).collect()
+    }
+    assert got[2] == (1, 1, 1.0)          # exactly the shared gram
+    assert got[3] == (2, 0, 0.0)          # 6 tokens -> 2 grams, none shared
+    assert got[4] == (0, 0, 0.0)          # sub-k doc present, not dropped
+    assert got[0][1] >= 1 and got[1][1] >= 1
