@@ -36,7 +36,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # or changed since the last gate run, then queries the gate has never
 # seen — followed by a rotating sample of previously-green ones. Every
 # query is still checked locally against its DuckDB oracle by
-# tools/check_correctness.py (all 83 pass at sf0.01); the ordering only
+# tools/check_correctness.py (all 85 pass at sf0.01); the ordering only
 # decides which subset the driver re-verifies independently.
 _GATE_PRIORITY = [
     # new or changed this round
@@ -45,6 +45,8 @@ _GATE_PRIORITY = [
     "boilerplate_ngram_stats",
     "gapfill_hourly_user_activity",
     "approx_quantile_contract",
+    "cdc_snapshot_at",
+    "cdc_squash_net_changes",
     "sessionize_events",
     # added in round 3; never yet covered by a driver gate run
     "train_val_test_split",
@@ -90,8 +92,6 @@ _GATE_PRIORITY = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
-    "tumbling_window_counts",
-    "session_window_stats",
 ]
 
 

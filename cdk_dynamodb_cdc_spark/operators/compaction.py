@@ -1,0 +1,138 @@
+"""CDC log consumption: point-in-time snapshots and change squashing.
+
+The reference emits one change event per stream record
+(`/root/reference/lib/lambda/dynamo-stream-handler.ts:89-177`) and
+leaves replay to consumers. These are the two classic consumer
+operators over such a log:
+
+* ``snapshot_at`` — materialize the table state as of an event time
+  (time travel): the latest non-REMOVE image per item key among
+  records with ``ts <= at_ts``. One aggregation keyed by the item key
+  using ``max_by`` — map-side partial aggregation keeps only the
+  current winner per key per task, so the full version history is
+  never held or sorted anywhere, and 100 TB of log compacts in a
+  single shuffle of one row per (task, key).
+
+* ``squash_change_events`` — compact a window of per-record changes
+  into ONE net change per key (what log-compacted topics / Debezium
+  tombstone semantics do): diff the window's first old image against
+  its last new image with the same typed diff the per-record path
+  uses (operators/typed_diff.py), re-applying the reference's no-op
+  rule (`dynamo-stream-handler.ts:126-128`) at the squashed level —
+  a key whose fields return to their starting values emits nothing.
+  Net operation:
+
+    - last record REMOVE, first old image present  -> REMOVE
+    - last record REMOVE, first old image absent   -> suppressed
+      (created and deleted inside the window: invisible at both ends)
+    - first old image absent (key born in window)  -> INSERT
+    - otherwise                                    -> MODIFY, dropped
+      when the net diff is empty
+
+Both are pure Column-expression plans: no Python, no window sort —
+``min_by``/``max_by`` aggregation instead of ``row_number`` so the
+log's per-key history streams through partial aggregates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from cdk_dynamodb_cdc_spark.operators.typed_diff import (
+    struct_diff_exprs,
+    unmarshall_typed,
+)
+
+KEY_COLS = ("pk", "sk")
+
+
+def snapshot_at(
+    records: DataFrame,
+    at_ts: str | None = None,
+    *,
+    key_cols: tuple[str, ...] = KEY_COLS,
+) -> DataFrame:
+    """Table state as of ``at_ts`` (inclusive; None = latest).
+
+    Returns one row per live item key: the marshalled current image,
+    the winning ``seq``/``ts``, and ``n_versions`` (how many log
+    records produced this state). Keys whose winning record is a
+    REMOVE are dead at ``at_ts`` and are dropped.
+    """
+    src = records
+    if at_ts is not None:
+        src = src.filter(F.col("ts") <= F.lit(at_ts))
+    winner = F.struct("operation", "new_image", "ts")
+    snap = src.groupBy(*key_cols).agg(
+        F.max_by(winner, "seq").alias("w"),
+        F.max("seq").alias("seq"),
+        F.count(F.lit(1)).alias("n_versions"),
+    )
+    return snap.filter(F.col("w.operation") != "REMOVE").select(
+        *key_cols,
+        F.col("w.new_image").alias("image"),
+        "seq",
+        F.col("w.ts").alias("ts"),
+        "n_versions",
+    )
+
+
+def squash_change_events(
+    records: DataFrame,
+    schema: T.StructType,
+    *,
+    key_cols: tuple[str, ...] = KEY_COLS,
+) -> DataFrame:
+    """One net change event per item key for the given log window.
+
+    Output columns mirror the per-record pipeline's event shape:
+    ``(*key_cols, operation, attributes_changed, before, after,
+    n_squashed)`` where before/after are the net-changed subtrees as
+    JSON (typed lane conventions, operators/typed_diff.py) and
+    ``n_squashed`` counts the records compacted into the row.
+    """
+    first = F.struct("old_image")
+    last = F.struct("operation", "new_image")
+    g = records.groupBy(*key_cols).agg(
+        F.min_by(first, "seq").alias("f"),
+        F.max_by(last, "seq").alias("l"),
+        F.count(F.lit(1)).alias("n_squashed"),
+    )
+    parsed = g.select(
+        "*",
+        unmarshall_typed(F.col("f.old_image"), schema).alias("__old_t"),
+        F.when(
+            F.col("l.operation") != "REMOVE",
+            unmarshall_typed(F.col("l.new_image"), schema),
+        ).alias("__new_t"),
+    )
+    paths, before, after = struct_diff_exprs(
+        F.col("__old_t"), F.col("__new_t"), schema
+    )
+    born = F.col("f.old_image").isNull()
+    dead = F.col("l.operation") == F.lit("REMOVE")
+    operation = (
+        F.when(dead, F.lit("REMOVE"))
+        .when(born, F.lit("INSERT"))
+        .otherwise(F.lit("MODIFY"))
+    )
+    out = parsed.select(
+        *key_cols,
+        operation.alias("operation"),
+        paths.alias("attributes_changed"),
+        F.to_json(before).alias("before"),
+        F.to_json(after).alias("after"),
+        "n_squashed",
+    )
+    # tombstone suppression + the reference's no-op rule at net level
+    return out.filter(
+        ~(
+            ((F.col("operation") == "REMOVE") & born)
+            | (
+                (F.col("operation") == "MODIFY")
+                & (F.size("attributes_changed") == 0)
+            )
+        )
+    )

@@ -3532,3 +3532,131 @@ def approx_quantile_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.abs(F.col("rank_ap") - F.col("q") * F.col("n")) <= bound
         ).alias("within_bound"),
     )
+
+
+# ---------------------------------------------------------------------------
+# CDC consumer operators over the synthesized change log: point-in-time
+# snapshot (time travel) and window squashing/compaction. To exercise
+# the REMOVE path non-vacuously, every user_id % 17 == 0 item gets a
+# synthetic REMOVE appended after its last event (tombstone at its
+# final event time).
+# ---------------------------------------------------------------------------
+def _augment_with_removes(records: DataFrame) -> DataFrame:
+    user = F.split(F.col("pk"), "#")[1].cast("long")
+    last = (
+        records.filter(user % 17 == 0)
+        .groupBy("pk", "sk")
+        .agg(
+            F.max("seq").alias("lseq"),
+            F.max_by(F.struct("new_image", "ts"), "seq").alias("w"),
+        )
+    )
+    removes = last.select(
+        F.concat(F.lit("REMOVE#"), F.col("pk")).alias("event_id"),
+        (F.col("lseq") + 1).alias("seq"),
+        F.col("w.ts").alias("ts"),
+        F.lit("REMOVE").alias("operation"),
+        "pk",
+        "sk",
+        F.col("w.new_image").alias("old_image"),
+        F.lit(None).cast("string").alias("new_image"),
+        F.lit(512).cast("long").alias("size_bytes"),
+    )
+    return records.unionByName(removes)
+
+
+_SNAPSHOT_CUTOFF = "2024-01-15 00:00:00"
+
+
+@query(
+    "cdc_snapshot_at",
+    oracle=f"""
+    WITH le AS (
+      SELECT user_id, event_type, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn,
+             COUNT(*) OVER (PARTITION BY user_id) AS n_versions
+      FROM events WHERE ts <= TIMESTAMP '{_SNAPSHOT_CUTOFF}'
+    ), dead AS (
+      SELECT user_id FROM events WHERE user_id % 17 = 0
+      GROUP BY user_id HAVING MAX(ts) <= TIMESTAMP '{_SNAPSHOT_CUTOFF}'
+    )
+    SELECT 'USER#' || CAST(user_id AS VARCHAR) AS pk,
+           event_type, value,
+           CAST(n_versions AS BIGINT) AS n_versions
+    FROM le
+    WHERE rn = 1 AND user_id NOT IN (SELECT user_id FROM dead)
+    """,
+)
+def cdc_snapshot_at(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel: replay the change log up to a cutoff and emit the
+    live table state — latest non-REMOVE image per key via one max_by
+    aggregation (operators/compaction.py:snapshot_at). The value
+    column round-trips marshal -> snapshot -> extract bit-exactly."""
+    from cdk_dynamodb_cdc_spark.operators.compaction import snapshot_at
+
+    records = _augment_with_removes(synthesize_cdc_records(spark, sf_dir))
+    snap = snapshot_at(records, _SNAPSHOT_CUTOFF)
+    return snap.select(
+        "pk",
+        F.get_json_object("image", "$.event_type.S").alias("event_type"),
+        F.get_json_object("image", "$.value.N").cast("double").alias("value"),
+        "n_versions",
+    )
+
+
+@query(
+    "cdc_squash_net_changes",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, event_type, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY user_id) AS n
+      FROM events
+    ), f AS (
+      SELECT user_id, event_type AS t1, value AS v1, n FROM o WHERE rn = 1
+    ), l AS (
+      SELECT user_id, event_type AS tn, value AS vn FROM o WHERE rn = n
+    )
+    SELECT 'USER#' || CAST(user_id AS VARCHAR) AS pk,
+           CASE WHEN user_id % 17 = 0 THEN 'REMOVE' ELSE 'MODIFY' END
+             AS operation,
+           CAST(CASE WHEN user_id % 17 = 0 THEN 2
+                ELSE (CASE WHEN t1 <> tn THEN 1 ELSE 0 END)
+                   + (CASE WHEN v1 <> vn THEN 1 ELSE 0 END) END AS INT)
+             AS n_attrs_changed,
+           CAST(CASE WHEN user_id % 17 = 0 THEN n ELSE n - 1 END AS BIGINT)
+             AS n_squashed
+    FROM f JOIN l USING (user_id)
+    WHERE user_id % 17 = 0
+       OR (n >= 2 AND (t1 <> tn OR v1 <> vn))
+    """,
+)
+def cdc_squash_net_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log compaction: squash each key's MODIFY window (every record
+    after its INSERT, plus the synthetic tombstones) into one net
+    change via operators/compaction.py:squash_change_events — first
+    old image diffed against last new image with the typed diff, the
+    reference's no-op rule re-applied at the net level."""
+    from pyspark.sql import types as T
+
+    from cdk_dynamodb_cdc_spark.operators.compaction import (
+        squash_change_events,
+    )
+
+    item_schema = T.StructType(
+        [
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    records = _augment_with_removes(
+        synthesize_cdc_records(spark, sf_dir)
+    ).filter(F.col("seq") >= 2)
+    sq = squash_change_events(records, item_schema)
+    return sq.select(
+        "pk",
+        "operation",
+        F.size("attributes_changed").alias("n_attrs_changed"),
+        "n_squashed",
+    )

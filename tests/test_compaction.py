@@ -1,0 +1,90 @@
+"""Snapshot + squash operator semantics (operators/compaction.py) on a
+hand-built change log covering every net-operation branch."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from cdk_dynamodb_cdc_spark.operators.compaction import (
+    snapshot_at,
+    squash_change_events,
+)
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+    ]
+)
+
+REC_SCHEMA = (
+    "event_id string, seq long, ts string, operation string, "
+    "pk string, sk string, old_image string, new_image string, "
+    "size_bytes long"
+)
+
+
+def _img(t, v):
+    return '{"event_type":{"S":"%s"},"value":{"N":"%s"}}' % (t, v)
+
+
+def _log(spark):
+    rows = [
+        # key A: pre-existing, two MODIFYs; type returns to start, value
+        # does not -> net MODIFY touching only value
+        ("e2", 2, "2024-01-02 00:00:00", "MODIFY", "A", "S", _img("c", "1.0"), _img("v", "2.0")),
+        ("e3", 3, "2024-01-03 00:00:00", "MODIFY", "A", "S", _img("v", "2.0"), _img("c", "3.0")),
+        # key B: pre-existing, MODIFYs return every field to the start
+        # -> net no-op, suppressed
+        ("e5", 2, "2024-01-02 00:00:00", "MODIFY", "B", "S", _img("c", "1.0"), _img("x", "9.0")),
+        ("e6", 3, "2024-01-03 00:00:00", "MODIFY", "B", "S", _img("x", "9.0"), _img("c", "1.0")),
+        # key C: born and deleted inside the window -> suppressed
+        ("e7", 1, "2024-01-01 00:00:00", "INSERT", "C", "S", None, _img("c", "1.0")),
+        ("e8", 2, "2024-01-02 00:00:00", "REMOVE", "C", "S", _img("c", "1.0"), None),
+        # key D: pre-existing, deleted -> net REMOVE
+        ("e9", 2, "2024-01-02 00:00:00", "MODIFY", "D", "S", _img("c", "5.0"), _img("c", "6.0")),
+        ("ea", 3, "2024-01-03 00:00:00", "REMOVE", "D", "S", _img("c", "6.0"), None),
+        # key E: born in window, lives (even mutates) -> net INSERT
+        ("eb", 1, "2024-01-05 00:00:00", "INSERT", "E", "S", None, _img("n", "7.0")),
+        ("ec", 2, "2024-01-06 00:00:00", "MODIFY", "E", "S", _img("n", "7.0"), _img("n", "8.0")),
+    ]
+    return spark.createDataFrame(
+        [(eid, seq, ts, op, pk, sk, o, n, 512)
+         for eid, seq, ts, op, pk, sk, o, n in rows],
+        REC_SCHEMA,
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+
+def test_squash_net_operations_and_noop_suppression(spark):
+    out = {
+        r.pk: (r.operation, sorted(r.attributes_changed), r.n_squashed)
+        for r in squash_change_events(_log(spark), SCHEMA).collect()
+    }
+    assert out["A"] == ("MODIFY", ["value"], 2)   # type returned, value didn't
+    assert "B" not in out                          # net no-op suppressed
+    assert "C" not in out                          # tombstone suppressed
+    assert out["D"] == ("REMOVE", ["event_type", "value"], 2)
+    assert out["E"] == ("INSERT", ["event_type", "value"], 2)
+
+
+def test_squash_before_after_hold_net_subtrees(spark):
+    rows = {r.pk: r for r in squash_change_events(_log(spark), SCHEMA).collect()}
+    assert rows["A"].before == '{"value":1.0}'
+    assert rows["A"].after == '{"value":3.0}'
+    assert rows["E"].before == "{}"
+
+
+def test_snapshot_at_cutoff_and_latest(spark):
+    log = _log(spark)
+    # at Jan 2 EOD: A at v/2.0, B at x/9.0, C dead, D at c/6.0, E not born
+    mid = {
+        r.pk: (r.n_versions, r.image)
+        for r in snapshot_at(log, "2024-01-02 23:59:59").collect()
+    }
+    assert set(mid) == {"A", "B", "D"}
+    assert mid["A"][0] == 1 and '"2.0"' in mid["A"][1]
+    # latest: B live at c/1.0, C and D dead, E live at n/8.0
+    last = {r.pk: r.image for r in snapshot_at(log).collect()}
+    assert set(last) == {"A", "B", "E"}
+    assert '"3.0"' in last["A"] and '"1.0"' in last["B"] and '"8.0"' in last["E"]
