@@ -415,3 +415,37 @@ def test_gapfill_fills_silent_hours_and_carries_value(spark):
     for prev, cur in zip(rows, rows[1:]):
         if cur.n_events == 0:
             assert cur.locf_hour_value == prev.locf_hour_value
+
+
+def test_ngram_jaccard_randomized_equals_brute_force(spark):
+    """Seeded random corpora from a small vocabulary (worst case for
+    prefix filtering: dense shingle space) across several thresholds —
+    the join must equal brute force every time."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    vocab = [f"w{i}" for i in range(12)]
+    for trial, threshold in [(0, 0.3), (1, 0.5), (2, 0.8)]:
+        texts = [
+            " ".join(rng.choice(vocab, size=rng.integers(1, 25)))
+            for _ in range(30)
+        ]
+        docs = _docs(spark, texts)
+        got = {
+            (r.doc_a, r.doc_b)
+            for r in dedup.ngram_jaccard_pairs(docs, threshold).collect()
+        }
+
+        def sh(t):
+            ws = t.split(" ")
+            return {" ".join(ws[i:i + 3]) for i in range(len(ws) - 2)}
+
+        want = set()
+        for a in range(len(texts)):
+            for b in range(a + 1, len(texts)):
+                sa, sb = sh(texts[a]), sh(texts[b])
+                if not sa or not sb:
+                    continue
+                if len(sa & sb) / len(sa | sb) >= threshold:
+                    want.add((a, b))
+        assert got == want, f"trial {trial} t={threshold}"
