@@ -1,5 +1,7 @@
 from cdk_dynamodb_cdc_spark.streaming.stream import (  # noqa: F401
     dedup_within_watermark,
+    interval_join_streams,
+    maintain_snapshot_stream,
     read_cdc_stream,
     run_cdc_stream,
     windowed_change_counts,

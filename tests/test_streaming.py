@@ -362,3 +362,61 @@ def test_stream_static_join_enriches_records(spark, tmp_path):
     q.awaitTermination(120)
     got = {r.event_id: r.tier for r in spark.sql("SELECT * FROM ssj_static").collect()}
     assert got == {"e1": "gold", "e2": None}
+
+
+def test_snapshot_store_upserts_and_deletes_across_batches(spark, tmp_path):
+    """Streaming materialized-table maintenance: winners upsert, REMOVE
+    deletes, untouched keys survive bucket rewrites, and the final
+    store equals the batch-mode snapshot_at of the full log."""
+    import json as _json
+
+    from cdk_dynamodb_cdc_spark.operators.compaction import snapshot_at
+    from cdk_dynamodb_cdc_spark.sources.fixtures import cdc_fixture_df
+    from cdk_dynamodb_cdc_spark.streaming import maintain_snapshot_stream
+
+    def img(v):
+        return _json.dumps({"v": {"N": str(v)}})
+
+    t0 = datetime.datetime(2024, 1, 1, tzinfo=UTC)
+    batch0 = [
+        ("s1", 1, t0, "INSERT", "A", "S", None, img(1), 512),
+        ("s2", 2, t0, "INSERT", "B", "S", None, img(2), 512),
+        ("s3", 3, t0, "INSERT", "C", "S", None, img(3), 512),
+    ]
+    batch1 = [
+        ("s4", 4, t0, "MODIFY", "A", "S", img(1), img(10), 512),
+        ("s5", 5, t0, "REMOVE", "B", "S", img(2), None, 512),
+        ("s6", 6, t0, "INSERT", "D", "S", None, img(4), 512),
+    ]
+    src = tmp_path / "src"
+    src.mkdir()
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+
+    _write_records_file(src / "b0.json", batch0)
+    stream = read_cdc_stream(spark, str(src), starting_position="trim_horizon")
+    _run_until_done(
+        maintain_snapshot_stream(
+            stream, state_path=state, checkpoint_path=ckpt, buckets=4
+        )
+    )
+    mid = {r.pk: r.image for r in spark.read.parquet(state).collect()}
+    assert set(mid) == {"A", "B", "C"} and '"1"' in mid["A"]
+
+    _write_records_file(src / "b1.json", batch1)
+    stream2 = read_cdc_stream(spark, str(src), starting_position="trim_horizon")
+    _run_until_done(
+        maintain_snapshot_stream(
+            stream2, state_path=state, checkpoint_path=ckpt, buckets=4
+        )
+    )
+    final = {r.pk: r.image for r in spark.read.parquet(state).collect()}
+    assert set(final) == {"A", "C", "D"}          # B deleted, C untouched
+    assert '"10"' in final["A"] and '"3"' in final["C"]
+
+    # parity with the batch-mode operator over the full log
+    full = spark.createDataFrame(batch0 + batch1, schema=CDC_RECORD_SCHEMA)
+    want = {
+        r.pk: r.image for r in snapshot_at(full, key_cols=("pk", "sk")).collect()
+    }
+    assert {k: v for k, v in final.items()} == want
