@@ -36,7 +36,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # or changed since the last gate run, then queries the gate has never
 # seen — followed by a rotating sample of previously-green ones. Every
 # query is still checked locally against its DuckDB oracle by
-# tools/check_correctness.py (all 85 pass at sf0.01); the ordering only
+# tools/check_correctness.py (all 86 pass at sf0.01); the ordering only
 # decides which subset the driver re-verifies independently.
 _GATE_PRIORITY = [
     # new or changed this round
@@ -47,6 +47,7 @@ _GATE_PRIORITY = [
     "approx_quantile_contract",
     "cdc_snapshot_at",
     "cdc_squash_net_changes",
+    "media_transform_stats",
     "sessionize_events",
     # added in round 3; never yet covered by a driver gate run
     "train_val_test_split",
@@ -91,7 +92,6 @@ _GATE_PRIORITY = [
     "embedding_ivf_topk",
     "q1_pricing_summary",
     "q3_shipping_priority",
-    "q5_local_supplier_volume",
 ]
 
 

@@ -122,3 +122,63 @@ def sample_frames(media: DataFrame) -> DataFrame:
     return media.filter(F.col("media_type") == "video").mapInPandas(
         sample_frame_batches, schema=FRAME_SCHEMA
     )
+
+
+RESIZE_MAX_DIM = 32
+TRANSFORM_SCHEMA = (
+    "doc_id bigint, media_type string, new_width int, new_height int, "
+    "out_bytes bigint, n_space int, n_vowel int, n_other int, "
+    "feat_norm double"
+)
+
+_VOWELS = frozenset(b"aeiou")
+
+
+def resize_dims(w: int, h: int, max_dim: int = RESIZE_MAX_DIM) -> tuple[int, int]:
+    """Aspect-preserving integer resize arithmetic (the part of an
+    image-resize stage that is NOT the codec): longest side capped at
+    ``max_dim``, floor division, floor 1. Pure integers so the oracle
+    reproduces it exactly."""
+    m = max(w, h)
+    if m <= max_dim:
+        return w, h
+    return max(1, w * max_dim // m), max(1, h * max_dim // m)
+
+
+def transform_media_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """mapInPandas stage combining the two remaining media transforms:
+
+    * resize — fake-decoded dims pushed through :func:`resize_dims`;
+      ``out_bytes`` is the resized raster size (new_w * new_h), the
+      quantity a real pipeline would budget shuffle/storage by;
+    * feature extraction — a deterministic 3-bucket byte histogram
+      (space / vowel / other) plus its L2 norm, standing in for an
+      embedding head. Real deployments swap the histogram for a model
+      forward pass; batch shape, schema, and normalization stay.
+    """
+    for pdf in batches:
+        rows = []
+        for doc_id, mtype, payload in zip(
+            pdf["doc_id"], pdf["media_type"], pdf["payload"]
+        ):
+            n, w, h, _ = fake_decode(payload)
+            nw, nh = resize_dims(w, h)
+            ns = payload.count(b" ")
+            nv = sum(payload.count(bytes([v])) for v in _VOWELS)
+            no = n - ns - nv
+            norm = float((ns * ns + nv * nv + no * no) ** 0.5)
+            rows.append((doc_id, mtype, nw, nh, nw * nh, ns, nv, no, norm))
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "doc_id", "media_type", "new_width", "new_height",
+                "out_bytes", "n_space", "n_vowel", "n_other", "feat_norm",
+            ],
+        )
+
+
+def transform_media(media: DataFrame) -> DataFrame:
+    """Resize + feature-extract metadata for every media row."""
+    return media.mapInPandas(transform_media_batches, schema=TRANSFORM_SCHEMA)

@@ -3660,3 +3660,52 @@ def cdc_squash_net_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("attributes_changed").alias("n_attrs_changed"),
         "n_squashed",
     )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal resize + feature extraction (the remaining two media
+# stages from SURVEY §2C): aspect-preserving integer resize of the
+# fake-decoded dims and a deterministic 3-bucket byte-histogram
+# feature with L2 norm — one Arrow-batched mapInPandas stage, no
+# shuffle, oracle reproduces every value from the text bytes.
+# ---------------------------------------------------------------------------
+@query(
+    "media_transform_stats",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id,
+             CASE WHEN source IN ('src0', 'src1') THEN 'image'
+                  WHEN source IN ('src2', 'src3') THEN 'audio'
+                  ELSE 'video' END AS media_type,
+             octet_length(encode(text)) AS n,
+             octet_length(encode(text)) % 64 + 16 AS w,
+             (octet_length(encode(text)) // 64) % 64 + 16 AS h,
+             len(text) - len(replace(text, ' ', '')) AS ns,
+             (len(text) - len(replace(text, 'a', '')))
+               + (len(text) - len(replace(text, 'e', '')))
+               + (len(text) - len(replace(text, 'i', '')))
+               + (len(text) - len(replace(text, 'o', '')))
+               + (len(text) - len(replace(text, 'u', ''))) AS nv
+      FROM documents
+    ), r AS (
+      SELECT *, greatest(w, h) AS mx, n - ns - nv AS no FROM m
+    )
+    SELECT doc_id, media_type,
+           CAST(CASE WHEN mx <= 32 THEN w
+                ELSE greatest(1, w * 32 // mx) END AS INT) AS new_width,
+           CAST(CASE WHEN mx <= 32 THEN h
+                ELSE greatest(1, h * 32 // mx) END AS INT) AS new_height,
+           CAST((CASE WHEN mx <= 32 THEN w
+                 ELSE greatest(1, w * 32 // mx) END)
+              * (CASE WHEN mx <= 32 THEN h
+                 ELSE greatest(1, h * 32 // mx) END) AS BIGINT) AS out_bytes,
+           CAST(ns AS INT) AS n_space,
+           CAST(nv AS INT) AS n_vowel,
+           CAST(no AS INT) AS n_other,
+           sqrt(ns * ns + nv * nv + no * no) AS feat_norm
+    FROM r
+    """,
+)
+def media_transform_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return llm_media.transform_media(llm_media.attach_binary_payload(docs))

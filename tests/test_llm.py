@@ -449,3 +449,14 @@ def test_ngram_jaccard_randomized_equals_brute_force(spark):
                 if len(sa & sb) / len(sa | sb) >= threshold:
                     want.add((a, b))
         assert got == want, f"trial {trial} t={threshold}"
+
+
+def test_resize_dims_caps_longest_side_and_floors_at_one():
+    from cdk_dynamodb_cdc_spark.llm.multimodal import resize_dims
+
+    assert resize_dims(16, 20) == (16, 20)          # under cap: unchanged
+    assert resize_dims(64, 32) == (32, 16)          # exact halving
+    assert resize_dims(79, 17) == (32, 6)           # floor division
+    assert resize_dims(4000, 1) == (32, 1)          # floor at 1
+    w, h = resize_dims(63, 61)
+    assert max(w, h) == 32 and w >= h               # aspect order kept
