@@ -3435,8 +3435,15 @@ def boilerplate_ngram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def gapfill_hourly_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    # Hour bucket via NTZ field arithmetic, NOT date_trunc: date_trunc
+    # coerces TIMESTAMP_NTZ to session-zone LTZ, which would shift
+    # bucket boundaries under any non-UTC session; field extraction on
+    # NTZ is timezone-free, matching DuckDB's naive truncation always.
+    hour_start = F.expr(
+        "make_timestamp_ntz(year(ts), month(ts), day(ts), hour(ts), 0, 0)"
+    )
     b = ev.groupBy(
-        "user_id", F.date_trunc("hour", "ts").alias("hour_start")
+        "user_id", hour_start.alias("hour_start")
     ).agg(
         F.count(F.lit(1)).alias("n_events"),
         F.sum(_dec("value")).alias("sv"),
