@@ -64,3 +64,41 @@ def test_published_envelope(spark):
     assert {r.detail_type for r in rows} == {"dynamo.item.changed"}
     detail = json.loads(rows[0].detail)
     assert "attributesChanged" in detail and "operation" in detail
+
+
+def test_source_format_round_trips(spark, tmp_path):
+    """§2B file sources: the engine's tables survive CSV, JSON, and ORC
+    round trips with schema-preserving reads (header/schema options for
+    the text formats), so corpus ingestion is not parquet-bound."""
+    from cdk_dynamodb_cdc_spark.sources.tables import load_table
+
+    li = (
+        load_table(spark, "/root/testdata/sf0.001", "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+        .limit(500)
+    )
+    want = {
+        (r.l_orderkey, r.l_linenumber, float(r.l_quantity), r.l_returnflag)
+        for r in li.collect()
+    }
+    schema = li.schema
+
+    p = str(tmp_path / "csv")
+    li.write.option("header", True).csv(p)
+    got_csv = spark.read.option("header", True).schema(schema).csv(p)
+
+    q = str(tmp_path / "json")
+    li.write.json(q)
+    got_json = spark.read.schema(schema).json(q)
+
+    o = str(tmp_path / "orc")
+    li.write.orc(o)
+    got_orc = spark.read.orc(o)
+
+    for got in (got_csv, got_json, got_orc):
+        assert got.schema == schema
+        rows = {
+            (r.l_orderkey, r.l_linenumber, float(r.l_quantity), r.l_returnflag)
+            for r in got.collect()
+        }
+        assert rows == want
