@@ -409,13 +409,16 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
                 )
             ).alias("c")
         )
-        .select("c.doc_a", "c.doc_b")
+        .select("c.doc_a", "c.doc_b", "c.na", "c.nb")
         .distinct()
     )
+    # Verify needs only the intersection: |A∪B| = |A| + |B| - |A∩B|
+    # from the set sizes already riding the candidates — no
+    # array_union evaluation per pair.
     sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("sa"))
     sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("sb"))
     n_common = F.size(F.array_intersect("sa", "sb"))
-    n_union = F.size(F.array_union("sa", "sb"))
+    n_union = F.col("na") + F.col("nb") - n_common
     jaccard = n_common.cast("double") / n_union  # both sides non-empty
     return (
         cands.join(sa, "doc_a")
