@@ -11,7 +11,8 @@ Two families, both standard pretraining-curation filters:
 
 * Cross-document boilerplate (the C4 line-dedup rule — Raffel et al.,
   JMLR 2020, §2.2 — lifted from lines to word k-grams, since the test
-  corpus has no newlines): a k-gram appearing in >= min_docs distinct
+  corpus has no newlines; k=4 keeps the rule selective while flagging
+  a meaningful corpus slice at test scale): a k-gram appearing in >= min_docs distinct
   documents is boilerplate; each document reports what fraction of its
   distinct k-grams are boilerplate. Shape: one document-frequency
   aggregation keyed by the 60-bit gram hash (map-side partial agg),
@@ -28,7 +29,7 @@ from cdk_dynamodb_cdc_spark.llm.dedup import word_shingles
 from cdk_dynamodb_cdc_spark.llm.text import token_hash60
 
 REPETITION_GRAM_WORDS = 2
-BOILERPLATE_GRAM_WORDS = 5
+BOILERPLATE_GRAM_WORDS = 4
 BOILERPLATE_MIN_DOCS = 3
 
 

@@ -3368,7 +3368,7 @@ def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # Cross-document boilerplate (C4's line-frequency rule over word
-# 5-grams): per-doc fraction of distinct 5-grams appearing in >= 3
+# 4-grams): per-doc fraction of distinct 4-grams appearing in >= 3
 # documents corpus-wide. One gram-keyed DF aggregation + one join.
 # ---------------------------------------------------------------------------
 @query(
@@ -3376,9 +3376,9 @@ def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
     sh AS (SELECT doc_id,
-                  list_distinct(list_transform(range(1, len(ws) - 3),
+                  list_distinct(list_transform(range(1, len(ws) - 2),
                       i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
-                           || ' ' || ws[i+3] || ' ' || ws[i+4])) AS gs
+                           || ' ' || ws[i+3])) AS gs
            FROM w),
     posts AS (SELECT doc_id, unnest(gs) AS g FROM sh),
     boiler AS (SELECT g FROM posts GROUP BY g HAVING COUNT(*) >= 3),
