@@ -204,7 +204,8 @@ def minhash_near_dup_pairs(docs: DataFrame, threshold: float = 0.8) -> DataFrame
     sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("sa"))
     sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("sb"))
     n_common = F.size(F.array_intersect("sa", "sb"))
-    n_union = F.size(F.array_union("sa", "sb"))
+    # |A∪B| from sizes — no per-pair merged-array build
+    n_union = F.size("sa") + F.size("sb") - n_common
     # two sub-k-token docs have EMPTY shingle sets (identical minhash
     # signatures, so they do become candidates): Jaccard is 0, not 0/0
     # (ANSI mode raises on the bare division)
