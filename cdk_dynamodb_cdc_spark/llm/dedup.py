@@ -487,19 +487,17 @@ def connected_components(
     prev_sum = labels.agg(F.sum("label")).first()[0]
 
     for _ in range(max_iterations):
-        nbr_min = (
-            edges.join(labels, edges.src == labels.node)
-            .groupBy(F.col("dst").alias("nbr_node"))
-            .agg(F.min("label").alias("nbr_label"))
+        # One shuffle per round: neighbor contributions (each edge
+        # forwards its source's label to its destination) unioned with
+        # the nodes' own labels, minimized in a single keyed
+        # aggregation — no separate left join back onto labels.
+        contrib = edges.join(labels, edges.src == labels.node).select(
+            F.col("dst").alias("node"), "label"
         )
         labels = (
-            labels.join(nbr_min, labels.node == nbr_min.nbr_node, "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
-                ).alias("label"),
-            )
+            contrib.unionByName(labels.select("node", "label"))
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
             .localCheckpoint(eager=True)
         )
         new_sum = labels.agg(F.sum("label")).first()[0]
