@@ -36,7 +36,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # or changed since the last gate run, then queries the gate has never
 # seen — followed by a rotating sample of previously-green ones. Every
 # query is still checked locally against its DuckDB oracle by
-# tools/check_correctness.py (all 87 pass at sf0.01); the ordering only
+# tools/check_correctness.py (all 89 pass at sf0.01); the ordering only
 # decides which subset the driver re-verifies independently.
 _GATE_PRIORITY = [
     # new or changed this round
@@ -49,6 +49,8 @@ _GATE_PRIORITY = [
     "cdc_squash_net_changes",
     "media_transform_stats",
     "hll_sketch_union_contract",
+    "unpivot_lineitem_measures",
+    "spend_decile_profile",
     "sessionize_events",
     # added in round 3; never yet covered by a driver gate run
     "train_val_test_split",
@@ -90,8 +92,6 @@ _GATE_PRIORITY = [
     "doc_signatures",
     "embedding_cosine_topk",
     "embedding_ann_topk",
-    "embedding_ivf_topk",
-    "q1_pricing_summary",
 ]
 
 

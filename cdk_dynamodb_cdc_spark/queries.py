@@ -3780,3 +3780,88 @@ def hll_sketch_union_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("within_bound"),
     )
     return groups.unionByName(glob)
+
+
+# ---------------------------------------------------------------------------
+# UNPIVOT / melt (stack): wide aggregate -> long (measure, value) rows,
+# the standard reshape before per-metric processing. stack() is
+# evaluated in the same projection as the aggregate — no extra shuffle.
+# ---------------------------------------------------------------------------
+@query(
+    "unpivot_lineitem_measures",
+    oracle="""
+    WITH a AS (
+      SELECT l_returnflag,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+               AS sum_base_price
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, 'sum_qty' AS measure, sum_qty AS value FROM a
+    UNION ALL
+    SELECT l_returnflag, 'sum_base_price' AS measure, sum_base_price FROM a
+    """,
+)
+def unpivot_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_returnflag").agg(
+        F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+        F.sum(_dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+    )
+    return agg.selectExpr(
+        "l_returnflag",
+        "stack(2, 'sum_qty', sum_qty, 'sum_base_price', sum_base_price) "
+        "AS (measure, value)",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Decile profile WITHOUT a global sort: a windowless NTILE. A bare
+# `ntile(10) OVER (ORDER BY ...)` collapses the whole table into ONE
+# task (empty-partition window = single-partition sort) — the classic
+# global-ranking scale trap. Instead: exact decile boundaries from one
+# aggregation (bit-identical across engines, like
+# percentile_order_values), broadcast them, assign each row its bucket
+# by comparison — two scans, zero global sort, fully parallel at any
+# corpus size. Ties sit on boundary values and are assigned by the
+# same strict-inequality rule in both engines.
+# ---------------------------------------------------------------------------
+@query(
+    "spend_decile_profile",
+    oracle="""
+    WITH spend AS (
+      SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS s
+      FROM orders GROUP BY o_custkey
+    ), b AS (
+      SELECT quantile_cont(s, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS qs
+      FROM spend
+    ), assigned AS (
+      SELECT s, 1 + len(list_filter((SELECT qs FROM b), q -> s > q))
+               AS decile
+      FROM spend
+    )
+    SELECT CAST(decile AS INT) AS decile,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(s) AS DOUBLE) AS total_spend
+    FROM assigned GROUP BY decile
+    """,
+)
+def spend_decile_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = load_table(spark, sf_dir, "orders")
+    spend = od.groupBy("o_custkey").agg(
+        F.sum(_dec("o_totalprice")).alias("s")
+    )
+    qs = ", ".join(str(q / 10) + "D" for q in range(1, 10))
+    bounds = spend.agg(
+        F.expr(f"percentile(s, array({qs}))").alias("qs")
+    )
+    assigned = spend.crossJoin(F.broadcast(bounds)).select(
+        "s",
+        (
+            1 + F.size(F.filter("qs", lambda q: F.col("s") > q))
+        ).alias("decile"),
+    )
+    return assigned.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("s").cast("double").alias("total_spend"),
+    )
