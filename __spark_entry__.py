@@ -36,7 +36,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # or changed since the last gate run, then queries the gate has never
 # seen — followed by a rotating sample of previously-green ones. Every
 # query is still checked locally against its DuckDB oracle by
-# tools/check_correctness.py (all 89 pass at sf0.01); the ordering only
+# tools/check_correctness.py (all 90 pass at sf0.01); the ordering only
 # decides which subset the driver re-verifies independently.
 _GATE_PRIORITY = [
     # new or changed this round
@@ -51,6 +51,7 @@ _GATE_PRIORITY = [
     "hll_sketch_union_contract",
     "unpivot_lineitem_measures",
     "spend_decile_profile",
+    "array_function_suite",
     "sessionize_events",
     # added in round 3; never yet covered by a driver gate run
     "train_val_test_split",
@@ -91,7 +92,6 @@ _GATE_PRIORITY = [
     "near_dup_simhash_pairs",
     "doc_signatures",
     "embedding_cosine_topk",
-    "embedding_ann_topk",
 ]
 
 

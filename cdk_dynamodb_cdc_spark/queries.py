@@ -3865,3 +3865,49 @@ def spend_decile_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_customers"),
         F.sum("s").cast("double").alias("total_spend"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Array higher-order functions (§2B scalar surface): transform /
+# filter / aggregate / slice / contains / position over the token
+# arrays, all JVM-side in one projection, each with an exact DuckDB
+# list-function twin. Complements scalar_function_suite (strings /
+# dates / math / conditionals).
+# ---------------------------------------------------------------------------
+@query(
+    "array_function_suite",
+    oracle="""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+    SELECT doc_id,
+           CAST(len(ws) AS INT) AS n_tokens,
+           array_to_string(ws[1:3], ' ') AS first3,
+           CAST(len(list_filter(ws, x -> len(x) > 4)) AS INT) AS n_long,
+           list_contains(ws, 'table') AS has_table,
+           list_min(ws) AS min_token,
+           CAST(list_max(list_transform(ws, x -> len(x))) AS INT)
+             AS longest_len,
+           CAST(list_sum(list_transform(ws, x -> len(x))) AS BIGINT)
+             AS total_chars,
+           CAST(COALESCE(list_position(ws, 'value'), 0) AS INT)
+             AS first_value_pos
+    FROM w
+    """,
+)
+def array_function_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    ws = F.split(F.col("text"), " ")
+    return docs.select(
+        "doc_id",
+        F.size(ws).alias("n_tokens"),
+        F.array_join(F.slice(ws, 1, 3), " ").alias("first3"),
+        F.size(F.filter(ws, lambda x: F.length(x) > 4)).alias("n_long"),
+        F.array_contains(ws, "table").alias("has_table"),
+        F.array_min(ws).alias("min_token"),
+        F.array_max(F.transform(ws, F.length)).alias("longest_len"),
+        F.aggregate(
+            F.transform(ws, F.length),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("total_chars"),
+        F.array_position(ws, "value").cast("int").alias("first_value_pos"),
+    )
