@@ -36,7 +36,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # or changed since the last gate run, then queries the gate has never
 # seen — followed by a rotating sample of previously-green ones. Every
 # query is still checked locally against its DuckDB oracle by
-# tools/check_correctness.py (all 90 pass at sf0.01); the ordering only
+# tools/check_correctness.py (all 92 pass at sf0.01); the ordering only
 # decides which subset the driver re-verifies independently.
 _GATE_PRIORITY = [
     # new or changed this round
@@ -52,6 +52,8 @@ _GATE_PRIORITY = [
     "unpivot_lineitem_measures",
     "spend_decile_profile",
     "array_function_suite",
+    "mad_outlier_stats",
+    "event_transition_matrix",
     "sessionize_events",
     # added in round 3; never yet covered by a driver gate run
     "train_val_test_split",
@@ -90,8 +92,6 @@ _GATE_PRIORITY = [
     "dedup_exact_groups",
     "near_dup_minhash_pairs",
     "near_dup_simhash_pairs",
-    "doc_signatures",
-    "embedding_cosine_topk",
 ]
 
 
