@@ -36,7 +36,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # or changed since the last gate run, then queries the gate has never
 # seen — followed by a rotating sample of previously-green ones. Every
 # query is still checked locally against its DuckDB oracle by
-# tools/check_correctness.py (all 92 pass at sf0.01); the ordering only
+# tools/check_correctness.py (all 93 pass at sf0.01); the ordering only
 # decides which subset the driver re-verifies independently.
 _GATE_PRIORITY = [
     # new or changed this round
@@ -54,6 +54,7 @@ _GATE_PRIORITY = [
     "array_function_suite",
     "mad_outlier_stats",
     "event_transition_matrix",
+    "weekly_retention_cohorts",
     "sessionize_events",
     # added in round 3; never yet covered by a driver gate run
     "train_val_test_split",
@@ -91,7 +92,6 @@ _GATE_PRIORITY = [
     "cdc_change_stats_reconstructed",
     "dedup_exact_groups",
     "near_dup_minhash_pairs",
-    "near_dup_simhash_pairs",
 ]
 
 

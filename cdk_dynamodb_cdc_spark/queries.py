@@ -4001,3 +4001,52 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("from_type", "to_type")
         .agg(F.count(F.lit(1)).alias("n_transitions"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Retention cohorts: users grouped by first-seen week, distinct-active
+# counts per week offset — the standard cohort/retention triangle. Two
+# aggregations (first-seen per user, then distinct users per cohort x
+# offset cell); week arithmetic is integer day-diff from a fixed
+# epoch, timezone-free on NTZ timestamps.
+# ---------------------------------------------------------------------------
+@query(
+    "weekly_retention_cohorts",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id,
+             MIN(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) // 7)
+               AS cohort_week
+      FROM events GROUP BY user_id
+    ), activity AS (
+      SELECT DISTINCT e.user_id, f.cohort_week,
+             date_diff('day', DATE '2024-01-01', CAST(e.ts AS DATE)) // 7
+               - f.cohort_week AS week_offset
+      FROM events e JOIN firsts f ON e.user_id = f.user_id
+    )
+    SELECT CAST(cohort_week AS INT) AS cohort_week,
+           CAST(week_offset AS INT) AS week_offset,
+           CAST(COUNT(*) AS BIGINT) AS n_active_users
+    FROM activity GROUP BY cohort_week, week_offset
+    """,
+)
+def weekly_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    week = (
+        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date"))
+        / 7
+    ).cast("int")  # floor: datediff >= 0 for this corpus
+    weeks = ev.select("user_id", week.alias("w"))
+    firsts = weeks.groupBy("user_id").agg(F.min("w").alias("cohort_week"))
+    activity = (
+        weeks.join(firsts, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            (F.col("w") - F.col("cohort_week")).alias("week_offset"),
+        )
+        .distinct()
+    )
+    return activity.groupBy("cohort_week", "week_offset").agg(
+        F.count(F.lit(1)).alias("n_active_users")
+    )
