@@ -67,11 +67,17 @@ def main() -> int:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "queries_timed": len(timings),
+        "queries_registered": len(entrymod.queries()),
         "runs_per_query": runs_per_query,
         "sf": sf,
     }
     if errors:
+        # A broken query contributes NO time, so `value` is not
+        # comparable with error-free rounds — flag that loudly rather
+        # than letting a regression read as a speedup.
         out["errors"] = errors
+        out["value_incomparable_due_to_errors"] = True
     print(json.dumps(out))
     return 0
 

@@ -117,10 +117,15 @@ def boilerplate_gram_stats(
     (0, 0, 0.0) rather than disappearing — a curation pipeline must
     not silently drop rows it could not score.
     """
+    # Materialize the hashed-gram table once: `posts` feeds BOTH the
+    # document-frequency aggregation and the join back, and Spark
+    # re-evaluates an unmaterialized subplan per consuming branch —
+    # the same measured-3x re-evaluation ngram_jaccard_pairs documents
+    # (llm/dedup.py). ~8 bytes per gram occurrence, no text.
     grams = docs.select(
         "doc_id",
         F.transform(word_shingles(F.col("text"), k), token_hash60).alias("gs"),
-    )
+    ).localCheckpoint(eager=True)
     posts = grams.select("doc_id", F.explode("gs").alias("g"))
     # df counts distinct docs per gram; postings are distinct-per-doc
     # already (word_shingles dedups), so a plain count equals the

@@ -146,6 +146,24 @@ def simhash_signatures(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id", simhash60(tokens(F.col("text"))).alias("sh"))
 
 
+def bucket_pair_expansion(ds, make_pair, pair_filter=None):
+    """C(n,2) expansion of a sorted bucket array as one Column: for
+    every i < j emit ``make_pair(ds[i], ds[j])``, optionally pruned
+    element-wise by ``pair_filter`` BEFORE the explode. The shared
+    combinatorics of every LSH/prefix bucket join in this module —
+    pairs are generated only within buckets, never across the corpus.
+    Wrap in ``F.explode(...)``; 1-based ``slice`` with a 0-based
+    lambda index makes the tail start at i+2."""
+
+    def pairs_for(x, i):
+        inner = F.transform(
+            F.slice(ds, i + 2, F.size(ds)), lambda y: make_pair(x, y)
+        )
+        return F.filter(inner, pair_filter) if pair_filter else inner
+
+    return F.explode(F.flatten(F.transform(ds, pairs_for)))
+
+
 def minhash_candidate_pairs(docs: DataFrame) -> DataFrame:
     """LSH candidate pairs (doc_a < doc_b) from banded minhash buckets."""
     sigs = minhash_signatures(docs)
@@ -177,16 +195,9 @@ def minhash_candidate_pairs(docs: DataFrame) -> DataFrame:
         .filter(F.size("ids") > 1)
     )
     pairs = buckets.select(
-        F.explode(
-            F.flatten(
-                F.transform(
-                    F.col("ids"),
-                    lambda x, i: F.transform(
-                        F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
-                        lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
-                    ),
-                )
-            )
+        bucket_pair_expansion(
+            F.col("ids"),
+            lambda x, y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
         ).alias("p")
     )
     return pairs.select("p.doc_a", "p.doc_b").distinct()
@@ -281,21 +292,14 @@ def simhash_near_dup_pairs(
         .filter(F.size("ds") > 1)
     )
     pairs = buckets.select(
-        F.explode(
-            F.flatten(
-                F.transform(
-                    F.col("ds"),
-                    lambda x, i: F.transform(
-                        F.slice(F.col("ds"), i + 2, F.size(F.col("ds"))),
-                        lambda y: F.struct(
-                            x["doc_id"].alias("doc_a"),
-                            y["doc_id"].alias("doc_b"),
-                            x["sh"].alias("sha"),
-                            y["sh"].alias("shb"),
-                        ),
-                    ),
-                )
-            )
+        bucket_pair_expansion(
+            F.col("ds"),
+            lambda x, y: F.struct(
+                x["doc_id"].alias("doc_a"),
+                y["doc_id"].alias("doc_b"),
+                x["sh"].alias("sha"),
+                y["sh"].alias("shb"),
+            ),
         ).alias("p")
     )
     hamming = F.bit_count(F.col("sha").bitwiseXOR(F.col("shb")))
@@ -388,26 +392,16 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
     # pairs outside the size ratio never reach the candidate set.
     cands = (
         buckets.select(
-            F.explode(
-                F.flatten(
-                    F.transform(
-                        F.col("ds"),
-                        lambda x, i: F.filter(
-                            F.transform(
-                                F.slice(F.col("ds"), i + 2, F.size(F.col("ds"))),
-                                lambda y: F.struct(
-                                    x["doc_id"].alias("doc_a"),
-                                    y["doc_id"].alias("doc_b"),
-                                    x["n"].alias("na"),
-                                    y["n"].alias("nb"),
-                                ),
-                            ),
-                            lambda s: F.least(s["na"], s["nb"]).cast("double")
-                            >= F.lit(threshold)
-                            * F.greatest(s["na"], s["nb"]),
-                        ),
-                    )
-                )
+            bucket_pair_expansion(
+                F.col("ds"),
+                lambda x, y: F.struct(
+                    x["doc_id"].alias("doc_a"),
+                    y["doc_id"].alias("doc_b"),
+                    x["n"].alias("na"),
+                    y["n"].alias("nb"),
+                ),
+                pair_filter=lambda s: F.least(s["na"], s["nb"]).cast("double")
+                >= F.lit(threshold) * F.greatest(s["na"], s["nb"]),
             ).alias("c")
         )
         .select("c.doc_a", "c.doc_b", "c.na", "c.nb")

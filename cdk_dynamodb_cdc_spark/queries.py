@@ -4032,10 +4032,11 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def weekly_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    week = (
+    week = F.floor(
         F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date"))
         / 7
-    ).cast("int")  # floor: datediff >= 0 for this corpus
+    ).cast("int")  # floor (not int-cast truncation) so pre-epoch
+    # timestamps keep parity with the oracle's // floor division
     weeks = ev.select("user_id", week.alias("w"))
     firsts = weeks.groupBy("user_id").agg(F.min("w").alias("cohort_week"))
     activity = (

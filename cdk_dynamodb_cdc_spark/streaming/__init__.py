@@ -3,6 +3,7 @@ from cdk_dynamodb_cdc_spark.streaming.stream import (  # noqa: F401
     interval_join_streams,
     maintain_snapshot_stream,
     read_cdc_stream,
+    read_snapshot_store,
     run_cdc_stream,
     windowed_change_counts,
 )

@@ -41,8 +41,11 @@ state size is bounded by (keys active within the watermark horizon).
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.errors import AnalysisException
 
 from cdk_dynamodb_cdc_spark.operators.claim_check import write_side_store
 from cdk_dynamodb_cdc_spark.operators.pipeline import cdc_change_events
@@ -128,17 +131,13 @@ def run_cdc_stream(
                 batch_df, side_store_path, claim_check_threshold,
                 batch_id=batch_id,
             )
-        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        try:
+        with _dynamic_partition_overwrite(spark):
             (
                 events.withColumn("batch_id", F.lit(batch_id))
                 .write.mode("overwrite")
                 .partitionBy("batch_id")
                 .parquet(sink_path)
             )
-        finally:
-            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 
     writer = (
         records.writeStream.foreachBatch(process_batch)
@@ -219,6 +218,27 @@ def interval_join_streams(
     return lw.join(rw, cond, "inner")
 
 
+@contextmanager
+def _dynamic_partition_overwrite(spark: SparkSession):
+    """Scoped spark.sql.sources.partitionOverwriteMode=dynamic (shared
+    by every partition-overwrite sink in this module)."""
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
+def read_snapshot_store(spark: SparkSession, state_path: str) -> DataFrame:
+    """Live rows of a :func:`maintain_snapshot_stream` store (filters
+    the physical REMOVE tombstones the writer retains so that
+    delete-only bucket rewrites stay non-empty)."""
+    return spark.read.parquet(state_path).filter(
+        F.col("operation") != "REMOVE"
+    )
+
+
 def maintain_snapshot_stream(
     records: DataFrame,
     *,
@@ -230,7 +250,8 @@ def maintain_snapshot_stream(
 ):
     """Materialized-table maintenance: keep a queryable parquet snapshot
     of the item table continuously up to date from the change stream —
-    the consumer-side complement of operators/compaction.py.
+    the consumer-side complement of operators/compaction.py. Read the
+    live state back with :func:`read_snapshot_store`.
 
     Per micro-batch:
 
@@ -240,7 +261,16 @@ def maintain_snapshot_stream(
          by `bucket = pmod(hash(pk), buckets)`; the batch writes, with
          DYNAMIC partition overwrite, only the buckets it touches —
          each rewritten bucket holds its previous keys (minus updated
-         and REMOVEd ones) plus the batch's live winners.
+         keys) plus ALL of the batch's winners, REMOVE winners
+         included as physical tombstone rows (Kafka-compaction style).
+         Tombstones are what make pure deletions durable: dynamic
+         overwrite cannot write an EMPTY partition, so a bucket whose
+         net change is "delete the last key" would otherwise never be
+         rewritten and the stale row would survive. A tombstone is
+         dropped for good once a later batch rewrites its bucket
+         without that key arriving again... it is carried in `keep`
+         like any state row until its key is next updated, bounding
+         tombstone count by deleted-key count per bucket.
 
     Exactly-once: replaying a batch recomputes the identical bucket
     contents (winners are keyed by seq, unaffected by replay) and
@@ -271,7 +301,14 @@ def maintain_snapshot_stream(
         try:
             state = spark.read.parquet(state_path)
             have_state = True
-        except Exception:  # first batch: no store yet
+        except AnalysisException as exc:
+            # ONLY a missing store means "first batch". Any other read
+            # failure (corrupt footer, transient FS error) must abort
+            # the batch — treating it as first-batch would rewrite
+            # touched buckets with fresh winners alone, silently
+            # deleting every previously stored key in them.
+            if "PATH_NOT_FOUND" not in str(exc):
+                raise
             have_state = False
         if have_state:
             touched = fresh.select("bucket").distinct()
@@ -283,23 +320,15 @@ def maintain_snapshot_stream(
                     "left_anti",
                 )
             )
-            out = keep.unionByName(
-                fresh.filter(F.col("operation") != "REMOVE")
-            )
+            out = keep.unionByName(fresh)
         else:
-            out = fresh.filter(F.col("operation") != "REMOVE")
-        prev = spark.conf.get(
-            "spark.sql.sources.partitionOverwriteMode", "static"
-        )
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        try:
+            out = fresh
+        with _dynamic_partition_overwrite(spark):
             (
                 out.write.mode("overwrite")
                 .partitionBy("bucket")
                 .parquet(state_path)
             )
-        finally:
-            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 
     writer = records.writeStream.foreachBatch(process_batch).option(
         "checkpointLocation", checkpoint_path

@@ -75,7 +75,8 @@ def test_source_format_round_trips(spark, tmp_path):
     li = (
         load_table(spark, "/root/testdata/sf0.001", "lineitem")
         .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
-        .limit(500)
+        .orderBy("l_orderkey", "l_linenumber")  # limit is re-executed
+        .limit(500)                             # per action: pin the subset
     )
     want = {
         (r.l_orderkey, r.l_linenumber, float(r.l_quantity), r.l_returnflag)

@@ -371,8 +371,10 @@ def test_snapshot_store_upserts_and_deletes_across_batches(spark, tmp_path):
     import json as _json
 
     from cdk_dynamodb_cdc_spark.operators.compaction import snapshot_at
-    from cdk_dynamodb_cdc_spark.sources.fixtures import cdc_fixture_df
-    from cdk_dynamodb_cdc_spark.streaming import maintain_snapshot_stream
+    from cdk_dynamodb_cdc_spark.streaming import (
+        maintain_snapshot_stream,
+        read_snapshot_store,
+    )
 
     def img(v):
         return _json.dumps({"v": {"N": str(v)}})
@@ -400,7 +402,7 @@ def test_snapshot_store_upserts_and_deletes_across_batches(spark, tmp_path):
             stream, state_path=state, checkpoint_path=ckpt, buckets=4
         )
     )
-    mid = {r.pk: r.image for r in spark.read.parquet(state).collect()}
+    mid = {r.pk: r.image for r in read_snapshot_store(spark, state).collect()}
     assert set(mid) == {"A", "B", "C"} and '"1"' in mid["A"]
 
     _write_records_file(src / "b1.json", batch1)
@@ -410,7 +412,7 @@ def test_snapshot_store_upserts_and_deletes_across_batches(spark, tmp_path):
             stream2, state_path=state, checkpoint_path=ckpt, buckets=4
         )
     )
-    final = {r.pk: r.image for r in spark.read.parquet(state).collect()}
+    final = {r.pk: r.image for r in read_snapshot_store(spark, state).collect()}
     assert set(final) == {"A", "C", "D"}          # B deleted, C untouched
     assert '"10"' in final["A"] and '"3"' in final["C"]
 
@@ -420,3 +422,52 @@ def test_snapshot_store_upserts_and_deletes_across_batches(spark, tmp_path):
         r.pk: r.image for r in snapshot_at(full, key_cols=("pk", "sk")).collect()
     }
     assert {k: v for k, v in final.items()} == want
+
+
+def test_snapshot_store_delete_only_bucket_purges_key(spark, tmp_path):
+    """Regression: a batch whose net effect on a bucket is deleting its
+    LAST key must still make the deletion durable. Dynamic partition
+    overwrite cannot write an empty partition, so the store keeps a
+    REMOVE tombstone row — and the reader must hide it."""
+    import json as _json
+
+    from cdk_dynamodb_cdc_spark.streaming import (
+        maintain_snapshot_stream,
+        read_snapshot_store,
+    )
+
+    def img(v):
+        return _json.dumps({"v": {"N": str(v)}})
+
+    t0 = datetime.datetime(2024, 1, 1, tzinfo=UTC)
+    src = tmp_path / "src"
+    src.mkdir()
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+
+    _write_records_file(
+        src / "b0.json", [("s1", 1, t0, "INSERT", "A", "S", None, img(1), 512)]
+    )
+    stream = read_cdc_stream(spark, str(src), starting_position="trim_horizon")
+    _run_until_done(
+        maintain_snapshot_stream(
+            stream, state_path=state, checkpoint_path=ckpt, buckets=1
+        )
+    )
+    assert {r.pk for r in read_snapshot_store(spark, state).collect()} == {"A"}
+
+    # the only record of the only bucket is a REMOVE
+    _write_records_file(
+        src / "b1.json", [("s2", 2, t0, "REMOVE", "A", "S", img(1), None, 512)]
+    )
+    stream2 = read_cdc_stream(spark, str(src), starting_position="trim_horizon")
+    _run_until_done(
+        maintain_snapshot_stream(
+            stream2, state_path=state, checkpoint_path=ckpt, buckets=1
+        )
+    )
+    assert read_snapshot_store(spark, state).count() == 0
+    # the tombstone is physically present (that's what made the
+    # deletion durable), just hidden by the reader
+    raw = spark.read.parquet(state).collect()
+    assert [r.operation for r in raw] == ["REMOVE"]
