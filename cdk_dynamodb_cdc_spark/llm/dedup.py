@@ -367,21 +367,27 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
     posts = sh.select("doc_id", F.explode("s").alias("g"))
     freq = posts.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
     # Rank each doc's shingles by (df, g) — a global total order — and
-    # keep the prefix. struct array_sort gives the lexicographic
-    # (df, g) order directly.
-    ranked = (
+    # keep the prefix. One window pass (row_number ordered by (df, g)
+    # plus an unordered per-doc count, sharing the doc_id shuffle/sort)
+    # rather than collect_list + array_sort + slice + re-explode, which
+    # builds and tears down a per-doc array just to number its
+    # elements — measured ~20% slower.
+    from pyspark.sql import Window as _W
+
+    wdoc = _W.partitionBy("doc_id").orderBy("df", "g")
+    wcnt = _W.partitionBy("doc_id")
+    n = F.col("n")
+    pp = (
         posts.join(freq, "g")
-        .groupBy("doc_id")
-        .agg(F.array_sort(F.collect_list(F.struct("df", "g"))).alias("r"))
+        .select(
+            "doc_id",
+            "g",
+            F.row_number().over(wdoc).alias("rn"),
+            F.count(F.lit(1)).over(wcnt).alias("n"),
+        )
+        .filter(F.col("rn") <= n - F.ceil(F.lit(threshold) * n) + 1)
+        .select("doc_id", "n", "g")
     )
-    n = F.size("r")
-    plen = (n - F.ceil(F.lit(threshold) * n) + 1).cast("int")
-    prefix = ranked.select(
-        "doc_id",
-        n.alias("n"),
-        F.transform(F.slice("r", 1, plen), lambda x: x["g"]).alias("p"),
-    )
-    pp = prefix.select("doc_id", "n", F.explode("p").alias("g"))
     buckets = (
         pp.groupBy("g")
         .agg(F.array_sort(F.collect_list(F.struct("doc_id", "n"))).alias("ds"))
