@@ -1,6 +1,6 @@
 """Deduplication operators over the `documents` table (SURVEY.md §2C).
 
-Three tiers, each with the scale-correct shape:
+Five operators, each with the scale-correct shape:
 
 * exact      — hash-groupBy on md5(text): one shuffle on the digest,
                map-side partial agg. Never compares texts pairwise.
@@ -15,6 +15,13 @@ Three tiers, each with the scale-correct shape:
                (pigeonhole), so chunk-equality buckets find EXACTLY the
                pairs with distance <= 3 after the verify filter — no
                false negatives, deterministic, oracle-checkable.
+* n-gram     — EXACT similarity join at any Jaccard threshold via
+  Jaccard      prefix filtering (AllPairs/PPJoin): rarest-shingle
+               prefixes propose candidates, size-ratio pruning, exact
+               verify. See ngram_jaccard_pairs.
+* clustering — connected_components: distributed min-label propagation
+               turning any of the pair lists above into near-duplicate
+               clusters with canonical representatives.
 
 The MinHash signatures use xxhash64 (JVM, no DuckDB twin) — that's fine
 because LSH only proposes candidates; the verify step recomputes exact
