@@ -159,7 +159,7 @@ def bucket_pair_expansion(ds, make_pair, pair_filter=None):
     element-wise by ``pair_filter`` BEFORE the explode. The shared
     combinatorics of every LSH/prefix bucket join in this module —
     pairs are generated only within buckets, never across the corpus.
-    Wrap in ``F.explode(...)``; 1-based ``slice`` with a 0-based
+    Returns the exploded Column; 1-based ``slice`` with a 0-based
     lambda index makes the tail start at i+2."""
 
     def pairs_for(x, i):
