@@ -3833,10 +3833,12 @@ def unpivot_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS s
       FROM orders GROUP BY o_custkey
     ), b AS (
-      SELECT quantile_cont(s, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS qs
+      SELECT quantile_cont(CAST(s AS DOUBLE),
+                           [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS qs
       FROM spend
     ), assigned AS (
-      SELECT s, 1 + len(list_filter((SELECT qs FROM b), q -> s > q))
+      SELECT s, 1 + len(list_filter((SELECT qs FROM b),
+                                    q -> CAST(s AS DOUBLE) > q))
                AS decile
       FROM spend
     )
@@ -3852,13 +3854,21 @@ def spend_decile_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(_dec("o_totalprice")).alias("s")
     )
     qs = ", ".join(str(q / 10) + "D" for q in range(1, 10))
+    # Interpolate boundaries in DOUBLE in both engines: quantile_cont over
+    # a DECIMAL column returns DECIMAL (cent-rounded boundaries), which can
+    # flip the strict s > q assignment for spends within a cent of a
+    # boundary — so both sides cast to double BEFORE interpolating and
+    # comparing.
     bounds = spend.agg(
-        F.expr(f"percentile(s, array({qs}))").alias("qs")
+        F.expr(f"percentile(CAST(s AS DOUBLE), array({qs}))").alias("qs")
     )
     assigned = spend.crossJoin(F.broadcast(bounds)).select(
         "s",
         (
-            1 + F.size(F.filter("qs", lambda q: F.col("s") > q))
+            1
+            + F.size(
+                F.filter("qs", lambda q: F.col("s").cast("double") > q)
+            )
         ).alias("decile"),
     )
     return assigned.groupBy("decile").agg(
