@@ -199,6 +199,69 @@ def ann_cosine_topk(
     )
 
 
+def lsh_near_dup_pairs(
+    emb: DataFrame,
+    *,
+    dim: int,
+    threshold: float,
+    n_planes: int = ANN_PLANES,
+    max_hamming: int = ANN_MULTIPROBE_HAMMING,
+) -> DataFrame:
+    """Near-duplicate (vec_a, vec_b) pairs: exact cosine >= `threshold`
+    among sign-LSH candidate pairs (bucket signatures within Hamming
+    `max_hamming`).
+
+    This is the scale-safe embedding near-dup shape: candidate
+    generation is an EQUI-join on the (multiprobe-expanded) bucket id —
+    never an all-pairs cross join — and the exact cosine runs only on
+    candidates. The candidate restriction is part of the operator's
+    contract (an oracle replicates the identical plane literals and the
+    Hamming filter in SQL), so the output is deterministic, not
+    best-effort: `pair qualifies iff cos >= t AND hamming(sig) <= h`.
+
+    Recall/selectivity dial: a pair at angle theta flips each plane bit
+    independently with p = theta/pi, so P(candidate) =
+    sum_{k<=h} C(b,k) p^k (1-p)^(b-k). At the defaults (b=6, h<=2) that
+    is ~0.61 for cos 0.4 and >0.97 for cos >= 0.9 — real near-dup
+    corpora (high-cosine duplicates) sit on the right end; raise
+    `n_planes` to sharpen selectivity at high thresholds. The probe
+    expansion multiplies the left side by C(b,<=h) rows of narrow
+    (id, bucket, vec, nrm) tuples; buckets are uniform on random data,
+    so per-bucket candidate lists stay balanced.
+
+    Each qualifying pair is emitted exactly once: a vector has one
+    bucket, probe masks are distinct, and `vec_a < vec_b` keeps one
+    orientation.
+    """
+    planes = _hyperplanes(dim, n_planes)
+    base = _normed(emb)
+    sig = base.withColumn("bucket", _bucket_expr(F.col("v"), planes))
+    masks = _probe_masks(n_planes, max_hamming)
+    # Pin the bucket fold to one evaluation before the XOR references
+    # (same CollapseProject concern as ann_cosine_topk's probe side).
+    left = sig.repartition(F.col("vec_id")).select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("v").alias("va"),
+        F.col("nrm").alias("na"),
+        F.explode(
+            F.array(*[F.col("bucket").bitwiseXOR(F.lit(m)) for m in masks])
+        ).alias("bucket"),
+    )
+    right = sig.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"),
+        "bucket",
+    )
+    cos = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    return (
+        left.join(right, "bucket")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .filter(cos >= threshold)
+        .select("vec_a", "vec_b")
+    )
+
+
 def ivf_build(emb: DataFrame, *, nlist: int = IVF_NLIST) -> DataFrame:
     """Build the IVF-flat index: (vec_id, v, nrm, cell).
 

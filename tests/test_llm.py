@@ -109,6 +109,38 @@ def test_ann_recall_floor_vs_brute_force(spark):
     assert len(bf & ann) / len(bf) >= 0.40
 
 
+def test_lsh_near_dup_pairs_matches_numpy_contract(spark):
+    """lsh_near_dup_pairs == {pairs with cos >= t AND sig-Hamming <= h},
+    computed independently in numpy with the same seeded hyperplanes —
+    pins both the exact-verify step and the exactly-once-per-pair
+    property of the multiprobe expansion."""
+    import numpy as np
+
+    emb = load_table(spark, SF_DIR, "embeddings").filter(F.col("vec_id") < 200)
+    rows = sorted(emb.select("vec_id", "embedding").collect())
+    ids = [r.vec_id for r in rows]
+    V = np.array([r.embedding for r in rows], dtype=np.float64)
+    planes = np.array(vectors._hyperplanes(V.shape[1], vectors.ANN_PLANES))
+    bits = (V @ planes.T) >= 0
+    nrm = np.linalg.norm(V, axis=1)
+    C = (V @ V.T) / np.outer(nrm, nrm)
+    expected = {
+        (ids[i], ids[j])
+        for i in range(len(ids))
+        for j in range(i + 1, len(ids))
+        if (bits[i] != bits[j]).sum() <= vectors.ANN_MULTIPROBE_HAMMING
+        and C[i, j] >= 0.35
+    }
+    got = [
+        (r.vec_a, r.vec_b)
+        for r in vectors.lsh_near_dup_pairs(
+            emb, dim=V.shape[1], threshold=0.35
+        ).collect()
+    ]
+    assert len(got) == len(set(got))  # each pair exactly once
+    assert set(got) == expected and expected
+
+
 def test_ivf_recall_floor_vs_brute_force(spark):
     emb = load_table(spark, SF_DIR, "embeddings")
     qids = [0, 1, 2, 3, 4]
