@@ -16,14 +16,17 @@ Two paths:
   recall floor is pinned both by a pytest against the brute-force path
   and by the `embedding_ann_topk` recall-contract oracle.
 
-* :func:`ivf_cosine_topk` — approximate: IVF-flat with a deterministic
-  sampled-centroid coarse quantizer (the nlist lowest vec_ids — no
-  k-means iterations, so the cell assignment is reproducible across
-  engines and runs). Every vector lands in the cell of its
-  max-cosine centroid; each query probes its nprobe nearest cells and
-  scans only those (~nprobe/nlist of the corpus). Same scale shape as
-  the LSH path: centroids and probe lists broadcast, the corpus
-  streams map-side, only per-query top-k shuffles.
+* :func:`ivf_cosine_topk` — approximate: IVF-flat with a TRAINED
+  coarse quantizer (seeded sampled spherical k-means fit driver-side
+  on a bounded sample; deterministic — sorted sample, seeded init,
+  fixed Lloyd iterations — so cell assignment is reproducible across
+  runs and re-derivable from a persisted index). Every vector lands
+  in the cell of its max-cosine centroid; each query probes its
+  nprobe nearest cells and scans only those (~nprobe/nlist of the
+  corpus — a bound that holds only when cells are balanced, which is
+  what the training buys). Same scale shape as the LSH path:
+  centroids and probe lists broadcast, the corpus streams map-side,
+  only per-query top-k shuffles.
 
 Cost shape shared by both: vector norms are computed ONCE per row in
 the row's own projection (below the join), so each candidate pair costs
@@ -41,7 +44,14 @@ ANN_PLANES = 6
 ANN_MULTIPROBE_HAMMING = 2  # _probe_masks enumerates up to distance 2
 _PLANE_SEED = 42
 IVF_NLIST = 32
-IVF_NPROBE = 6
+# 10/32 probed cells: this corpus's near-random vectors are IVF's worst
+# case (true neighbor lists scatter across cells), and the per-round
+# regenerated gate data needs per-query recall@10 to clear the 0.3
+# contract floor with margin (measured min 0.4 at nprobe 8, so 10 buys
+# slack); clustered real embeddings support far smaller fractions.
+IVF_NPROBE = 10
+IVF_SAMPLE = 512  # rows collected for the driver-side codebook fit
+IVF_KMEANS_ITERS = 4
 
 
 def _dot(a, b):
@@ -262,15 +272,70 @@ def lsh_near_dup_pairs(
     )
 
 
+def _ivf_codebook(
+    vecs: DataFrame,
+    nlist: int,
+    sample_n: int = IVF_SAMPLE,
+    iters: int = IVF_KMEANS_ITERS,
+) -> list[list[float]]:
+    """Train the coarse quantizer: seeded spherical k-means over a
+    bounded sample, fit on the driver, codebook broadcast to the plan.
+
+    This is the standard IVF deployment shape (sampled offline fit +
+    broadcast codebook): the driver collects only `sample_n` rows —
+    a contractually bounded sample, like connected_components'
+    convergence scalar, never the corpus — and numpy runs a FIXED
+    number of Lloyd iterations. Determinism: the sample is the lowest
+    `sample_n` vec_ids in sorted order (partitioning-independent),
+    init is a seeded choice, and there is no convergence-dependent
+    control flow, so the same vector set always yields the same
+    codebook — which is what lets :func:`ivf_search` re-derive it from
+    a persisted index (the index carries the same (vec_id, v) rows).
+
+    Trained centroids matter for the probe-cost bound: arbitrary
+    (e.g. first-N) centroids give pathological cell balance on
+    clustered real embeddings — one cell can swallow half the corpus,
+    and then probing nprobe/nlist of the CELLS stops bounding the
+    fraction of the CORPUS scanned. Lloyd iterations equalize cell
+    mass (pytest pins max/mean cell population on the test corpus).
+
+    Empty clusters keep their previous centroid; centroids are unit
+    norm, so cosine against them is a plain dot with cn_cent = 1.
+    """
+    rows = vecs.select("vec_id", "v").orderBy("vec_id").limit(sample_n).collect()
+    X = np.array([r.v for r in rows], dtype=np.float64)
+    X = X / np.linalg.norm(X, axis=1, keepdims=True)
+    rng = np.random.default_rng(_PLANE_SEED)
+    k = min(nlist, len(X))
+    cents = X[rng.choice(len(X), size=k, replace=False)].copy()
+    for _ in range(iters):
+        assign = np.argmax(X @ cents.T, axis=1)
+        for c in range(k):
+            members = X[assign == c]
+            if len(members):
+                m = members.sum(axis=0)
+                n = float(np.linalg.norm(m))
+                if n > 0:
+                    cents[c] = m / n
+    return cents.tolist()
+
+
+def _ivf_centroid_df(spark, codebook: list[list[float]]) -> DataFrame:
+    """Broadcast-sized (cent_id, cv_cent, cn_cent) centroid relation;
+    centroids are unit norm by construction."""
+    return spark.createDataFrame(
+        [(i, [float(x) for x in c], 1.0) for i, c in enumerate(codebook)],
+        "cent_id int, cv_cent array<double>, cn_cent double",
+    )
+
+
 def ivf_build(emb: DataFrame, *, nlist: int = IVF_NLIST) -> DataFrame:
     """Build the IVF-flat index: (vec_id, v, nrm, cell).
 
-    Coarse quantizer: the `nlist` lowest-vec_id vectors act as
-    centroids (a deterministic sample — real deployments would train
-    k-means offline and broadcast the codebook the same way; sampled
-    centroids keep the operator reproducible across engines with zero
-    training iterations). Cell = argmax cosine against the broadcast
-    centroid set; ties go to the lowest centroid id.
+    Coarse quantizer: a trained codebook from :func:`_ivf_codebook`
+    (seeded sampled spherical k-means, fit driver-side, broadcast).
+    Cell = argmax cosine against the broadcast centroid set; ties go
+    to the lowest centroid id.
 
     Shuffle discipline: similarities are projected down to NARROW
     (vec_id, cent_id, sim) triples immediately after the broadcast
@@ -288,7 +353,7 @@ def ivf_build(emb: DataFrame, *, nlist: int = IVF_NLIST) -> DataFrame:
     form) re-scans the corpus — fine at test scale, wasteful at 100 TB.
     """
     base = _normed(emb)
-    cents = _ivf_centroids(base, nlist)
+    cents = _ivf_centroid_df(emb.sparkSession, _ivf_codebook(base, nlist))
     sims = _ivf_centroid_sims(base, cents)
     # max_by struct: highest sim, ties to the LOWEST cent_id
     assign = sims.groupBy("vec_id").agg(
@@ -298,18 +363,6 @@ def ivf_build(emb: DataFrame, *, nlist: int = IVF_NLIST) -> DataFrame:
         ).alias("cell")
     )
     return base.join(assign, "vec_id")
-
-
-def _ivf_centroids(base: DataFrame, nlist: int) -> DataFrame:
-    return (
-        base.orderBy("vec_id")
-        .limit(nlist)
-        .select(
-            F.col("vec_id").alias("cent_id"),
-            F.col("v").alias("cv_cent"),
-            F.col("nrm").alias("cn_cent"),
-        )
-    )
 
 
 def _ivf_centroid_sims(vectors: DataFrame, cents: DataFrame) -> DataFrame:
@@ -336,13 +389,14 @@ def ivf_search(
 
     Each query probes its `nprobe` max-cosine cells and scans only
     those (~nprobe/nlist of the corpus). The centroid set is recovered
-    from the index by the same deterministic rule used to build it
-    (lowest nlist vec_ids), so the index file is self-contained. The
+    by re-running the deterministic codebook fit on the index's own
+    (vec_id, v) rows — same sorted bounded sample, same seeded init,
+    same fixed iterations — so the index file is self-contained. The
     probe list broadcasts; stored cell-bucketed, the candidate join
     needs no shuffle of the corpus at all.
     """
     vecs = index.select("vec_id", "v", "nrm")
-    cents = _ivf_centroids(vecs, nlist)
+    cents = _ivf_centroid_df(index.sparkSession, _ivf_codebook(vecs, nlist))
     q = vecs.filter(F.col("vec_id").isin(query_ids))
     qsims = _ivf_centroid_sims(q, cents)
     w_probe = Window.partitionBy("vec_id").orderBy(

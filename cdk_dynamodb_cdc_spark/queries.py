@@ -945,9 +945,11 @@ def embedding_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # IVF-flat ANN (the second approximate path besides sign-LSH): same
 # recall-contract oracle shape as embedding_ann_topk. Floor 0.3 —
-# measured per-query recall@10 at defaults is {0.4..1.0} at sf0.01 and
-# {0.9..1.0} at sf0.1, and the operator is fully deterministic
-# (sampled centroids, exact cosine, unique tiebreakers).
+# measured per-query recall@10 at defaults (trained codebook,
+# nprobe=10) is {0.4..0.8} at sf0.01, and the operator is fully
+# deterministic (seeded k-means codebook, exact cosine, unique
+# tiebreakers). Near-random corpus vectors are IVF's worst case; the
+# floor is the contract, nprobe the dial.
 # ---------------------------------------------------------------------------
 _IVF_RECALL_FLOOR = 0.3
 

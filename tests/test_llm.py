@@ -223,6 +223,38 @@ def test_short_docs_have_no_shingles_and_no_phantom_pairs(spark):
     assert pairs == []
 
 
+def test_ivf_trained_cells_are_balanced(spark):
+    """The trained codebook must keep cell populations balanced — the
+    nprobe/nlist probe-cost bound only holds when no cell swallows the
+    corpus. Pin max/mean cell population on the sf0.01 corpus."""
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    sizes = [
+        r.n
+        for r in vectors.ivf_build(emb)
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    ]
+    n_vecs = sum(sizes)
+    mean = n_vecs / vectors.IVF_NLIST
+    assert len(sizes) >= vectors.IVF_NLIST * 0.8  # few empty cells
+    assert max(sizes) <= 4 * mean
+
+
+def test_ivf_codebook_deterministic_and_unit_norm(spark):
+    import numpy as np
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    base = vectors._normed(emb)
+    cb1 = vectors._ivf_codebook(base, vectors.IVF_NLIST)
+    cb2 = vectors._ivf_codebook(
+        base.repartition(7), vectors.IVF_NLIST
+    )  # partitioning-independent
+    assert cb1 == cb2
+    nrms = np.linalg.norm(np.array(cb1), axis=1)
+    assert np.allclose(nrms, 1.0)
+
+
 def test_ivf_index_persist_and_search_matches_direct(spark, tmp_path):
     """ivf_build -> write bucketed by cell -> read back -> ivf_search
     must equal the single-plan ivf_cosine_topk, and the stored-index
