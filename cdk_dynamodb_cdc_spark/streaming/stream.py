@@ -10,6 +10,10 @@ view at `dynamo.ts:69`). This module is the Spark-native equivalent:
                           (A1; `latest` start maps to processing only
                           files arriving after stream start, `trim_horizon`
                           to reading the backlog)
+    initialize_latest_checkpoint — commit the backlog into a fresh
+                          checkpoint without reading it (zero-scan
+                          `latest` start; read_cdc_stream calls it on
+                          first subscription when given the checkpoint)
     run_cdc_stream      — the batch-tested `cdc_change_events` transform
                           applied per micro-batch via `foreachBatch`,
                           with the claim-check side write and an
@@ -52,45 +56,87 @@ from cdk_dynamodb_cdc_spark.operators.pipeline import cdc_change_events
 from cdk_dynamodb_cdc_spark.schemas import CDC_RECORD_SCHEMA, CLAIM_CHECK_THRESHOLD
 
 
+def initialize_latest_checkpoint(
+    spark: SparkSession, source_path: str, checkpoint_path: str
+) -> None:
+    """Commit the current backlog of `source_path` into
+    `checkpoint_path` WITHOUT reading a byte of it.
+
+    One `availableNow` pass whose foreachBatch does nothing: the file
+    source lists the backlog and writes its offsets/commit logs, but no
+    action ever touches the batch DataFrame, so zero Spark jobs run and
+    hence zero rows are scanned (pytest pins this via the status
+    tracker). A streaming query started afterwards on the SAME
+    checkpoint resumes past the backlog at source level — `latest`
+    semantics at zero backlog-scan cost, the shape a 100 TB backlog
+    needs (the listing itself is one metadata pass, same as any
+    subscription).
+    """
+    records = spark.readStream.schema(CDC_RECORD_SCHEMA).json(source_path)
+    q = (
+        records.writeStream.foreachBatch(lambda df, batch_id: None)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def read_cdc_stream(
     spark: SparkSession,
     source_path: str,
     *,
     starting_position: str = "latest",
     max_files_per_trigger: int | None = None,
+    checkpoint_path: str | None = None,
 ) -> DataFrame:
     """A1: subscribe to a CDC record stream (JSON files arriving in
     `source_path`, one record per line, CDC_RECORD_SCHEMA).
 
     `starting_position="latest"` mirrors the reference's
     `StartingPosition.LATEST` (`dynamo.ts:154,193`): records that
-    existed BEFORE subscription never reach the pipeline. The file
-    source has no offset to seek past (unlike Kafka's
-    `startingOffsets="latest"`), so this records the subscription time
-    and drops rows from files whose `_metadata.file_modification_time`
-    predates it — backlog files are listed once and their rows
-    filtered, new files pass whole. `"trim_horizon"` reads the backlog
-    too. (A 100 TB-backlog deployment would instead initialize the
-    checkpoint with an empty `availableNow` pass, or use a seekable
-    source; the row filter is the portable semantics-first cut.)
+    existed BEFORE subscription never reach the pipeline. Two cuts:
+
+    * With `checkpoint_path` (pass the SAME path to
+      :func:`run_cdc_stream`): on FIRST subscription — no checkpoint
+      on disk yet — the backlog is committed into the checkpoint by
+      :func:`initialize_latest_checkpoint` without being read, and the
+      returned stream carries no row filter; the source itself skips
+      the backlog. On restart (checkpoint exists) initialization is
+      skipped entirely, so files that arrived while the consumer was
+      down are still delivered — re-initializing would silently mark
+      them consumed.
+    * Without `checkpoint_path` (portable fallback): records the
+      subscription time and drops rows from files whose
+      `_metadata.file_modification_time` predates it — backlog files
+      are listed once and their rows filtered, new files pass whole.
+
+    `"trim_horizon"` reads the backlog too.
     """
     import datetime
+    import os
 
     reader = spark.readStream.schema(CDC_RECORD_SCHEMA)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    records = reader.json(source_path)
     if starting_position == "latest":
+        if checkpoint_path is not None:
+            if not os.path.isdir(checkpoint_path):
+                initialize_latest_checkpoint(
+                    spark, source_path, checkpoint_path
+                )
+            return reader.json(source_path)
+        records = reader.json(source_path)
         subscribed_at = datetime.datetime.now(datetime.timezone.utc)
-        records = records.where(
+        return records.where(
             F.col("_metadata.file_modification_time") >= F.lit(subscribed_at)
         )
-    elif starting_position != "trim_horizon":
+    if starting_position != "trim_horizon":
         raise ValueError(
             f"starting_position must be 'latest' or 'trim_horizon', "
             f"got {starting_position!r}"
         )
-    return records
+    return reader.json(source_path)
 
 
 def run_cdc_stream(
@@ -267,19 +313,24 @@ def maintain_snapshot_stream(
          overwrite cannot write an EMPTY partition, so a bucket whose
          net change is "delete the last key" would otherwise never be
          rewritten and the stale row would survive. A tombstone is
-         dropped for good once a later batch rewrites its bucket
-         without that key arriving again... it is carried in `keep`
-         like any state row until its key is next updated, bounding
-         tombstone count by deleted-key count per bucket.
+         carried forward in `keep` like any state row until its key
+         next ARRIVES again (at which point the new winner replaces
+         it), so tombstone count is bounded by the number of
+         currently-deleted keys per bucket — it never shrinks on
+         rewrites alone, and `read_snapshot_store` filters it out.
 
     Exactly-once: replaying a batch recomputes the identical bucket
     contents (winners are keyed by seq, unaffected by replay) and
     overwrites the same partitions — idempotent, like run_cdc_stream's
     sink. At scale, bucket count bounds rewrite amplification: a batch
-    touching k keys rewrites at most min(k, buckets) partitions, and
-    untouched buckets are never read or written. (A transactional
-    format — Delta/Iceberg MERGE — replaces this recipe when
-    available; the dataflow is identical.)
+    touching k keys rewrites at most min(k, buckets) partitions;
+    untouched buckets are never written, and the carry-forward read is
+    partition-PRUNED to the touched buckets (the batch's bucket ids —
+    at most `buckets` integers — are collected and pushed into the
+    scan filter, rather than left to a semi join that would list and
+    read the whole store). (A transactional format — Delta/Iceberg
+    MERGE — replaces this recipe when available; the dataflow is
+    identical.)
     """
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -297,7 +348,7 @@ def maintain_snapshot_stream(
             F.col("seq"),
             F.col("w.ts").alias("ts"),
             bucket.alias("bucket"),
-        )
+        ).localCheckpoint(eager=True)
         try:
             state = spark.read.parquet(state_path)
             have_state = True
@@ -311,14 +362,16 @@ def maintain_snapshot_stream(
                 raise
             have_state = False
         if have_state:
-            touched = fresh.select("bucket").distinct()
-            keep = (
-                state.join(F.broadcast(touched), "bucket", "left_semi")
-                .join(
-                    fresh.select(*key_cols),
-                    list(key_cols),
-                    "left_anti",
-                )
+            # Literal bucket list (<= `buckets` ints, a bounded driver
+            # action) so the state read is partition-pruned to touched
+            # buckets; a semi join would read every bucket.
+            touched = [
+                r.bucket for r in fresh.select("bucket").distinct().collect()
+            ]
+            keep = state.filter(F.col("bucket").isin(touched)).join(
+                fresh.select(*key_cols),
+                list(key_cols),
+                "left_anti",
             )
             out = keep.unionByName(fresh)
         else:

@@ -158,6 +158,68 @@ def test_latest_skips_backlog_trim_horizon_reads_it(spark, tmp_path):
         read_cdc_stream(spark, str(src), starting_position="earliest")
 
 
+def test_latest_checkpoint_init_skips_backlog_without_reading_it(
+    spark, tmp_path
+):
+    """Zero-scan `latest`: given a checkpoint path, first subscription
+    commits the backlog into the checkpoint via an empty availableNow
+    pass — the backlog files are LISTED but never READ (no Spark jobs,
+    numInputRows == 0) — and the real query then skips them at source
+    level instead of row-filtering them."""
+    from cdk_dynamodb_cdc_spark.streaming import initialize_latest_checkpoint
+
+    src = tmp_path / "src"
+    src.mkdir()
+    rows = fixture_rows()
+    backlog, fresh = rows[:5], rows[6:9]
+    _write_records_file(src / "backlog.json", backlog)
+
+    ckpt = str(tmp_path / "ckpt")
+    tracker = spark.sparkContext.statusTracker()
+    jobs_before = len(tracker.getJobIdsForGroup(None) or [])
+    initialize_latest_checkpoint(spark, str(src), ckpt)
+    assert len(tracker.getJobIdsForGroup(None) or []) == jobs_before
+
+    # the init pass committed the backlog without scanning a row
+    stream = read_cdc_stream(
+        spark, str(src), starting_position="latest", checkpoint_path=ckpt
+    )
+    _write_records_file(src / "fresh.json", fresh)
+    sink = str(tmp_path / "sink")
+    _run_until_done(run_cdc_stream(stream, sink_path=sink, checkpoint_path=ckpt))
+    ids = {r.event_id for r in spark.read.parquet(sink).select("event_id").collect()}
+    assert ids == {"ev-add", "ev-remove-attr", "ev-remove"}
+    assert not ids & {r[0] for r in backlog}
+
+
+def test_latest_checkpoint_restart_keeps_unprocessed_files(spark, tmp_path):
+    """Restart safety: when the checkpoint already exists,
+    read_cdc_stream must NOT re-initialize it — files that arrived
+    while the consumer was down would be silently marked consumed."""
+    src = tmp_path / "src"
+    src.mkdir()
+    rows = fixture_rows()
+    ckpt = str(tmp_path / "ckpt")
+
+    # first subscription over an empty dir creates the checkpoint
+    stream = read_cdc_stream(
+        spark, str(src), starting_position="latest", checkpoint_path=ckpt
+    )
+    sink = str(tmp_path / "sink")
+    _run_until_done(run_cdc_stream(stream, sink_path=sink, checkpoint_path=ckpt))
+
+    # consumer goes down; records arrive meanwhile
+    _write_records_file(src / "while_down.json", rows[6:9])
+
+    # restart: same checkpoint — the arrived-but-unprocessed file must flow
+    stream2 = read_cdc_stream(
+        spark, str(src), starting_position="latest", checkpoint_path=ckpt
+    )
+    _run_until_done(run_cdc_stream(stream2, sink_path=sink, checkpoint_path=ckpt))
+    ids = {r.event_id for r in spark.read.parquet(sink).select("event_id").collect()}
+    assert ids == {"ev-add", "ev-remove-attr", "ev-remove"}
+
+
 def test_side_store_replay_overwrites_instead_of_duplicating(spark, tmp_path):
     """A replayed micro-batch (same batch_id) must overwrite its own
     side-store partition, not append a second copy of every image."""
