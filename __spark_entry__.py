@@ -36,8 +36,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # or changed since the last gate run, then queries the gate has never
 # seen — followed by a rotating sample of previously-green ones. Every
 # query is still checked locally against its DuckDB oracle by
-# tools/check_correctness.py (all 93 pass at sf0.01); the ordering only
-# decides which subset the driver re-verifies independently.
+# tools/check_correctness.py, and the FULL registry's result is
+# committed each round as CORRECTNESS_LOCAL_r{N}.json (same JSON shape
+# as the driver artifact) so the all-pass claim is auditable; the
+# ordering only decides which subset the driver re-verifies
+# independently.
 _GATE_PRIORITY = [
     # changed this round (r5): decile oracle now interpolates in double;
     # embedding near-dup candidates come from sign-LSH buckets instead of

@@ -43,9 +43,19 @@ def main() -> int:
     spark.range(1_000_000).selectExpr("sum(id)").collect()  # warm-up
 
     runs_per_query = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+    # Optional subset (comma-separated names) for scale studies — e.g.
+    # the lineitem-family run at sf1, where doc/embedding queries would
+    # just re-measure sf0.1-sized tables.
+    only = {
+        q
+        for q in os.environ.get("SPARK_GRAFT_BENCH_QUERIES", "").split(",")
+        if q
+    }
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name, fn in entrymod.queries().items():
+        if only and name not in only:
+            continue
         best = float("inf")
         try:
             for _ in range(runs_per_query):

@@ -1468,7 +1468,14 @@ def attribute_path_udtf():
 def udtf_changed_path_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Changed-attribute paths of the synthesized CDC stream, exploded
     by a Python UDTF and aggregated. The oracle re-derives per-path
-    change counts relationally."""
+    change counts relationally.
+
+    API-coverage query, NOT the recommended path-stats plan: the cost
+    is the row-at-a-time Python UDTF lateral join (~2 s at sf0.1,
+    dominated by the Python worker round-trip), which is why it runs
+    only on the bounded CDC slice this module synthesizes. A
+    production path-stats plan is `explode(attributes_changed)` +
+    groupBy — pure JVM, whole-stage codegen, no Python."""
     records = synthesize_cdc_records(spark, sf_dir)
     changes = cdc_change_events(records)
     AttributePaths = attribute_path_udtf()

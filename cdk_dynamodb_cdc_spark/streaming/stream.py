@@ -139,6 +139,42 @@ def read_cdc_stream(
     return reader.json(source_path)
 
 
+def delta_sink_writer(sink_path: str, app_id: str):
+    """A transactional (Delta Lake) `sink_writer` for
+    :func:`run_cdc_stream` — the lane that subsumes the
+    batch_id-partition recipe with a real ACID boundary (and gives the
+    A13 vacuum genuine `VACUUM` semantics).
+
+    Requires the `delta-spark` package, which this container does not
+    ship (documented environment stub, like llm/multimodal's real
+    codecs): idempotence comes from Delta's transactional
+    `txnAppId`/`txnVersion` options — a replayed micro-batch presents
+    the same (app_id, batch_id) pair and the commit is skipped, so the
+    sink is append-only with no partition-overwrite contortions.
+    """
+    try:
+        import delta  # noqa: F401
+    except ImportError as exc:  # pragma: no cover - exercised in pytest
+        raise ModuleNotFoundError(
+            "delta_sink_writer needs the delta-spark package (absent in "
+            "this environment); use the default parquet sink_writer — "
+            "the batch_id dynamic-partition-overwrite recipe gives the "
+            "same exactly-once guarantee — or install delta-spark"
+        ) from exc
+
+    def write(events: DataFrame, batch_id: int) -> None:
+        (
+            events.withColumn("batch_id", F.lit(batch_id))
+            .write.format("delta")
+            .option("txnAppId", app_id)
+            .option("txnVersion", batch_id)
+            .mode("append")
+            .save(sink_path)
+        )
+
+    return write
+
+
 def run_cdc_stream(
     records: DataFrame,
     *,
@@ -148,6 +184,7 @@ def run_cdc_stream(
     pk_filters: list[str] | None = None,
     claim_check_threshold: int = CLAIM_CHECK_THRESHOLD,
     available_now: bool = True,
+    sink_writer=None,
 ):
     """Run the CDC pipeline over a record stream into a parquet sink.
 
@@ -160,6 +197,13 @@ def run_cdc_stream(
       2. writes change events to `sink_path/batch_id=<n>/` with
          dynamic partition overwrite — replays overwrite, never
          duplicate.
+
+    `sink_writer` swaps step 2 for a custom `(events_df, batch_id) ->
+    None` writer while keeping the pipeline, side store, and
+    checkpointing — the hook a transactional table format plugs into
+    (:func:`delta_sink_writer` when delta-spark is installed; any
+    writer must stay idempotent per batch_id, because the checkpoint
+    replays the last uncommitted batch after a crash).
     """
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -177,6 +221,9 @@ def run_cdc_stream(
                 batch_df, side_store_path, claim_check_threshold,
                 batch_id=batch_id,
             )
+        if sink_writer is not None:
+            sink_writer(events, batch_id)
+            return
         with _dynamic_partition_overwrite(spark):
             (
                 events.withColumn("batch_id", F.lit(batch_id))

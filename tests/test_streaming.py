@@ -236,6 +236,43 @@ def test_side_store_replay_overwrites_instead_of_duplicating(spark, tmp_path):
     assert {"ev-big", "ev-zero-size"} <= set(ids)
 
 
+def test_custom_sink_writer_replaces_default_sink(spark, tmp_path):
+    """The sink_writer hook (the transactional-format plug point) must
+    receive the transformed change events per batch and fully replace
+    the parquet partition-overwrite write."""
+    src = tmp_path / "src"
+    src.mkdir()
+    _write_records_file(src / "b.json", fixture_rows()[:3])
+    sink = str(tmp_path / "sink")
+    seen: list[tuple[int, list[str]]] = []
+
+    def writer(events, batch_id):
+        seen.append((batch_id, sorted(r.event_id for r in events.collect())))
+
+    stream = read_cdc_stream(spark, str(src), starting_position="trim_horizon")
+    _run_until_done(
+        run_cdc_stream(
+            stream,
+            sink_path=sink,
+            checkpoint_path=str(tmp_path / "ckpt"),
+            sink_writer=writer,
+        )
+    )
+    assert len(seen) == 1 and seen[0][1]  # one batch, non-empty events
+    import os
+
+    assert not os.path.exists(sink)  # default sink fully replaced
+
+
+def test_delta_sink_writer_is_honestly_stubbed():
+    """delta-spark is absent in this container: the transactional lane
+    must fail loudly at construction with guidance, not at write time."""
+    from cdk_dynamodb_cdc_spark.streaming import delta_sink_writer
+
+    with pytest.raises(ModuleNotFoundError, match="delta-spark"):
+        delta_sink_writer("/tmp/x", "app")
+
+
 def test_dedup_within_watermark_collapses_redelivery(spark, tmp_path):
     src = tmp_path / "src"
     src.mkdir()

@@ -8,6 +8,12 @@ formatting; any bit difference fails — the engine's determinism
 discipline (decimal aggregation) is supposed to guarantee bit equality.
 
 Usage: python tools/check_correctness.py [sf_dir] [query ...]
+
+Set CHECK_CORRECTNESS_JSON=<path> to also write a driver-shaped JSON
+artifact ({name: {rows_match, schema_match, hash_match, spark_rows,
+oracle_rows, err}}) — committed per round as CORRECTNESS_LOCAL_r{N}.json
+so the "all queries pass locally" claim is auditable beyond the
+driver's 50-query gate window.
 """
 
 from __future__ import annotations
@@ -66,6 +72,19 @@ def main() -> int:
 
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
     failures = 0
+    report: dict[str, dict] = {}
+
+    def record(name, *, spark_rows=None, oracle_rows=None, err=None,
+               schema_ok=None, rows_ok=None, hash_ok=None):
+        report[name] = {
+            "rows_match": bool(rows_ok) if rows_ok is not None else False,
+            "schema_match": bool(schema_ok) if schema_ok is not None else False,
+            "hash_match": bool(hash_ok) if hash_ok is not None else False,
+            "spark_rows": spark_rows,
+            "oracle_rows": oracle_rows,
+            "err": err,
+        }
+
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -76,11 +95,13 @@ def main() -> int:
             scols = sdf.columns
         except Exception as exc:
             print(f"FAIL {name}: spark error: {exc}")
+            record(name, err=f"spark error: {exc}")
             failures += 1
             continue
         if name not in oracles:
             print(f"OK?  {name}: rows-only check, {len(srows)} rows "
                   f"({time.time() - t0:.1f}s)")
+            record(name, spark_rows=len(srows), rows_ok=True)
             continue
         try:
             rel = con.sql(oracles[name])
@@ -88,25 +109,44 @@ def main() -> int:
             drows = rel.fetchall()
         except Exception as exc:
             print(f"FAIL {name}: duckdb error: {exc}")
+            record(name, spark_rows=len(srows), err=f"duckdb error: {exc}")
             failures += 1
             continue
         scols_l = [c.lower() for c in scols]
         problems = []
-        if sorted(scols_l) != sorted(dcols):
+        schema_ok = sorted(scols_l) == sorted(dcols)
+        rows_ok = len(srows) == len(drows)
+        hash_ok = False
+        if not schema_ok:
             problems.append(f"cols spark={scols_l} duck={dcols}")
-        if len(srows) != len(drows):
+        if not rows_ok:
             problems.append(f"rows spark={len(srows)} duck={len(drows)}")
         if not problems:
             sh = table_hash(scols_l, [tuple(r) for r in srows])
             dh = table_hash(dcols, drows)
-            if sh != dh:
+            hash_ok = sh == dh
+            if not hash_ok:
                 problems.append(f"hash spark={sh} duck={dh}")
+        record(
+            name, spark_rows=len(srows), oracle_rows=len(drows),
+            schema_ok=schema_ok, rows_ok=rows_ok, hash_ok=hash_ok,
+            err="; ".join(problems) or None,
+        )
         if problems:
             failures += 1
             print(f"FAIL {name}: {'; '.join(problems)}")
         else:
             print(f"PASS {name}: {len(srows)} rows ({time.time() - t0:.1f}s)")
     print(f"\n{'ALL PASS' if failures == 0 else f'{failures} FAILURES'}")
+
+    import json
+    import os
+
+    out = os.environ.get("CHECK_CORRECTNESS_JSON")
+    if out:
+        with open(out, "w") as fh:
+            json.dump(report, fh, indent=2)
+        print(f"wrote {out} ({len(report)} queries)")
     return 1 if failures else 0
 
 

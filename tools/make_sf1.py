@@ -1,0 +1,73 @@
+"""Extend the driver corpus to sf1 for the lineitem family.
+
+The driver generates parquet at sf{0.001,0.01,0.1} only; the 2x-at-scale
+claim deserves one measurement where scan cost dominates JVM startup, so
+this tool builds /root/repo/sf1 (gitignored — only the BENCH_SF1 artifact
+is committed):
+
+* `orders` and `lineitem`: the sf0.1 tables replicated 10x with
+  deterministic order-key remapping (o_orderkey + rep * stride, stride =
+  max(o_orderkey) + 1) — per-order line structure, date/price/flag
+  distributions, and orders<->lineitem join cardinality are preserved
+  exactly; per-customer/part/supplier fact density rises 10x, which is
+  the intended scale-up axis.
+* every other table: symlinked to the sf0.1 file unchanged (dimension
+  tables scale sub-linearly in TPC-H anyway; documents/embeddings/events
+  queries are not part of the sf1 study — replicating near-identical
+  documents would quadratically inflate near-dup pair counts and measure
+  a different workload, not a bigger one).
+
+Usage: python tools/make_sf1.py  (idempotent; ~40 MB of parquet)
+Then:  SPARK_GRAFT_SF_DIR=/root/repo/sf1 \
+       SPARK_GRAFT_BENCH_QUERIES=<lineitem-family list> python bench.py
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from cdk_dynamodb_cdc_spark.session import get_spark  # noqa: E402
+
+SRC = "/root/testdata/sf0.1"
+DST = "/root/repo/sf1"
+REPLICAS = 10
+COPY_TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "events", "documents", "embeddings",
+]
+
+
+def main() -> int:
+    spark = get_spark("make_sf1")
+    os.makedirs(DST, exist_ok=True)
+
+    orders = spark.read.parquet(f"{SRC}/orders.parquet")
+    stride = orders.agg(F.max("o_orderkey")).first()[0] + 1
+    reps = spark.range(REPLICAS).select(F.col("id").alias("rep"))
+
+    for table, key in (("orders", "o_orderkey"), ("lineitem", "l_orderkey")):
+        src_df = spark.read.parquet(f"{SRC}/{table}.parquet")
+        out = (
+            src_df.crossJoin(F.broadcast(reps))
+            .withColumn(key, F.col(key) + F.col("rep") * F.lit(stride))
+            .drop("rep")
+        )
+        out.write.mode("overwrite").parquet(f"{DST}/{table}.parquet")
+        print(f"wrote {DST}/{table}.parquet (stride={stride})")
+
+    for table in COPY_TABLES:
+        link = f"{DST}/{table}.parquet"
+        if os.path.islink(link) or os.path.exists(link):
+            continue
+        os.symlink(f"{SRC}/{table}.parquet", link)
+        print(f"linked {link}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
