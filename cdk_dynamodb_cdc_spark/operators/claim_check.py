@@ -12,6 +12,12 @@ main sink (streaming/stream.py).
 
 Retention (reference A13: 24 h S3 lifecycle, ``dynamo.ts:111-116``) is
 :func:`vacuum_side_store` — a partition-drop by write date.
+
+The presigned-GET half of the reference's contract
+(``dynamo-stream-handler.ts:154-165``) is :func:`presign_claim_urls` /
+:func:`validate_claim_url`: an expiring keyed-hash capability appended
+to the pointer, so possession of an event grants time-limited — not
+permanent — access to the offloaded images.
 """
 
 from __future__ import annotations
@@ -75,6 +81,76 @@ def write_side_store(records: DataFrame, base_path: str,
         )
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
+def _keyed_hash(msg, secret: str):
+    """HMAC-shaped keyed hash in pure Column arithmetic:
+    sha2(key || sha2(key || msg)) — the nested construction (not a bare
+    sha2(msg || key)) so length-extension over the outer hash is closed
+    off. JVM-side sha2, no UDF."""
+    inner = F.sha2(F.concat(F.lit(secret), F.lit("|"), msg), 256)
+    return F.sha2(F.concat(F.lit(secret), F.lit("|"), inner), 256)
+
+
+def presign_claim_urls(
+    events: DataFrame,
+    secret: str,
+    *,
+    ttl_hours: int = 24,
+    now=None,
+) -> DataFrame:
+    """A10 presign analogue (``dynamo-stream-handler.ts:154-165``): turn
+    each ``images_url`` pointer into an EXPIRING SIGNED CAPABILITY —
+    ``<url>?expires=<epoch>&sig=<keyed-hash>`` — instead of a bare path
+    any reader could fabricate.
+
+    The reference hands consumers a 24 h presigned S3 GET; the engine's
+    side store is a plain object path, so the access contract rides in
+    the event itself: a consumer presents the URL, and the storage
+    front (or :func:`validate_claim_url` in a reader job) recomputes
+    the keyed hash over (path, expiry) and rejects tampered or expired
+    tokens. TTL defaults to the reference's 24 h presign/lifecycle
+    window, which also matches :func:`vacuum_side_store` — a token
+    never outlives the object it points to.
+
+    ``now`` accepts a Column for deterministic tests; small-payload
+    rows (null ``images_url``) stay null. Pure Column arithmetic —
+    signing a 100 TB day of events is scan-speed.
+    """
+    now_col = now if now is not None else F.current_timestamp()
+    expires = (F.unix_timestamp(now_col) + F.lit(ttl_hours * 3600)).cast(
+        "string"
+    )
+    msg = F.concat_ws("|", F.col("images_url"), expires)
+    signed = F.when(
+        F.col("images_url").isNotNull(),
+        F.concat(
+            F.col("images_url"),
+            F.lit("?expires="),
+            expires,
+            F.lit("&sig="),
+            _keyed_hash(msg, secret),
+        ),
+    )
+    return events.withColumn("images_url", signed)
+
+
+def validate_claim_url(url, secret: str, *, at=None):
+    """Boolean Column: the signed capability from
+    :func:`presign_claim_urls` is intact (signature matches path+expiry
+    under ``secret``) and unexpired at ``at`` (Column; defaults to
+    current_timestamp). Tampering with the path, the expiry, or the
+    signature flips it false."""
+    path = F.regexp_extract(url, r"^(.*)\?expires=", 1)
+    expires = F.regexp_extract(url, r"[?&]expires=(\d+)", 1)
+    sig = F.regexp_extract(url, r"[?&]sig=([0-9a-f]{64})", 1)
+    at_col = at if at is not None else F.current_timestamp()
+    msg = F.concat_ws("|", path, expires)
+    return (
+        (path != F.lit(""))
+        & (sig == _keyed_hash(msg, secret))
+        & (expires.cast("long") > F.unix_timestamp(at_col))
+    )
 
 
 def vacuum_side_store(spark, base_path: str, retain_days: int = 1) -> list[str]:

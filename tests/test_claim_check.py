@@ -68,6 +68,51 @@ def test_claim_checked_rows_point_at_side_store(spark):
     assert big["ev-big"].new_image is None
 
 
+def test_presigned_claim_urls_validate_and_expire(spark):
+    from cdk_dynamodb_cdc_spark.operators.claim_check import (
+        presign_claim_urls,
+        validate_claim_url,
+    )
+    from cdk_dynamodb_cdc_spark.operators.pipeline import cdc_change_events
+
+    t0 = F.to_timestamp(F.lit("2026-01-01 00:00:00"))
+    events = presign_claim_urls(
+        cdc_change_events(cdc_fixture_df(spark), claim_check_base="x://store/"),
+        "s3cret",
+        ttl_hours=24,
+        now=t0,
+    )
+    signed = {
+        r.event_id: r.images_url
+        for r in events.filter(F.col("images_url").isNotNull()).collect()
+    }
+    assert set(signed) == {"ev-big", "ev-zero-size"}
+    assert "?expires=" in signed["ev-big"] and "&sig=" in signed["ev-big"]
+    # small rows stay null
+    assert (
+        events.filter(
+            (F.col("event_id") == "ev-insert") & F.col("images_url").isNotNull()
+        ).count()
+        == 0
+    )
+
+    url = F.col("images_url")
+    inside = F.to_timestamp(F.lit("2026-01-01 23:00:00"))
+    after = F.to_timestamp(F.lit("2026-01-02 00:00:01"))
+    checks = events.filter(F.col("images_url").isNotNull()).select(
+        "event_id",
+        validate_claim_url(url, "s3cret", at=inside).alias("ok"),
+        validate_claim_url(url, "s3cret", at=after).alias("expired_ok"),
+        validate_claim_url(url, "wrong", at=inside).alias("wrong_key_ok"),
+        validate_claim_url(
+            F.regexp_replace(url, "expires=", "expires=9"), "s3cret", at=inside
+        ).alias("tampered_ok"),
+    )
+    for r in checks.collect():
+        assert r.ok, r
+        assert not r.expired_ok and not r.wrong_key_ok and not r.tampered_ok, r
+
+
 def test_gsi_projection_clusters_by_alternate_key(spark, tmp_path):
     from cdk_dynamodb_cdc_spark.operators.gsi import gsi_projection, write_gsi_copy
 
