@@ -82,6 +82,69 @@ def initialize_latest_checkpoint(
     q.awaitTermination()
 
 
+def parse_cdc_kafka_records(raw: DataFrame) -> DataFrame:
+    """Decode a Kafka-shaped frame (binary ``value``, plus
+    ``partition``/``offset``) into CDC_RECORD_SCHEMA rows.
+
+    The wire format is the same JSON the file lane reads — one record
+    per message. Kafka's per-partition order backs the per-key `seq`
+    contract the same way shard order does in the reference
+    (`dynamo.ts:153-155`): a producer keyed by `pk` lands each item's
+    changes in one partition, in order. Pure Column logic, shared by
+    the streaming lane and this function's batch-DataFrame tests.
+    """
+    return raw.select(
+        F.from_json(
+            F.col("value").cast("string"), CDC_RECORD_SCHEMA
+        ).alias("r")
+    ).select("r.*")
+
+
+def read_cdc_kafka_stream(
+    spark: SparkSession,
+    *,
+    bootstrap_servers: str,
+    topic: str,
+    starting_position: str = "latest",
+) -> DataFrame:
+    """A1 over a SEEKABLE source: subscribe to a Kafka topic of CDC
+    records. `latest` maps directly to `startingOffsets=latest` — the
+    broker seeks past the backlog, so unlike the file lane there is no
+    checkpoint-initialization pass and no listing cost at all;
+    `trim_horizon` maps to `earliest`.
+
+    Requires the spark-sql-kafka connector jars, which this container
+    does not ship — the source lookup fails at `.load()` and is
+    re-raised with guidance (documented environment stub, pytest-
+    pinned, same policy as delta_sink_writer). The value-decoding
+    logic is :func:`parse_cdc_kafka_records`, which IS tested, on
+    batch frames of Kafka shape.
+    """
+    if starting_position not in ("latest", "trim_horizon"):
+        raise ValueError(
+            f"starting_position must be 'latest' or 'trim_horizon', "
+            f"got {starting_position!r}"
+        )
+    offsets = "latest" if starting_position == "latest" else "earliest"
+    try:
+        raw = (
+            spark.readStream.format("kafka")
+            .option("kafka.bootstrap.servers", bootstrap_servers)
+            .option("subscribe", topic)
+            .option("startingOffsets", offsets)
+            .load()
+        )
+    except Exception as exc:
+        raise ModuleNotFoundError(
+            "read_cdc_kafka_stream needs the spark-sql-kafka connector "
+            "(absent in this environment); add the "
+            "org.apache.spark:spark-sql-kafka-0-10 package to the "
+            "session, or use the file lane (read_cdc_stream) whose "
+            "checkpoint-initialized 'latest' gives the same semantics"
+        ) from exc
+    return parse_cdc_kafka_records(raw)
+
+
 def read_cdc_stream(
     spark: SparkSession,
     source_path: str,

@@ -236,6 +236,54 @@ def test_side_store_replay_overwrites_instead_of_duplicating(spark, tmp_path):
     assert {"ev-big", "ev-zero-size"} <= set(ids)
 
 
+def test_kafka_value_decoding_roundtrips_cdc_records(spark):
+    """The Kafka lane's value decoder must round-trip the same JSON
+    wire format the file lane reads — tested on a batch frame of Kafka
+    shape (binary value, partition, offset), since the connector jars
+    are absent here."""
+    from cdk_dynamodb_cdc_spark.streaming import parse_cdc_kafka_records
+
+    payload = json.dumps(
+        {
+            "event_id": "ev-k1",
+            "seq": 7,
+            "ts": "2026-01-01T00:00:00.000000+0000",
+            "operation": "MODIFY",
+            "pk": "user#1",
+            "sk": "profile",
+            "old_image": "{}",
+            "new_image": '{"a":{"N":"1"}}',
+            "size_bytes": 42,
+        }
+    )
+    raw = spark.createDataFrame(
+        [(bytearray(payload.encode()), 0, 123)],
+        "value binary, partition int, offset long",
+    )
+    row = parse_cdc_kafka_records(raw).collect()[0]
+    assert (row.event_id, row.seq, row.operation, row.pk, row.size_bytes) == (
+        "ev-k1", 7, "MODIFY", "user#1", 42
+    )
+
+
+def test_kafka_stream_is_honestly_stubbed(spark):
+    """Without the spark-sql-kafka jars the seekable lane must fail at
+    construction with guidance, not with a raw classpath error."""
+    from cdk_dynamodb_cdc_spark.streaming import read_cdc_kafka_stream
+
+    with pytest.raises(ModuleNotFoundError, match="spark-sql-kafka"):
+        read_cdc_kafka_stream(
+            spark, bootstrap_servers="localhost:9092", topic="cdc"
+        )
+    with pytest.raises(ValueError, match="starting_position"):
+        read_cdc_kafka_stream(
+            spark,
+            bootstrap_servers="localhost:9092",
+            topic="cdc",
+            starting_position="earliest",
+        )
+
+
 def test_custom_sink_writer_replaces_default_sink(spark, tmp_path):
     """The sink_writer hook (the transactional-format plug point) must
     receive the transformed change events per batch and fully replace
