@@ -42,6 +42,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # ordering only decides which subset the driver re-verifies
 # independently.
 _GATE_PRIORITY = [
+    # NEW this round (r5): PII scrubbing, corpus vocabulary stats,
+    # weighted (A-ES) sampling.
+    "pii_scrub_stats",
+    "vocab_top_terms_by_lang",
+    "weighted_sample_by_length",
     # changed this round (r5): decile oracle now interpolates in double;
     # embedding near-dup candidates come from sign-LSH buckets instead of
     # a bounded cross join; IVF coarse quantizer is a trained (sampled
@@ -94,11 +99,8 @@ _GATE_PRIORITY = [
     "media_frame_sample",
     # previously-green rotation sample (core operator families)
     "cdc_change_stats",
-    "cdc_change_stats_typed",
-    "cdc_unmarshall_roundtrip",
     "near_dup_minhash_pairs",
     "dedup_clusters",
-    "curate_corpus_dispositions",
 ]
 
 

@@ -162,3 +162,43 @@ def boilerplate_gram_stats(
             .alias("boilerplate_frac"),
         )
     )
+
+
+# --- PII scrubbing ---------------------------------------------------------
+
+# Patterns kept to the Java-regex/RE2 common dialect (no lookaround, no
+# backrefs) so the Spark plan and a DuckDB oracle match byte-for-byte.
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\b\d{3}-\d{3}-\d{4}\b",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+}
+PII_TOKENS = {"email": "[EMAIL]", "phone": "[PHONE]", "ipv4": "[IP]"}
+
+
+def scrub_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Redact PII-shaped spans (emails, NANP-style phone numbers,
+    IPv4 addresses) from `text_col`, the standard pre-training scrub.
+
+    Adds `n_email`/`n_phone`/`n_ipv4` (match counts on the ORIGINAL
+    text) and replaces `text_col` with the redacted form, each span
+    collapsed to its category token. Counts before replacement so a
+    pattern can never eat another's span first ([EMAIL] etc. contain
+    no digits, so sequential replacement is order-independent on the
+    redacted text anyway).
+
+    Pure per-row Column regex — zero shuffle, scan-speed; at 100 TB
+    this is a mapper fused into whatever scan feeds it. Real pipelines
+    extend PII_PATTERNS (SSNs, IBANs, street addresses) without
+    touching the shape.
+    """
+    out = df
+    for name, pat in PII_PATTERNS.items():
+        out = out.withColumn(
+            f"n_{name}",
+            F.size(F.regexp_extract_all(F.col(text_col), F.lit(pat), 0)),
+        )
+    scrubbed = F.col(text_col)
+    for name, pat in PII_PATTERNS.items():
+        scrubbed = F.regexp_replace(scrubbed, pat, PII_TOKENS[name])
+    return out.withColumn(text_col, scrubbed)

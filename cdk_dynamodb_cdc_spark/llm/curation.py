@@ -153,3 +153,45 @@ def duck_grams(ws_expr: str = "ws", k: int = DECONTAM_GRAM_WORDS) -> str:
         f"list_distinct(list_transform("
         f"range(1, len({ws_expr}) - {k - 2}), i -> {concat}))"
     )
+
+
+WEIGHTED_SAMPLE_SALT = "wsample-0"
+_U48 = float(1 << 48)
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    n: int,
+    *,
+    key_col: str = "doc_id",
+    salt: str = WEIGHTED_SAMPLE_SALT,
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement
+    (Efraimidis–Spirakis A-ES): each row draws u from a salted md5 of
+    its key (the first 48 hex-derived bits, +1, over 2^48 — exact
+    dyadic division, so u is bit-identical on any engine), scores
+    r = -ln(u) / weight, and the n SMALLEST r win — inclusion odds
+    proportional to weight, zero RNG state, reproducible across
+    engines, runs, and partitionings; a different salt draws an
+    independent sample.
+
+    Scale shape: the sort-limit compiles to TakeOrderedAndProject —
+    per-partition partial top-n, then an n-row merge — never a global
+    sort. The classic streaming-reservoir formulation needs sequential
+    state; the score-and-top-n form is the embarrassingly parallel
+    equivalent (same distribution), which is why it is the one
+    distributed pipelines run.
+    """
+    h = F.expr(
+        f"cast(conv(substring(md5(concat('{salt}:', "
+        f"cast({key_col} as string))), 1, 12), 16, 10) as bigint)"
+    )
+    u = (h + F.lit(1)).cast("double") / F.lit(_U48)
+    r = -F.log(u) / F.col(weight_col).cast("double")
+    return (
+        df.select(key_col, weight_col, r.alias("r"))
+        .orderBy(F.col("r").asc(), F.col(key_col))
+        .limit(n)
+        .select(key_col, weight_col)
+    )

@@ -15,7 +15,7 @@ exist in only one engine. 60 bits keeps the value inside a signed
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 SIMHASH_BITS = 60
@@ -198,4 +198,33 @@ def duck_lang_id(text_expr: str) -> str:
         f"WHEN h_de = best THEN 'de' ELSE 'fr' END "
         f"FROM (SELECT {en} AS h_en, {es} AS h_es, {de} AS h_de, {fr} AS h_fr, "
         f"greatest({en}, {es}, {de}, {fr}) AS best) __l)"
+    )
+
+
+def vocab_top_terms(docs: DataFrame, per_lang: int = 5) -> DataFrame:
+    """Corpus vocabulary statistics: the `per_lang` most frequent
+    whitespace terms per language — the frequency table tokenizer
+    training and stop-word induction start from.
+
+    Shape: explode -> (lang, term) count with map-side partial agg, one
+    shuffle on (lang, term); the rank<=N window compiles to a
+    window-group-limit (partial per-partition top-N before the lang
+    shuffle), so no language's full vocabulary ever sorts globally.
+    Ties break on the term string — integer counts + lexicographic
+    order keep the result engine-exact.
+    """
+    from pyspark.sql import Window
+
+    counts = (
+        docs.select(
+            "lang", F.explode(F.split(F.col("text"), " ")).alias("term")
+        )
+        .groupBy("lang", "term")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("n").desc(), F.col("term"))
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= per_lang)
+        .select("lang", "rk", "term", "n")
     )

@@ -3218,6 +3218,143 @@ def stratified_sample_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation.stratified_sample(docs, "lang", 20)
 
 
+# ---------------------------------------------------------------------------
+# PII scrubbing (llm/cleaning.py:scrub_pii): the synthetic corpus holds
+# no PII, so the query SEEDS deterministic spans (same expressions in
+# both engines — email on doc_id%5, phone on %7, IPv4 on %11) and then
+# scrubs them; counts and the fully redacted text are compared
+# byte-for-byte. Patterns live in the Java-regex/RE2 common dialect so
+# the two engines' regex semantics coincide.
+# ---------------------------------------------------------------------------
+@query(
+    "pii_scrub_stats",
+    oracle=r"""
+    WITH seeded AS (
+      SELECT doc_id,
+             text
+             || CASE WHEN doc_id % 5 = 0
+                  THEN ' contact user' || CAST(doc_id AS VARCHAR)
+                       || '@mail.example.com now' ELSE '' END
+             || CASE WHEN doc_id % 7 = 0
+                  THEN ' call 555-867-5309' ELSE '' END
+             || CASE WHEN doc_id % 11 = 0
+                  THEN ' from 10.0.' || CAST(doc_id % 255 AS VARCHAR)
+                       || '.7' ELSE '' END
+             AS text
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT)
+             AS n_email,
+           CAST(len(regexp_extract_all(text,
+             '\b\d{3}-\d{3}-\d{4}\b')) AS INT) AS n_phone,
+           CAST(len(regexp_extract_all(text,
+             '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS INT) AS n_ipv4,
+           regexp_replace(regexp_replace(regexp_replace(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+             '\b\d{3}-\d{3}-\d{4}\b', '[PHONE]', 'g'),
+             '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g')
+             AS scrubbed
+    FROM seeded
+    """,
+)
+def pii_scrub_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdk_dynamodb_cdc_spark.llm.cleaning import scrub_pii
+
+    docs = load_table(spark, sf_dir, "documents")
+    seeded = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@mail.example.com now"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 7 == 0, F.lit(" call 555-867-5309")
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 11 == 0,
+                F.concat(
+                    F.lit(" from 10.0."),
+                    (F.col("doc_id") % 255).cast("string"),
+                    F.lit(".7"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return scrub_pii(seeded).select(
+        "doc_id",
+        "n_email",
+        "n_phone",
+        "n_ipv4",
+        F.col("text").alias("scrubbed"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Corpus vocabulary statistics (llm/text.py:vocab_top_terms): top
+# terms per language by frequency — the table tokenizer training /
+# stop-word induction starts from. Integer counts, lexicographic tie
+# break: engine-exact.
+# ---------------------------------------------------------------------------
+@query(
+    "vocab_top_terms_by_lang",
+    oracle="""
+    WITH terms AS (
+      SELECT lang, unnest(string_split(text, ' ')) AS term FROM documents
+    ), counts AS (
+      SELECT lang, term, CAST(COUNT(*) AS BIGINT) AS n
+      FROM terms GROUP BY lang, term
+    ), ranked AS (
+      SELECT lang, term, n,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY lang ORDER BY n DESC, term) AS INT) AS rk
+      FROM counts
+    )
+    SELECT lang, rk, term, n FROM ranked WHERE rk <= 5
+    """,
+)
+def vocab_top_terms_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdk_dynamodb_cdc_spark.llm.text import vocab_top_terms
+
+    return vocab_top_terms(load_table(spark, sf_dir, "documents"), per_lang=5)
+
+
+# ---------------------------------------------------------------------------
+# Deterministic weighted sampling (llm/curation.py:weighted_sample —
+# Efraimidis–Spirakis A-ES): 100 documents drawn with probability
+# proportional to n_chars. u comes from a salted md5 parsed to 48 bits
+# and divided by 2^48 (exact dyadic arithmetic -> bit-identical u in
+# both engines); -ln(u)/w ranks. The sort-limit is a distributed
+# partial top-n (TakeOrderedAndProject), never a global sort.
+# ---------------------------------------------------------------------------
+@query(
+    "weighted_sample_by_length",
+    oracle="""
+    WITH scored AS (
+      SELECT doc_id, n_chars,
+             -ln((('0x' || substr(md5('wsample-0:' ||
+                 CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT + 1)
+               / 281474976710656.0)
+             / CAST(n_chars AS DOUBLE) AS r
+      FROM documents
+    )
+    SELECT doc_id, n_chars FROM scored ORDER BY r, doc_id LIMIT 100
+    """,
+)
+def weighted_sample_by_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdk_dynamodb_cdc_spark.llm import curation
+
+    docs = load_table(spark, sf_dir, "documents")
+    return curation.weighted_sample(docs, "n_chars", 100)
+
+
 # ===========================================================================
 # Flagship curation pipeline: every LLM-corpus stage composed into ONE
 # per-document disposition — near-dup clustering (keep the canonical),

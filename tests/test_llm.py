@@ -281,6 +281,67 @@ def test_ivf_index_persist_and_search_matches_direct(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS ivf_index_t")
 
 
+def test_scrub_pii_redacts_and_counts_hand_case(spark):
+    from cdk_dynamodb_cdc_spark.llm.cleaning import scrub_pii
+
+    df = spark.createDataFrame(
+        [
+            (0, "mail a.user@example.org or call 555-123-4567 via 10.1.2.3"),
+            (1, "no pii here, just words and 1234 numbers"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in scrub_pii(df).collect()}
+    assert (rows[0].n_email, rows[0].n_phone, rows[0].n_ipv4) == (1, 1, 1)
+    assert rows[0].text == "mail [EMAIL] or call [PHONE] via [IP]"
+    assert (rows[1].n_email, rows[1].n_phone, rows[1].n_ipv4) == (0, 0, 0)
+    assert rows[1].text == "no pii here, just words and 1234 numbers"
+
+
+def test_vocab_top_terms_hand_corpus(spark):
+    from cdk_dynamodb_cdc_spark.llm.text import vocab_top_terms
+
+    df = spark.createDataFrame(
+        [
+            (0, "en", "a a a b b c"),
+            (1, "en", "b z"),
+            (2, "fr", "x y y"),
+        ],
+        "doc_id long, lang string, text string",
+    )
+    rows = [
+        (r.lang, r.rk, r.term, r.n)
+        for r in vocab_top_terms(df, per_lang=2).orderBy("lang", "rk").collect()
+    ]
+    assert rows == [
+        ("en", 1, "a", 3),
+        ("en", 2, "b", 3),  # tie with 'a' broken lexicographically
+        ("fr", 1, "y", 2),
+        ("fr", 2, "x", 1),
+    ]
+
+
+def test_weighted_sample_deterministic_and_weight_biased(spark):
+    from cdk_dynamodb_cdc_spark.llm import curation
+
+    df = spark.createDataFrame(
+        [(i, 1 if i else 10**9) for i in range(200)],
+        "doc_id long, w long",
+    )
+    s1 = sorted(r.doc_id for r in curation.weighted_sample(df, "w", 20).collect())
+    s2 = sorted(
+        r.doc_id
+        for r in curation.weighted_sample(df.repartition(13), "w", 20).collect()
+    )
+    assert s1 == s2 and len(s1) == 20  # partitioning-independent
+    assert 0 in s1  # the ~1e9x-weight row is effectively always drawn
+    salted = sorted(
+        r.doc_id
+        for r in curation.weighted_sample(df, "w", 20, salt="other").collect()
+    )
+    assert salted != s1  # a different salt draws an independent sample
+
+
 def test_connected_components_merges_transitive_chains(spark):
     # chain 1-2-3 and clique 10-11-12 plus cross pair 11-12: two
     # components; 1 and 3 were never directly paired but share a
