@@ -53,6 +53,8 @@ class CdcPipeline:
         event_source: str = "cdk_dynamodb_cdc_spark",
         claim_check_base: str | None = None,
         claim_check_threshold: int = CLAIM_CHECK_THRESHOLD,
+        presign_secret: str | None = None,
+        presign_ttl_hours: int = 24,
     ) -> None:
         self.pk_filters = pk_filters
         self.item_schema = item_schema
@@ -61,6 +63,22 @@ class CdcPipeline:
         self.event_source = event_source
         self.claim_check_base = claim_check_base
         self.claim_check_threshold = claim_check_threshold
+        self.presign_secret = presign_secret
+        self.presign_ttl_hours = presign_ttl_hours
+
+    def _finish(self, events: DataFrame) -> DataFrame:
+        """Post-pipeline stages shared by both lanes: presign the
+        claim-check pointers (when a secret is configured), then the
+        user transform — the reference's `functionPath` hook."""
+        if self.presign_secret is not None:
+            from cdk_dynamodb_cdc_spark.operators.claim_check import (
+                presign_claim_urls,
+            )
+
+            events = presign_claim_urls(
+                events, self.presign_secret, ttl_hours=self.presign_ttl_hours
+            )
+        return self.transform(events) if self.transform else events
 
     # -- batch lane -------------------------------------------------------
 
@@ -88,7 +106,7 @@ class CdcPipeline:
                 claim_check_base=self.claim_check_base,
                 claim_check_threshold=self.claim_check_threshold,
             )
-        return self.transform(out) if self.transform else out
+        return self._finish(out)
 
     def quarantine(self, records: DataFrame) -> DataFrame:
         """Rows that failed per-record processing (A3 dead letters)."""
@@ -108,14 +126,24 @@ class CdcPipeline:
         checkpoint_path: str,
         side_store_path: str | None = None,
         available_now: bool = True,
+        sink_writer=None,
     ):
         """Start the checkpointed streaming pipeline (A1/A11); returns
         the StreamingQuery. Old-image reconstruction, when enabled,
-        runs with per-key state instead of a batch window."""
+        runs with per-key state instead of a batch window; presign and
+        the custom transform run per micro-batch exactly as in the
+        batch lane, and `sink_writer` swaps the parquet sink for a
+        custom (e.g. transactional) writer. (The streaming lane always
+        runs the dynamic-lane record transform — same output schema
+        and semantics as the typed lane, which remains a batch-side
+        throughput optimization.)"""
         from cdk_dynamodb_cdc_spark.streaming.stream import run_cdc_stream
 
         if self.reconstruct_missing_old:
             records = reconstruct_old_images_stream(records)
+        needs_finish = (
+            self.presign_secret is not None or self.transform is not None
+        )
         return run_cdc_stream(
             records,
             sink_path=sink_path,
@@ -124,4 +152,6 @@ class CdcPipeline:
             pk_filters=self.pk_filters,
             claim_check_threshold=self.claim_check_threshold,
             available_now=available_now,
+            sink_writer=sink_writer,
+            transform=self._finish if needs_finish else None,
         )

@@ -248,12 +248,15 @@ def run_cdc_stream(
     claim_check_threshold: int = CLAIM_CHECK_THRESHOLD,
     available_now: bool = True,
     sink_writer=None,
+    transform=None,
 ):
     """Run the CDC pipeline over a record stream into a parquet sink.
 
     Returns the started StreamingQuery; callers `awaitTermination()`.
-    Each micro-batch applies the SAME pure transform the batch path
-    uses (operators/pipeline.py), then:
+    `transform` (DataFrame -> DataFrame, the reference's `functionPath`
+    hook) runs on the change events of each micro-batch before the
+    sink. Each micro-batch applies the SAME pure transform the batch
+    path uses (operators/pipeline.py), then:
 
       1. writes oversized images to the side store (idempotent by
          event_id),
@@ -284,6 +287,8 @@ def run_cdc_stream(
                 batch_df, side_store_path, claim_check_threshold,
                 batch_id=batch_id,
             )
+        if transform is not None:
+            events = transform(events)
         if sink_writer is not None:
             sink_writer(events, batch_id)
             return

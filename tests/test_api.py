@@ -21,6 +21,51 @@ def test_batch_events_with_transform_hook(spark):
     assert ops == {"INSERT"}
 
 
+def test_presign_and_transform_apply_in_both_lanes(spark, tmp_path):
+    """presign_secret and the functionPath-style transform must shape
+    the output identically whether the pipeline runs as a batch or as
+    a checkpointed stream."""
+    from cdk_dynamodb_cdc_spark.operators.claim_check import validate_claim_url
+    from cdk_dynamodb_cdc_spark.streaming import read_cdc_stream
+
+    pipe = CdcPipeline(
+        claim_check_base=str(tmp_path / "store") + "/",
+        presign_secret="k3y",
+        transform=lambda df: df.withColumn("tenant", F.lit("t0")),
+    )
+
+    records = cdc_fixture_df(spark)
+    batch = pipe.events(records)
+    batch_signed = batch.filter(F.col("images_url").isNotNull())
+    assert batch_signed.count() > 0
+    assert batch_signed.filter(
+        ~validate_claim_url(F.col("images_url"), "k3y")
+    ).count() == 0
+    assert {r.tenant for r in batch.collect()} == {"t0"}
+
+    src = tmp_path / "src"
+    src.mkdir()
+    rows = [r.asDict() for r in records.collect()]
+    with open(src / "b.json", "w") as fh:
+        for r in rows:
+            r["ts"] = r["ts"].strftime("%Y-%m-%dT%H:%M:%S.%f+0000")
+            fh.write(json.dumps(r) + "\n")
+    sink = str(tmp_path / "sink")
+    q = pipe.run_stream(
+        read_cdc_stream(spark, str(src), starting_position="trim_horizon"),
+        sink_path=sink,
+        checkpoint_path=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+    streamed = spark.read.parquet(sink)
+    assert {r.tenant for r in streamed.collect()} == {"t0"}
+    s_signed = streamed.filter(F.col("images_url").isNotNull())
+    assert s_signed.count() == batch_signed.count()
+    assert s_signed.filter(
+        ~validate_claim_url(F.col("images_url"), "k3y")
+    ).count() == 0
+
+
 def test_pk_filter_applies_in_both_lanes(spark):
     records = cdc_fixture_df(spark)
     dynamic = CdcPipeline(pk_filters=["ORDER#*"])
