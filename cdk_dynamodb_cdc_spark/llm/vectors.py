@@ -329,7 +329,12 @@ def _ivf_centroid_df(spark, codebook: list[list[float]]) -> DataFrame:
     )
 
 
-def ivf_build(emb: DataFrame, *, nlist: int = IVF_NLIST) -> DataFrame:
+def ivf_build(
+    emb: DataFrame,
+    *,
+    nlist: int = IVF_NLIST,
+    codebook: list[list[float]] | None = None,
+) -> DataFrame:
     """Build the IVF-flat index: (vec_id, v, nrm, cell).
 
     Coarse quantizer: a trained codebook from :func:`_ivf_codebook`
@@ -353,7 +358,9 @@ def ivf_build(emb: DataFrame, *, nlist: int = IVF_NLIST) -> DataFrame:
     form) re-scans the corpus — fine at test scale, wasteful at 100 TB.
     """
     base = _normed(emb)
-    cents = _ivf_centroid_df(emb.sparkSession, _ivf_codebook(base, nlist))
+    if codebook is None:
+        codebook = _ivf_codebook(base, nlist)
+    cents = _ivf_centroid_df(emb.sparkSession, codebook)
     sims = _ivf_centroid_sims(base, cents)
     # max_by struct: highest sim, ties to the LOWEST cent_id
     assign = sims.groupBy("vec_id").agg(
@@ -382,6 +389,7 @@ def ivf_search(
     *,
     nlist: int = IVF_NLIST,
     nprobe: int = IVF_NPROBE,
+    codebook: list[list[float]] | None = None,
 ) -> DataFrame:
     """Search an IVF index (output of :func:`ivf_build`, possibly read
     back from cell-bucketed storage) for each query's approximate
@@ -391,12 +399,16 @@ def ivf_search(
     those (~nprobe/nlist of the corpus). The centroid set is recovered
     by re-running the deterministic codebook fit on the index's own
     (vec_id, v) rows — same sorted bounded sample, same seeded init,
-    same fixed iterations — so the index file is self-contained. The
-    probe list broadcasts; stored cell-bucketed, the candidate join
-    needs no shuffle of the corpus at all.
+    same fixed iterations — so the index file is self-contained; a
+    caller that already holds the codebook (e.g. the one-plan
+    build-and-search composition) passes it to skip the refit.
+    The probe list broadcasts; stored cell-bucketed, the candidate
+    join needs no shuffle of the corpus at all.
     """
     vecs = index.select("vec_id", "v", "nrm")
-    cents = _ivf_centroid_df(index.sparkSession, _ivf_codebook(vecs, nlist))
+    if codebook is None:
+        codebook = _ivf_codebook(vecs, nlist)
+    cents = _ivf_centroid_df(index.sparkSession, codebook)
     q = vecs.filter(F.col("vec_id").isin(query_ids))
     qsims = _ivf_centroid_sims(q, cents)
     w_probe = Window.partitionBy("vec_id").orderBy(
@@ -443,7 +455,14 @@ def ivf_cosine_topk(
 ) -> DataFrame:
     """Build-and-search in one plan (the oracle-checkable form); for
     repeated queries, persist :func:`ivf_build`'s output bucketed by
-    cell and call :func:`ivf_search` against it instead."""
+    cell and call :func:`ivf_search` against it instead. The codebook
+    is fit ONCE and shared by both stages."""
+    codebook = _ivf_codebook(_normed(emb), nlist)
     return ivf_search(
-        ivf_build(emb, nlist=nlist), query_ids, k, nlist=nlist, nprobe=nprobe
+        ivf_build(emb, nlist=nlist, codebook=codebook),
+        query_ids,
+        k,
+        nlist=nlist,
+        nprobe=nprobe,
+        codebook=codebook,
     )
