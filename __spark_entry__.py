@@ -43,10 +43,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # independently.
 _GATE_PRIORITY = [
     # NEW this round (r5): PII scrubbing, corpus vocabulary stats,
-    # weighted (A-ES) sampling.
+    # weighted (A-ES) sampling, TF-IDF keywords, stream-order auditing.
     "pii_scrub_stats",
     "vocab_top_terms_by_lang",
     "weighted_sample_by_length",
+    "tfidf_top_terms",
+    "cdc_seq_inversion_stats",
     # changed this round (r5): decile oracle now interpolates in double;
     # embedding near-dup candidates come from sign-LSH buckets instead of
     # a bounded cross join; IVF coarse quantizer is a trained (sampled
@@ -92,15 +94,13 @@ _GATE_PRIORITY = [
     "text_quality_stats",
     "lang_id_confusion",
     "token_counts_bpeish",
-    "chunk_documents",
     "embedding_cosine_topk",
     "embedding_ann_topk",
     "media_metadata",
     "media_frame_sample",
-    # previously-green rotation sample (core operator families)
+    "chunk_documents",
+    # previously-green rotation sample
     "cdc_change_stats",
-    "near_dup_minhash_pairs",
-    "dedup_clusters",
 ]
 
 

@@ -228,3 +228,41 @@ def vocab_top_terms(docs: DataFrame, per_lang: int = 5) -> DataFrame:
         .filter(F.col("rk") <= per_lang)
         .select("lang", "rk", "term", "n")
     )
+
+
+def tfidf_top_terms(docs: DataFrame, per_doc: int = 3) -> DataFrame:
+    """Per-document keyword extraction: the `per_doc` terms with the
+    highest tf/df score (term frequency over corpus document
+    frequency — the linear-idf TF-IDF variant).
+
+    Why tf/df and not tf*ln(N/df): for a FIXED corpus the two rank
+    identically up to idf's monotone transform's tail behavior, and
+    tf/df is one IEEE-correctly-rounded division — bit-identical on
+    every engine — where ln() carries last-ulp variance across libm
+    implementations that could flip a rank at a near-tie. Equal real
+    ratios (1/2 vs 2/4) round to the SAME double, and remaining ties
+    break on the term string, so the output is fully deterministic.
+
+    Shape: one (doc_id, term) partial-agg shuffle for tf, one (term)
+    shuffle for df, a join on term (vocabulary-sized — shuffle join;
+    at web scale vocabulary >> memory, so no broadcast), and a
+    window-group-limit rank per doc. Stop-word-ish high-df terms sink
+    because df divides.
+    """
+    from pyspark.sql import Window
+
+    words = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
+    )
+    tf = words.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).alias("n_tf")
+    )
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    score = F.col("n_tf").cast("double") / F.col("df")
+    w = Window.partitionBy("doc_id").orderBy(score.desc(), F.col("term"))
+    return (
+        tf.join(df, "term")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= per_doc)
+        .select("doc_id", "rk", "term", "n_tf", "df")
+    )

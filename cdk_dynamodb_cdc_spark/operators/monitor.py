@@ -1,0 +1,64 @@
+"""Stream-health monitoring for CDC consumers.
+
+The reference trusts shard order absolutely (one Lambda per shard,
+sequential records — `dynamo-stream-handler.ts:19-26`); a distributed
+consumer should VERIFY that assumption instead, because a mis-keyed
+producer or a resharded topic silently breaks the per-key `seq`
+contract every downstream operator (reconstruction, squash, snapshot)
+relies on. This module is the verification: per-key order auditing
+over the arrival sequence.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def seq_inversion_stats(
+    records: DataFrame,
+    *,
+    key_cols: tuple[str, ...] = ("pk", "sk"),
+    seq_col: str = "seq",
+    arrival_col: str = "arrival",
+) -> DataFrame:
+    """Per-key out-of-order arrival report: for each key, how many
+    records arrived with a `seq_col` below the running maximum seen so
+    far in `arrival_col` order — i.e. late deliveries that a
+    seq-trusting consumer would mis-order.
+
+    Returns one row per key WITH inversions: (key_cols..., n_records,
+    n_inversions, max_lateness) where max_lateness is the largest
+    (running_max - seq) gap observed. Keys in order contribute nothing,
+    so the output size is bounded by the actual disorder, not the
+    stream.
+
+    Shape: one shuffle on the key columns, one ordered window pass —
+    the same partitioning every per-key CDC operator already uses, so
+    at scale this audit co-schedules with reconstruction for free.
+    """
+    # seq_col tie-breaks equal arrival stamps so the running max is
+    # deterministic under any partitioning.
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(arrival_col, seq_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    run_max = F.max(seq_col).over(w)
+    flagged = records.select(
+        *key_cols,
+        F.col(seq_col).alias("_seq"),
+        run_max.alias("_run_max"),
+    )
+    inv = F.col("_run_max").isNotNull() & (F.col("_seq") < F.col("_run_max"))
+    return (
+        flagged.groupBy(*key_cols)
+        .agg(
+            F.count(F.lit(1)).alias("n_records"),
+            F.sum(inv.cast("long")).alias("n_inversions"),
+            F.max(
+                F.when(inv, F.col("_run_max") - F.col("_seq"))
+            ).alias("max_lateness"),
+        )
+        .filter(F.col("n_inversions") > 0)
+    )

@@ -3358,6 +3358,89 @@ def weighted_sample_by_length(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation.weighted_sample(docs, "n_chars", 100)
 
 
+# ---------------------------------------------------------------------------
+# TF-IDF keyword extraction (llm/text.py:tfidf_top_terms): top terms
+# per document by tf/df. The linear-idf variant keeps the score one
+# IEEE-correctly-rounded division — bit-identical across engines —
+# where ln-idf carries last-ulp libm variance; equal real ratios round
+# to the same double, and ties break on the term string.
+# ---------------------------------------------------------------------------
+@query(
+    "tfidf_top_terms",
+    oracle="""
+    WITH words AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ), tf AS (
+      SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS n_tf
+      FROM words GROUP BY doc_id, term
+    ), df AS (
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term
+    ), ranked AS (
+      SELECT doc_id, term, n_tf, df,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY doc_id
+               ORDER BY CAST(n_tf AS DOUBLE) / df DESC, term) AS INT) AS rk
+      FROM tf JOIN df USING (term)
+    )
+    SELECT doc_id, rk, term, n_tf, df FROM ranked WHERE rk <= 3
+    """,
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdk_dynamodb_cdc_spark.llm.text import tfidf_top_terms as op
+
+    return op(load_table(spark, sf_dir, "documents"), per_doc=3)
+
+
+# ---------------------------------------------------------------------------
+# CDC stream-order auditing (operators/monitor.py): the reference
+# trusts shard order; a distributed consumer should verify it. The
+# corpus's events arrive perfectly ordered, so the query synthesizes a
+# deterministic late-delivery permutation (every 13th event_id is
+# delayed 50 arrival slots — identical expression in both engines) and
+# the operator reports per-key inversion counts and worst lateness.
+# ---------------------------------------------------------------------------
+@query(
+    "cdc_seq_inversion_stats",
+    oracle="""
+    WITH arr AS (
+      SELECT user_id, event_id,
+             event_id + CASE WHEN event_id % 13 = 0 THEN 50 ELSE 0 END
+               AS arrival
+      FROM events
+    ), f AS (
+      SELECT user_id, event_id,
+             MAX(event_id) OVER (
+               PARTITION BY user_id ORDER BY arrival, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS run_max
+      FROM arr
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_records,
+           CAST(COUNT(*) FILTER (run_max IS NOT NULL
+                                 AND event_id < run_max) AS BIGINT)
+             AS n_inversions,
+           MAX(CASE WHEN run_max IS NOT NULL AND event_id < run_max
+                    THEN run_max - event_id END) AS max_lateness
+    FROM f GROUP BY user_id
+    HAVING COUNT(*) FILTER (run_max IS NOT NULL
+                            AND event_id < run_max) > 0
+    """,
+)
+def cdc_seq_inversion_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdk_dynamodb_cdc_spark.operators.monitor import seq_inversion_stats
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_id")
+    arr = ev.withColumn(
+        "arrival",
+        F.col("event_id")
+        + F.when(F.col("event_id") % 13 == 0, F.lit(50)).otherwise(F.lit(0)),
+    )
+    return seq_inversion_stats(
+        arr, key_cols=("user_id",), seq_col="event_id", arrival_col="arrival"
+    )
+
+
 # ===========================================================================
 # Flagship curation pipeline: every LLM-corpus stage composed into ONE
 # per-document disposition — near-dup clustering (keep the canonical),

@@ -358,6 +358,7 @@ def interval_join_streams(
     right_time: str,
     max_delay: str = "30 minutes",
     watermark: str = "10 minutes",
+    how: str = "inner",
 ) -> DataFrame:
     """§2B stream-stream join: right-side rows within (0, max_delay]
     AFTER a left row with the same key.
@@ -368,7 +369,17 @@ def interval_join_streams(
     than watermark + max_delay, so state is bounded by arrival rate,
     not stream length. Without the time bound, a stream-stream inner
     join would buffer both streams forever.
+
+    `how="left_outer"` additionally emits unmatched left rows
+    null-padded — but only once the watermark has passed a row's join
+    horizon (left_time + max_delay), since until then a match could
+    still arrive. A pytest pins parity with the batch left join;
+    tail-of-stream rows whose horizon the final watermark never
+    crosses stay buffered, which is correct streaming semantics, so
+    finite-input tests advance the watermark with a late flush row.
     """
+    if how not in ("inner", "left_outer"):
+        raise ValueError(f"how must be 'inner' or 'left_outer', got {how!r}")
     lw = left.withWatermark(left_time, watermark)
     rw = right.withWatermark(right_time, watermark)
     cond = (
@@ -376,7 +387,7 @@ def interval_join_streams(
         & (rw[right_time] > lw[left_time])
         & (rw[right_time] <= lw[left_time] + F.expr(f"INTERVAL {max_delay}"))
     )
-    return lw.join(rw, cond, "inner")
+    return lw.join(rw, cond, how)
 
 
 @contextmanager

@@ -471,6 +471,80 @@ def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
     assert got == expected
 
 
+def test_stream_stream_left_outer_interval_join_emits_unmatched(
+    spark, tmp_path
+):
+    """left_outer lane: unmatched left rows must emit null-padded once
+    the watermark passes their join horizon. Finite input, so a far-
+    future flush row on a throwaway key advances both branches'
+    watermarks past every core row's horizon."""
+    import datetime
+    import json as _json
+
+    from cdk_dynamodb_cdc_spark.streaming.stream import interval_join_streams
+
+    t0 = datetime.datetime(2024, 1, 1, tzinfo=UTC)
+
+    def rec(eid, minutes, op, pk):
+        return {
+            "event_id": eid, "seq": minutes,
+            "ts": (t0 + datetime.timedelta(minutes=minutes)).strftime(
+                "%Y-%m-%dT%H:%M:%S.%f%z"),
+            "operation": op, "pk": pk, "sk": "SK",
+            "old_image": None, "new_image": "{}", "size_bytes": 64,
+        }
+
+    rows = [
+        rec("i1", 0, "INSERT", "A"),
+        rec("m1", 10, "MODIFY", "A"),    # pair
+        rec("i3", 5, "INSERT", "C"),     # no MODIFY in window -> null row
+        # flush: throwaway key, MODIFY before its INSERT so they can't
+        # pair; both event-time branches advance past every horizon
+        rec("zi", 1000, "INSERT", "ZZ"),
+        rec("zm", 900, "MODIFY", "ZZ"),
+    ]
+    src = tmp_path / "src"
+    src.mkdir()
+    (src / "data.json").write_text(
+        "\n".join(_json.dumps(r) for r in rows) + "\n")
+
+    stream = spark.readStream.schema(CDC_RECORD_SCHEMA).json(str(src))
+    ins = stream.filter(F.col("operation") == "INSERT").select(
+        F.col("pk"), F.col("ts").alias("ins_ts"),
+        F.col("event_id").alias("ins_id"))
+    mods = stream.filter(F.col("operation") == "MODIFY").select(
+        F.col("pk"), F.col("ts").alias("mod_ts"),
+        F.col("event_id").alias("mod_id"))
+    joined = interval_join_streams(
+        ins, mods, key="pk", left_time="ins_ts", right_time="mod_ts",
+        max_delay="30 minutes", how="left_outer",
+    ).select("ins_id", "mod_id")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ssj_outer")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_ssj_outer"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert not q.isActive
+    got = {
+        (r.ins_id, r.mod_id)
+        for r in spark.sql("SELECT * FROM ssj_outer").collect()
+        if r.ins_id != "zi"  # flush key horizon never flushes itself
+    }
+    assert got == {("i1", "m1"), ("i3", None)}
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="how"):
+        interval_join_streams(
+            ins, mods, key="pk", left_time="ins_ts", right_time="mod_ts",
+            how="full_outer",
+        )
+
+
 def test_stream_static_join_enriches_records(spark, tmp_path):
     """Stream-static join: the static side is re-read per micro-batch
     and broadcast — no stream state at all."""
