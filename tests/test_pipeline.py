@@ -124,3 +124,22 @@ def test_publish_and_route(spark):
     detail = json.loads(routed.first()["detail"])
     assert {"operation", "pk", "sk", "attributesChanged"} <= set(detail)
     assert route(pub, "other", "dynamo.item.changed").count() == 0
+
+
+def test_seq_inversion_stats_flags_late_arrivals(spark):
+    from cdk_dynamodb_cdc_spark.operators.monitor import seq_inversion_stats
+
+    rows = [
+        # key A: seq 1,3 arrive, then seq 2 arrives late (1 inversion,
+        # lateness 3-2=1); key B perfectly ordered
+        ("A", 1, 10), ("A", 3, 11), ("A", 2, 12),
+        ("B", 1, 10), ("B", 2, 11),
+    ]
+    df = spark.createDataFrame(rows, "pk string, seq long, arrival long")
+    got = {
+        r.pk: (r.n_records, r.n_inversions, r.max_lateness)
+        for r in seq_inversion_stats(
+            df, key_cols=("pk",), seq_col="seq", arrival_col="arrival"
+        ).collect()
+    }
+    assert got == {"A": (3, 1, 1)}  # ordered key B absent from report
