@@ -11,8 +11,14 @@ is committed):
   distributions, and orders<->lineitem join cardinality are preserved
   exactly; per-customer/part/supplier fact density rises 10x, which is
   the intended scale-up axis.
+* `events`: replicated 10x with BOTH user_id and event_id remapped per
+  replica — each replica is a disjoint population of users whose
+  per-user event chains (the thing the CDC synthesis, sessionization,
+  and window queries key on) are byte-identical to the original, so the
+  workload scales in users, not in per-key depth — the way a real
+  stream grows.
 * every other table: symlinked to the sf0.1 file unchanged (dimension
-  tables scale sub-linearly in TPC-H anyway; documents/embeddings/events
+  tables scale sub-linearly in TPC-H anyway; documents/embeddings
   queries are not part of the sf1 study — replicating near-identical
   documents would quadratically inflate near-dup pair counts and measure
   a different workload, not a bigger one).
@@ -38,7 +44,7 @@ DST = "/root/repo/sf1"
 REPLICAS = 10
 COPY_TABLES = [
     "region", "nation", "customer", "supplier", "part",
-    "events", "documents", "embeddings",
+    "documents", "embeddings",
 ]
 
 
@@ -47,25 +53,39 @@ def main() -> int:
     os.makedirs(DST, exist_ok=True)
 
     orders = spark.read.parquet(f"{SRC}/orders.parquet")
-    stride = orders.agg(F.max("o_orderkey")).first()[0] + 1
+    ev = spark.read.parquet(f"{SRC}/events.parquet")
+    strides = {
+        "o_orderkey": orders.agg(F.max("o_orderkey")).first()[0] + 1,
+        "event_id": ev.agg(F.max("event_id")).first()[0] + 1,
+        "user_id": ev.agg(F.max("user_id")).first()[0] + 1,
+    }
+    strides["l_orderkey"] = strides["o_orderkey"]  # shared key domain
     reps = spark.range(REPLICAS).select(F.col("id").alias("rep"))
 
-    for table, key in (("orders", "o_orderkey"), ("lineitem", "l_orderkey")):
+    replicate = {
+        "orders": ["o_orderkey"],
+        "lineitem": ["l_orderkey"],
+        "events": ["event_id", "user_id"],
+    }
+    for table, keys in replicate.items():
         src_df = spark.read.parquet(f"{SRC}/{table}.parquet")
-        out = (
-            src_df.crossJoin(F.broadcast(reps))
-            .withColumn(key, F.col(key) + F.col("rep") * F.lit(stride))
-            .drop("rep")
-            # Even, machine-wide file layout: without this the output
-            # inherits the source's 1-3 uneven input splits and every
-            # sf1 scan runs 12 tasks with one straggler holding the
-            # whole stage — measured ~30% inflation on scan-bound
-            # queries. Real tables have thousands of row groups; this
-            # makes the synthetic one behave like them.
-            .repartition(32)
-        )
-        out.write.mode("overwrite").parquet(f"{DST}/{table}.parquet")
-        print(f"wrote {DST}/{table}.parquet (stride={stride})")
+        out = src_df.crossJoin(F.broadcast(reps))
+        for key in keys:
+            out = out.withColumn(
+                key, F.col(key) + F.col("rep") * F.lit(strides[key])
+            )
+        # Even, machine-wide file layout: without this the output
+        # inherits the source's 1-3 uneven input splits and every
+        # sf1 scan runs 12 tasks with one straggler holding the
+        # whole stage — measured ~30% inflation on scan-bound
+        # queries. Real tables have thousands of row groups; this
+        # makes the synthetic one behave like them.
+        out = out.drop("rep").repartition(32)
+        dst = f"{DST}/{table}.parquet"
+        if os.path.islink(dst):  # replaced a previously symlinked table
+            os.unlink(dst)
+        out.write.mode("overwrite").parquet(dst)
+        print(f"wrote {dst} (strides={[strides[k] for k in keys]})")
 
     for table in COPY_TABLES:
         link = f"{DST}/{table}.parquet"
