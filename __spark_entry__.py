@@ -49,6 +49,7 @@ _GATE_PRIORITY = [
     "weighted_sample_by_length",
     "tfidf_top_terms",
     "cdc_seq_inversion_stats",
+    "cdc_incremental_group_totals",
     # changed this round (r5): decile oracle now interpolates in double;
     # embedding near-dup candidates come from sign-LSH buckets instead of
     # a bounded cross join; IVF coarse quantizer is a trained (sampled
@@ -99,8 +100,6 @@ _GATE_PRIORITY = [
     "media_metadata",
     "media_frame_sample",
     "chunk_documents",
-    # previously-green rotation sample
-    "cdc_change_stats",
 ]
 
 

@@ -3441,6 +3441,44 @@ def cdc_seq_inversion_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Incremental view maintenance (operators/ivm.py): per-group totals
+# computed by summing each change event's DELTA — the canonical CDC
+# consumer. The oracle recomputes the same totals from each user's
+# LAST state, so the green hash IS the IVM correctness theorem
+# (delta-sum == recompute) on this stream, including cross-group
+# MODIFY transitions reconstructed from minimal changed-subtree
+# events. DECIMAL(18,2) value arithmetic keeps both engines'  sums
+# order-independent and exact.
+# ---------------------------------------------------------------------------
+@query(
+    "cdc_incremental_group_totals",
+    oracle="""
+    WITH last AS (
+      SELECT user_id, event_type, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    )
+    SELECT event_type AS group_key,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM last WHERE rn = 1 GROUP BY event_type
+    """,
+)
+def cdc_incremental_group_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdk_dynamodb_cdc_spark.operators.ivm import aggregate_deltas
+
+    events = cdc_change_events(synthesize_cdc_records(spark, sf_dir))
+    deltas = aggregate_deltas(
+        events, group_field="event_type", value_field="value"
+    )
+    return deltas.groupBy("group_key").agg(
+        F.sum("d_items").alias("n_items"),
+        F.sum("d_value").cast("double").alias("total_value"),
+    )
+
+
 # ===========================================================================
 # Flagship curation pipeline: every LLM-corpus stage composed into ONE
 # per-document disposition — near-dup clustering (keep the canonical),

@@ -585,6 +585,81 @@ def test_stream_static_join_enriches_records(spark, tmp_path):
     assert got == {"e1": "gold", "e2": None}
 
 
+def test_aggregate_store_maintains_group_totals_and_survives_replay(
+    spark, tmp_path
+):
+    """IVM streaming lane: per-group totals stay equal to a batch
+    recompute across multi-batch INSERT/MODIFY/REMOVE traffic
+    (including a cross-group MODIFY), and replaying the whole stream
+    against the finished store (fresh checkpoint, same state) applies
+    nothing twice — the per-bucket applied_batch_id guard."""
+    import decimal
+
+    from cdk_dynamodb_cdc_spark.operators.ivm import (
+        maintain_aggregate_stream,
+        read_aggregate_store,
+    )
+
+    def img(group, value):
+        return (
+            '{"event_type":{"S":"%s"},"value":{"N":"%s"}}' % (group, value)
+        )
+
+    t0 = datetime.datetime(2024, 1, 1, tzinfo=UTC)
+    b1 = [
+        ("e1", 1, t0, "INSERT", "U#1", "S", None, img("a", "10.50"), 64),
+        ("e2", 1, t0, "INSERT", "U#2", "S", None, img("a", "2.00"), 64),
+        ("e3", 1, t0, "INSERT", "U#3", "S", None, img("b", "5.25"), 64),
+    ]
+    b2 = [
+        # value-only modify; cross-group modify a->b; delete
+        ("e4", 2, t0, "MODIFY", "U#1", "S", img("a", "10.50"),
+         img("a", "11.00"), 64),
+        ("e5", 2, t0, "MODIFY", "U#2", "S", img("a", "2.00"),
+         img("b", "2.00"), 64),
+        ("e6", 2, t0, "REMOVE", "U#3", "S", img("b", "5.25"), None, 64),
+    ]
+    src = tmp_path / "src"
+    src.mkdir()
+    _write_records_file(src / "b1.json", b1)
+    state = str(tmp_path / "aggstate")
+
+    def run(ckpt):
+        stream = read_cdc_stream(
+            spark, str(src), starting_position="trim_horizon",
+            max_files_per_trigger=1,
+        )
+        q = maintain_aggregate_stream(
+            stream,
+            state_path=state,
+            checkpoint_path=str(tmp_path / ckpt),
+            group_field="event_type",
+            value_field="value",
+        )
+        _run_until_done(q)
+
+    run("ckpt1")
+    _write_records_file(src / "b2.json", b2)
+    run("ckpt1")  # same checkpoint: only b2 is new
+
+    def totals():
+        return {
+            r.group_key: (r.n_items, decimal.Decimal(r.total_value))
+            for r in read_aggregate_store(spark, state).collect()
+        }
+
+    want = {
+        "a": (1, decimal.Decimal("11.00")),       # U#1 only
+        "b": (1, decimal.Decimal("2.00")),        # U#2 moved in, U#3 removed
+    }
+    assert totals() == want
+
+    # full replay: fresh checkpoint reprocesses b1+b2 against the
+    # finished store; applied_batch_id >= replayed ids -> no-op
+    run("ckpt2")
+    assert totals() == want
+
+
 def test_snapshot_store_upserts_and_deletes_across_batches(spark, tmp_path):
     """Streaming materialized-table maintenance: winners upsert, REMOVE
     deletes, untouched keys survive bucket rewrites, and the final
