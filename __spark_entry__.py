@@ -50,6 +50,7 @@ _GATE_PRIORITY = [
     "tfidf_top_terms",
     "cdc_seq_inversion_stats",
     "cdc_incremental_group_totals",
+    "cdc_scd2_history",
     # changed this round (r5): decile oracle now interpolates in double;
     # embedding near-dup candidates come from sign-LSH buckets instead of
     # a bounded cross join; IVF coarse quantizer is a trained (sampled
@@ -99,7 +100,6 @@ _GATE_PRIORITY = [
     "embedding_ann_topk",
     "media_metadata",
     "media_frame_sample",
-    "chunk_documents",
 ]
 
 

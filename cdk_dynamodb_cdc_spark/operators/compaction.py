@@ -36,7 +36,7 @@ log's per-key history streams through partial aggregates.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -134,5 +134,51 @@ def squash_change_events(
                 (F.col("operation") == "MODIFY")
                 & (F.size("attributes_changed") == 0)
             )
+        )
+    )
+
+
+def scd2_history(
+    records: DataFrame,
+    *,
+    key_cols: tuple[str, ...] = ("pk", "sk"),
+) -> DataFrame:
+    """Build a slowly-changing-dimension Type 2 table from the change
+    log: one row per item VERSION with its validity interval —
+    (key_cols..., image, valid_from, valid_to, is_current).
+
+    Each non-REMOVE record opens a version valid from its ``ts`` until
+    the next change to the same key (`lead` over the per-key sequence);
+    a REMOVE closes the previous version and contributes no row of its
+    own, so deleted keys simply have no current version. The
+    still-open version has valid_to NULL and is_current TRUE — the
+    standard warehouse temporal-table contract, queryable with
+    ``valid_from <= T AND (valid_to IS NULL OR T < valid_to)`` for any
+    point-in-time T (a per-interval generalization of
+    :func:`snapshot_at`'s single-cutoff answer).
+
+    Shape: one shuffle on the item key, one lead window over each
+    key's own versions — per-key state is the version count of that
+    key, never the table; 100 TB of history builds in a single
+    exchange. Ordering uses (ts, seq) so same-timestamp records keep
+    log order.
+    """
+    w = Window.partitionBy(*key_cols).orderBy("ts", "seq")
+    return (
+        records.select(
+            *key_cols,
+            "operation",
+            "ts",
+            "seq",
+            F.col("new_image").alias("image"),
+        )
+        .withColumn("valid_to", F.lead("ts").over(w))
+        .filter(F.col("operation") != "REMOVE")
+        .select(
+            *key_cols,
+            "image",
+            F.col("ts").alias("valid_from"),
+            "valid_to",
+            F.col("valid_to").isNull().alias("is_current"),
         )
     )

@@ -3442,6 +3442,45 @@ def cdc_seq_inversion_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# SCD Type-2 history (operators/compaction.py:scd2_history): one row
+# per item version with its validity interval — the warehouse
+# temporal-table form of the change log (snapshot_at generalized from
+# one cutoff to every interval). The oracle rebuilds the intervals
+# straight from the events table with a lead window; fields are
+# extracted from the marshalled image so no raw-JSON byte comparison
+# is involved.
+# ---------------------------------------------------------------------------
+@query(
+    "cdc_scd2_history",
+    oracle="""
+    SELECT 'USER#' || CAST(user_id AS VARCHAR) AS pk,
+           event_type,
+           CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE) AS val,
+           ts AS valid_from,
+           LEAD(ts) OVER w AS valid_to,
+           LEAD(ts) OVER w IS NULL AS is_current
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdk_dynamodb_cdc_spark.operators.compaction import scd2_history
+
+    hist = scd2_history(synthesize_cdc_records(spark, sf_dir))
+    return hist.select(
+        "pk",
+        F.get_json_object("image", "$.event_type.S").alias("event_type"),
+        F.get_json_object("image", "$.value.N")
+        .cast("decimal(18,2)")
+        .cast("double")
+        .alias("val"),
+        "valid_from",
+        "valid_to",
+        "is_current",
+    )
+
+
+# ---------------------------------------------------------------------------
 # Incremental view maintenance (operators/ivm.py): per-group totals
 # computed by summing each change event's DELTA — the canonical CDC
 # consumer. The oracle recomputes the same totals from each user's

@@ -88,3 +88,46 @@ def test_snapshot_at_cutoff_and_latest(spark):
     last = {r.pk: r.image for r in snapshot_at(log).collect()}
     assert set(last) == {"A", "B", "E"}
     assert '"3.0"' in last["A"] and '"1.0"' in last["B"] and '"8.0"' in last["E"]
+
+
+def test_scd2_history_intervals_and_remove_closes_version(spark):
+    """A REMOVE closes the previous version (its ts becomes that
+    version's valid_to) and contributes no row; a key deleted last has
+    no current version; re-insert after delete opens a fresh one."""
+    import datetime
+
+    from cdk_dynamodb_cdc_spark.operators.compaction import scd2_history
+
+    UTC = datetime.timezone.utc
+
+    def t(h):
+        return datetime.datetime(2024, 1, 1, h, tzinfo=UTC)
+
+    rows = [
+        # key A: insert, modify, delete, re-insert
+        ("e1", 1, t(0), "INSERT", "A", "S", None, '{"v": 1}', 64),
+        ("e2", 2, t(1), "MODIFY", "A", "S", '{"v": 1}', '{"v": 2}', 64),
+        ("e3", 3, t(2), "REMOVE", "A", "S", '{"v": 2}', None, 64),
+        ("e4", 4, t(3), "INSERT", "A", "S", None, '{"v": 3}', 64),
+        # key B: insert then delete -> no current version at all
+        ("e5", 1, t(0), "INSERT", "B", "S", None, '{"v": 9}', 64),
+        ("e6", 2, t(1), "REMOVE", "B", "S", '{"v": 9}', None, 64),
+    ]
+    records = spark.createDataFrame(
+        rows,
+        "event_id string, seq long, ts timestamp, operation string, "
+        "pk string, sk string, old_image string, new_image string, "
+        "size_bytes long",
+    )
+    hist = {
+        (r.pk, r.image): (r.valid_from.hour,
+                          r.valid_to.hour if r.valid_to else None,
+                          r.is_current)
+        for r in scd2_history(records).collect()
+    }
+    assert hist == {
+        ("A", '{"v": 1}'): (0, 1, False),
+        ("A", '{"v": 2}'): (1, 2, False),   # closed by the REMOVE
+        ("A", '{"v": 3}'): (3, None, True),  # re-insert is current
+        ("B", '{"v": 9}'): (0, 1, False),   # deleted key: nothing current
+    }
