@@ -131,3 +131,65 @@ def test_scd2_history_intervals_and_remove_closes_version(spark):
         ("A", '{"v": 3}'): (3, None, True),  # re-insert is current
         ("B", '{"v": 9}'): (0, 1, False),   # deleted key: nothing current
     }
+
+
+def test_scd2_history_matches_python_reference_on_randomized_lifecycles(
+    spark,
+):
+    """Randomized (seeded) lifecycles — inserts, modifies, deletes,
+    re-inserts — must yield exactly the intervals a straightforward
+    per-key Python fold produces."""
+    import datetime
+    import random
+
+    from cdk_dynamodb_cdc_spark.operators.compaction import scd2_history
+
+    rng = random.Random(77)
+    UTC = datetime.timezone.utc
+    t0 = datetime.datetime(2024, 1, 1, tzinfo=UTC)
+
+    rows, eid = [], 0
+    for k in range(30):
+        pk, alive = f"K#{k}", False
+        for _ in range(rng.randint(1, 7)):
+            eid += 1
+            ts = t0 + datetime.timedelta(minutes=eid)
+            if not alive:
+                rows.append((f"e{eid}", eid, ts, "INSERT", pk, "S",
+                             None, '{"v": %d}' % eid, 64))
+                alive = True
+            elif rng.random() < 0.3:
+                rows.append((f"e{eid}", eid, ts, "REMOVE", pk, "S",
+                             '{"v": 0}', None, 64))
+                alive = False
+            else:
+                rows.append((f"e{eid}", eid, ts, "MODIFY", pk, "S",
+                             '{"v": 0}', '{"v": %d}' % eid, 64))
+
+    # python reference: per key in (ts, seq) order, each non-REMOVE
+    # opens a version closed by the next record's ts
+    expected = set()
+    by_key: dict = {}
+    for r in rows:
+        by_key.setdefault(r[4], []).append(r)
+    for pk, recs in by_key.items():
+        recs.sort(key=lambda r: (r[2], r[1]))
+        for i, r in enumerate(recs):
+            if r[3] == "REMOVE":
+                continue
+            nxt = recs[i + 1][2] if i + 1 < len(recs) else None
+            expected.add((pk, r[7], r[2], nxt, nxt is None))
+
+    records = spark.createDataFrame(
+        rows,
+        "event_id string, seq long, ts timestamp, operation string, "
+        "pk string, sk string, old_image string, new_image string, "
+        "size_bytes long",
+    )
+    got = {
+        (r.pk, r.image, r.valid_from.replace(tzinfo=UTC),
+         r.valid_to.replace(tzinfo=UTC) if r.valid_to else None,
+         r.is_current)
+        for r in scd2_history(records).collect()
+    }
+    assert got == expected and expected

@@ -143,3 +143,84 @@ def test_seq_inversion_stats_flags_late_arrivals(spark):
         ).collect()
     }
     assert got == {"A": (3, 1, 1)}  # ordered key B absent from report
+
+
+def test_ivm_deltas_match_recompute_on_randomized_lifecycles(spark):
+    """Randomized (seeded) adversarial IVM check: K keys run through
+    INSERT -> MODIFYs (value and/or group changes, some no-ops) ->
+    maybe REMOVE -> maybe re-INSERT; summed deltas through the full
+    dynamic pipeline must equal a pure-Python recompute of the final
+    states — including the REMOVE/old_image path and group
+    transitions, which the corpus oracle stream never exercises."""
+    import datetime
+    import decimal
+    import random
+
+    from cdk_dynamodb_cdc_spark.operators.ivm import aggregate_deltas
+
+    rng = random.Random(4242)
+    UTC = datetime.timezone.utc
+    t0 = datetime.datetime(2024, 1, 1, tzinfo=UTC)
+    groups = ["g0", "g1", "g2"]
+
+    def img(g, v):
+        return '{"grp":{"S":"%s"},"val":{"N":"%s"}}' % (g, v)
+
+    rows, final = [], {}
+    eid = 0
+    for k in range(40):
+        pk = f"K#{k}"
+        state = None
+        for step in range(rng.randint(1, 6)):
+            eid += 1
+            ts = t0 + datetime.timedelta(minutes=eid)
+            if state is None:
+                state = (rng.choice(groups), f"{rng.randint(0, 9999)}.{rng.randint(0,99):02d}")
+                rows.append((f"e{eid}", eid, ts, "INSERT", pk, "S",
+                             None, img(*state), 64))
+            elif rng.random() < 0.25:
+                rows.append((f"e{eid}", eid, ts, "REMOVE", pk, "S",
+                             img(*state), None, 64))
+                state = None
+            else:
+                old = state
+                which = rng.random()
+                if which < 0.2:
+                    new = old  # no-op MODIFY: pipeline drops it, delta 0
+                elif which < 0.6:
+                    new = (old[0], f"{rng.randint(0, 9999)}.{rng.randint(0,99):02d}")
+                else:
+                    new = (rng.choice([g for g in groups if g != old[0]]), old[1])
+                rows.append((f"e{eid}", eid, ts, "MODIFY", pk, "S",
+                             img(*old), img(*new), 64))
+                state = new
+        final[pk] = state
+
+    expected = {}
+    for state in final.values():
+        if state is None:
+            continue
+        g, v = state
+        n, tot = expected.get(g, (0, decimal.Decimal(0)))
+        expected[g] = (n + 1, tot + decimal.Decimal(v))
+
+    records = spark.createDataFrame(
+        rows,
+        "event_id string, seq long, ts timestamp, operation string, "
+        "pk string, sk string, old_image string, new_image string, "
+        "size_bytes long",
+    )
+    got = {
+        r.group_key: (r.n_items, decimal.Decimal(r.total_value))
+        for r in aggregate_deltas(
+            cdc_change_events(records), group_field="grp", value_field="val"
+        )
+        .groupBy("group_key")
+        .agg(
+            F.sum("d_items").alias("n_items"),
+            F.sum("d_value").alias("total_value"),
+        )
+        .filter(F.col("n_items") > 0)
+        .collect()
+    }
+    assert got == expected and expected
