@@ -15,7 +15,11 @@ The minimal change-event format (changed-subtree `before`/`after`
 plus the conditionally inlined images) carries everything needed:
 a field absent from `before` did not change, so its old value IS its
 new value — :func:`aggregate_deltas` reconstructs both sides with
-coalesces and never needs the full old image for MODIFYs.
+coalesces and never needs the full old image for MODIFYs. The
+operator is lane-agnostic: deltas over typed-lane events
+(operators/typed_diff.py, zero Python) are pytest-pinned identical to
+the dynamic lane's, so the scale deployment runs IVM entirely in
+whole-stage codegen.
 
 Scale shape: deltas are a per-row projection (scan-speed); the merge
 is one shuffle keyed by group — aggregates per group are tiny, so a

@@ -250,3 +250,65 @@ def test_randomized_parity_with_dynamic_lane(spark):
         assert set(t.attributes_changed) == set(d.attributes_changed), eid
         assert json.loads(t.before or "{}") == json.loads(d.before or "{}"), eid
         assert json.loads(t.after or "{}") == json.loads(d.after or "{}"), eid
+
+
+def test_ivm_deltas_identical_across_lanes(spark):
+    """aggregate_deltas is lane-agnostic: summed per-group deltas over
+    typed-lane change events must equal the dynamic lane's — so the
+    IVM consumer can ride the zero-Python typed plan at scale."""
+    import decimal
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from cdk_dynamodb_cdc_spark.operators.ivm import aggregate_deltas
+    from cdk_dynamodb_cdc_spark.operators.pipeline import cdc_change_events
+    from cdk_dynamodb_cdc_spark.operators.typed_diff import (
+        cdc_change_events_typed,
+    )
+
+    def img(g, v):
+        return '{"grp":{"S":"%s"},"val":{"N":"%s"}}' % (g, v)
+
+    rows = [
+        ("e1", 1, None, "INSERT", "A", "S", None, img("x", "10.00"), 64),
+        ("e2", 2, None, "MODIFY", "A", "S", img("x", "10.00"),
+         img("y", "10.00"), 64),  # group flip
+        ("e3", 1, None, "INSERT", "B", "S", None, img("x", "3.50"), 64),
+        ("e4", 2, None, "MODIFY", "B", "S", img("x", "3.50"),
+         img("x", "4.25"), 64),   # value change
+        ("e5", 3, None, "REMOVE", "B", "S", img("x", "4.25"), None, 64),
+    ]
+    records = spark.createDataFrame(
+        rows,
+        "event_id string, seq long, ts timestamp, operation string, "
+        "pk string, sk string, old_image string, new_image string, "
+        "size_bytes long",
+    )
+    schema = T.StructType(
+        [
+            T.StructField("grp", T.StringType()),
+            T.StructField("val", T.DoubleType()),
+        ]
+    )
+
+    def totals(events):
+        return {
+            r.group_key: (r.n_items, decimal.Decimal(r.total_value))
+            for r in aggregate_deltas(
+                events, group_field="grp", value_field="val"
+            )
+            .groupBy("group_key")
+            .agg(
+                F.sum("d_items").alias("n_items"),
+                F.sum("d_value").alias("total_value"),
+            )
+            .collect()
+        }
+
+    dyn = totals(cdc_change_events(records))
+    typ = totals(cdc_change_events_typed(records, schema))
+    assert dyn == typ == {
+        "x": (0, decimal.Decimal("0.00")),
+        "y": (1, decimal.Decimal("10.00")),
+    }
