@@ -42,6 +42,16 @@ def entry(spark: SparkSession) -> DataFrame:
 # ordering only decides which subset the driver re-verifies
 # independently.
 _GATE_PRIORITY = [
+    # NEWEST this round (r5, late additions): funnel analysis, EWMA
+    # trend, equi-width histogram, TWAP, inverted-index search, column
+    # profiling, snapshot reconciliation.
+    "funnel_conversion_steps",
+    "ewma_revenue_trend",
+    "value_histogram_events",
+    "time_weighted_avg_value",
+    "inverted_index_search",
+    "profile_event_columns",
+    "cdc_snapshot_diff",
     # NEW this round (r5): PII scrubbing, corpus vocabulary stats,
     # weighted (A-ES) sampling, TF-IDF keywords, stream-order auditing.
     "pii_scrub_stats",

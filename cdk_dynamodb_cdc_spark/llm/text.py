@@ -266,3 +266,51 @@ def tfidf_top_terms(docs: DataFrame, per_doc: int = 3) -> DataFrame:
         .filter(F.col("rk") <= per_doc)
         .select("doc_id", "rk", "term", "n_tf", "df")
     )
+
+
+def build_inverted_index(docs: DataFrame) -> DataFrame:
+    """Posting-list construction: one row per distinct (term, doc_id)
+    with the within-document term frequency — the inverted index a
+    corpus-scale text-search layer is built from.
+
+    Shape: explode -> one (doc_id, term) partial-agg shuffle. The
+    output is naturally term-partitionable (write bucketed by term for
+    shuffle-free query serving); postings per term are bounded by
+    document frequency, never by corpus size, so the index build is
+    one map-side-combined aggregation over the corpus — the same plan
+    at 500 docs and at 100 TB.
+    """
+    words = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
+    )
+    return words.groupBy("term", "doc_id").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+
+
+def search_conjunctive(
+    index: DataFrame, terms: list[str], top_k: int = 20
+) -> DataFrame:
+    """Conjunctive (AND) search over a posting-list index: documents
+    containing EVERY query term, ranked by total query-term frequency.
+
+    Shape: the query-term filter prunes the index to len(terms)
+    posting lists BEFORE any shuffle (predicate pushdown on `term` —
+    on a term-bucketed index this is a bucket-pruned read of exactly
+    len(terms) buckets); the AND is a doc-keyed count==len(terms)
+    aggregation over those postings, and the ranking is a sort-limit
+    that compiles to TakeOrderedAndProject (distributed partial
+    top-k, no global sort). Integer score + doc_id tiebreak keeps the
+    result engine-exact.
+    """
+    n_terms = len(terms)
+    hits = index.filter(F.col("term").isin(terms))
+    matched = hits.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_terms_matched"),
+        F.sum("tf").cast("long").alias("score"),
+    )
+    return (
+        matched.filter(F.col("n_terms_matched") == n_terms)
+        .orderBy(F.col("score").desc(), F.col("doc_id"))
+        .limit(top_k)
+    )

@@ -182,3 +182,70 @@ def scd2_history(
             F.col("valid_to").isNull().alias("is_current"),
         )
     )
+
+
+def snapshot_diff(
+    records: DataFrame,
+    from_ts: str,
+    to_ts: str,
+    *,
+    key_cols: tuple[str, ...] = KEY_COLS,
+) -> DataFrame:
+    """Reconcile two points in time of the same change log: which item
+    keys were ADDED, REMOVED, CHANGED, or UNCHANGED between ``from_ts``
+    and ``to_ts`` (both inclusive cutoffs).
+
+    This is the anti-entropy / table-reconciliation primitive CDC
+    consumers use to validate a replica against the log (the reference
+    has no audit path at all — every divergence is silent,
+    `dynamo-stream-handler.ts:168-177` fires and forgets): replay the
+    log to both cutoffs with ``snapshot_at`` and full-outer-join the
+    states on the item key.
+
+    Classification per key:
+
+    * ``ADDED``     — absent at ``from_ts``, live at ``to_ts``
+    * ``REMOVED``   — live at ``from_ts``, absent/dead at ``to_ts``
+    * ``CHANGED``   — live at both with a different image
+    * ``UNCHANGED`` — live at both with the identical image
+
+    Keys absent at both cutoffs (born and deleted inside the window,
+    or born after ``to_ts``) emit nothing — invisible at both ends,
+    the same suppression rule ``squash_change_events`` applies.
+
+    Shape: the two snapshots share one key-partitioned aggregation
+    shape each, and the full outer join runs on the same key — at
+    cluster scale the whole reconciliation is two passes over the log
+    plus one co-partitioned join, never a per-version sort. The image
+    comparison is a string equality on the marshalled image (cheap,
+    exact); callers needing attribute-level detail feed the CHANGED
+    slice to the diff operator afterwards.
+    """
+    a = snapshot_at(records, from_ts, key_cols=key_cols).select(
+        *key_cols,
+        F.col("image").alias("image_from"),
+        F.col("n_versions").alias("n_versions_from"),
+    )
+    b = snapshot_at(records, to_ts, key_cols=key_cols).select(
+        *key_cols,
+        F.col("image").alias("image_to"),
+        F.col("n_versions").alias("n_versions_to"),
+    )
+    joined = a.join(b, on=list(key_cols), how="full_outer")
+    kind = (
+        F.when(F.col("image_from").isNull(), F.lit("ADDED"))
+        .when(F.col("image_to").isNull(), F.lit("REMOVED"))
+        .when(F.col("image_from") == F.col("image_to"), F.lit("UNCHANGED"))
+        .otherwise(F.lit("CHANGED"))
+    )
+    return joined.select(
+        *key_cols,
+        kind.alias("change_kind"),
+        "image_from",
+        "image_to",
+        # versions the log replayed inside the window for this key
+        (
+            F.coalesce("n_versions_to", F.lit(0))
+            - F.coalesce("n_versions_from", F.lit(0))
+        ).cast("long").alias("n_new_versions"),
+    )

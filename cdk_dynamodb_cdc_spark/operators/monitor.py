@@ -62,3 +62,41 @@ def seq_inversion_stats(
         )
         .filter(F.col("n_inversions") > 0)
     )
+
+
+def profile_columns(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Data-profiling audit: one row per requested column with
+    ``(column, n_rows, n_nulls, n_distinct)`` — the completeness /
+    cardinality summary a pipeline health check runs before trusting
+    a new corpus drop (schema drift shows up here first: a column
+    whose null fraction or cardinality jumps between drops).
+
+    Shape: each column is cast to string (injective for the scalar
+    types this profiles — shortest-repr doubles, µs timestamps,
+    integers) and melted to ``(column, value)`` rows, then ONE
+    aggregation keyed by column name computes count / null-count /
+    distinct-count. Spark plans the distinct aggregate two-phase
+    (partial distinct per task, then merge), so no column's full
+    value set ever gathers on one node; the melt multiplies rows by
+    len(cols) but never widens them beyond two fields. The plan is
+    identical at any corpus size — the profile output is always
+    exactly ``len(cols)`` rows.
+    """
+    melted = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("column"),
+                        F.col(c).cast("string").alias("value"),
+                    )
+                    for c in cols
+                ]
+            )
+        ).alias("kv")
+    ).select("kv.column", "kv.value")
+    return melted.groupBy("column").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("value").isNull().cast("long")).alias("n_nulls"),
+        F.count_distinct("value").alias("n_distinct"),
+    )

@@ -546,7 +546,14 @@ def asof_latest_order_at_event(spark: SparkSession, sf_dir: str) -> DataFrame:
 def synthesize_cdc_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Turn the events table into a marshalled CDC stream: each user is an
     item whose document {event_type, value} mutates at every event."""
-    ev = load_table(spark, sf_dir, "events")
+    return synthesize_cdc_records_from(load_table(spark, sf_dir, "events"))
+
+
+def synthesize_cdc_records_from(ev: DataFrame) -> DataFrame:
+    """Marshal an (already filtered/projected) events DataFrame into the
+    CDC record shape — the per-user version log is derived from exactly
+    the rows given, so callers can stage lifecycles (e.g. the staggered
+    activity spans cdc_snapshot_diff uses) before synthesis."""
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
 
     def marshal(et, v):
@@ -4381,4 +4388,458 @@ def weekly_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return activity.groupBy("cohort_week", "week_offset").agg(
         F.count(F.lit(1)).alias("n_active_users")
+    )
+
+
+def _dec_double(col: "F.Column") -> "F.Column":
+    """Bit-stable DECIMAL -> DOUBLE: ``double(floor(x)) + double(x -
+    floor(x))``.
+
+    A direct cast of a wide decimal is NOT bit-stable across engines:
+    DuckDB converts scale-s decimals as ``double(unscaled) /
+    double(10^s)`` (two roundings when unscaled exceeds 2^53) while
+    the JVM parses the exact string (one rounding), so sums past ~16
+    significant digits can differ in the last ulp. Splitting first
+    makes every primitive op identical in both engines: the integer
+    part is one int->double conversion (correctly rounded by IEEE in
+    both), the sub-1 fraction is one exact-operand division, and the
+    final add rounds the same two doubles. The oracle twin spells the
+    same split in SQL.
+    """
+    ipart = F.floor(col)
+    return ipart.cast("double") + (col - ipart).cast("double")
+
+
+def _duck_dec_double(expr: str) -> str:
+    """DuckDB twin of ``_dec_double`` (see its docstring)."""
+    return (
+        f"(CAST(FLOOR({expr}) AS DOUBLE)"
+        f" + CAST(({expr}) - FLOOR({expr}) AS DOUBLE))"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Ordered funnel analysis: view -> click -> purchase, each step's earliest
+# qualifying timestamp strictly after the previous step's. The classic
+# product-analytics operator the reference's event bus feeds downstream
+# (`cdk-dynamodb-cdc-stack.ts:32-38` routes exactly such event streams).
+# Shape: one min-aggregation per step, each keyed by user_id — the joins
+# are all co-partitioned on the same key, so at cluster scale the funnel
+# is len(steps) map-side-combined aggregations over one user-hashed
+# exchange, never a sort or a self-join explosion. The 3-row summary
+# window is trivially small by construction.
+# ---------------------------------------------------------------------------
+@query(
+    "funnel_conversion_steps",
+    oracle="""
+    WITH s1 AS (
+      SELECT user_id, MIN(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ), s2 AS (
+      SELECT e.user_id, MIN(e.ts) AS t2
+      FROM events e JOIN s1 ON e.user_id = s1.user_id
+      WHERE e.event_type = 'click' AND e.ts > s1.t1
+      GROUP BY e.user_id
+    ), s3 AS (
+      SELECT e.user_id, MIN(e.ts) AS t3
+      FROM events e JOIN s2 ON e.user_id = s2.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+      GROUP BY e.user_id
+    ), counts AS (
+      SELECT 1 AS step_no, 'view' AS step,
+             CAST((SELECT COUNT(*) FROM s1) AS BIGINT) AS n_users
+      UNION ALL
+      SELECT 2, 'click', CAST((SELECT COUNT(*) FROM s2) AS BIGINT)
+      UNION ALL
+      SELECT 3, 'purchase', CAST((SELECT COUNT(*) FROM s3) AS BIGINT)
+    )
+    SELECT step_no, step, n_users,
+           CAST(n_users AS DOUBLE)
+             / FIRST_VALUE(n_users) OVER (ORDER BY step_no) AS conv_from_first,
+           CAST(n_users AS DOUBLE)
+             / COALESCE(LAG(n_users) OVER (ORDER BY step_no), n_users)
+             AS conv_from_prev
+    FROM counts
+    """,
+)
+def funnel_conversion_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts"
+    )
+    s1 = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    counts = (
+        s1.agg(F.count(F.lit(1)).alias("n_users"))
+        .select(F.lit(1).alias("step_no"), F.lit("view").alias("step"), "n_users")
+        .unionByName(
+            s2.agg(F.count(F.lit(1)).alias("n_users")).select(
+                F.lit(2).alias("step_no"), F.lit("click").alias("step"), "n_users"
+            )
+        )
+        .unionByName(
+            s3.agg(F.count(F.lit(1)).alias("n_users")).select(
+                F.lit(3).alias("step_no"),
+                F.lit("purchase").alias("step"),
+                "n_users",
+            )
+        )
+    )
+    w = Window.orderBy("step_no")
+    return counts.select(
+        "step_no",
+        "step",
+        "n_users",
+        (
+            F.col("n_users").cast("double") / F.first("n_users").over(w)
+        ).alias("conv_from_first"),
+        (
+            F.col("n_users").cast("double")
+            / F.coalesce(F.lag("n_users").over(w), F.col("n_users"))
+        ).alias("conv_from_prev"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# EWMA trend smoothing over the daily revenue series, per event type.
+# The smoothing weights are dyadic (2^-1 ... 2^-7, tail re-weighted so
+# they sum to 1), so every product and sum stays EXACT in decimal — the
+# usual float-recurrence nondeterminism (summation-order-dependent low
+# bits) cannot occur, and both engines produce bit-identical doubles.
+# Shape: one (type, day) partial-agg shuffle, then one 8-lag analytic
+# window per type — a bounded ROWS frame, streaming-evaluable, never a
+# per-type global collect. Missing leading lags coalesce to 0 (warm-up
+# rows are flagged by day rank if consumers care).
+# ---------------------------------------------------------------------------
+_EWMA_WEIGHTS = [
+    "0.50000000",
+    "0.25000000",
+    "0.12500000",
+    "0.06250000",
+    "0.03125000",
+    "0.01562500",
+    "0.00781250",
+    "0.00781250",
+]
+
+
+@query(
+    "ewma_revenue_trend",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS rev
+      FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ), smoothed AS (
+      SELECT event_type, day, rev,
+             rev * CAST({_EWMA_WEIGHTS[0]} AS DECIMAL(9,8))
+             {" ".join(
+               f"+ COALESCE(LAG(rev, {k}) OVER w, CAST(0 AS DECIMAL(18,6)))"
+               f" * CAST({wk} AS DECIMAL(9,8))"
+               for k, wk in enumerate(_EWMA_WEIGHTS) if k > 0
+             )} AS ewma_dec
+      FROM daily
+      WINDOW w AS (PARTITION BY event_type ORDER BY day)
+    )
+    SELECT event_type, day, CAST(rev AS DOUBLE) AS rev,
+           {_duck_dec_double("ewma_dec")} AS ewma
+    FROM smoothed
+    """,
+)
+def ewma_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(
+        F.sum(F.col("value").cast("decimal(18,6)"))
+        .cast("decimal(18,6)")
+        .alias("rev")
+    )
+    wd = Window.partitionBy("event_type").orderBy("day")
+    zero = F.lit("0").cast("decimal(18,6)")
+    terms = [F.col("rev") * F.lit(_EWMA_WEIGHTS[0]).cast("decimal(9,8)")]
+    for k, wk in enumerate(_EWMA_WEIGHTS):
+        if k == 0:
+            continue
+        terms.append(
+            F.coalesce(F.lag("rev", k).over(wd), zero)
+            * F.lit(wk).cast("decimal(9,8)")
+        )
+    ewma = terms[0]
+    for t in terms[1:]:
+        ewma = ewma + t
+    return daily.select(
+        "event_type",
+        "day",
+        F.col("rev").cast("double").alias("rev"),
+        _dec_double(ewma).alias("ewma"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Equi-width histogram of event values per type: fixed [0, 500) domain in
+# 20 buckets of width 25. Bucketing is floor(value / width) — one IEEE
+# division + floor, bit-identical across engines — clamped into range, so
+# the operator is a pure map + one (type, bucket) aggregation with
+# map-side combine; output is always <= |types| * 20 rows at any scale.
+# ---------------------------------------------------------------------------
+@query(
+    "value_histogram_events",
+    oracle="""
+    SELECT event_type,
+           CAST(LEAST(FLOOR(value / 25.0), 19) AS INT) AS bucket,
+           CAST(LEAST(FLOOR(value / 25.0), 19) * 25.0 AS DOUBLE) AS bucket_lo,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events
+    GROUP BY event_type, LEAST(FLOOR(value / 25.0), 19)
+    """,
+)
+def value_histogram_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    bucket = F.least(F.floor(F.col("value") / 25.0), F.lit(19)).cast("int")
+    return (
+        ev.select("event_type", "user_id", bucket.alias("bucket"))
+        .groupBy("event_type", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count_distinct("user_id").alias("n_users"),
+        )
+        .select(
+            "event_type",
+            "bucket",
+            (F.col("bucket") * 25.0).alias("bucket_lo"),
+            "n_events",
+            "n_users",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Time-weighted average (TWAP-style): each event's value weighted by the
+# microseconds until the same user's next event, aggregated per type.
+# The weighting products run in exact decimal (value DECIMAL(18,6) x
+# interval-µs DECIMAL(20,0)) so the per-type sums are summation-order-
+# free; the single double division at the end is IEEE-identical across
+# engines. Shape: one user-keyed lead window (the partitioning every
+# per-key CDC operator shares) + one small per-type aggregation.
+# ---------------------------------------------------------------------------
+@query(
+    "time_weighted_avg_value",
+    oracle=f"""
+    WITH spans AS (
+      SELECT event_type, value,
+             epoch_us(LEAD(ts) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id))
+               - epoch_us(ts) AS delta_us
+      FROM events
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_intervals,
+           CAST(SUM(delta_us) AS BIGINT) AS total_us,
+           {_duck_dec_double(
+             "SUM(CAST(value AS DECIMAL(18,6))"
+             " * CAST(delta_us AS DECIMAL(20,0)))"
+           )}
+             / CAST(SUM(delta_us) AS DOUBLE) AS twap
+    FROM spans WHERE delta_us IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+def time_weighted_avg_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    spans = ev.select(
+        "event_type",
+        "value",
+        (_epoch_us(F.lead("ts").over(w)) - _epoch_us(F.col("ts"))).alias(
+            "delta_us"
+        ),
+    ).filter(F.col("delta_us").isNotNull())
+    weighted = F.col("value").cast("decimal(18,6)") * F.col(
+        "delta_us"
+    ).cast("decimal(20,0)")
+    return spans.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_intervals"),
+        F.sum("delta_us").alias("total_us"),
+        (
+            _dec_double(F.sum(weighted))
+            / F.sum("delta_us").cast("double")
+        ).alias("twap"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Inverted-index text search (llm/text.py:build_inverted_index +
+# search_conjunctive): posting lists from the documents corpus, then a
+# conjunctive (AND) query over three terms ranked by total term
+# frequency. The index build is one map-side-combined aggregation; the
+# search prunes to the query terms' postings before any shuffle and the
+# top-k compiles to TakeOrderedAndProject. Integer scores + doc_id
+# tiebreak keep the ranking engine-exact.
+# ---------------------------------------------------------------------------
+_SEARCH_TERMS = ["spark", "merge", "window"]
+
+
+@query(
+    "inverted_index_search",
+    oracle=f"""
+    WITH postings AS (
+      SELECT term, doc_id, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+            FROM documents)
+      GROUP BY term, doc_id
+    ), matched AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms_matched,
+             CAST(SUM(tf) AS BIGINT) AS score
+      FROM postings
+      WHERE term IN ({", ".join(f"'{t}'" for t in _SEARCH_TERMS)})
+      GROUP BY doc_id
+      HAVING COUNT(*) = {len(_SEARCH_TERMS)}
+    )
+    SELECT doc_id, n_terms_matched, score
+    FROM matched ORDER BY score DESC, doc_id LIMIT 20
+    """,
+)
+def inverted_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    index = llm_text.build_inverted_index(
+        load_table(spark, sf_dir, "documents")
+    )
+    return llm_text.search_conjunctive(index, _SEARCH_TERMS, top_k=20)
+
+
+# ---------------------------------------------------------------------------
+# Column profiling audit (operators/monitor.py:profile_columns): per-
+# column row/null/distinct counts over the events table — the corpus
+# health check a pipeline runs before trusting a new drop. One melted
+# aggregation, two-phase distinct, output bounded at len(cols) rows.
+# The oracle profiles each raw column directly; equality holds because
+# the engine's string melt is injective for these scalar types.
+# ---------------------------------------------------------------------------
+@query(
+    "profile_event_columns",
+    oracle="""
+    SELECT 'event_id' AS col_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_nulls,
+           CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_distinct
+    FROM events
+    UNION ALL
+    SELECT 'ts', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(COUNT(DISTINCT ts) AS BIGINT) FROM events
+    UNION ALL
+    SELECT 'user_id', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) FROM events
+    UNION ALL
+    SELECT 'event_type', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(COUNT(DISTINCT event_type) AS BIGINT) FROM events
+    UNION ALL
+    SELECT 'value', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(COUNT(DISTINCT value) AS BIGINT) FROM events
+    UNION ALL
+    SELECT 'props', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(COUNT(DISTINCT props) AS BIGINT) FROM events
+    """,
+)
+def profile_event_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdk_dynamodb_cdc_spark.operators.monitor import profile_columns
+
+    ev = load_table(spark, sf_dir, "events")
+    prof = profile_columns(
+        ev, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    return prof.select(
+        F.col("column").alias("col_name"), "n_rows", "n_nulls", "n_distinct"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Snapshot reconciliation (operators/compaction.py:snapshot_diff): replay
+# the change log to two cutoffs and classify every item key as ADDED /
+# REMOVED / CHANGED / UNCHANGED — the anti-entropy audit a CDC replica
+# runs against the log. The log here staggers each user's activity span
+# by user_id (days 3k+1..3k+8 of the month) so at the chosen cutoffs
+# every class is non-vacuous, including both invisibility rules (keys
+# born after T2 and keys created+deleted before T1 emit nothing).
+# Shape: two key-partitioned max_by aggregations + one co-partitioned
+# full outer join — two passes over the log at any scale, no sorts.
+# ---------------------------------------------------------------------------
+_DIFF_T1 = "2024-01-13 00:00:00"
+_DIFF_T2 = "2024-01-24 00:00:00"
+
+
+@query(
+    "cdc_snapshot_diff",
+    oracle=f"""
+    WITH ev AS (
+      SELECT * FROM events
+      WHERE date_part('day', ts)
+            BETWEEN 3 * (user_id % 10) + 1 AND 3 * (user_id % 10) + 8
+    ), le1 AS (
+      SELECT user_id, event_type, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn,
+             COUNT(*) OVER (PARTITION BY user_id) AS nv
+      FROM ev WHERE ts <= TIMESTAMP '{_DIFF_T1}'
+    ), dead1 AS (
+      SELECT user_id FROM ev WHERE user_id % 17 = 0
+      GROUP BY user_id HAVING MAX(ts) <= TIMESTAMP '{_DIFF_T1}'
+    ), s1 AS (
+      SELECT user_id, event_type, value, nv FROM le1
+      WHERE rn = 1 AND user_id NOT IN (SELECT user_id FROM dead1)
+    ), le2 AS (
+      SELECT user_id, event_type, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn,
+             COUNT(*) OVER (PARTITION BY user_id) AS nv
+      FROM ev WHERE ts <= TIMESTAMP '{_DIFF_T2}'
+    ), dead2 AS (
+      SELECT user_id FROM ev WHERE user_id % 17 = 0
+      GROUP BY user_id HAVING MAX(ts) <= TIMESTAMP '{_DIFF_T2}'
+    ), s2 AS (
+      SELECT user_id, event_type, value, nv FROM le2
+      WHERE rn = 1 AND user_id NOT IN (SELECT user_id FROM dead2)
+    )
+    SELECT 'USER#' || CAST(user_id AS VARCHAR) AS pk,
+           CASE WHEN s1.user_id IS NULL THEN 'ADDED'
+                WHEN s2.user_id IS NULL THEN 'REMOVED'
+                WHEN s1.event_type = s2.event_type
+                     AND s1.value = s2.value THEN 'UNCHANGED'
+                ELSE 'CHANGED' END AS change_kind,
+           CAST(COALESCE(s2.nv, 0) - COALESCE(s1.nv, 0) AS BIGINT)
+             AS n_new_versions
+    FROM s1 FULL OUTER JOIN s2 USING (user_id)
+    """,
+)
+def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdk_dynamodb_cdc_spark.operators.compaction import snapshot_diff
+
+    offset = 3 * (F.col("user_id") % 10)
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.dayofmonth("ts").between(offset + 1, offset + 8)
+    )
+    records = _augment_with_removes(synthesize_cdc_records_from(ev))
+    return snapshot_diff(records, _DIFF_T1, _DIFF_T2).select(
+        "pk", "change_kind", "n_new_versions"
     )

@@ -193,3 +193,49 @@ def test_scd2_history_matches_python_reference_on_randomized_lifecycles(
         for r in scd2_history(records).collect()
     }
     assert got == expected and expected
+
+
+def test_snapshot_diff_classifies_every_reconciliation_branch(spark):
+    from cdk_dynamodb_cdc_spark.operators.compaction import snapshot_diff
+
+    # Reuse _log and extend it so every class appears between T1 and T2:
+    #   A: alive both, mutated in window      -> CHANGED
+    #   B: alive both, image returns to start -> compares equal at the
+    #      cutoffs chosen below only if its winning images match; with
+    #      T1 before e5 and T2 after e6 the images are _img(c,1.0) both
+    #      times -> UNCHANGED
+    #   C: born and deleted inside the window -> absent both, suppressed
+    #   D: pre-existing, deleted in window    -> REMOVED
+    #   E: born in window, lives              -> ADDED
+    base = _log(spark)
+    pre = spark.createDataFrame(
+        [
+            ("e1", 1, "2023-12-30 00:00:00", "INSERT", "A", "S", None, _img("c", "1.0"), 512),
+            ("e4", 1, "2023-12-30 00:00:00", "INSERT", "B", "S", None, _img("c", "1.0"), 512),
+            ("e0", 1, "2023-12-30 00:00:00", "INSERT", "D", "S", None, _img("c", "5.0"), 512),
+        ],
+        REC_SCHEMA,
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    log = base.unionByName(pre)
+
+    out = snapshot_diff(log, "2023-12-31 00:00:00", "2024-01-10 00:00:00")
+    kinds = {r["pk"]: r["change_kind"] for r in out.collect()}
+    assert kinds == {
+        "A": "CHANGED",
+        "B": "UNCHANGED",
+        "D": "REMOVED",
+        "E": "ADDED",
+    }
+    versions = {r["pk"]: r["n_new_versions"] for r in out.collect()}
+    # A replayed e2+e3 in the window; B replayed e5+e6; E is 2 versions
+    # deep at T2 with nothing at T1; D loses its single T1 version.
+    assert versions == {"A": 2, "B": 2, "E": 2, "D": -1}
+
+
+def test_snapshot_diff_identical_cutoffs_all_unchanged(spark):
+    from cdk_dynamodb_cdc_spark.operators.compaction import snapshot_diff
+
+    out = snapshot_diff(_log(spark), "2024-01-04 00:00:00", "2024-01-04 00:00:00")
+    rows = out.collect()
+    assert rows and all(r["change_kind"] == "UNCHANGED" for r in rows)
+    assert all(r["n_new_versions"] == 0 for r in rows)

@@ -585,3 +585,26 @@ def test_resize_dims_caps_longest_side_and_floors_at_one():
     assert resize_dims(4000, 1) == (32, 1)          # floor at 1
     w, h = resize_dims(63, 61)
     assert max(w, h) == 32 and w >= h               # aspect order kept
+
+
+def test_inverted_index_conjunctive_search(spark):
+    from cdk_dynamodb_cdc_spark.llm.text import (
+        build_inverted_index,
+        search_conjunctive,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b a c"),   # a twice + b + c -> matches {a,b}, score 3
+            (2, "a b b b"),   # matches {a,b}, score 4
+            (3, "a a a a"),   # missing b -> no match
+            (4, "b c"),       # missing a -> no match
+        ],
+        "doc_id long, text string",
+    )
+    idx = build_inverted_index(docs)
+    assert {
+        (r["term"], r["doc_id"], r["tf"]) for r in idx.collect()
+    } >= {("a", 1, 2), ("b", 2, 3), ("c", 4, 1)}
+    hits = search_conjunctive(idx, ["a", "b"], top_k=10).collect()
+    assert [(r["doc_id"], r["score"]) for r in hits] == [(2, 4), (1, 3)]

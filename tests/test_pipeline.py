@@ -224,3 +224,21 @@ def test_ivm_deltas_match_recompute_on_randomized_lifecycles(spark):
         .collect()
     }
     assert got == expected and expected
+
+
+def test_profile_columns_counts_nulls_and_distincts(spark):
+    from cdk_dynamodb_cdc_spark.operators.monitor import profile_columns
+
+    df = spark.createDataFrame(
+        [(1, "a", None), (2, "a", 1.5), (3, None, 1.5), (4, "b", 2.5)],
+        "id long, name string, score double",
+    )
+    out = {
+        r["column"]: (r["n_rows"], r["n_nulls"], r["n_distinct"])
+        for r in profile_columns(df, ["id", "name", "score"]).collect()
+    }
+    assert out == {
+        "id": (4, 0, 4),
+        "name": (4, 1, 2),  # distinct excludes NULL
+        "score": (4, 1, 2),
+    }
