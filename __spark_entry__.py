@@ -45,6 +45,10 @@ _GATE_PRIORITY = [
     # NEWEST this round (r5, late additions): funnel analysis, EWMA
     # trend, equi-width histogram, TWAP, inverted-index search, column
     # profiling, snapshot reconciliation.
+    "cdc_merge_apply",
+    "hopping_window_counts",
+    "nation_revenue_share",
+    "funnel_time_to_convert",
     "funnel_conversion_steps",
     "ewma_revenue_trend",
     "value_histogram_events",

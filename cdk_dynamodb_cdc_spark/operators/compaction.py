@@ -249,3 +249,65 @@ def snapshot_diff(
             - F.coalesce("n_versions_from", F.lit(0))
         ).cast("long").alias("n_new_versions"),
     )
+
+
+def merge_changes(
+    base: DataFrame,
+    records: DataFrame,
+    *,
+    key_cols: tuple[str, ...] = KEY_COLS,
+) -> DataFrame:
+    """Batch MERGE: apply a change-log window onto a materialized
+    snapshot (the ``MERGE INTO`` shape — matched keys update, new keys
+    insert, REMOVE winners delete).
+
+    ``base`` is a ``snapshot_at`` materialization; ``records`` is the
+    slice of the log AFTER the snapshot's cutoff. The algebra this
+    implements (and the registered oracle pins as a theorem):
+
+        merge(snapshot_at(T1), log(T1, T2]) == snapshot_at(T2)
+
+    i.e. maintaining a materialized snapshot incrementally from log
+    windows is exactly equivalent to replaying the whole log — so a
+    100-TB log never needs full replay: each maintenance cycle touches
+    only the window's keys.
+
+    One documented deviation: for a key DELETED before T1 and
+    re-inserted inside the window, ``n_versions`` restarts at the
+    re-insert (the tombstoned history left the store with the key),
+    while a full replay would count the pre-tombstone records too.
+    Image/seq/ts — the live state — agree in every case.
+
+    Shape: ONE max_by aggregation over the window (one winner per
+    touched key — map-side partial, like ``snapshot_at``) plus one
+    full outer join against the base, co-partitioned on the item key.
+    Untouched base keys pass through without rewriting; at cluster
+    scale with a key-bucketed base store this is the foreachBatch
+    upsert `streaming/stream.py:maintain_snapshot_stream` runs per
+    micro-batch, expressed as a pure batch operator.
+    """
+    winner = F.struct("operation", "new_image", "ts")
+    delta = records.groupBy(*key_cols).agg(
+        F.max_by(winner, "seq").alias("w"),
+        F.max("seq").alias("dseq"),
+        F.count(F.lit(1)).alias("dn"),
+    )
+    b = base.select(
+        *key_cols,
+        F.col("image").alias("b_image"),
+        F.col("seq").alias("b_seq"),
+        F.col("ts").alias("b_ts"),
+        F.col("n_versions").alias("b_n"),
+    )
+    joined = b.join(delta, on=list(key_cols), how="full_outer")
+    alive = F.col("w").isNull() | (F.col("w.operation") != "REMOVE")
+    return joined.filter(alive).select(
+        *key_cols,
+        F.coalesce(F.col("w.new_image"), F.col("b_image")).alias("image"),
+        F.coalesce(F.col("dseq"), F.col("b_seq")).alias("seq"),
+        F.coalesce(F.col("w.ts"), F.col("b_ts")).alias("ts"),
+        (
+            F.coalesce(F.col("b_n"), F.lit(0))
+            + F.coalesce(F.col("dn"), F.lit(0))
+        ).alias("n_versions"),
+    )

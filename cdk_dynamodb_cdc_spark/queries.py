@@ -4843,3 +4843,199 @@ def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snapshot_diff(records, _DIFF_T1, _DIFF_T2).select(
         "pk", "change_kind", "n_new_versions"
     )
+
+
+# ---------------------------------------------------------------------------
+# Batch MERGE / incremental snapshot maintenance
+# (operators/compaction.py:merge_changes): materialize the snapshot at a
+# cutoff, then MERGE the rest of the log onto it. The oracle is the
+# final table state computed by full replay, so the green hash IS the
+# maintenance theorem merge(snap(T1), log(T1,..]) == snap(latest) —
+# the property that lets a 100-TB log be maintained window-by-window
+# instead of replayed.
+# ---------------------------------------------------------------------------
+@query(
+    "cdc_merge_apply",
+    oracle="""
+    WITH le AS (
+      SELECT user_id, event_type, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn,
+             COUNT(*) OVER (PARTITION BY user_id) AS nv
+      FROM events
+    )
+    SELECT 'USER#' || CAST(user_id AS VARCHAR) AS pk,
+           event_type, value,
+           CAST(nv AS BIGINT) AS n_versions
+    FROM le WHERE rn = 1 AND user_id % 17 <> 0
+    """,
+)
+def cdc_merge_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdk_dynamodb_cdc_spark.operators.compaction import (
+        merge_changes,
+        snapshot_at,
+    )
+
+    records = _augment_with_removes(synthesize_cdc_records(spark, sf_dir))
+    base = snapshot_at(records, _SNAPSHOT_CUTOFF)
+    window = records.filter(F.col("ts") > F.lit(_SNAPSHOT_CUTOFF))
+    merged = merge_changes(base, window)
+    return merged.select(
+        "pk",
+        F.get_json_object("image", "$.event_type.S").alias("event_type"),
+        F.get_json_object("image", "$.value.N").cast("double").alias("value"),
+        "n_versions",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hopping (sliding) window aggregation: 1-hour windows every 30 minutes,
+# so each event lands in exactly two windows. Batch-mode oracle for the
+# streaming `window(ts, dur, slide)` operator — the oracle derives the
+# same two windows per event arithmetically. One explode-by-2 + one
+# (window, type) aggregation with map-side combine.
+# ---------------------------------------------------------------------------
+@query(
+    "hopping_window_counts",
+    oracle="""
+    SELECT time_bucket(INTERVAL '30 minutes', ts)
+             - k.k * INTERVAL '30 minutes' AS window_start,
+           event_type, CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events, (SELECT unnest([0, 1]) AS k) k
+    GROUP BY window_start, event_type
+    """,
+)
+def hopping_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Ratio-to-report (percent-of-total) window: each nation's revenue share
+# of the global total. The share divides two decimal-exact sums — the
+# denominator comes from an unpartitioned unbounded window, which Spark
+# plans as a single-row broadcast, not a global sort. Nation/region dims
+# are schema-bounded -> broadcast per module policy.
+# ---------------------------------------------------------------------------
+@query(
+    "nation_revenue_share",
+    oracle=f"""
+    WITH rev AS (
+      SELECT n.n_name AS nation,
+             CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                      * (CAST(1 AS DECIMAL(4,2))
+                         - CAST(l.l_discount AS DECIMAL(4,2))))
+               AS DECIMAL(38,4)) AS r
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      GROUP BY n.n_name
+    )
+    SELECT nation,
+           {_duck_dec_double("r")} AS revenue,
+           {_duck_dec_double("r")}
+             / {_duck_dec_double("SUM(r) OVER ()")} AS share
+    FROM rev
+    """,
+)
+def nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    od = load_table(spark, sf_dir, "orders")
+    cu = load_table(spark, sf_dir, "customer")
+    na = load_table(spark, sf_dir, "nation")
+    one = F.lit(1).cast("decimal(4,2)")
+    rev = (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+        .join(cu, od.o_custkey == cu.c_custkey)
+        .join(F.broadcast(na), cu.c_nationkey == na.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.sum(_dec("l_extendedprice") * (one - _dec("l_discount", 4, 2)))
+            .cast("decimal(38,4)")
+            .alias("r")
+        )
+    )
+    total = F.sum("r").over(Window.partitionBy())
+    return rev.select(
+        "nation",
+        _dec_double(F.col("r")).alias("revenue"),
+        (_dec_double(F.col("r")) / _dec_double(total)).alias("share"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Funnel latency: exact interpolated p50/p90 of the view->purchase
+# conversion time among converting users (composition of the funnel
+# min-aggregations with ordered-set percentiles). The percentile input
+# is integer microseconds — exactly representable doubles — so the
+# interpolation is bit-identical across engines, divided to seconds by
+# one IEEE op at the end.
+# ---------------------------------------------------------------------------
+@query(
+    "funnel_time_to_convert",
+    oracle="""
+    WITH s1 AS (
+      SELECT user_id, MIN(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ), s2 AS (
+      SELECT e.user_id, MIN(e.ts) AS t2
+      FROM events e JOIN s1 ON e.user_id = s1.user_id
+      WHERE e.event_type = 'click' AND e.ts > s1.t1
+      GROUP BY e.user_id
+    ), s3 AS (
+      SELECT e.user_id, MIN(e.ts) AS t3
+      FROM events e JOIN s2 ON e.user_id = s2.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+      GROUP BY e.user_id
+    ), conv AS (
+      SELECT CAST(epoch_us(s3.t3) - epoch_us(s1.t1) AS DOUBLE) AS dt_us
+      FROM s3 JOIN s1 ON s3.user_id = s1.user_id
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_converters,
+           CAST(quantile_cont(dt_us, 0.5) AS DOUBLE) / 1000000.0 AS p50_s,
+           CAST(quantile_cont(dt_us, 0.9) AS DOUBLE) / 1000000.0 AS p90_s
+    FROM conv
+    """,
+)
+def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts"
+    )
+    s1 = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    conv = s3.join(s1, "user_id").select(
+        (_epoch_us(F.col("t3")) - _epoch_us(F.col("t1")))
+        .cast("double")
+        .alias("dt_us")
+    )
+    return conv.agg(
+        F.count(F.lit(1)).alias("n_converters"),
+        (F.percentile("dt_us", 0.5) / 1000000.0).alias("p50_s"),
+        (F.percentile("dt_us", 0.9) / 1000000.0).alias("p90_s"),
+    )

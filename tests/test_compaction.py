@@ -239,3 +239,47 @@ def test_snapshot_diff_identical_cutoffs_all_unchanged(spark):
     rows = out.collect()
     assert rows and all(r["change_kind"] == "UNCHANGED" for r in rows)
     assert all(r["n_new_versions"] == 0 for r in rows)
+
+
+def test_merge_changes_equals_full_replay(spark):
+    from cdk_dynamodb_cdc_spark.operators.compaction import (
+        merge_changes,
+        snapshot_at,
+    )
+
+    log = _log(spark)
+    cut = "2024-01-02 12:00:00"
+    base = snapshot_at(log, cut)
+    window = log.filter(F.col("ts") > F.lit(cut))
+    merged = merge_changes(base, window)
+    replay = snapshot_at(log)
+    cols = ["pk", "sk", "image", "seq", "ts", "n_versions"]
+    assert sorted(map(tuple, merged.select(*cols).collect())) == sorted(
+        map(tuple, replay.select(*cols).collect())
+    )
+
+
+def test_merge_changes_resurrection_restarts_version_count(spark):
+    from cdk_dynamodb_cdc_spark.operators.compaction import (
+        merge_changes,
+        snapshot_at,
+    )
+
+    rows = [
+        ("r1", 1, "2024-01-01 00:00:00", "INSERT", "R", "S", None, _img("a", "1.0"), 512),
+        ("r2", 2, "2024-01-02 00:00:00", "REMOVE", "R", "S", _img("a", "1.0"), None, 512),
+        ("r3", 3, "2024-01-05 00:00:00", "INSERT", "R", "S", None, _img("b", "2.0"), 512),
+    ]
+    log = spark.createDataFrame(rows, REC_SCHEMA).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    cut = "2024-01-03 00:00:00"
+    merged = merge_changes(
+        snapshot_at(log, cut), log.filter(F.col("ts") > F.lit(cut))
+    )
+    [row] = merged.collect()
+    # Live state agrees with full replay; n_versions restarts at the
+    # re-insert (documented deviation — the tombstone emptied the key).
+    assert row["image"] == _img("b", "2.0") and row["seq"] == 3
+    assert row["n_versions"] == 1
+    assert snapshot_at(log).collect()[0]["n_versions"] == 3
