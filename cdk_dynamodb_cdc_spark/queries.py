@@ -5039,3 +5039,140 @@ def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.percentile("dt_us", 0.5) / 1000000.0).alias("p50_s"),
         (F.percentile("dt_us", 0.9) / 1000000.0).alias("p90_s"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Rolling anomaly detection: each (type, day) revenue scored against the
+# TRAILING 7 days (exclusive frame ROWS -7..-1) as a z-score. The frame
+# sums run in exact decimal, the closed form runs in double with an
+# identical operation tree in both engines (sums enter via the
+# floor-split cast — the squared sum's unscaled value exceeds int64, so
+# a direct cast would not be bit-stable). Warm-up rows (< 7 trailing
+# days) emit NULL z, flagged by n_prev. One (type, day) agg + one
+# bounded ROWS window per type — streaming-evaluable at any history
+# length.
+# ---------------------------------------------------------------------------
+@query(
+    "rolling_zscore_daily_revenue",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS rev
+      FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ), framed AS (
+      SELECT event_type, day, rev,
+             CAST(COUNT(*) OVER w AS BIGINT) AS n_prev,
+             CAST(SUM(rev) OVER w AS DECIMAL(38,6)) AS s,
+             CAST(SUM(CAST(rev AS DECIMAL(19,6))
+                      * CAST(rev AS DECIMAL(19,6))) OVER w
+               AS DECIMAL(38,12)) AS ss
+      FROM daily
+      WINDOW w AS (PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_type, day, CAST(rev AS DOUBLE) AS rev, n_prev,
+           CASE WHEN n_prev = 7 THEN
+             (CAST(rev AS DOUBLE) - {_duck_dec_double("s")} / 7.0)
+             / sqrt(({_duck_dec_double("ss")}
+                     - ({_duck_dec_double("s")} * {_duck_dec_double("s")})
+                       / 7.0) / 6.0)
+           ELSE NULL END AS z
+    FROM framed
+    """,
+)
+def rolling_zscore_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(
+        F.sum(F.col("value").cast("decimal(18,6)"))
+        .cast("decimal(18,6)")
+        .alias("rev")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-7, -1)
+    )
+    framed = daily.select(
+        "event_type",
+        "day",
+        "rev",
+        F.count(F.lit(1)).over(w).alias("n_prev"),
+        F.sum("rev").over(w).cast("decimal(38,6)").alias("s"),
+        F.sum(F.col("rev") * F.col("rev")).over(w).cast("decimal(38,12)").alias("ss"),
+    )
+    rev_d = F.col("rev").cast("double")
+    s_d = _dec_double(F.col("s"))
+    ss_d = _dec_double(F.col("ss"))
+    z = (rev_d - s_d / F.lit(7.0)) / F.sqrt(
+        (ss_d - (s_d * s_d) / F.lit(7.0)) / F.lit(6.0)
+    )
+    return framed.select(
+        "event_type",
+        "day",
+        rev_d.alias("rev"),
+        "n_prev",
+        F.when(F.col("n_prev") == 7, z).alias("z"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# OLS regression from exact moments: per-returnflag slope/intercept of
+# extendedprice on quantity. Same reproducible-float discipline as
+# corr_qty_price_exact_moments — all five moments accumulate in exact
+# decimal (any summation order), doubles only in the closed form, every
+# sum entering through the floor-split cast so the expression tree is
+# bit-identical across engines. One partial-agg shuffle; 3 output rows.
+# ---------------------------------------------------------------------------
+@query(
+    "ols_price_on_quantity",
+    oracle=f"""
+    WITH m AS (
+      SELECT l_returnflag,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(CAST(l_quantity AS DECIMAL(12,2))) AS sx,
+             SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS sy,
+             SUM(CAST(l_quantity AS DECIMAL(12,2))
+                 * CAST(l_extendedprice AS DECIMAL(12,2))) AS sxy,
+             SUM(CAST(l_quantity AS DECIMAL(12,2))
+                 * CAST(l_quantity AS DECIMAL(12,2))) AS sxx
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           (CAST(n AS DOUBLE) * {_duck_dec_double("sxy")}
+            - {_duck_dec_double("sx")} * {_duck_dec_double("sy")})
+           / (CAST(n AS DOUBLE) * {_duck_dec_double("sxx")}
+              - {_duck_dec_double("sx")} * {_duck_dec_double("sx")})
+             AS slope,
+           ({_duck_dec_double("sy")}
+            - ((CAST(n AS DOUBLE) * {_duck_dec_double("sxy")}
+                - {_duck_dec_double("sx")} * {_duck_dec_double("sy")})
+               / (CAST(n AS DOUBLE) * {_duck_dec_double("sxx")}
+                  - {_duck_dec_double("sx")} * {_duck_dec_double("sx")}))
+              * {_duck_dec_double("sx")})
+           / CAST(n AS DOUBLE) AS intercept
+    FROM m
+    """,
+)
+def ols_price_on_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    x, y = _dec("l_quantity"), _dec("l_extendedprice")
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(x * x).alias("sxx"),
+    )
+    nd = F.col("n").cast("double")
+    sx, sy = _dec_double(F.col("sx")), _dec_double(F.col("sy"))
+    sxy, sxx = _dec_double(F.col("sxy")), _dec_double(F.col("sxx"))
+    slope = (nd * sxy - sx * sy) / (nd * sxx - sx * sx)
+    intercept = (sy - slope * sx) / nd
+    return m.select(
+        "l_returnflag",
+        "n",
+        slope.alias("slope"),
+        intercept.alias("intercept"),
+    )
