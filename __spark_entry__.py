@@ -45,6 +45,8 @@ _GATE_PRIORITY = [
     # NEWEST this round (r5, late additions): funnel analysis, EWMA
     # trend, equi-width histogram, TWAP, inverted-index search, column
     # profiling, snapshot reconciliation.
+    "attribution_last_touch",
+    "session_path_trigrams",
     "rolling_zscore_daily_revenue",
     "ols_price_on_quantity",
     "cdc_merge_apply",

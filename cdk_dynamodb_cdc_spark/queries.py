@@ -5176,3 +5176,120 @@ def ols_price_on_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
         slope.alias("slope"),
         intercept.alias("intercept"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Last-touch attribution: each purchase credited to the user's most
+# recent PRIOR non-purchase event (the marketing-attribution shape).
+# The carry uses last(..., ignorenulls) over an exclusive trailing
+# frame — an indexed scan per user, no self-join — then one small
+# aggregation by attributed type. Revenue sums in exact decimal and
+# leaves through the floor-split cast.
+# ---------------------------------------------------------------------------
+@query(
+    "attribution_last_touch",
+    oracle=f"""
+    WITH flagged AS (
+      SELECT user_id, event_type, value, ts,
+             LAST_VALUE(CASE WHEN event_type <> 'purchase'
+                             THEN event_type END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS attributed
+      FROM events
+    )
+    SELECT COALESCE(attributed, 'none') AS attributed_type,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           {_duck_dec_double("SUM(CAST(value AS DECIMAL(18,6)))")} AS revenue
+    FROM flagged WHERE event_type = 'purchase'
+    GROUP BY COALESCE(attributed, 'none')
+    """,
+)
+def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carried = F.last(
+        F.when(F.col("event_type") != "purchase", F.col("event_type")),
+        ignorenulls=True,
+    ).over(w)
+    flagged = ev.select(
+        "event_type", "value", carried.alias("attributed")
+    ).filter(F.col("event_type") == "purchase")
+    return flagged.groupBy(
+        F.coalesce("attributed", F.lit("none")).alias("attributed_type")
+    ).agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        _dec_double(F.sum(F.col("value").cast("decimal(18,6)"))).alias(
+            "revenue"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sequence mining: the most common 3-step event paths WITHIN a session
+# (30-minute-gap sessionization). Trigrams come from two leads inside
+# the session window — no self-joins, no explode of whole sequences —
+# so the cost is two ordered window passes over the user-partitioned
+# stream plus one trigram-keyed aggregation. Integer counts + full
+# lexicographic tiebreak keep the top-10 engine-exact.
+# ---------------------------------------------------------------------------
+@query(
+    "session_path_trigrams",
+    oracle="""
+    WITH gaps AS (
+      SELECT user_id, event_id, event_type, ts,
+             CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER w) >= 1800000000
+                  OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT user_id, event_id, event_type, ts,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS session_id
+      FROM gaps
+    ), grams AS (
+      SELECT event_type AS step1,
+             LEAD(event_type, 1) OVER sw AS step2,
+             LEAD(event_type, 2) OVER sw AS step3
+      FROM sess
+      WINDOW sw AS (PARTITION BY user_id, session_id ORDER BY ts, event_id)
+    )
+    SELECT step1, step2, step3, CAST(COUNT(*) AS BIGINT) AS n
+    FROM grams WHERE step3 IS NOT NULL
+    GROUP BY step1, step2, step3
+    ORDER BY n DESC, step1, step2, step3 LIMIT 10
+    """,
+)
+def session_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = _epoch_us(F.col("ts")) - _epoch_us(F.lag("ts").over(w))
+    new_session = F.when(
+        gap_us.isNull() | (gap_us >= 1800 * 1000 * 1000), 1
+    ).otherwise(0)
+    sess = ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "ts",
+        F.sum(new_session)
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("session_id"),
+    )
+    sw = Window.partitionBy("user_id", "session_id").orderBy("ts", "event_id")
+    grams = sess.select(
+        F.col("event_type").alias("step1"),
+        F.lead("event_type", 1).over(sw).alias("step2"),
+        F.lead("event_type", 2).over(sw).alias("step3"),
+    ).filter(F.col("step3").isNotNull())
+    return (
+        grams.groupBy("step1", "step2", "step3")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "step1", "step2", "step3")
+        .limit(10)
+    )
