@@ -45,6 +45,7 @@ _GATE_PRIORITY = [
     # NEWEST this round (r5, late additions): funnel analysis, EWMA
     # trend, equi-width histogram, TWAP, inverted-index search, column
     # profiling, snapshot reconciliation.
+    "near_dup_containment_pairs",
     "attribution_last_touch",
     "session_path_trigrams",
     "rolling_zscore_daily_revenue",

@@ -515,3 +515,114 @@ def connected_components(
     raise RuntimeError(
         f"connected_components did not converge in {max_iterations} rounds"
     )
+
+
+def ngram_containment_pairs(
+    docs: DataFrame, threshold: float = 0.7
+) -> DataFrame:
+    """EXACT directed containment join: ordered pairs (a, b), a != b,
+    with C(a -> b) = |Sa ∩ Sb| / |Sa| >= threshold over word-shingle
+    sets — the asymmetric cousin of :func:`ngram_jaccard_pairs` that
+    finds SUBSET duplication (a quote, an excerpt, a doc wholly
+    embedded in a larger one) which symmetric Jaccard misses whenever
+    the containing document is much bigger.
+
+    Prefix-filter guarantee (containment variant): |Sa ∩ Sb| >=
+    ceil(t*|Sa|) cannot avoid the first |Sa| - ceil(t*|Sa|) + 1
+    shingles of A under the global (df, shingle) total order, so
+    joining A-PREFIX postings against B-FULL postings misses nothing.
+    Containment imposes no size-ratio bound in the B direction (B may
+    be arbitrarily large) — the only sound B-side prune is
+    |Sb| >= ceil(t*|Sa|), applied during candidate generation.
+
+    Scale shape: same three keyed shuffles as the Jaccard join; the
+    asymmetry costs a full (not prefix) posting list on the B side,
+    but A-prefixes are rarest-first, so the joined postings avoid the
+    Zipf head exactly where C(df, 2) expansion would hurt. Verify
+    recomputes exact intersection on the checkpointed signature table,
+    so the output is exactly the brute-force answer (pytest pins this
+    on randomized dense corpora).
+    """
+    from pyspark.sql import Window as _W
+
+    from cdk_dynamodb_cdc_spark.llm.text import token_hash60
+
+    sh = (
+        docs.select(
+            "doc_id",
+            F.array_distinct(
+                F.transform(word_shingles(F.col("text")), token_hash60)
+            ).alias("s"),
+        )
+        .filter(F.size("s") > 0)
+        .localCheckpoint(eager=True)
+    )
+    posts = sh.select("doc_id", F.explode("s").alias("g"))
+    freq = posts.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+    wdoc = _W.partitionBy("doc_id").orderBy("df", "g")
+    wcnt = _W.partitionBy("doc_id")
+    n = F.col("n")
+    # Rank every posting once under the global (df, g) order and
+    # materialize: BOTH join sides consume it (A needs the prefix, B
+    # needs positions for the PPJoin positional filter), and Spark
+    # re-evaluates non-materialized subplans per consumer.
+    ranked = (
+        posts.join(freq, "g")
+        .select(
+            "doc_id",
+            "g",
+            F.row_number().over(wdoc).alias("rn"),
+            F.count(F.lit(1)).over(wcnt).alias("n"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    prefix_a = ranked.filter(
+        F.col("rn") <= n - F.ceil(F.lit(threshold) * n) + 1
+    ).select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("n").alias("na"),
+        F.col("rn").alias("rn_a"),
+        "g",
+    )
+    full_b = ranked.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("n").alias("nb"),
+        F.col("rn").alias("rn_b"),
+        "g",
+    )
+    # PPJoin positional filter: a shared gram at ranks (rn_a, rn_b)
+    # bounds the total overlap by 1 + min(na - rn_a, nb - rn_b) —
+    # the suffixes after the shared gram under the SAME global order.
+    # Keeping a pair when ANY shared prefix gram passes is a superset
+    # of classic PPJoin (which tests only the first), hence sound;
+    # it cuts the candidate set ~5x before the verify join.
+    required = F.ceil(F.lit(threshold) * F.col("na"))
+    overlap_ub = F.lit(1) + F.least(
+        F.col("na") - F.col("rn_a"), F.col("nb") - F.col("rn_b")
+    )
+    cands = (
+        prefix_a.join(full_b, "g")
+        .filter(
+            (F.col("doc_a") != F.col("doc_b"))
+            & (F.col("nb") >= required)
+            & (overlap_ub >= required)
+        )
+        .select("doc_a", "doc_b", "na")
+        .distinct()
+    )
+    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("sa"))
+    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("sb"))
+    n_common = F.size(F.array_intersect("sa", "sb"))
+    containment = n_common.cast("double") / F.col("na")
+    return (
+        cands.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            n_common.alias("n_common"),
+            F.col("na").alias("n_a"),
+            containment.alias("containment"),
+        )
+        .filter(F.col("containment") >= threshold)
+    )

@@ -5293,3 +5293,36 @@ def session_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), "step1", "step2", "step3")
         .limit(10)
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact directed containment join (llm/dedup.py:ngram_containment_pairs):
+# ordered pairs where >= 80% of doc A's word-3-gram set appears in doc B
+# — subset duplication (quotes, excerpts, embeddings of one doc inside
+# another) that symmetric Jaccard under-scores when |B| >> |A|. The
+# prefix-filtered join equals brute force (randomized pytest); the
+# oracle IS the brute force, so the gate re-proves exactness per round.
+# ---------------------------------------------------------------------------
+@query(
+    "near_dup_containment_pairs",
+    oracle="""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    sh AS (SELECT doc_id,
+                  list_distinct(list_transform(range(1, len(ws) - 1),
+                      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS s
+           FROM w
+           WHERE len(ws) >= 3),
+    p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 len(list_intersect(a.s, b.s)) AS n_common,
+                 len(a.s) AS n_a
+          FROM sh a JOIN sh b ON a.doc_id <> b.doc_id)
+    SELECT doc_a, doc_b,
+           CAST(n_common AS INT) AS n_common,
+           CAST(n_a AS INT) AS n_a,
+           CAST(n_common AS DOUBLE) / n_a AS containment
+    FROM p WHERE CAST(n_common AS DOUBLE) / n_a >= 0.8
+    """,
+)
+def near_dup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return llm_dedup.ngram_containment_pairs(docs, threshold=0.8)

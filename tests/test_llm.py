@@ -608,3 +608,45 @@ def test_inverted_index_conjunctive_search(spark):
     } >= {("a", 1, 2), ("b", 2, 3), ("c", 4, 1)}
     hits = search_conjunctive(idx, ["a", "b"], top_k=10).collect()
     assert [(r["doc_id"], r["score"]) for r in hits] == [(2, 4), (1, 3)]
+
+
+def test_ngram_containment_randomized_equals_brute_force(spark):
+    """Directed containment join vs brute force on seeded dense random
+    corpora (small vocabulary = worst case for prefix filtering),
+    including the asymmetric case Jaccard misses: a short doc embedded
+    in a long one."""
+    import numpy as np
+
+    rng = np.random.default_rng(23)
+    vocab = [f"w{i}" for i in range(10)]
+    for trial, threshold in [(0, 0.5), (1, 0.8)]:
+        texts = [
+            " ".join(rng.choice(vocab, size=rng.integers(1, 22)))
+            for _ in range(25)
+        ]
+        # plant an embedded-subset pair: doc 0 is a verbatim slice of
+        # a much longer doc 1 (containment high, Jaccard low)
+        texts[0] = "q1 q2 q3 q4 q5"
+        texts[1] = " ".join(["p%d" % i for i in range(30)]) + " " + texts[0]
+        docs = _docs(spark, texts)
+        got = {
+            (r.doc_a, r.doc_b)
+            for r in dedup.ngram_containment_pairs(docs, threshold).collect()
+        }
+
+        def sh(t):
+            ws = t.split(" ")
+            return {" ".join(ws[i:i + 3]) for i in range(len(ws) - 2)}
+
+        want = set()
+        for a in range(len(texts)):
+            for b in range(len(texts)):
+                if a == b:
+                    continue
+                sa, sb = sh(texts[a]), sh(texts[b])
+                if not sa or not sb:
+                    continue
+                if len(sa & sb) / len(sa) >= threshold:
+                    want.add((a, b))
+        assert (0, 1) in want and (1, 0) not in want  # asymmetry is real
+        assert got == want, f"trial {trial} t={threshold}"
