@@ -42,6 +42,16 @@ def entry(spark: SparkSession) -> DataFrame:
 # ordering only decides which subset the driver re-verifies
 # independently.
 _GATE_PRIORITY = [
+    # NEWEST this round (r5, post-regen batch): gaps-and-islands
+    # streaks, day-partitioned interval sweep, market-basket pairs,
+    # blocked edit-distance join, fixed-point integer PageRank,
+    # sliding distinct users.
+    "user_daily_streaks",
+    "peak_concurrent_sessions",
+    "basket_brand_pairs",
+    "part_name_fuzzy_pairs",
+    "event_type_pagerank",
+    "sliding_distinct_users_3h",
     # NEWEST this round (r5, late additions): funnel analysis, EWMA
     # trend, equi-width histogram, TWAP, inverted-index search, column
     # profiling, snapshot reconciliation.

@@ -5326,3 +5326,424 @@ def session_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 def near_dup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return llm_dedup.ngram_containment_pairs(docs, threshold=0.8)
+
+
+# ---------------------------------------------------------------------------
+# Gaps-and-islands: longest consecutive-day activity streak per user.
+# The classic island key (epoch-day minus per-user row_number over
+# distinct days) turns consecutive runs into constant keys, so the
+# whole computation is one distinct, one ranked window pass, and two
+# integer aggregations — no self-joins, no date generators. Everything
+# is epoch-day integer arithmetic: exact in both engines at any scale.
+# ---------------------------------------------------------------------------
+@query(
+    "user_daily_streaks",
+    oracle="""
+    WITH days AS (
+      SELECT DISTINCT user_id,
+             date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d
+      FROM events
+    ), isl AS (
+      SELECT user_id, d,
+             d - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d)
+               AS island
+      FROM days
+    ), st AS (
+      SELECT user_id, island, COUNT(*) AS len
+      FROM isl GROUP BY user_id, island
+    )
+    SELECT user_id,
+           CAST(MAX(len) AS BIGINT) AS max_streak,
+           CAST(SUM(len) AS BIGINT) AS n_active_days
+    FROM st GROUP BY user_id
+    """,
+)
+def user_daily_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.select(
+        "user_id", F.unix_date(F.to_date("ts")).cast("bigint").alias("d")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    isl = days.select(
+        "user_id",
+        "d",
+        (F.col("d") - F.row_number().over(w)).alias("island"),
+    )
+    streaks = isl.groupBy("user_id", "island").agg(
+        F.count(F.lit(1)).alias("len")
+    )
+    return streaks.groupBy("user_id").agg(
+        F.max("len").alias("max_streak"),
+        F.sum("len").alias("n_active_days"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Interval sweep-line: peak number of CONCURRENT sessions per day.
+# Sessions (30-minute-gap sessionization) become +1/-1 boundary deltas;
+# a running sum ordered by (instant, +1-before--1) is the concurrency
+# curve and its per-day max is the answer. Sessions spanning midnight
+# are clipped into each day they overlap (bounded explode), which is
+# what makes the sweep PARTITIONABLE BY DAY — the 100-TB shape, instead
+# of one global ordered pass. All µs-integer arithmetic; ties at the
+# same instant are ordered +1 first (inclusive-end semantics), and
+# equal-key permutations cannot change the prefix-sum maximum.
+# ---------------------------------------------------------------------------
+@query(
+    "peak_concurrent_sessions",
+    oracle="""
+    WITH g AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                  OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) >= 1800000000
+                  THEN 1 ELSE 0 END AS ns
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), s AS (
+      SELECT user_id, epoch_us(ts) AS us,
+             SUM(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS sid
+      FROM g
+    ), sess AS (
+      SELECT user_id, sid, MIN(us) AS s_us, MAX(us) AS e_us
+      FROM s GROUP BY user_id, sid
+    ), spans AS (
+      SELECT s_us, e_us,
+             UNNEST(range(s_us // 86400000000,
+                          e_us // 86400000000 + 1)) AS d
+      FROM sess
+    ), deltas AS (
+      SELECT d, GREATEST(s_us, d * 86400000000) AS t, 1 AS delta
+      FROM spans
+      UNION ALL
+      SELECT d, LEAST(e_us, (d + 1) * 86400000000 - 1) + 1 AS t,
+             -1 AS delta
+      FROM spans
+    ), run AS (
+      SELECT d, SUM(delta) OVER (PARTITION BY d ORDER BY t, delta DESC
+                                 ROWS UNBOUNDED PRECEDING) AS c
+      FROM deltas
+    )
+    SELECT DATE '1970-01-01' + CAST(d AS INT) AS day,
+           CAST(MAX(c) AS BIGINT) AS peak_concurrency
+    FROM run GROUP BY d
+    """,
+)
+def peak_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = _epoch_us(F.col("ts")) - _epoch_us(F.lag("ts").over(w))
+    new_session = F.when(
+        gap_us.isNull() | (gap_us >= 1800 * 1000 * 1000), 1
+    ).otherwise(0)
+    sess = (
+        ev.select(
+            "user_id",
+            _epoch_us(F.col("ts")).alias("us"),
+            F.sum(new_session)
+            .over(w.rowsBetween(Window.unboundedPreceding, 0))
+            .alias("sid"),
+        )
+        .groupBy("user_id", "sid")
+        .agg(F.min("us").alias("s_us"), F.max("us").alias("e_us"))
+    )
+    day_us = F.lit(86400 * 1000 * 1000).cast("bigint")
+    spans = sess.select(
+        "s_us",
+        "e_us",
+        F.explode(
+            F.sequence(
+                (F.col("s_us") / day_us).cast("bigint"),
+                (F.col("e_us") / day_us).cast("bigint"),
+            )
+        ).alias("d"),
+    )
+    starts = spans.select(
+        "d",
+        F.greatest("s_us", F.col("d") * day_us).alias("t"),
+        F.lit(1).alias("delta"),
+    )
+    ends = spans.select(
+        "d",
+        (F.least("e_us", (F.col("d") + 1) * day_us - 1) + 1).alias("t"),
+        F.lit(-1).alias("delta"),
+    )
+    deltas = starts.unionByName(ends)
+    wd = (
+        Window.partitionBy("d")
+        .orderBy(F.col("t"), F.col("delta").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    run = deltas.select("d", F.sum("delta").over(wd).alias("c"))
+    return run.groupBy("d").agg(
+        F.max("c").alias("peak_concurrency")
+    ).select(
+        F.date_from_unix_date(F.col("d").cast("int")).alias("day"),
+        "peak_concurrency",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Market-basket co-occurrence: the 20 brand pairs most often bought in
+# the same order. The distinct (order, brand) projection bounds the
+# per-order fan-out by brand cardinality (schema-bounded ~25), so the
+# self-join on l_orderkey expands at most C(25,2) pairs per order —
+# never the raw line-item square. One shuffle on orderkey, one pair
+# aggregation, full lexicographic tiebreak on the top-k.
+# ---------------------------------------------------------------------------
+@query(
+    "basket_brand_pairs",
+    oracle="""
+    WITH ob AS (
+      SELECT DISTINCT l_orderkey, p_brand AS brand
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+    )
+    SELECT a.brand AS brand_a, b.brand AS brand_b,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM ob a JOIN ob b
+      ON a.l_orderkey = b.l_orderkey AND a.brand < b.brand
+    GROUP BY a.brand, b.brand
+    ORDER BY n_orders DESC, brand_a, brand_b
+    LIMIT 20
+    """,
+)
+def basket_brand_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    pt = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    ob = (
+        li.join(pt, li.l_partkey == pt.p_partkey)
+        .select("l_orderkey", F.col("p_brand").alias("brand"))
+        .distinct()
+    )
+    a, b = ob.alias("a"), ob.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.brand") < F.col("b.brand")),
+    )
+    return (
+        pairs.groupBy(
+            F.col("a.brand").alias("brand_a"),
+            F.col("b.brand").alias("brand_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy(F.col("n_orders").desc(), "brand_a", "brand_b")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Blocked fuzzy join: edit-distance part-name pairs inside noun blocks.
+# Blocking on the name's last word (the noun) turns the quadratic
+# levenshtein join into per-block squares — the standard entity-
+# resolution shape (block, compare within block, aggregate). Both
+# engines implement unit-cost Levenshtein identically, and the output
+# aggregates per block, so no pair-level tiebreak is needed.
+# ---------------------------------------------------------------------------
+@query(
+    "part_name_fuzzy_pairs",
+    oracle="""
+    WITH p AS (
+      SELECT p_partkey, p_name,
+             list_extract(string_split(p_name, ' '),
+                          len(string_split(p_name, ' '))) AS noun
+      FROM part
+    )
+    SELECT a.noun AS noun,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(CASE WHEN levenshtein(a.p_name, b.p_name) <= 3
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_close_pairs,
+           CAST(MIN(levenshtein(a.p_name, b.p_name)) AS INT) AS min_dist
+    FROM p a JOIN p b
+      ON a.noun = b.noun AND a.p_partkey < b.p_partkey
+    GROUP BY a.noun
+    """,
+)
+def part_name_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pt = load_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_name",
+        F.element_at(F.split("p_name", " "), -1).alias("noun"),
+    )
+    a, b = pt.alias("a"), pt.alias("b")
+    lev = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
+    pairs = a.join(
+        b,
+        (F.col("a.noun") == F.col("b.noun"))
+        & (F.col("a.p_partkey") < F.col("b.p_partkey")),
+    )
+    return pairs.groupBy(F.col("a.noun").alias("noun")).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(F.when(lev <= 3, 1).otherwise(0)).alias("n_close_pairs"),
+        F.min(lev).cast("int").alias("min_dist"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Iterative graph algorithm: PageRank over the event-type transition
+# graph, four synchronous iterations in FIXED-POINT integer arithmetic
+# (ranks scaled by 10^12, every step a bigint multiply + truncating
+# div) so both engines produce bit-identical ranks with no float-
+# summation-order hazard — the same discipline the exact-moments
+# queries use, applied to an iterative algorithm. The graph is
+# schema-bounded (event-type vocabulary squared), so edges/nodes are
+# persisted once and each iteration is a tiny broadcast join; the same
+# loop shape scales to big graphs as shuffle joins on (src) with the
+# rank vector, which is exactly how large-scale PageRank is run.
+# Dangling mass evaporates (rank renormalizes toward the base term),
+# identically in both engines. Integer-overflow bound: rank*cnt <
+# 10^12 * edge_count must stay under 2^63 — at larger scale the edge
+# counts would be pre-normalized to per-src ratios on a coarser grid.
+# ---------------------------------------------------------------------------
+@query(
+    "event_type_pagerank",
+    oracle="""
+    WITH seq AS (
+      SELECT event_type,
+             LEAD(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS nxt
+      FROM events
+    ), edges AS (
+      SELECT event_type AS src, nxt AS dst, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM seq WHERE nxt IS NOT NULL GROUP BY 1, 2
+    ), deg AS (
+      SELECT src, CAST(SUM(cnt) AS BIGINT) AS tot FROM edges GROUP BY src
+    ), e AS (
+      SELECT edges.src, edges.dst, edges.cnt, deg.tot
+      FROM edges JOIN deg USING (src)
+    ), nodes AS (
+      SELECT DISTINCT event_type AS node FROM events
+    ), nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
+    r0 AS (
+      SELECT node, 1000000000000 // n AS r FROM nodes CROSS JOIN nn
+    ),
+    r1 AS (
+      SELECT nd.node,
+             (15 * (1000000000000 // x.n)) // 100
+             + (85 * COALESCE(c.s, 0)) // 100 AS r
+      FROM nodes nd CROSS JOIN nn x
+      LEFT JOIN (SELECT e.dst AS node, SUM((r.r * e.cnt) // e.tot) AS s
+                 FROM e JOIN r0 r ON r.node = e.src GROUP BY e.dst) c
+        ON c.node = nd.node
+    ),
+    r2 AS (
+      SELECT nd.node,
+             (15 * (1000000000000 // x.n)) // 100
+             + (85 * COALESCE(c.s, 0)) // 100 AS r
+      FROM nodes nd CROSS JOIN nn x
+      LEFT JOIN (SELECT e.dst AS node, SUM((r.r * e.cnt) // e.tot) AS s
+                 FROM e JOIN r1 r ON r.node = e.src GROUP BY e.dst) c
+        ON c.node = nd.node
+    ),
+    r3 AS (
+      SELECT nd.node,
+             (15 * (1000000000000 // x.n)) // 100
+             + (85 * COALESCE(c.s, 0)) // 100 AS r
+      FROM nodes nd CROSS JOIN nn x
+      LEFT JOIN (SELECT e.dst AS node, SUM((r.r * e.cnt) // e.tot) AS s
+                 FROM e JOIN r2 r ON r.node = e.src GROUP BY e.dst) c
+        ON c.node = nd.node
+    ),
+    r4 AS (
+      SELECT nd.node,
+             (15 * (1000000000000 // x.n)) // 100
+             + (85 * COALESCE(c.s, 0)) // 100 AS r
+      FROM nodes nd CROSS JOIN nn x
+      LEFT JOIN (SELECT e.dst AS node, SUM((r.r * e.cnt) // e.tot) AS s
+                 FROM e JOIN r3 r ON r.node = e.src GROUP BY e.dst) c
+        ON c.node = nd.node
+    )
+    SELECT node AS event_type,
+           CAST(r AS BIGINT) AS rank_scaled,
+           CAST(r AS DOUBLE) / 1e12 AS rank
+    FROM r4
+    """,
+)
+def event_type_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("src"),
+        F.lead("event_type").over(w).alias("dst"),
+    ).filter(F.col("dst").isNotNull())
+    edges = seq.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("cnt"))
+    deg = edges.groupBy("src").agg(F.sum("cnt").alias("tot"))
+    # Schema-bounded (event-type vocabulary squared): persist so the
+    # four iteration joins reuse one materialization of the base scan.
+    e = edges.join(deg, "src").persist()
+    nodes = ev.select(
+        F.col("event_type").alias("node")
+    ).distinct().persist()
+    nn = nodes.agg(F.count(F.lit(1)).alias("n"))
+    base = F.expr("1000000000000 div n")
+    rank = nodes.crossJoin(F.broadcast(nn)).select(
+        "node", base.alias("r")
+    )
+    for _ in range(4):
+        contrib = (
+            e.join(rank.withColumnRenamed("node", "src"), "src")
+            .select("dst", F.expr("(r * cnt) div tot").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+        )
+        rank = (
+            nodes.crossJoin(F.broadcast(nn))
+            .join(contrib.withColumnRenamed("dst", "node"), "node", "left")
+            .select(
+                "node",
+                F.expr(
+                    "(15 * (1000000000000 div n)) div 100"
+                    " + (85 * coalesce(s, 0)) div 100"
+                ).alias("r"),
+            )
+        )
+    return rank.select(
+        F.col("node").alias("event_type"),
+        F.col("r").alias("rank_scaled"),
+        (F.col("r").cast("double") / F.lit(1e12)).alias("rank"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sliding distinct count: users active in the trailing 3 hours, per
+# hour bucket. COUNT(DISTINCT) over a sliding window can't be computed
+# from per-bucket partials (distinct doesn't sum), and a range self-
+# join re-reads the fact table per bucket; instead each distinct
+# (user, hour) pair is EXPLODED into the <=3 target buckets it
+# influences — a bounded fan-out linear in the window/slide ratio —
+# then deduplicated and counted. That is the standard scale shape for
+# sliding distinct aggregation. Buckets are restricted to hours that
+# actually occur (semi-join with the observed-hour set).
+# ---------------------------------------------------------------------------
+@query(
+    "sliding_distinct_users_3h",
+    oracle="""
+    WITH uh AS (
+      SELECT DISTINCT user_id, epoch_us(ts) // 3600000000 AS h
+      FROM events
+    ), hours AS (SELECT DISTINCT h FROM uh)
+    SELECT hours.h AS hour_bucket,
+           CAST(COUNT(DISTINCT uh.user_id) AS BIGINT) AS n_users
+    FROM hours JOIN uh ON uh.h BETWEEN hours.h - 2 AND hours.h
+    GROUP BY hours.h
+    """,
+)
+def sliding_distinct_users_3h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    uh = (
+        ev.select("user_id", _epoch_us(F.col("ts")).alias("us"))
+        .selectExpr("user_id", "us div 3600000000 as h")
+        .distinct()
+    )
+    hours = uh.select("h").distinct()
+    targets = uh.select(
+        "user_id",
+        F.explode(F.sequence(F.col("h"), F.col("h") + 2)).alias("h"),
+    ).distinct()
+    return (
+        targets.join(hours, "h", "left_semi")
+        .groupBy(F.col("h").alias("hour_bucket"))
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
