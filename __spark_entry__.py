@@ -46,6 +46,8 @@ _GATE_PRIORITY = [
     # streaks, day-partitioned interval sweep, market-basket pairs,
     # blocked edit-distance join, fixed-point integer PageRank,
     # sliding distinct users.
+    "doc_commonness_score",
+    "part_name_match_clusters",
     "user_daily_streaks",
     "peak_concurrent_sessions",
     "basket_brand_pairs",

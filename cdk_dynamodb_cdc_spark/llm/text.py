@@ -314,3 +314,46 @@ def search_conjunctive(
         .orderBy(F.col("score").desc(), F.col("doc_id"))
         .limit(top_k)
     )
+
+
+def commonness_score(docs: DataFrame) -> DataFrame:
+    """Unigram-LM quality proxy: each document's mean corpus frequency
+    per token — high scores flag boilerplate-heavy documents built from
+    the corpus's most common words, low scores flag rare-vocabulary
+    (often noisy or non-prose) documents. This is the determinism-safe
+    stand-in for log-perplexity scoring: every aggregate is an exact
+    BIGINT (token counts, per-doc frequency sums), and the score is
+    derived with exactly two IEEE double operations at the end, so the
+    result is bit-identical across engines — a float log-prob sum would
+    depend on summation order and libm.
+
+    Shape: one explode -> (term) count shuffle builds the LM, one join
+    back on term (AQE-sized; the vocabulary follows Heaps' law so the
+    LM side stays far smaller than the corpus), one per-doc sum. The
+    1-row total-token count is broadcast.
+    """
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
+    )
+    lm = toks.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    total = lm.agg(F.sum("cnt").alias("total"))
+    per_doc = (
+        toks.join(lm, "term")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("cnt").alias("sum_freq"),
+        )
+    )
+    return per_doc.crossJoin(F.broadcast(total)).select(
+        "doc_id",
+        "n_tokens",
+        "sum_freq",
+        (
+            F.col("sum_freq").cast("double")
+            / (
+                F.col("n_tokens").cast("double")
+                * F.col("total").cast("double")
+            )
+        ).alias("commonness"),
+    )

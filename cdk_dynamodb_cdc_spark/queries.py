@@ -5747,3 +5747,119 @@ def sliding_distinct_users_3h(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("h").alias("hour_bucket"))
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM commonness scoring (llm/text.py:commonness_score): each
+# document's mean corpus frequency per token — the determinism-safe
+# perplexity stand-in for boilerplate/noise triage. All aggregates are
+# exact BIGINTs; the score is two IEEE double ops on identical
+# operands, so it hashes bit-identically.
+# ---------------------------------------------------------------------------
+@query(
+    "doc_commonness_score",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      FROM documents
+    ), lm AS (
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt FROM toks GROUP BY term
+    ), tot AS (
+      SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM lm
+    ), pd AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             CAST(SUM(cnt) AS BIGINT) AS sum_freq
+      FROM toks JOIN lm USING (term) GROUP BY doc_id
+    )
+    SELECT doc_id, n_tokens, sum_freq,
+           CAST(sum_freq AS DOUBLE)
+           / (CAST(n_tokens AS DOUBLE) * CAST(total AS DOUBLE))
+             AS commonness
+    FROM pd CROSS JOIN tot
+    """,
+)
+def doc_commonness_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return llm_text.commonness_score(
+        load_table(spark, sf_dir, "documents")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Entity resolution end-to-end: canonicalize, fuzzy-match, cluster.
+# The match graph is built over DISTINCT names (each represented by
+# the minimum p_partkey carrying it) — never over base rows: value
+# cardinality, not table size, bounds the quadratic stage, which is
+# what keeps blocked fuzzy joins viable at 100 TB. Edges are
+# distinct-name pairs within Levenshtein distance 2 inside a noun
+# block; transitive closure over them reuses
+# llm/dedup.py:connected_components (the document-dedup label loop);
+# parts then join back to their name's cluster. The DuckDB twin closes
+# the graph with a recursive CTE, cross-checking the loop's fixpoint
+# rather than mirroring its plan.
+# ---------------------------------------------------------------------------
+@query(
+    "part_name_match_clusters",
+    oracle="""
+    WITH RECURSIVE
+    names AS (
+      SELECT p_name, MIN(p_partkey) AS name_id,
+             list_extract(string_split(p_name, ' '),
+                          len(string_split(p_name, ' '))) AS noun
+      FROM part GROUP BY p_name
+    ),
+    m AS (
+      SELECT a.name_id AS src, b.name_id AS dst
+      FROM names a JOIN names b
+        ON a.noun = b.noun AND a.name_id < b.name_id
+      WHERE levenshtein(a.p_name, b.p_name) <= 2
+    ),
+    e AS (SELECT src, dst FROM m UNION ALL SELECT dst, src FROM m),
+    nodes AS (SELECT DISTINCT src AS node FROM e),
+    reach(node, lbl) AS (
+      SELECT node, node FROM nodes
+      UNION
+      SELECT e.dst, r.lbl FROM reach r JOIN e ON e.src = r.node
+    ),
+    cl AS (SELECT node AS name_id, MIN(lbl) AS cluster_id
+           FROM reach GROUP BY node)
+    SELECT part.p_partkey, part.p_name, cl.cluster_id,
+           CAST(COUNT(*) OVER (PARTITION BY cl.cluster_id) AS BIGINT)
+             AS cluster_size
+    FROM part
+    JOIN names ON names.p_name = part.p_name
+    JOIN cl ON cl.name_id = names.name_id
+    """,
+)
+def part_name_match_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pt = load_table(spark, sf_dir, "part").select("p_partkey", "p_name")
+    names = (
+        pt.groupBy("p_name")
+        .agg(F.min("p_partkey").alias("name_id"))
+        .withColumn(
+            "noun", F.element_at(F.split("p_name", " "), -1)
+        )
+    )
+    a, b = names.alias("a"), names.alias("b")
+    edges = a.join(
+        b,
+        (F.col("a.noun") == F.col("b.noun"))
+        & (F.col("a.name_id") < F.col("b.name_id"))
+        & (F.levenshtein(F.col("a.p_name"), F.col("b.p_name")) <= 2),
+    ).select(
+        F.col("a.name_id").alias("doc_a"),
+        F.col("b.name_id").alias("doc_b"),
+    )
+    cc = llm_dedup.connected_components(edges)
+    w = Window.partitionBy("cluster_id")
+    return (
+        pt.join(names.select("p_name", "name_id"), "p_name")
+        .join(
+            cc.withColumnRenamed("node", "name_id"), "name_id"
+        )
+        .select(
+            "p_partkey",
+            "p_name",
+            "cluster_id",
+            F.count(F.lit(1)).over(w).alias("cluster_size"),
+        )
+    )
