@@ -46,6 +46,10 @@ _GATE_PRIORITY = [
     # streaks, day-partitioned interval sweep, market-basket pairs,
     # blocked edit-distance join, fixed-point integer PageRank,
     # sliding distinct users.
+    "order_priority_mode_stats",
+    "returnflag_linestatus_chisq_cells",
+    "nation_order_gini",
+    "bitmap_distinct_suppliers_by_brand",
     "doc_commonness_score",
     "part_name_match_clusters",
     "user_daily_streaks",

@@ -5863,3 +5863,252 @@ def part_name_match_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).over(w).alias("cluster_size"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Mode + discrete percentile with pinned tie semantics. Spark and
+# DuckDB both ship mode()/percentile_disc(), but their tie-breaking
+# is implementation-defined — so the registry derives both from
+# explicit ranked windows (mode = highest count, lexicographically
+# smallest value; lower median = the value at rank (n+1) div 2 of the
+# (value, orderkey) order), making the result engine-exact BY
+# CONSTRUCTION. The modal scan is one count aggregation + a
+# window-group-limit; the median picks one ranked row per group.
+# ---------------------------------------------------------------------------
+@query(
+    "order_priority_mode_stats",
+    oracle="""
+    WITH pc AS (
+      SELECT o_orderstatus, o_orderpriority,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM orders GROUP BY o_orderstatus, o_orderpriority
+    ), md AS (
+      SELECT o_orderstatus, o_orderpriority AS modal_priority, n,
+             ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+                                ORDER BY n DESC, o_orderpriority) AS rk
+      FROM pc
+    ), ranked AS (
+      SELECT o_orderstatus, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+                                ORDER BY o_totalprice, o_orderkey) AS rn,
+             COUNT(*) OVER (PARTITION BY o_orderstatus) AS cnt
+      FROM orders
+    ), med AS (
+      SELECT o_orderstatus, o_totalprice AS median_price
+      FROM ranked WHERE rn = (cnt + 1) // 2
+    )
+    SELECT md.o_orderstatus, md.modal_priority,
+           md.n AS mode_count, med.median_price
+    FROM md JOIN med USING (o_orderstatus) WHERE md.rk = 1
+    """,
+)
+def order_priority_mode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    pc = o.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    wm = Window.partitionBy("o_orderstatus").orderBy(
+        F.col("n").desc(), "o_orderpriority"
+    )
+    md = (
+        pc.withColumn("rk", F.row_number().over(wm))
+        .filter(F.col("rk") == 1)
+        .select(
+            "o_orderstatus",
+            F.col("o_orderpriority").alias("modal_priority"),
+            F.col("n").alias("mode_count"),
+        )
+    )
+    wr = Window.partitionBy("o_orderstatus").orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    ranked = o.select(
+        "o_orderstatus",
+        "o_totalprice",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("o_orderstatus"))
+        .alias("cnt"),
+    )
+    med = ranked.filter(
+        F.col("rn") == F.expr("(cnt + 1) div 2")
+    ).select("o_orderstatus", F.col("o_totalprice").alias("median_price"))
+    return md.join(med, "o_orderstatus")
+
+
+# ---------------------------------------------------------------------------
+# Contingency-table independence test: per-cell chi-square
+# contributions for returnflag x linestatus. Observed counts, row and
+# column margins, and N are exact BIGINTs; expected = row*col/N and
+# contribution = (obs-expected)^2/expected are the identical short
+# IEEE op sequence in both engines, so even the float columns hash
+# bit-for-bit. Cross-cell summation (whose order would differ between
+# engines) is deliberately left to the reader — the per-cell form is
+# also the more useful diagnostic (which cells drive dependence).
+# ---------------------------------------------------------------------------
+@query(
+    "returnflag_linestatus_chisq_cells",
+    oracle="""
+    WITH obs AS (
+      SELECT l_returnflag, l_linestatus, CAST(COUNT(*) AS BIGINT) AS o
+      FROM lineitem GROUP BY l_returnflag, l_linestatus
+    ), rt AS (
+      SELECT l_returnflag, CAST(SUM(o) AS BIGINT) AS row_n
+      FROM obs GROUP BY l_returnflag
+    ), ct AS (
+      SELECT l_linestatus, CAST(SUM(o) AS BIGINT) AS col_n
+      FROM obs GROUP BY l_linestatus
+    ), tot AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM obs)
+    SELECT obs.l_returnflag, obs.l_linestatus, obs.o AS observed,
+           CAST(row_n AS DOUBLE) * CAST(col_n AS DOUBLE)
+             / CAST(n AS DOUBLE) AS expected,
+           (CAST(o AS DOUBLE)
+            - CAST(row_n AS DOUBLE) * CAST(col_n AS DOUBLE)
+              / CAST(n AS DOUBLE))
+           * (CAST(o AS DOUBLE)
+              - CAST(row_n AS DOUBLE) * CAST(col_n AS DOUBLE)
+                / CAST(n AS DOUBLE))
+           / (CAST(row_n AS DOUBLE) * CAST(col_n AS DOUBLE)
+              / CAST(n AS DOUBLE)) AS contribution
+    FROM obs
+    JOIN rt USING (l_returnflag)
+    JOIN ct USING (l_linestatus)
+    CROSS JOIN tot
+    """,
+)
+def returnflag_linestatus_chisq_cells(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    obs = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("o")
+    )
+    rt = obs.groupBy("l_returnflag").agg(F.sum("o").alias("row_n"))
+    ct = obs.groupBy("l_linestatus").agg(F.sum("o").alias("col_n"))
+    tot = obs.agg(F.sum("o").alias("n"))
+    od = F.col("o").cast("double")
+    expected = (
+        F.col("row_n").cast("double")
+        * F.col("col_n").cast("double")
+        / F.col("n").cast("double")
+    )
+    return (
+        obs.join(rt, "l_returnflag")
+        .join(ct, "l_linestatus")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            F.col("o").alias("observed"),
+            expected.alias("expected"),
+            ((od - expected) * (od - expected) / expected).alias(
+                "contribution"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Concentration / inequality metric: per-nation Gini coefficient of
+# order values, from the ranked closed form
+# G = (2*sum(i*x_i) - (n+1)*sum(x)) / (n*sum(x)). Ranks come from a
+# window PARTITIONED BY NATION (bounded groups — never the global-sort
+# ntile trap); rank*value products and both sums stay exact in
+# DECIMAL, and the closed form runs in double on bit-identical
+# operands via the floor-split cast.
+# ---------------------------------------------------------------------------
+@query(
+    "nation_order_gini",
+    oracle=f"""
+    WITH r AS (
+      SELECT n_name,
+             CAST(o_totalprice AS DECIMAL(12,2)) AS x,
+             ROW_NUMBER() OVER (PARTITION BY n_name
+                                ORDER BY CAST(o_totalprice AS DECIMAL(12,2)),
+                                         o_orderkey) AS rn
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+    ), m AS (
+      SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(rn * x) AS s1, SUM(x) AS s0
+      FROM r GROUP BY n_name
+    )
+    SELECT n_name, n,
+           (2e0 * {_duck_dec_double("s1")}
+            - (CAST(n AS DOUBLE) + 1e0) * {_duck_dec_double("s0")})
+           / (CAST(n AS DOUBLE) * {_duck_dec_double("s0")}) AS gini
+    FROM m
+    """,
+)
+def nation_order_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    x = _dec("o_totalprice")
+    joined = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .select("n_name", x.alias("x"), "o_orderkey")
+    )
+    w = Window.partitionBy("n_name").orderBy("x", "o_orderkey")
+    r = joined.select(
+        "n_name", "x", F.row_number().over(w).alias("rn")
+    )
+    m = r.groupBy("n_name").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("rn") * F.col("x")).alias("s1"),
+        F.sum("x").alias("s0"),
+    )
+    nd = F.col("n").cast("double")
+    s1d, s0d = _dec_double(F.col("s1")), _dec_double(F.col("s0"))
+    return m.select(
+        "n_name",
+        "n",
+        (
+            (F.lit(2.0) * s1d - (nd + F.lit(1.0)) * s0d)
+            / (nd * s0d)
+        ).alias("gini"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact mergeable distinct counting: Spark's bitmap aggregate family
+# (bitmap_bucket_number / bitmap_bit_position / bitmap_construct_agg /
+# bitmap_count) — the EXACT counterpart of the HLL sketch lane. The
+# two-level shape is the scale story: per-(group, bucket) bitmaps
+# build with map-side combine and are re-aggregatable (OR-mergeable
+# across partitions, days, or rollup levels); the final count is a sum
+# of per-bucket popcounts. The oracle pins the whole pipeline to plain
+# COUNT(DISTINCT) — an exactness theorem, not a tolerance contract.
+# ---------------------------------------------------------------------------
+@query(
+    "bitmap_distinct_suppliers_by_brand",
+    oracle="""
+    SELECT p_brand AS brand,
+           CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_suppliers
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY p_brand
+    """,
+)
+def bitmap_distinct_suppliers_by_brand(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey"
+    )
+    pt = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    j = li.join(pt, li.l_partkey == pt.p_partkey).select(
+        F.col("p_brand").alias("brand"), "l_suppkey"
+    )
+    per_bucket = j.groupBy(
+        "brand",
+        F.expr("bitmap_bucket_number(l_suppkey)").alias("bucket"),
+    ).agg(
+        F.expr(
+            "bitmap_construct_agg(bitmap_bit_position(l_suppkey))"
+        ).alias("bm")
+    )
+    return per_bucket.groupBy("brand").agg(
+        F.sum(F.expr("bitmap_count(bm)")).alias("n_suppliers")
+    )
