@@ -5670,12 +5670,16 @@ def event_type_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("dst").isNotNull())
     edges = seq.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("cnt"))
     deg = edges.groupBy("src").agg(F.sum("cnt").alias("tot"))
-    # Schema-bounded (event-type vocabulary squared): persist so the
-    # four iteration joins reuse one materialization of the base scan.
-    e = edges.join(deg, "src").persist()
-    nodes = ev.select(
-        F.col("event_type").alias("node")
-    ).distinct().persist()
+    # Schema-bounded (event-type vocabulary squared): eagerly truncate
+    # lineage so the four iteration joins reference one materialized
+    # table instead of re-expanding the base scan + window per
+    # iteration — the same discipline connected_components uses.
+    e = edges.join(deg, "src").localCheckpoint(eager=True)
+    nodes = (
+        ev.select(F.col("event_type").alias("node"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     nn = nodes.agg(F.count(F.lit(1)).alias("n"))
     base = F.expr("1000000000000 div n")
     rank = nodes.crossJoin(F.broadcast(nn)).select(
@@ -5983,28 +5987,36 @@ def returnflag_linestatus_chisq_cells(
     obs = li.groupBy("l_returnflag", "l_linestatus").agg(
         F.count(F.lit(1)).alias("o")
     )
-    rt = obs.groupBy("l_returnflag").agg(F.sum("o").alias("row_n"))
-    ct = obs.groupBy("l_linestatus").agg(F.sum("o").alias("col_n"))
-    tot = obs.agg(F.sum("o").alias("n"))
+    # Margins as windows over the CELL table (bounded: flags x
+    # statuses rows), not re-aggregation joins — one scan, no
+    # self-joins; the empty-partition window is fine because its input
+    # is the bounded cell table, never the base data.
+    margins = obs.select(
+        "l_returnflag",
+        "l_linestatus",
+        "o",
+        F.sum("o")
+        .over(Window.partitionBy("l_returnflag"))
+        .alias("row_n"),
+        F.sum("o")
+        .over(Window.partitionBy("l_linestatus"))
+        .alias("col_n"),
+        F.sum("o").over(Window.partitionBy()).alias("n"),
+    )
     od = F.col("o").cast("double")
     expected = (
         F.col("row_n").cast("double")
         * F.col("col_n").cast("double")
         / F.col("n").cast("double")
     )
-    return (
-        obs.join(rt, "l_returnflag")
-        .join(ct, "l_linestatus")
-        .crossJoin(F.broadcast(tot))
-        .select(
-            "l_returnflag",
-            "l_linestatus",
-            F.col("o").alias("observed"),
-            expected.alias("expected"),
-            ((od - expected) * (od - expected) / expected).alias(
-                "contribution"
-            ),
-        )
+    return margins.select(
+        "l_returnflag",
+        "l_linestatus",
+        F.col("o").alias("observed"),
+        expected.alias("expected"),
+        ((od - expected) * (od - expected) / expected).alias(
+            "contribution"
+        ),
     )
 
 
