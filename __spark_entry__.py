@@ -46,6 +46,8 @@ _GATE_PRIORITY = [
     # streaks, day-partitioned interval sweep, market-basket pairs,
     # blocked edit-distance join, fixed-point integer PageRank,
     # sliding distinct users.
+    "brand_affinity_triangles",
+    "approx_topk_event_types_contract",
     "order_priority_mode_stats",
     "returnflag_linestatus_chisq_cells",
     "nation_order_gini",

@@ -6124,3 +6124,112 @@ def bitmap_distinct_suppliers_by_brand(
     return per_bucket.groupBy("brand").agg(
         F.sum(F.expr("bitmap_count(bm)")).alias("n_suppliers")
     )
+
+
+# ---------------------------------------------------------------------------
+# Graph motif counting: triangles in the brand-affinity graph. Edges
+# are the 30 strongest co-purchase pairs (deterministic top-k with
+# full tiebreak); triangles come from the classic ordered three-way
+# self-join (a<b<c, so each triangle counts once). On a bounded node
+# set the joins broadcast; on a real graph the same ordered-join plan
+# shuffles on the shared endpoint and degree-orders the edges first —
+# the standard distributed triangle enumeration.
+# ---------------------------------------------------------------------------
+@query(
+    "brand_affinity_triangles",
+    oracle="""
+    WITH ob AS (
+      SELECT DISTINCT l_orderkey, p_brand AS brand
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+    ), pairs AS (
+      SELECT a.brand AS ba, b.brand AS bb, CAST(COUNT(*) AS BIGINT) AS n
+      FROM ob a JOIN ob b
+        ON a.l_orderkey = b.l_orderkey AND a.brand < b.brand
+      GROUP BY a.brand, b.brand
+    ), e AS (
+      SELECT ba, bb FROM pairs
+      ORDER BY n DESC, ba, bb LIMIT 30
+    )
+    SELECT e1.ba AS brand_a, e1.bb AS brand_b, e2.bb AS brand_c
+    FROM e e1
+    JOIN e e2 ON e2.ba = e1.bb
+    JOIN e e3 ON e3.ba = e1.ba AND e3.bb = e2.bb
+    """,
+)
+def brand_affinity_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    pt = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    ob = (
+        li.join(pt, li.l_partkey == pt.p_partkey)
+        .select("l_orderkey", F.col("p_brand").alias("brand"))
+        .distinct()
+    )
+    a, b = ob.alias("a"), ob.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.brand") < F.col("b.brand")),
+        )
+        .groupBy(
+            F.col("a.brand").alias("ba"), F.col("b.brand").alias("bb")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    e = (
+        pairs.orderBy(F.col("n").desc(), "ba", "bb")
+        .limit(30)
+        .select("ba", "bb")
+        .localCheckpoint(eager=True)  # bounded: top-k edge list
+    )
+    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+    return (
+        e1.join(e2, F.col("e2.ba") == F.col("e1.bb"))
+        .join(
+            e3,
+            (F.col("e3.ba") == F.col("e1.ba"))
+            & (F.col("e3.bb") == F.col("e2.bb")),
+        )
+        .select(
+            F.col("e1.ba").alias("brand_a"),
+            F.col("e1.bb").alias("brand_b"),
+            F.col("e2.bb").alias("brand_c"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Heavy-hitter sketch with an exactness contract: approx_top_k tracks
+# maxItemsTracked candidate counters (Misra-Gries/SpaceSaving family);
+# when the tracked-slot budget meets or exceeds the column's true
+# cardinality the sketch degenerates to EXACT counts — the same
+# "approximate operator, pinned contract" pattern as the HLL and
+# approx_percentile lanes. The query re-sorts the sketch output with a
+# full deterministic tiebreak and the oracle recomputes top-3 event
+# types exactly; matching hashes prove the exactness contract held.
+# ---------------------------------------------------------------------------
+@query(
+    "approx_topk_event_types_contract",
+    oracle="""
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+    FROM events GROUP BY event_type
+    ORDER BY n DESC, event_type LIMIT 3
+    """,
+)
+def approx_topk_event_types_contract(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    sketch = ev.select("event_type").agg(
+        F.expr("approx_top_k(event_type, 3, 10000)").alias("tk")
+    )
+    return (
+        sketch.select(F.explode("tk").alias("s"))
+        .select(
+            F.col("s.item").alias("event_type"),
+            F.col("s.count").alias("n"),
+        )
+        .orderBy(F.col("n").desc(), "event_type")
+    )
