@@ -61,10 +61,16 @@ def test_zorder_narrows_both_dimensions(spark, tmp_path):
     assert _avg_normalized_span(single, "l_suppkey") >= 0.85
 
     # Z-order: BOTH dimensions substantially narrower than full width.
+    # Margins leave room for repartitionByRange's sampling jitter (its
+    # seed varies with RDD id, so boundaries shift slightly between
+    # sessions): observed spans are ~0.37-0.40 (partkey) and
+    # ~0.57-0.61 (suppkey — coarser because suppkey's distinct-value
+    # count is small at this SF, so rank buckets tie heavily) vs 1.0
+    # full width for the un-z-ordered dimension.
     z_part = _avg_normalized_span(zpath, "l_partkey")
     z_supp = _avg_normalized_span(zpath, "l_suppkey")
-    assert z_part <= 0.6, z_part
-    assert z_supp <= 0.6, z_supp
+    assert z_part <= 0.55, z_part
+    assert z_supp <= 0.75, z_supp
 
     # Same rows survive the rewrite.
     assert (
