@@ -626,3 +626,98 @@ def ngram_containment_pairs(
         )
         .filter(F.col("containment") >= threshold)
     )
+
+
+def connected_components_star(
+    pairs: DataFrame,
+    id_a: str = "doc_a",
+    id_b: str = "doc_b",
+    max_rounds: int = 40,
+) -> DataFrame:
+    """Connected components via alternating large-star / small-star
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14) — same output contract as :func:`connected_components`
+    (``(node, cluster_id)``, cluster_id = minimum reachable node id)
+    but O(log n) rounds instead of O(diameter).
+
+    :func:`connected_components` is the right default for near-dup
+    graphs (unions of dense cliques, diameter ~2-3, simpler plan).
+    THIS is the escalation path for adversarial topology — long chains
+    or stringy components whose diameter exceeds any sane round budget.
+    The 300-node path graph in the pytest needs 300 propagation rounds
+    (the simple loop refuses at its round cap) but 5 star rounds.
+
+    Per round (each one shuffle per star phase, lineage truncated):
+
+    * large-star: group the symmetric edge list by ``u``, compute
+      ``m = min(N(u) + {u})``, connect every LARGER neighbor to ``m``;
+    * small-star: orient edges larger->smaller, group by the larger
+      endpoint, connect its smaller neighbors (and itself) to their
+      minimum.
+
+    Both steps preserve connectivity and only ever decrease
+    (neighbor-min) pointers; the fixpoint is a forest of stars centered
+    at component minima. Convergence is an exact edge-set comparison
+    (count equality + exceptAll emptiness), not a heuristic.
+    """
+    e = (
+        pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    all_nodes = (
+        e.select(F.col("u").alias("node"))
+        .unionByName(e.select(F.col("v").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    for _ in range(max_rounds):
+        # --- large-star ---------------------------------------------
+        sym = e.unionByName(
+            e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        m_of_u = sym.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+        large = (
+            sym.join(m_of_u, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # --- small-star ---------------------------------------------
+        oriented = large.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        n_min = oriented.groupBy("u").agg(F.min("v").alias("m"))
+        joined = oriented.join(n_min, "u")
+        small = (
+            joined.select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .unionByName(n_min.select(F.col("u"), F.col("m").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        # --- exact convergence check --------------------------------
+        if small.count() == e.count() and small.exceptAll(e).isEmpty():
+            e = small
+            break
+        e = small
+    else:
+        raise RuntimeError(
+            f"connected_components_star did not converge in "
+            f"{max_rounds} rounds"
+        )
+
+    # Fixpoint edges are (node, component_min) stars; centers carry no
+    # outgoing edge, so they label themselves via the left join.
+    labels = e.groupBy("u").agg(F.min("v").alias("cluster_id"))
+    return all_nodes.join(
+        labels, all_nodes.node == labels.u, "left"
+    ).select(
+        "node",
+        F.coalesce("cluster_id", F.col("node")).alias("cluster_id"),
+    )

@@ -650,3 +650,57 @@ def test_ngram_containment_randomized_equals_brute_force(spark):
                     want.add((a, b))
         assert (0, 1) in want and (1, 0) not in want  # asymmetry is real
         assert got == want, f"trial {trial} t={threshold}"
+
+
+def test_star_cc_matches_propagation_on_random_graphs(spark):
+    # The two implementations must agree exactly on every topology.
+    import random
+
+    rng = random.Random(42)
+    for trial in range(2):
+        n = 40
+        edges = [
+            (rng.randrange(n), rng.randrange(n)) for _ in range(45)
+        ]
+        edges = [(a, b) for a, b in edges if a != b]
+        pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+        want = {
+            (r["node"], r["cluster_id"])
+            for r in dedup.connected_components(pairs).collect()
+        }
+        got = {
+            (r["node"], r["cluster_id"])
+            for r in dedup.connected_components_star(pairs).collect()
+        }
+        assert got == want, f"trial {trial}"
+
+
+def test_star_cc_handles_diameter_beyond_propagation_budget(spark):
+    # A 120-node path needs ~120 propagation rounds — the simple loop
+    # refuses at its 25-round cap; large-star/small-star collapses it
+    # in O(log n) rounds. This is the documented escalation path made
+    # executable.
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(120)], "doc_a long, doc_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup.connected_components(pairs)
+    rows = dedup.connected_components_star(pairs).collect()
+    assert {r["cluster_id"] for r in rows} == {0}
+    assert len(rows) == 121
+
+
+def test_star_cc_keeps_components_separate(spark):
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 20)],
+        "doc_a long, doc_b long",
+    )
+    got = {
+        (r["node"], r["cluster_id"])
+        for r in dedup.connected_components_star(pairs).collect()
+    }
+    assert got == {
+        (1, 1), (2, 1), (3, 1),
+        (10, 10), (11, 10),
+        (20, 20), (21, 20), (22, 20),
+    }
