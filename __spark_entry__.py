@@ -46,6 +46,9 @@ _GATE_PRIORITY = [
     # streaks, day-partitioned interval sweep, market-basket pairs,
     # blocked edit-distance join, fixed-point integer PageRank,
     # sliding distinct users.
+    "order_rank_distribution",
+    "priority_listagg_by_status",
+    "grouping_sets_flag_status",
     "brand_affinity_triangles",
     "approx_topk_event_types_contract",
     "order_priority_mode_stats",

@@ -6233,3 +6233,121 @@ def approx_topk_event_types_contract(
         )
         .orderBy(F.col("n").desc(), "event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Ranking-window API coverage with deterministic semantics:
+# percent_rank ((rank-1)/(n-1)), cume_dist (rows<=current / n), and
+# ntile(4) under a fully tie-broken order, aggregated per (status,
+# quartile). Both engines define these identically, and the values are
+# integer-ratio doubles — bit-stable. NOTE: a per-group ranking window
+# sorts each group on one task; o_orderstatus is bounded (3 values),
+# so this is an API-coverage query — for unbounded/heavy groups the
+# scale-safe pattern is broadcast percentile boundaries
+# (spend_decile_profile), not a ranking window.
+# ---------------------------------------------------------------------------
+@query(
+    "order_rank_distribution",
+    oracle="""
+    WITH r AS (
+      SELECT o_orderstatus,
+             PERCENT_RANK() OVER w AS pr,
+             CUME_DIST() OVER w AS cd,
+             NTILE(4) OVER w AS quartile
+      FROM orders
+      WINDOW w AS (PARTITION BY o_orderstatus
+                   ORDER BY o_totalprice, o_orderkey)
+    )
+    SELECT o_orderstatus, CAST(quartile AS INT) AS quartile,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           MIN(pr) AS min_percent_rank,
+           MAX(cd) AS max_cume_dist
+    FROM r GROUP BY o_orderstatus, quartile
+    """,
+)
+def order_rank_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    r = o.select(
+        "o_orderstatus",
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+    return r.groupBy("o_orderstatus", "quartile").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("pr").alias("min_percent_rank"),
+        F.max("cd").alias("max_cume_dist"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Ordered string aggregation (listagg / string_agg): the distinct
+# priorities per status concatenated in sorted order. The DISTINCT
+# reduction happens first, so the aggregated string is bounded by
+# value cardinality, and WITHIN GROUP (ORDER BY ...) pins the element
+# order — the one thing that makes cross-engine string aggregation
+# deterministic.
+# ---------------------------------------------------------------------------
+@query(
+    "priority_listagg_by_status",
+    oracle="""
+    WITH d AS (
+      SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders
+    )
+    SELECT o_orderstatus,
+           string_agg(o_orderpriority, ','
+                      ORDER BY o_orderpriority) AS priorities,
+           CAST(COUNT(*) AS BIGINT) AS n_priorities
+    FROM d GROUP BY o_orderstatus
+    """,
+)
+def priority_listagg_by_status(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    d = o.select("o_orderstatus", "o_orderpriority").distinct()
+    return d.groupBy("o_orderstatus").agg(
+        F.expr(
+            "listagg(o_orderpriority, ',') "
+            "within group (order by o_orderpriority)"
+        ).alias("priorities"),
+        F.count(F.lit(1)).alias("n_priorities"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Explicit GROUPING SETS (beyond rollup/cube): the two one-dimension
+# marginals plus the grand total in ONE pass — the shape reporting
+# layers ask for when the full cube is wasteful. grouping_id
+# disambiguates which set each row belongs to; measures aggregate in
+# exact decimal.
+# ---------------------------------------------------------------------------
+@query(
+    "grouping_sets_flag_status",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus)
+                AS BIGINT) AS gid,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           {_duck_dec_double("SUM(CAST(l_quantity AS DECIMAL(12,2)))")}
+             AS sum_qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+)
+def grouping_sets_flag_status(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupingSets(
+        [["l_returnflag"], ["l_linestatus"], []],
+        "l_returnflag",
+        "l_linestatus",
+    ).agg(
+        F.grouping_id().alias("gid"),
+        F.count(F.lit(1)).alias("n"),
+        _dec_double(F.sum(_dec("l_quantity"))).alias("sum_qty"),
+    )
