@@ -1,0 +1,6 @@
+"""Storage: the transaction-log table (ACID commits over parquet)."""
+
+from cdk_dynamodb_cdc_spark.storage.txlog import (  # noqa: F401
+    TxTable,
+    txlog_sink_writer,
+)

@@ -1,0 +1,239 @@
+"""A minimal transactional table: versioned atomic commits over
+immutable parquet files — the Delta-Lake transaction-log design built
+from first principles on the Hadoop FileSystem API, for environments
+without delta-spark (this container). Gives A11 a real ACID sink lane
+and A13 a real ``VACUUM``.
+
+Layout::
+
+    <table>/
+      data/c-<uuid>/part-*.parquet   immutable files, one dir per commit
+      _txlog/00000000000000000042.json   one manifest per version
+
+Each manifest is the COMPLETE state at its version: the live file
+list, the schema (as Spark schema JSON), and the committing
+``(app_id, batch_id)`` if any. Readers open exactly one manifest —
+O(1), no log folding — and time travel is "open an older manifest".
+(Delta instead logs incremental actions with periodic parquet
+checkpoints; that is the production evolution of this layout once
+file counts make full-list manifests heavy. The commit protocol below
+is unchanged by that swap.)
+
+ACID comes from two properties:
+
+* data files are IMMUTABLE and INVISIBLE until a manifest names them
+  (writers stage into a fresh ``c-<uuid>`` directory; a crashed job
+  leaves only unreferenced orphans, which ``vacuum`` sweeps);
+* the manifest is published with CREATE-EXCLUSIVE (HDFS/POSIX atomic
+  create; object stores use a conditional put) — two writers racing
+  version N: one wins, the loser re-reads the new state and retries
+  against version N+1. That is optimistic concurrency control, the
+  same protocol Delta runs.
+
+Exactly-once streaming: a manifest records the ``(app_id, batch_id)``
+that produced it; a replayed micro-batch presents the same pair and
+:meth:`TxTable.commit` returns without writing — the transactional
+idempotence Delta exposes as ``txnAppId``/``txnVersion``, and the lane
+that subsumes the batch_id-partition-overwrite recipe in
+``streaming/stream.py``.
+"""
+
+from __future__ import annotations
+
+import json
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F  # noqa: F401  (API symmetry)
+from pyspark.sql.types import StructType
+
+_LOG_DIR = "_txlog"
+_DATA_DIR = "data"
+
+
+class TxTable:
+    """Handle to a transaction-log table rooted at ``path``."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path.rstrip("/")
+        jvm = spark._jvm
+        self._jPath = jvm.org.apache.hadoop.fs.Path
+        self._fs = self._jPath(self.path).getFileSystem(
+            spark._jsc.hadoopConfiguration()
+        )
+        self._io = jvm.org.apache.commons.io.IOUtils
+
+    # -- filesystem helpers (Hadoop FS: HDFS/S3A/local all work) -------
+
+    def _ls(self, dir_path: str) -> list[str]:
+        p = self._jPath(dir_path)
+        if not self._fs.exists(p):
+            return []
+        return [
+            st.getPath().toString()
+            for st in self._fs.listStatus(p)
+        ]
+
+    def _read_text(self, file_path: str) -> str:
+        stream = self._fs.open(self._jPath(file_path))
+        try:
+            return self._io.toString(stream, "UTF-8")
+        finally:
+            stream.close()
+
+    def _create_exclusive(self, file_path: str, text: str) -> bool:
+        """Atomically create ``file_path``; False if it already exists
+        (a concurrent committer won the version)."""
+        try:
+            out = self._fs.create(self._jPath(file_path), False)
+        except Exception:
+            return False
+        try:
+            out.write(bytearray(text.encode("utf-8")))
+            out.hsync()
+        finally:
+            out.close()
+        return True
+
+    # -- log access ----------------------------------------------------
+
+    def _manifest_path(self, version: int) -> str:
+        return f"{self.path}/{_LOG_DIR}/{version:020d}.json"
+
+    def versions(self) -> list[int]:
+        out = []
+        for f in self._ls(f"{self.path}/{_LOG_DIR}"):
+            name = f.rsplit("/", 1)[-1]
+            if name.endswith(".json"):
+                out.append(int(name[:-5]))
+        return sorted(out)
+
+    def latest_version(self) -> int | None:
+        vs = self.versions()
+        return vs[-1] if vs else None
+
+    def manifest(self, version: int) -> dict:
+        return json.loads(self._read_text(self._manifest_path(version)))
+
+    def history(self) -> list[dict]:
+        return [self.manifest(v) for v in self.versions()]
+
+    # -- commits -------------------------------------------------------
+
+    def commit(
+        self,
+        df: DataFrame,
+        *,
+        mode: str = "append",
+        app_id: str | None = None,
+        batch_id: int | None = None,
+        max_retries: int = 10,
+    ) -> int | None:
+        """Write ``df``'s files and publish them atomically as the next
+        version. Returns the committed version, or None when this
+        ``(app_id, batch_id)`` pair is already in the log (replay —
+        the commit is skipped, which is what makes a streaming sink
+        exactly-once).
+
+        ``mode``: "append" adds to the live set; "overwrite" replaces
+        it (the previous files stay on disk for time travel until
+        :meth:`vacuum`).
+        """
+        if mode not in ("append", "overwrite"):
+            raise ValueError(f"mode must be append|overwrite: {mode!r}")
+        if app_id is not None and batch_id is not None:
+            for m in self.history():
+                if (
+                    m.get("app_id") == app_id
+                    and m.get("batch_id") == batch_id
+                ):
+                    return None
+
+        commit_dir = f"{self.path}/{_DATA_DIR}/c-{uuid.uuid4().hex[:12]}"
+        df.write.parquet(commit_dir)
+        new_files = sorted(
+            f
+            for f in self._ls(commit_dir)
+            if f.rsplit("/", 1)[-1].startswith("part-")
+        )
+
+        for _ in range(max_retries):
+            latest = self.latest_version()
+            if mode == "append" and latest is not None:
+                live = self.manifest(latest)["live"] + new_files
+            else:
+                live = list(new_files)
+            version = 0 if latest is None else latest + 1
+            manifest = {
+                "version": version,
+                "mode": mode,
+                "live": live,
+                "schema": df.schema.json(),
+                "app_id": app_id,
+                "batch_id": batch_id,
+            }
+            if self._create_exclusive(
+                self._manifest_path(version), json.dumps(manifest)
+            ):
+                return version
+            # lost the race: a concurrent writer took this version —
+            # fold in ITS result and retry on the next one.
+        raise RuntimeError(
+            f"commit lost {max_retries} optimistic-concurrency races"
+        )
+
+    # -- reads ---------------------------------------------------------
+
+    def snapshot(self, version: int | None = None) -> DataFrame:
+        """The table at ``version`` (default: latest). Empty tables
+        reconstruct their schema from the manifest."""
+        latest = self.latest_version()
+        if latest is None:
+            raise ValueError(f"{self.path} has no commits")
+        v = latest if version is None else version
+        m = self.manifest(v)
+        if not m["live"]:
+            return self.spark.createDataFrame(
+                [], StructType.fromJson(json.loads(m["schema"]))
+            )
+        return self.spark.read.parquet(*m["live"])
+
+    # -- maintenance ---------------------------------------------------
+
+    def vacuum(self, retain_last: int = 1) -> list[str]:
+        """Delete data files referenced by NO retained version (the
+        last ``retain_last`` manifests stay time-travelable) — plus
+        crashed-commit orphans no manifest ever named. Older manifests
+        remain readable as history metadata, but their exclusive files
+        are gone, exactly like a vacuumed Delta table."""
+        vs = self.versions()
+        keep = set()
+        for v in vs[-retain_last:] if retain_last else []:
+            keep.update(self.manifest(v)["live"])
+        deleted = []
+        for commit_dir in self._ls(f"{self.path}/{_DATA_DIR}"):
+            for f in self._ls(commit_dir):
+                if (
+                    f.rsplit("/", 1)[-1].startswith("part-")
+                    and f not in keep
+                ):
+                    self._fs.delete(self._jPath(f), False)
+                    deleted.append(f)
+        return deleted
+
+
+def txlog_sink_writer(spark: SparkSession, sink_path: str, app_id: str):
+    """Transactional ``sink_writer`` for ``run_cdc_stream`` — same
+    contract as ``delta_sink_writer`` but with no external package:
+    each micro-batch is one atomic, idempotent ``TxTable.commit``
+    keyed by ``(app_id, batch_id)``, so replays after a crash publish
+    nothing twice and readers never observe a half-written batch."""
+    table = TxTable(spark, sink_path)
+
+    def write(events: DataFrame, batch_id: int) -> None:
+        table.commit(
+            events, mode="append", app_id=app_id, batch_id=batch_id
+        )
+
+    return write

@@ -1,0 +1,166 @@
+"""Transaction-log table (storage/txlog.py): atomic versioned commits,
+time travel, idempotent batch commits, optimistic-concurrency races,
+vacuum, and the exactly-once streaming sink lane."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from cdk_dynamodb_cdc_spark.storage import TxTable, txlog_sink_writer
+
+
+def _df(spark, vals):
+    return spark.createDataFrame([(v, f"r{v}") for v in vals], "id long, s string")
+
+
+def test_append_commits_and_snapshot(spark, tmp_path):
+    t = TxTable(spark, str(tmp_path / "tbl"))
+    assert t.commit(_df(spark, [1, 2])) == 0
+    assert t.commit(_df(spark, [3])) == 1
+    got = sorted(r["id"] for r in t.snapshot().collect())
+    assert got == [1, 2, 3]
+
+
+def test_time_travel_and_overwrite(spark, tmp_path):
+    t = TxTable(spark, str(tmp_path / "tbl"))
+    t.commit(_df(spark, [1, 2]))
+    t.commit(_df(spark, [3]))
+    t.commit(_df(spark, [99]), mode="overwrite")
+    assert sorted(r["id"] for r in t.snapshot().collect()) == [99]
+    assert sorted(r["id"] for r in t.snapshot(version=1).collect()) == [
+        1,
+        2,
+        3,
+    ]
+    assert sorted(r["id"] for r in t.snapshot(version=0).collect()) == [
+        1,
+        2,
+    ]
+
+
+def test_replayed_batch_id_commits_nothing(spark, tmp_path):
+    t = TxTable(spark, str(tmp_path / "tbl"))
+    assert t.commit(_df(spark, [1]), app_id="app", batch_id=0) == 0
+    # replay of the same (app_id, batch_id): skipped, no new version
+    assert t.commit(_df(spark, [1]), app_id="app", batch_id=0) is None
+    assert t.latest_version() == 0
+    assert t.snapshot().count() == 1
+    # a NEW batch id commits normally
+    assert t.commit(_df(spark, [2]), app_id="app", batch_id=1) == 1
+
+
+def test_optimistic_concurrency_retries_next_version(spark, tmp_path):
+    t = TxTable(spark, str(tmp_path / "tbl"))
+    t.commit(_df(spark, [1]))
+    # Simulate a concurrent committer stealing version 1: write its
+    # manifest directly, then commit through the API.
+    rogue = {
+        "version": 1,
+        "mode": "append",
+        "live": t.manifest(0)["live"],
+        "schema": _df(spark, [0]).schema.json(),
+        "app_id": None,
+        "batch_id": None,
+    }
+    assert t._create_exclusive(t._manifest_path(1), json.dumps(rogue))
+    v = t.commit(_df(spark, [2]))
+    assert v == 2  # lost the race for 1, retried, won 2
+    assert sorted(r["id"] for r in t.snapshot().collect()) == [1, 2]
+
+
+def test_crashed_commit_files_stay_invisible_and_vacuumable(
+    spark, tmp_path
+):
+    t = TxTable(spark, str(tmp_path / "tbl"))
+    t.commit(_df(spark, [1]))
+    # a crashed job: data files written, no manifest published
+    _df(spark, [777]).write.parquet(str(tmp_path / "tbl/data/c-crashed"))
+    assert sorted(r["id"] for r in t.snapshot().collect()) == [1]
+    deleted = t.vacuum(retain_last=1)
+    assert any("c-crashed" in f for f in deleted)
+    assert sorted(r["id"] for r in t.snapshot().collect()) == [1]
+
+
+def test_vacuum_prunes_time_travel_beyond_retention(spark, tmp_path):
+    t = TxTable(spark, str(tmp_path / "tbl"))
+    t.commit(_df(spark, [1]))
+    t.commit(_df(spark, [2]), mode="overwrite")
+    deleted = t.vacuum(retain_last=1)
+    assert deleted  # version 0's exclusive file went away
+    assert sorted(r["id"] for r in t.snapshot().collect()) == [2]
+    with pytest.raises(Exception):
+        t.snapshot(version=0).collect()  # vacuumed history is gone
+
+
+def test_empty_overwrite_keeps_schema(spark, tmp_path):
+    t = TxTable(spark, str(tmp_path / "tbl"))
+    t.commit(_df(spark, [1]))
+    t.commit(_df(spark, []).limit(0), mode="overwrite")
+    snap = t.snapshot()
+    assert snap.count() == 0
+    assert snap.columns == ["id", "s"]
+
+
+def test_streaming_sink_is_exactly_once_across_restart(spark, tmp_path):
+    """End-to-end: the CDC pipeline streams into the txlog sink; a
+    second run over the same checkpoint (plus new data) adds only the
+    new batch, and replays publish nothing twice."""
+    import datetime
+    import json as _json
+
+    from cdk_dynamodb_cdc_spark.sources.cdc_shards import (
+        append_cdc_records,
+        read_cdc_shards_stream,
+    )
+    from cdk_dynamodb_cdc_spark.streaming import run_cdc_stream
+
+    shards = str(tmp_path / "shards")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+
+    def rec(seq, pk):
+        return {
+            "event_id": f"e{seq}",
+            "seq": seq,
+            "ts": datetime.datetime(2024, 1, 1, 0, 0, seq),
+            "operation": "INSERT",
+            "pk": pk,
+            "sk": "v0",
+            "old_image": None,
+            "new_image": _json.dumps({"v": {"N": str(seq)}}),
+            "size_bytes": 30,
+        }
+
+    append_cdc_records(shards, "0000", [rec(1, "A"), rec(2, "B")])
+    writer = txlog_sink_writer(spark, sink, app_id="cdc-test")
+
+    def run_once():
+        q = run_cdc_stream(
+            read_cdc_shards_stream(
+                spark, shards, starting_position="trim_horizon"
+            ),
+            sink_path=sink,
+            checkpoint_path=ckpt,
+            sink_writer=writer,
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    t = TxTable(spark, sink)
+    first = t.snapshot().count()
+    assert first == 2
+
+    # restart, no new data: no new version, no duplicate rows
+    run_once()
+    assert t.snapshot().count() == 2
+
+    append_cdc_records(shards, "0000", [rec(3, "C")])
+    run_once()
+    assert t.snapshot().count() == 3
+    pks = sorted(
+        r["pk"] for r in t.snapshot().select("pk").collect()
+    )
+    assert pks == ["A", "B", "C"]
