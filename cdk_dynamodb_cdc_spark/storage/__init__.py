@@ -2,5 +2,6 @@
 
 from cdk_dynamodb_cdc_spark.storage.txlog import (  # noqa: F401
     TxTable,
+    merge_into,
     txlog_sink_writer,
 )

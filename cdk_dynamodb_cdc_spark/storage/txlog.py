@@ -237,3 +237,41 @@ def txlog_sink_writer(spark: SparkSession, sink_path: str, app_id: str):
         )
 
     return write
+
+
+def merge_into(
+    table: TxTable,
+    records: DataFrame,
+    *,
+    key_cols: tuple[str, ...] = ("pk", "sk"),
+    app_id: str | None = None,
+    batch_id: int | None = None,
+) -> int | None:
+    """MERGE INTO the transactional table: apply a CDC log window onto
+    the current snapshot (matched keys update, new keys insert, REMOVE
+    winners delete) and publish the result as ONE atomic overwrite
+    version — readers see the pre-merge or post-merge table, never a
+    mixture, and time travel keeps the pre-merge version until vacuum.
+
+    Composition, not new machinery: the merge algebra is
+    ``operators/compaction.merge_changes`` (whose oracle pins
+    merge(snap(T1), log(T1,..]) == snap(latest) as a theorem); this
+    wrapper adds the transactional boundary and the (app_id, batch_id)
+    idempotence, which makes it safe to drive from foreachBatch.
+
+    Note the full-overwrite write amplification: every merge rewrites
+    the live set. Delta/Iceberg cut this with file-level change
+    tracking (rewrite only files holding matched keys); with the
+    bucket-partitioned snapshot store (`maintain_snapshot_stream`) the
+    engine offers the same mitigation outside the txlog. For
+    moderate-cadence maintenance windows the atomic boundary is worth
+    the rewrite.
+    """
+    from cdk_dynamodb_cdc_spark.operators.compaction import merge_changes
+
+    merged = merge_changes(
+        table.snapshot(), records, key_cols=key_cols
+    )
+    return table.commit(
+        merged, mode="overwrite", app_id=app_id, batch_id=batch_id
+    )

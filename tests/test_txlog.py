@@ -164,3 +164,50 @@ def test_streaming_sink_is_exactly_once_across_restart(spark, tmp_path):
         r["pk"] for r in t.snapshot().select("pk").collect()
     )
     assert pks == ["A", "B", "C"]
+
+
+def test_merge_into_applies_log_window_atomically(spark, tmp_path):
+    """MERGE INTO the transactional table: update + insert + delete in
+    one atomic overwrite version; pre-merge state stays time-travelable."""
+    import datetime
+    import json as _json
+
+    from cdk_dynamodb_cdc_spark.operators.compaction import snapshot_at
+    from cdk_dynamodb_cdc_spark.storage.txlog import merge_into
+
+    def img(v):
+        return _json.dumps({"v": {"N": str(v)}})
+
+    t0 = datetime.datetime(2024, 1, 1)
+    REC = (
+        "event_id string, seq long, ts timestamp, operation string, "
+        "pk string, sk string, old_image string, new_image string, "
+        "size_bytes long"
+    )
+    base_log = spark.createDataFrame(
+        [
+            ("s1", 1, t0, "INSERT", "A", "S", None, img(1), 64),
+            ("s2", 2, t0, "INSERT", "B", "S", None, img(2), 64),
+        ],
+        REC,
+    )
+    window = spark.createDataFrame(
+        [
+            ("s3", 3, t0, "MODIFY", "A", "S", img(1), img(10), 64),
+            ("s4", 4, t0, "REMOVE", "B", "S", img(2), None, 64),
+            ("s5", 5, t0, "INSERT", "C", "S", None, img(3), 64),
+        ],
+        REC,
+    )
+    t = TxTable(spark, str(tmp_path / "tbl"))
+    t.commit(snapshot_at(base_log))
+    v = merge_into(t, window, app_id="m", batch_id=0)
+    assert v == 1
+    live = {
+        r["pk"]: r["image"] for r in t.snapshot().collect()
+    }
+    assert live == {"A": img(10), "C": img(3)}
+    # replay is a no-op; pre-merge state still time-travelable
+    assert merge_into(t, window, app_id="m", batch_id=0) is None
+    pre = {r["pk"] for r in t.snapshot(version=0).collect()}
+    assert pre == {"A", "B"}
