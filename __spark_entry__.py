@@ -46,6 +46,8 @@ _GATE_PRIORITY = [
     # streaks, day-partitioned interval sweep, market-basket pairs,
     # blocked edit-distance join, fixed-point integer PageRank,
     # sliding distinct users.
+    "cusum_revenue_changepoint",
+    "ab_test_conversion_zscore",
     "order_rank_distribution",
     "priority_listagg_by_status",
     "grouping_sets_flag_status",

@@ -6351,3 +6351,191 @@ def grouping_sets_flag_status(
         F.count(F.lit(1)).alias("n"),
         _dec_double(F.sum(_dec("l_quantity"))).alias("sum_qty"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Change-point detection: CUSUM over the daily revenue series. The
+# classic statistic max_i |prefix_i - (i/n)*S| is rescaled by n to
+# stay EXACT: stat_i = n*prefix_i - i*S involves only integer*decimal
+# products and decimal sums, so the argmax day is engine-exact with no
+# float threshold ambiguity; the statistic leaves through the
+# floor-split cast. Shape: one (day) partial-agg shuffle, then ordered
+# windows over the PRE-AGGREGATED day series — bounded rows per year,
+# which is what makes the unpartitioned window safe here (the same
+# bounded-series argument as ratio-to-report).
+# ---------------------------------------------------------------------------
+@query(
+    "cusum_revenue_changepoint",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,6))
+               AS rev
+      FROM events GROUP BY CAST(ts AS DATE)
+    ), cur AS (
+      SELECT day, rev,
+             ROW_NUMBER() OVER (ORDER BY day) AS i,
+             SUM(rev) OVER (ORDER BY day
+                            ROWS UNBOUNDED PRECEDING) AS prefix,
+             COUNT(*) OVER () AS n,
+             SUM(rev) OVER () AS total
+      FROM daily
+    ), stat AS (
+      SELECT day, i, n,
+             n * prefix - i * total AS s
+      FROM cur
+    )
+    SELECT day, CAST(i AS BIGINT) AS i, CAST(n AS BIGINT) AS n,
+           {_duck_dec_double("s")} AS cusum_scaled
+    FROM stat
+    ORDER BY ABS(s) DESC, day LIMIT 1
+    """,
+)
+def cusum_revenue_changepoint(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.sum(F.col("value").cast("decimal(18,6)"))
+        .cast("decimal(18,6)")
+        .alias("rev")
+    )
+    w_ord = Window.orderBy("day")
+    w_all = Window.partitionBy()
+    cur = daily.select(
+        "day",
+        "rev",
+        F.row_number().over(w_ord).alias("i"),
+        F.sum("rev")
+        .over(w_ord.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("prefix"),
+        F.count(F.lit(1)).over(w_all).alias("n"),
+        F.sum("rev").over(w_all).alias("total"),
+    )
+    stat = cur.select(
+        "day",
+        "i",
+        "n",
+        (
+            F.col("n") * F.col("prefix") - F.col("i") * F.col("total")
+        ).alias("s"),
+    )
+    return (
+        stat.orderBy(F.abs(F.col("s")).desc(), "day")
+        .limit(1)
+        .select(
+            "day",
+            F.col("i").cast("bigint").alias("i"),
+            F.col("n").cast("bigint").alias("n"),
+            _dec_double(F.col("s")).alias("cusum_scaled"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hypothesis testing: two-proportion z-test on a hash-assigned A/B
+# split. Variant = user_id parity (the deterministic assignment a real
+# experiment derives from a user-id hash); exposure = any view;
+# conversion = a purchase within ONE HOUR after the user's first view
+# (the bounded attribution window that keeps the rate non-degenerate).
+# All counts are exact BIGINTs; the z statistic is one fixed sequence
+# of IEEE ops (divides, multiplies, one correctly-rounded sqrt),
+# spelled identically in both engines, so even the float hashes match.
+# Degenerate pools (zero or all conversions, or an empty variant)
+# yield NULL z under the same CASE guard in both engines.
+# ---------------------------------------------------------------------------
+@query(
+    "ab_test_conversion_zscore",
+    oracle="""
+    WITH exposed AS (
+      SELECT user_id, user_id % 2 AS variant,
+             MIN(CASE WHEN event_type = 'view' THEN ts END) AS first_view
+      FROM events GROUP BY user_id
+    ), conv AS (
+      SELECT e.user_id, e.variant,
+             MAX(CASE WHEN ev.event_type = 'purchase'
+                      AND ev.ts > e.first_view
+                      AND epoch_us(ev.ts) - epoch_us(e.first_view)
+                          <= 3600000000
+                      THEN 1 ELSE 0 END) AS converted
+      FROM exposed e JOIN events ev ON ev.user_id = e.user_id
+      WHERE e.first_view IS NOT NULL
+      GROUP BY e.user_id, e.variant
+    ), agg AS (
+      SELECT
+        CAST(SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+        CAST(SUM(CASE WHEN variant = 0 THEN converted ELSE 0 END)
+             AS BIGINT) AS c0,
+        CAST(SUM(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        CAST(SUM(CASE WHEN variant = 1 THEN converted ELSE 0 END)
+             AS BIGINT) AS c1
+      FROM conv
+    )
+    SELECT n0, c0, n1, c1,
+           CASE WHEN n0 = 0 OR n1 = 0 OR c0 + c1 = 0
+                     OR c0 + c1 = n0 + n1 THEN NULL
+           ELSE
+           (CAST(c0 AS DOUBLE) / CAST(n0 AS DOUBLE)
+            - CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+           / sqrt(
+               (CAST(c0 + c1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE))
+               * (1e0 - CAST(c0 + c1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE))
+               * (1e0 / CAST(n0 AS DOUBLE) + 1e0 / CAST(n1 AS DOUBLE))
+             )
+           END AS z
+    FROM agg
+    """,
+)
+def ab_test_conversion_zscore(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    exposed = ev.groupBy(
+        "user_id", (F.col("user_id") % 2).alias("variant")
+    ).agg(
+        F.min(
+            F.when(F.col("event_type") == "view", F.col("ts"))
+        ).alias("first_view")
+    )
+    win_us = _epoch_us(F.col("ts")) - _epoch_us(F.col("first_view"))
+    conv = (
+        exposed.filter(F.col("first_view").isNotNull())
+        .join(ev, "user_id")
+        .groupBy("user_id", "variant")
+        .agg(
+            F.max(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts") > F.col("first_view"))
+                    & (win_us <= 3600 * 1000 * 1000),
+                    1,
+                ).otherwise(0)
+            ).alias("converted")
+        )
+    )
+    agg = conv.agg(
+        F.sum(F.when(F.col("variant") == 0, 1).otherwise(0)).alias("n0"),
+        F.sum(
+            F.when(F.col("variant") == 0, F.col("converted")).otherwise(0)
+        ).alias("c0"),
+        F.sum(F.when(F.col("variant") == 1, 1).otherwise(0)).alias("n1"),
+        F.sum(
+            F.when(F.col("variant") == 1, F.col("converted")).otherwise(0)
+        ).alias("c1"),
+    )
+    n0d, n1d = F.col("n0").cast("double"), F.col("n1").cast("double")
+    c0d, c1d = F.col("c0").cast("double"), F.col("c1").cast("double")
+    pool = (F.col("c0") + F.col("c1")).cast("double") / (
+        F.col("n0") + F.col("n1")
+    ).cast("double")
+    z_core = (c0d / n0d - c1d / n1d) / F.sqrt(
+        pool * (F.lit(1.0) - pool) * (F.lit(1.0) / n0d + F.lit(1.0) / n1d)
+    )
+    degenerate = (
+        (F.col("n0") == 0)
+        | (F.col("n1") == 0)
+        | (F.col("c0") + F.col("c1") == 0)
+        | (F.col("c0") + F.col("c1") == F.col("n0") + F.col("n1"))
+    )
+    z = F.when(degenerate, F.lit(None).cast("double")).otherwise(z_core)
+    return agg.select("n0", "c0", "n1", "c1", z.alias("z"))
