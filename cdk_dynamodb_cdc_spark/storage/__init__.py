@@ -3,5 +3,7 @@
 from cdk_dynamodb_cdc_spark.storage.txlog import (  # noqa: F401
     TxTable,
     merge_into,
+    optimize,
+    read_txlog_feed,
     txlog_sink_writer,
 )

@@ -275,3 +275,211 @@ def merge_into(
     return table.commit(
         merged, mode="overwrite", app_id=app_id, batch_id=batch_id
     )
+
+
+def optimize(
+    table: TxTable,
+    *,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    zorder_cols: list[str] | None = None,
+) -> int | None:
+    """OPTIMIZE the transactional table: rewrite the CURRENT live set
+    into ~target-sized files (optionally Z-order clustered,
+    operators/layout.py) and publish the rewrite as one atomic
+    overwrite version. Data is bit-for-bit the same rows; readers
+    flip from many small files to few clustered ones at a version
+    boundary, and the small files remain time-travelable until
+    :meth:`TxTable.vacuum`. This is the storage-lane composition of
+    the engine's two maintenance tools: txlog gives the atomic swap
+    that `operators/layout.optimize_table` leaves to its caller.
+
+    Returns the new version, or None if the table is empty. Raises
+    RuntimeError if a concurrent writer commits after the rewrite's
+    base snapshot — publishing anyway would silently drop that
+    writer's rows (the lost-update anomaly); the caller re-runs
+    against the new state. Delta's OPTIMIZE resolves the same
+    conflict the same way (rewrites abort when their read set
+    changes).
+    """
+    from cdk_dynamodb_cdc_spark.operators.layout import write_zordered
+
+    base_version = table.latest_version()
+    snap = table.snapshot(version=base_version)
+    total = 0
+    for f in table.manifest(base_version)["live"]:
+        total += table._fs.getFileStatus(table._jPath(f)).getLen()
+    if total == 0:
+        return None
+    num_files = max(1, -(-total // target_file_bytes))
+
+    commit_dir = (
+        f"{table.path}/{_DATA_DIR}/c-{uuid.uuid4().hex[:12]}"
+    )
+    if zorder_cols:
+        write_zordered(
+            snap, commit_dir, zorder_cols, num_files=num_files
+        )
+    else:
+        snap.repartition(num_files).write.parquet(commit_dir)
+
+    new_files = sorted(
+        f
+        for f in table._ls(commit_dir)
+        if f.rsplit("/", 1)[-1].startswith("part-")
+    )
+    latest = table.latest_version()
+    if latest != base_version:
+        raise RuntimeError(
+            f"optimize based on v{base_version} conflicts with "
+            f"concurrent commit v{latest}; re-run against the new state"
+        )
+    manifest = {
+        "version": base_version + 1,
+        "mode": "optimize",
+        "live": new_files,
+        "schema": snap.schema.json(),
+        "app_id": None,
+        "batch_id": None,
+    }
+    if not table._create_exclusive(
+        table._manifest_path(base_version + 1), json.dumps(manifest)
+    ):
+        raise RuntimeError(
+            f"optimize based on v{base_version} lost the race for "
+            f"v{base_version + 1}; re-run against the new state"
+        )
+    return base_version + 1
+
+
+# ---------------------------------------------------------------------------
+# Change feed: stream FROM the transactional table. Offsets are table
+# versions — seekable, checkpointed, deterministic — and each poll
+# emits the rows of files ADDED by versions in (start, end]: the
+# append-only change feed a downstream consumer tails, Delta-CDF
+# style (append rows only; overwrite/optimize versions rewrite
+# existing rows and are skipped by the feed).
+# ---------------------------------------------------------------------------
+from pyspark.sql.datasource import (  # noqa: E402
+    DataSource as _DataSource,
+    SimpleDataSourceStreamReader as _SimpleReader,
+)
+
+FEED_SOURCE_NAME = "txlog_feed"
+
+
+class TxLogFeedReader(_SimpleReader):
+    """Version-offset reader over a TxTable's manifest log. Pure
+    manifest arithmetic — no Spark session needed in the worker; rows
+    are read driver-side via pyarrow (the simple-reader contract), so
+    the feed suits control-plane-sized batches; a partition-planning
+    DataSourceStreamReader is the evolution for bulk replay."""
+
+    def __init__(self, options: dict):
+        import glob as _glob
+        import os as _os
+
+        self.path = options["path"].rstrip("/")
+        self._glob = _glob
+        self._os = _os
+
+    def _versions(self) -> list[int]:
+        files = self._glob.glob(
+            self._os.path.join(self.path, _LOG_DIR, "*.json")
+        )
+        return sorted(
+            int(self._os.path.basename(f)[:-5]) for f in files
+        )
+
+    def _manifest(self, v: int) -> dict:
+        with open(
+            self._os.path.join(self.path, _LOG_DIR, f"{v:020d}.json")
+        ) as fh:
+            return json.load(fh)
+
+    def initialOffset(self) -> dict:
+        return {"version": -1}
+
+    def _added_files(self, lo: int, hi: int) -> list[str]:
+        """Files first appearing in versions (lo, hi]. Only append
+        versions contribute; overwrite/optimize rewrite existing rows."""
+        added: list[str] = []
+        prev_live: set[str] = set()
+        for v in self._versions():
+            m = self._manifest(v)
+            if lo < v <= hi and m.get("mode") == "append":
+                added.extend(
+                    f for f in m["live"] if f not in prev_live
+                )
+            prev_live = set(m["live"])
+        return added
+
+    def _rows(self, files: list[str]) -> list[tuple]:
+        # Materialized (not a generator): the simple-reader contract
+        # pickles prefetched rows into the batch cache for replay.
+        import pyarrow.parquet as pq
+
+        rows: list[tuple] = []
+        for f in files:
+            # Hadoop reports local paths as file:/... or file:///...;
+            # strip the scheme, keep the absolute path.
+            local = "/" + f.split(":", 1)[1].lstrip("/") if ":" in f else f
+            for rec in pq.read_table(local).to_pylist():
+                rows.append(tuple(rec.values()))
+        return rows
+
+    def read(self, start: dict):
+        vs = self._versions()
+        hi = vs[-1] if vs else -1
+        lo = int(start.get("version", -1))
+        if hi <= lo:
+            return iter([]), {"version": lo}
+        return (
+            iter(self._rows(self._added_files(lo, hi))),
+            {"version": hi},
+        )
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return iter(
+            self._rows(
+                self._added_files(
+                    int(start.get("version", -1)),
+                    int(end.get("version", -1)),
+                )
+            )
+        )
+
+    def commit(self, end: dict) -> None:
+        pass
+
+
+class TxLogFeedDataSource(_DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return FEED_SOURCE_NAME
+
+    def schema(self) -> str:
+        path = self.options["path"].rstrip("/")
+        files = sorted(
+            __import__("glob").glob(f"{path}/{_LOG_DIR}/*.json")
+        )
+        if not files:
+            raise ValueError(f"{path} has no commits to infer a schema")
+        with open(files[-1]) as fh:
+            schema_json = json.load(fh)["schema"]
+        from pyspark.sql.types import StructType as _St
+
+        return _St.fromJson(json.loads(schema_json))
+
+    def simpleStreamReader(self, schema) -> TxLogFeedReader:
+        return TxLogFeedReader(self.options)
+
+
+def read_txlog_feed(spark: SparkSession, path: str):
+    """Open the table's change feed as a streaming DataFrame (rows of
+    files added by append commits, version offsets in the checkpoint)."""
+    spark.dataSource.register(TxLogFeedDataSource)
+    return (
+        spark.readStream.format(FEED_SOURCE_NAME)
+        .option("path", path)
+        .load()
+    )

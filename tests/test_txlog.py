@@ -211,3 +211,94 @@ def test_merge_into_applies_log_window_atomically(spark, tmp_path):
     assert merge_into(t, window, app_id="m", batch_id=0) is None
     pre = {r["pk"] for r in t.snapshot(version=0).collect()}
     assert pre == {"A", "B"}
+
+
+def test_optimize_rewrites_files_atomically(spark, tmp_path):
+    from cdk_dynamodb_cdc_spark.storage.txlog import optimize
+
+    t = TxTable(spark, str(tmp_path / "tbl"))
+    for k in range(4):  # four append versions -> many small files
+        t.commit(_df(spark, [k * 10 + i for i in range(5)]))
+    before = sorted(r["id"] for r in t.snapshot().collect())
+    n_files_before = len(t.manifest(t.latest_version())["live"])
+
+    v = optimize(t, target_file_bytes=10**9)  # everything into 1 file
+    assert v == t.latest_version()
+    m = t.manifest(v)
+    assert m["mode"] == "optimize"
+    assert len(m["live"]) < n_files_before
+    assert sorted(r["id"] for r in t.snapshot().collect()) == before
+    # pre-optimize state still time-travelable
+    assert sorted(
+        r["id"] for r in t.snapshot(version=v - 1).collect()
+    ) == before
+
+
+def test_optimize_aborts_on_concurrent_commit(spark, tmp_path, monkeypatch):
+    from cdk_dynamodb_cdc_spark.storage import txlog as mod
+
+    t = TxTable(spark, str(tmp_path / "tbl"))
+    t.commit(_df(spark, [1, 2]))
+
+    # Deterministic interleave: patch snapshot() so a concurrent
+    # append lands between optimize's base snapshot and its publish.
+    class Sneak:
+        done = False
+
+    real_snapshot = TxTable.snapshot
+
+    def snapshot_then_commit(self, version=None):
+        snap = real_snapshot(self, version=version)
+        if not Sneak.done:
+            Sneak.done = True
+            t2 = TxTable(spark, self.path)
+            t2.commit(_df(spark, [99]))
+        return snap
+
+    monkeypatch.setattr(TxTable, "snapshot", snapshot_then_commit)
+    with pytest.raises(RuntimeError, match="conflicts|lost the race"):
+        mod.optimize(t, target_file_bytes=10**9)
+    monkeypatch.setattr(TxTable, "snapshot", real_snapshot)
+    # the concurrent append survived (no lost update)
+    assert sorted(r["id"] for r in t.snapshot().collect()) == [1, 2, 99]
+
+
+def test_change_feed_streams_appended_versions(spark, tmp_path):
+    from cdk_dynamodb_cdc_spark.storage.txlog import read_txlog_feed
+
+    tbl = str(tmp_path / "tbl")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    t = TxTable(spark, tbl)
+    t.commit(_df(spark, [1, 2]))
+    t.commit(_df(spark, [3]))
+
+    def run_once():
+        q = (
+            read_txlog_feed(spark, tbl)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    assert sorted(
+        r["id"] for r in spark.read.parquet(out).collect()
+    ) == [1, 2, 3]
+
+    # an optimize rewrite emits NOTHING on the feed (no new rows)...
+    from cdk_dynamodb_cdc_spark.storage.txlog import optimize
+
+    optimize(t, target_file_bytes=10**9)
+    run_once()
+    assert spark.read.parquet(out).count() == 3
+
+    # ...while a new append streams exactly its rows
+    t.commit(_df(spark, [4]))
+    run_once()
+    assert sorted(
+        r["id"] for r in spark.read.parquet(out).collect()
+    ) == [1, 2, 3, 4]
