@@ -6539,3 +6539,118 @@ def ab_test_conversion_zscore(
     )
     z = F.when(degenerate, F.lit(None).cast("double")).otherwise(z_core)
     return agg.select("n0", "c0", "n1", "c1", z.alias("z"))
+
+
+# ---------------------------------------------------------------------------
+# Time-series similarity search: for each of the 10 most active users,
+# the most similar OTHER user by cosine over hour-of-day activity
+# profiles (24-dim integer vectors). The probe side is bounded (top-k
+# by an exact count with full tiebreak) while the corpus side streams,
+# so the comparison stage is O(k * users), never quadratic — the same
+# probe/corpus asymmetry the embedding ANN lanes use. Profiles stay as
+# sparse (user, hour, n) rows; dot products are integer sums over an
+# hour equi-join, and cosine = dot / (sqrt(a)*sqrt(b)) runs the same
+# exact-int -> correctly-rounded-IEEE sequence in both engines.
+# ---------------------------------------------------------------------------
+@query(
+    "user_activity_similarity_topk",
+    oracle="""
+    WITH prof AS (
+      SELECT user_id, CAST(hour(ts) AS INT) AS h,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY user_id, hour(ts)
+    ), norms AS (
+      SELECT user_id, CAST(SUM(n * n) AS BIGINT) AS nrm,
+             CAST(SUM(n) AS BIGINT) AS total
+      FROM prof GROUP BY user_id
+    ), probes AS (
+      SELECT user_id FROM norms
+      ORDER BY total DESC, user_id LIMIT 10
+    ), dots AS (
+      SELECT a.user_id AS probe_user, b.user_id AS other_user,
+             CAST(SUM(a.n * b.n) AS BIGINT) AS dot
+      FROM prof a
+      JOIN probes p ON p.user_id = a.user_id
+      JOIN prof b ON b.h = a.h AND b.user_id <> a.user_id
+      GROUP BY a.user_id, b.user_id
+    ), scored AS (
+      SELECT d.probe_user, d.other_user,
+             CAST(d.dot AS DOUBLE)
+             / (sqrt(CAST(na.nrm AS DOUBLE))
+                * sqrt(CAST(nb.nrm AS DOUBLE))) AS cosine
+      FROM dots d
+      JOIN norms na ON na.user_id = d.probe_user
+      JOIN norms nb ON nb.user_id = d.other_user
+    ), ranked AS (
+      SELECT probe_user, other_user, cosine,
+             ROW_NUMBER() OVER (PARTITION BY probe_user
+                                ORDER BY cosine DESC, other_user) AS rk
+      FROM scored
+    )
+    SELECT probe_user, other_user, cosine FROM ranked WHERE rk = 1
+    """,
+)
+def user_activity_similarity_topk(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    prof = ev.groupBy(
+        "user_id", F.hour("ts").cast("int").alias("h")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    norms = prof.groupBy("user_id").agg(
+        F.sum(F.col("n") * F.col("n")).alias("nrm"),
+        F.sum("n").alias("total"),
+    )
+    probes = (
+        norms.orderBy(F.col("total").desc(), "user_id")
+        .limit(10)
+        .select("user_id")
+    )
+    a = prof.alias("a")
+    b = prof.alias("b")
+    dots = (
+        a.join(
+            probes.withColumnRenamed("user_id", "pu"),
+            F.col("a.user_id") == F.col("pu"),
+            "left_semi",
+        )
+        .join(
+            b,
+            (F.col("b.h") == F.col("a.h"))
+            & (F.col("b.user_id") != F.col("a.user_id")),
+        )
+        .groupBy(
+            F.col("a.user_id").alias("probe_user"),
+            F.col("b.user_id").alias("other_user"),
+        )
+        .agg(F.sum(F.col("a.n") * F.col("b.n")).alias("dot"))
+    )
+    na = norms.select(
+        F.col("user_id").alias("probe_user"), F.col("nrm").alias("na")
+    )
+    nb = norms.select(
+        F.col("user_id").alias("other_user"), F.col("nrm").alias("nb")
+    )
+    scored = (
+        dots.join(na, "probe_user")
+        .join(nb, "other_user")
+        .select(
+            "probe_user",
+            "other_user",
+            (
+                F.col("dot").cast("double")
+                / (
+                    F.sqrt(F.col("na").cast("double"))
+                    * F.sqrt(F.col("nb").cast("double"))
+                )
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("probe_user").orderBy(
+        F.col("cosine").desc(), "other_user"
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("probe_user", "other_user", "cosine")
+    )
