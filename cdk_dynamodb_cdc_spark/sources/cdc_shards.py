@@ -193,6 +193,9 @@ class CdcShardsDataSource(DataSource):
     def simpleStreamReader(self, schema) -> CdcShardsStreamReader:
         return CdcShardsStreamReader(self.options)
 
+    def reader(self, schema) -> "CdcShardsBatchReader":
+        return CdcShardsBatchReader(self.options)
+
 
 def read_cdc_shards_stream(
     spark,
@@ -210,3 +213,50 @@ def read_cdc_shards_stream(
         .option("starting_position", starting_position)
         .load()
     )
+
+
+# ---------------------------------------------------------------------------
+# Batch lane: read the whole shard log as a DataFrame (one input
+# partition per shard, so the scan parallelizes across executors and
+# preserves per-shard order within each partition) — the backfill /
+# audit complement of the streaming reader, through the same format.
+# ---------------------------------------------------------------------------
+from pyspark.sql.datasource import (  # noqa: E402
+    DataSourceReader,
+    InputPartition,
+)
+
+
+class _ShardPartition(InputPartition):
+    def __init__(self, path: str):
+        self.path = path
+
+
+class CdcShardsBatchReader(DataSourceReader):
+    """One Arrow-friendly partition per shard file. Executors parse
+    their shard independently; rows within a partition keep shard
+    (seq) order, matching the per-key ordering contract."""
+
+    def __init__(self, options: dict):
+        self.path = options["path"]
+
+    def partitions(self):
+        return [
+            _ShardPartition(f)
+            for f in sorted(
+                glob.glob(os.path.join(self.path, SHARD_GLOB))
+            )
+        ]
+
+    def read(self, partition: _ShardPartition):
+        with open(partition.path, "rb") as fh:
+            chunk = fh.read()
+        rows, _ = _parse_lines(chunk)
+        return iter(rows)
+
+
+def read_cdc_shards(spark, path: str):
+    """Batch-read the whole shard log as a DataFrame (one scan
+    partition per shard)."""
+    spark.dataSource.register(CdcShardsDataSource)
+    return spark.read.format(SOURCE_NAME).option("path", path).load()

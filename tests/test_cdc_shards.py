@@ -247,3 +247,20 @@ def test_shard_stream_composes_with_snapshot_maintenance(
         ).collect()
     }
     assert live == {"A": img(10)}  # B deleted, A at its latest image
+
+
+def test_batch_read_parallelizes_per_shard(spark, tmp_path):
+    from cdk_dynamodb_cdc_spark.sources.cdc_shards import read_cdc_shards
+
+    path = str(tmp_path / "shards")
+    append_cdc_records(path, "0000", [_rec(1), _rec(2)])
+    append_cdc_records(path, "0001", [_rec(10)])
+    append_cdc_records(path, "0002", [_rec(20)])
+    df = read_cdc_shards(spark, path)
+    assert df.rdd.getNumPartitions() == 3  # one per shard
+    assert sorted(r["seq"] for r in df.collect()) == [1, 2, 10, 20]
+    # composes with the batch pipeline
+    from cdk_dynamodb_cdc_spark.operators.pipeline import cdc_change_events
+
+    events = cdc_change_events(df)
+    assert events.count() == 4

@@ -302,3 +302,51 @@ def test_change_feed_streams_appended_versions(spark, tmp_path):
     assert sorted(
         r["id"] for r in spark.read.parquet(out).collect()
     ) == [1, 2, 3, 4]
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_random_commit_walks_match_model(spark, tmp_path, seed):
+    """Model-based check: random append/overwrite/merge-skip walks must
+    keep every retained version's snapshot equal to an in-memory model
+    of the live multiset — the whole-protocol invariant the unit tests
+    sample pointwise."""
+    import random
+
+    rng = random.Random(seed)
+    t = TxTable(spark, str(tmp_path / f"tbl{seed}"))
+    model: list[list[int]] = []  # model[v] = sorted live ids
+    next_id = 0
+
+    for step in range(6):
+        vals = [next_id + i for i in range(rng.randint(1, 4))]
+        next_id += len(vals)
+        if model and rng.random() < 0.4:
+            t.commit(_df(spark, vals), mode="overwrite")
+            model.append(sorted(vals))
+        else:
+            t.commit(_df(spark, vals))
+            prev = model[-1] if model else []
+            model.append(sorted(prev + vals))
+    # a replayed (app_id, batch_id) never changes state: the first
+    # walk-tagged commit lands (tracked in the model), every replay
+    # after it is a no-op
+    tagged = [next_id, next_id + 1]
+    v = t.commit(_df(spark, tagged), app_id="walk", batch_id=7)
+    assert v == len(model)
+    model.append(sorted(model[-1] + tagged))
+    for _ in range(2):
+        assert (
+            t.commit(_df(spark, [12345]), app_id="walk", batch_id=7)
+            is None
+        )
+
+    assert t.latest_version() == len(model) - 1
+    for v, want in enumerate(model):
+        got = sorted(r["id"] for r in t.snapshot(version=v).collect())
+        assert got == want, f"seed {seed} version {v}"
+
+    # vacuum keeps the last two versions readable and unchanged
+    t.vacuum(retain_last=2)
+    for v in range(len(model) - 2, len(model)):
+        got = sorted(r["id"] for r in t.snapshot(version=v).collect())
+        assert got == model[v]
