@@ -6,9 +6,9 @@
 set -e
 mkdir -p /tmp/sf1_study
 
-LI="spend_decile_profile,q1_pricing_summary,q3_shipping_priority,q5_local_supplier_volume,q6_forecast_revenue,q10_returned_items,q14_promo_revenue_share,q19_disjunctive_predicates,semi_join_customers_with_orders,anti_join_customers_without_orders,window_topk_orders_per_customer,window_running_revenue,rollup_lineitem_status,cube_lineitem_flag_status,pivot_returnflag_by_status,setop_active_1996_not_1997,distinct_parts_per_brand,approx_distinct_custkeys,q2_min_cost_supplier,q4_late_shipment_priority,q7_volume_shipping,q8_national_market_share,q9_product_type_profit,q11_important_stock,q12_priority_by_linestatus,q13_customer_order_distribution,q15_top_supplier,q16_parts_supplier_relationship,q17_small_quantity_revenue,q18_large_volume_orders,q20_potential_part_promotion,q21_suppliers_kept_waiting,q22_idle_high_balance_customers,window_range_frame_revenue,udaf_weighted_revenue_cents,corr_qty_price_exact_moments,percentile_order_values,mad_outlier_stats,hll_sketch_union_contract,unpivot_lineitem_measures,order_priority_mode_stats,returnflag_linestatus_chisq_cells,nation_order_gini,bitmap_distinct_suppliers_by_brand,basket_brand_pairs,brand_affinity_triangles,ols_price_on_quantity,nation_revenue_share"
+LI="spend_decile_profile,q1_pricing_summary,q3_shipping_priority,q5_local_supplier_volume,q6_forecast_revenue,q10_returned_items,q14_promo_revenue_share,q19_disjunctive_predicates,semi_join_customers_with_orders,anti_join_customers_without_orders,window_topk_orders_per_customer,window_running_revenue,rollup_lineitem_status,cube_lineitem_flag_status,pivot_returnflag_by_status,setop_active_1996_not_1997,distinct_parts_per_brand,approx_distinct_custkeys,q2_min_cost_supplier,q4_late_shipment_priority,q7_volume_shipping,q8_national_market_share,q9_product_type_profit,q11_important_stock,q12_priority_by_linestatus,q13_customer_order_distribution,q15_top_supplier,q16_parts_supplier_relationship,q17_small_quantity_revenue,q18_large_volume_orders,q20_potential_part_promotion,q21_suppliers_kept_waiting,q22_idle_high_balance_customers,window_range_frame_revenue,udaf_weighted_revenue_cents,corr_qty_price_exact_moments,percentile_order_values,mad_outlier_stats,hll_sketch_union_contract,unpivot_lineitem_measures,order_priority_mode_stats,returnflag_linestatus_chisq_cells,nation_order_gini,bitmap_distinct_suppliers_by_brand,basket_brand_pairs,brand_affinity_triangles,ols_price_on_quantity,nation_revenue_share,order_rank_distribution,priority_listagg_by_status,grouping_sets_flag_status"
 
-EV="cdc_seq_inversion_stats,json_extract_events_props,variant_props_stats,asof_latest_order_at_event,asof_next_event_after_order,cdc_change_stats,cdc_change_stats_reconstructed,cdc_change_stats_typed,cdc_decimal_fidelity,cdc_snapshot_at,cdc_squash_net_changes,cdc_unmarshall_roundtrip,claim_check_pointer_stats,event_transition_matrix,gapfill_hourly_user_activity,pk_filter_prefix_counts,publish_route_counts,quarantine_stats,range_join_clicks_after_errors,rollup_daily_from_hourly,session_window_stats,sessionize_events,ttl_expiry_removes,tumbling_window_counts,udtf_changed_path_stats,weekly_retention_cohorts,user_daily_streaks,peak_concurrent_sessions,sliding_distinct_users_3h,event_type_pagerank,attribution_last_touch,session_path_trigrams,funnel_conversion_steps,funnel_time_to_convert,ewma_revenue_trend,value_histogram_events,time_weighted_avg_value,profile_event_columns,hopping_window_counts,approx_topk_event_types_contract,rolling_zscore_daily_revenue,cdc_snapshot_diff"
+EV="cdc_seq_inversion_stats,json_extract_events_props,variant_props_stats,asof_latest_order_at_event,asof_next_event_after_order,cdc_change_stats,cdc_change_stats_reconstructed,cdc_change_stats_typed,cdc_decimal_fidelity,cdc_snapshot_at,cdc_squash_net_changes,cdc_unmarshall_roundtrip,claim_check_pointer_stats,event_transition_matrix,gapfill_hourly_user_activity,pk_filter_prefix_counts,publish_route_counts,quarantine_stats,range_join_clicks_after_errors,rollup_daily_from_hourly,session_window_stats,sessionize_events,ttl_expiry_removes,tumbling_window_counts,udtf_changed_path_stats,weekly_retention_cohorts,user_daily_streaks,peak_concurrent_sessions,sliding_distinct_users_3h,event_type_pagerank,attribution_last_touch,session_path_trigrams,funnel_conversion_steps,funnel_time_to_convert,ewma_revenue_trend,value_histogram_events,time_weighted_avg_value,profile_event_columns,hopping_window_counts,approx_topk_event_types_contract,rolling_zscore_daily_revenue,cdc_snapshot_diff,cusum_revenue_changepoint,ab_test_conversion_zscore,user_activity_similarity_topk"
 
 cd /root/repo
 for fam in LI EV; do
