@@ -46,6 +46,7 @@ _GATE_PRIORITY = [
     # streaks, day-partitioned interval sweep, market-basket pairs,
     # blocked edit-distance join, fixed-point integer PageRank,
     # sliding distinct users.
+    "dq_expectations_report",
     "user_activity_similarity_topk",
     "cusum_revenue_changepoint",
     "ab_test_conversion_zscore",

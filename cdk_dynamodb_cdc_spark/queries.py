@@ -6654,3 +6654,71 @@ def user_activity_similarity_topk(
         .filter(F.col("rk") == 1)
         .select("probe_user", "other_user", "cosine")
     )
+
+
+# ---------------------------------------------------------------------------
+# Data-contract audit (operators/expect.py:check): declarative
+# expectations evaluated against lineitem — row rules (not_null,
+# domain set, range) fold into ONE aggregation over one scan; the
+# uniqueness rule adds its keyed agg and referential integrity its
+# anti-join. The oracle recomputes every violation count in SQL, so
+# the gate pins the whole rule-compilation layer, not just one rule.
+# All counts are exact BIGINTs.
+# ---------------------------------------------------------------------------
+@query(
+    "dq_expectations_report",
+    oracle="""
+    SELECT 'not_null(l_returnflag)' AS rule,
+           CAST(SUM(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS violations,
+           CAST(COUNT(*) AS BIGINT) AS rows_checked
+    FROM lineitem
+    UNION ALL
+    SELECT 'in_set(l_linestatus)',
+           CAST(SUM(CASE WHEN l_linestatus NOT IN ('O', 'F')
+                         THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(COUNT(*) AS BIGINT)
+    FROM lineitem
+    UNION ALL
+    SELECT 'between(l_discount)',
+           CAST(SUM(CASE WHEN l_discount IS NOT NULL
+                         AND (l_discount < 0 OR l_discount > 0.1)
+                         THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(COUNT(*) AS BIGINT)
+    FROM lineitem
+    UNION ALL
+    SELECT 'unique(l_orderkey,l_linenumber)',
+           CAST(COALESCE((SELECT SUM(cnt) FROM (
+              SELECT COUNT(*) AS cnt FROM lineitem
+              GROUP BY l_orderkey, l_linenumber HAVING COUNT(*) > 1)),
+              0) AS BIGINT),
+           CAST(COUNT(*) AS BIGINT)
+    FROM lineitem
+    UNION ALL
+    SELECT 'foreign_key(l_orderkey)',
+           CAST((SELECT COUNT(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                   WHERE o.o_orderkey = l.l_orderkey))
+                AS BIGINT),
+           CAST(COUNT(*) AS BIGINT)
+    FROM lineitem
+    """,
+)
+def dq_expectations_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdk_dynamodb_cdc_spark.operators.expect import check
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    rules = [
+        {"rule": "not_null", "col": "l_returnflag"},
+        {"rule": "in_set", "col": "l_linestatus", "values": ["O", "F"]},
+        {"rule": "between", "col": "l_discount", "lo": 0.0, "hi": 0.1},
+        {"rule": "unique", "cols": ["l_orderkey", "l_linenumber"]},
+        {
+            "rule": "foreign_key",
+            "cols": ["l_orderkey"],
+            "ref": orders,
+            "ref_cols": ["o_orderkey"],
+        },
+    ]
+    return check(li, rules)
