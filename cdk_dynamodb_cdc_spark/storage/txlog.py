@@ -128,6 +128,7 @@ class TxTable:
         mode: str = "append",
         app_id: str | None = None,
         batch_id: int | None = None,
+        expectations: list[dict] | None = None,
         max_retries: int = 10,
     ) -> int | None:
         """Write ``df``'s files and publish them atomically as the next
@@ -139,6 +140,12 @@ class TxTable:
         ``mode``: "append" adds to the live set; "overwrite" replaces
         it (the previous files stay on disk for time travel until
         :meth:`vacuum`).
+
+        ``expectations``: CHECK-constraint rules (operators/expect.py
+        dicts) evaluated against ``df`` BEFORE any file is written —
+        one violation and the whole commit raises, so a constrained
+        table never holds a row that failed its contract (Delta's
+        table CHECK constraints, enforced at the same boundary).
         """
         if mode not in ("append", "overwrite"):
             raise ValueError(f"mode must be append|overwrite: {mode!r}")
@@ -149,6 +156,18 @@ class TxTable:
                     and m.get("batch_id") == batch_id
                 ):
                     return None
+        if expectations:
+            from cdk_dynamodb_cdc_spark.operators.expect import check
+
+            violated = [
+                (r["rule"], r["violations"])
+                for r in check(df, expectations).collect()
+                if r["violations"] > 0
+            ]
+            if violated:
+                raise ValueError(
+                    f"commit rejected by CHECK constraints: {violated}"
+                )
 
         commit_dir = f"{self.path}/{_DATA_DIR}/c-{uuid.uuid4().hex[:12]}"
         df.write.parquet(commit_dir)

@@ -350,3 +350,20 @@ def test_random_commit_walks_match_model(spark, tmp_path, seed):
     for v in range(len(model) - 2, len(model)):
         got = sorted(r["id"] for r in t.snapshot(version=v).collect())
         assert got == model[v]
+
+
+def test_commit_check_constraints_reject_bad_batches(spark, tmp_path):
+    """CHECK constraints at the transactional boundary: a violating
+    batch publishes NOTHING (no version, no files in the live set);
+    a clean batch commits normally under the same rules."""
+    t = TxTable(spark, str(tmp_path / "tbl"))
+    rules = [{"rule": "between", "col": "id", "lo": 0, "hi": 100}]
+    assert t.commit(_df(spark, [1, 2]), expectations=rules) == 0
+
+    with pytest.raises(ValueError, match="CHECK constraints"):
+        t.commit(_df(spark, [3, 999]), expectations=rules)
+    assert t.latest_version() == 0
+    assert sorted(r["id"] for r in t.snapshot().collect()) == [1, 2]
+
+    assert t.commit(_df(spark, [3]), expectations=rules) == 1
+    assert sorted(r["id"] for r in t.snapshot().collect()) == [1, 2, 3]
