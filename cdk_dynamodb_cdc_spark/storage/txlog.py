@@ -30,11 +30,14 @@ ACID comes from two properties:
   against version N+1. That is optimistic concurrency control, the
   same protocol Delta runs.
 
-Exactly-once streaming: a manifest records the ``(app_id, batch_id)``
-that produced it; a replayed micro-batch presents the same pair and
-:meth:`TxTable.commit` returns without writing — the transactional
-idempotence Delta exposes as ``txnAppId``/``txnVersion``, and the lane
-that subsumes the batch_id-partition-overwrite recipe in
+Exactly-once streaming: every manifest carries the per-app BATCH
+HIGH-WATER MARK (``txn: {app_id: max_batch_id}``, folded forward
+through every commit and rewrite); a replayed micro-batch presents a
+batch id at or below the mark and :meth:`TxTable.commit` returns
+without writing, after reading only the LATEST manifest — the
+transactional idempotence Delta exposes as ``txnAppId``/``txnVersion``
+(batch ids are per-app monotone, which is foreachBatch's contract),
+and the lane that subsumes the batch_id-partition-overwrite recipe in
 ``streaming/stream.py``.
 """
 
@@ -150,10 +153,18 @@ class TxTable:
         if mode not in ("append", "overwrite"):
             raise ValueError(f"mode must be append|overwrite: {mode!r}")
         if app_id is not None and batch_id is not None:
-            for m in self.history():
+            # O(1) replay detection: every manifest carries the per-app
+            # high-water mark (batch ids are per-app monotone —
+            # foreachBatch's contract), so one read of the LATEST
+            # manifest decides. This is Delta's txnAppId/txnVersion
+            # model; the old full-history scan was O(versions) per
+            # commit.
+            latest = self.latest_version()
+            if latest is not None:
+                txn = self.manifest(latest).get("txn", {})
                 if (
-                    m.get("app_id") == app_id
-                    and m.get("batch_id") == batch_id
+                    app_id in txn
+                    and batch_id <= txn[app_id]
                 ):
                     return None
         if expectations:
@@ -179,10 +190,17 @@ class TxTable:
 
         for _ in range(max_retries):
             latest = self.latest_version()
+            prev = self.manifest(latest) if latest is not None else {}
             if mode == "append" and latest is not None:
-                live = self.manifest(latest)["live"] + new_files
+                live = prev["live"] + new_files
             else:
                 live = list(new_files)
+            txn = dict(prev.get("txn", {}))
+            if app_id is not None and batch_id is not None:
+                # a concurrent committer may have advanced the mark
+                if app_id in txn and batch_id <= txn[app_id]:
+                    return None
+                txn[app_id] = batch_id
             version = 0 if latest is None else latest + 1
             manifest = {
                 "version": version,
@@ -191,6 +209,7 @@ class TxTable:
                 "schema": df.schema.json(),
                 "app_id": app_id,
                 "batch_id": batch_id,
+                "txn": txn,
             }
             if self._create_exclusive(
                 self._manifest_path(version), json.dumps(manifest)
@@ -359,6 +378,8 @@ def optimize(
         "schema": snap.schema.json(),
         "app_id": None,
         "batch_id": None,
+        # carry per-app replay marks across the rewrite
+        "txn": table.manifest(base_version).get("txn", {}),
     }
     if not table._create_exclusive(
         table._manifest_path(base_version + 1), json.dumps(manifest)
