@@ -52,6 +52,37 @@ def _bucket(col: Column, boundaries: list[float]) -> Column:
     )
 
 
+def _orderable(df: DataFrame, col: str) -> Column:
+    """An order-preserving DOUBLE image of the column, so quantile
+    bucketing works for every clusterable type:
+
+    * numerics: plain cast;
+    * dates/timestamps: epoch numbers (cast to long first);
+    * strings: the first 8 BYTES read as a big-endian unsigned integer
+      — lexicographic order of the prefix maps to numeric order, so
+      range boundaries on the image are range boundaries on the
+      string (ties beyond 8 bytes land in the same bucket, which only
+      coarsens the grid, never mis-orders it).
+    """
+    dtype = dict(df.dtypes)[col]
+    c = F.col(col)
+    if dtype == "string":
+        hex8 = F.rpad(F.hex(F.substring(c, 1, 8)), 16, "0")
+        return F.conv(hex8, 16, 10).cast("double")
+    if dtype in ("date",):
+        return F.unix_date(c).cast("double")
+    if dtype.startswith("timestamp"):
+        # NTZ-safe epoch seconds (a straight long cast rejects NTZ)
+        secs = (
+            F.unix_date(F.to_date(c)).cast("long") * 86400
+            + F.hour(c).cast("long") * 3600
+            + F.minute(c).cast("long") * 60
+            + F.second(c).cast("long")
+        )
+        return secs.cast("double")
+    return c.cast("double")
+
+
 def zorder_key(
     df: DataFrame, cols: list[str], *, bits: int = 8
 ) -> Column:
@@ -59,25 +90,25 @@ def zorder_key(
     bucket rank, most significant bit first.
 
     Each column is rank-normalized into ``2**bits`` buckets using
-    approximate quantile boundaries (relative error 0.001), then the
-    rank bits are interleaved into one BIGINT. ``len(cols) * bits``
-    must stay <= 62; the default 8 bits gives a 256-cell grid per
-    dimension — the grid only has to be finer than the target file
-    count for the clustering to bite, so 8 bits covers any realistic
-    layout job (raise ``bits`` for >100k files).
-
-    Columns must be numeric (hash or dictionary-encode strings first).
+    approximate quantile boundaries (relative error 0.001) over an
+    order-preserving double image (:func:`_orderable` — numerics,
+    dates/timestamps, and strings all supported), then the rank bits
+    are interleaved into one BIGINT. ``len(cols) * bits`` must stay
+    <= 62; the default 8 bits gives a 256-cell grid per dimension —
+    the grid only has to be finer than the target file count for the
+    clustering to bite, so 8 bits covers any realistic layout job
+    (raise ``bits`` for >100k files).
     """
     if len(cols) * bits > 62:
         raise ValueError("len(cols) * bits must be <= 62")
     n_buckets = 2**bits
     probs = [i / n_buckets for i in range(1, n_buckets)]
     doubled = df.select(
-        *[F.col(c).cast("double").alias(c) for c in cols]
+        *[_orderable(df, c).alias(c) for c in cols]
     )
     all_bnds = doubled.stat.approxQuantile(cols, probs, 0.001)
     ranks = [
-        _bucket(F.col(c).cast("double"), bnds)
+        _bucket(_orderable(df, c), bnds)
         for c, bnds in zip(cols, all_bnds)
     ]
     key = F.lit(0).cast("long")

@@ -149,3 +149,45 @@ def test_optimize_table_with_zorder_clusters_both_columns(
     assert _avg_normalized_span(dst, "l_partkey") <= 0.6
     assert _avg_normalized_span(dst, "l_suppkey") <= 0.8
     assert spark.read.parquet(dst).count() == li.count()
+
+
+def test_zorder_supports_string_and_timestamp_columns(spark, tmp_path):
+    """Order-preserving images let strings and timestamps cluster:
+    after z-ordering lineitem by (l_returnflag, l_shipdate), each file
+    holds few distinct flags and a narrow shipdate range."""
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").select(
+        "l_orderkey", "l_returnflag", "l_shipdate"
+    )
+    zpath = str(tmp_path / "zorder_str")
+    write_zordered(
+        li, zpath, ["l_returnflag", "l_shipdate"], num_files=6
+    )
+    out = spark.read.parquet(zpath)
+    assert out.count() == li.count()
+
+    import pyspark.sql.functions as F
+
+    per_file = (
+        out.withColumn("f", F.input_file_name())
+        .groupBy("f")
+        .agg(
+            F.countDistinct("l_returnflag").alias("flags"),
+            (
+                F.unix_date(F.to_date(F.max("l_shipdate")))
+                - F.unix_date(F.to_date(F.min("l_shipdate")))
+            ).alias("date_span_days"),
+        )
+        .collect()
+    )
+    total_days = (
+        li.agg(
+            F.unix_date(F.to_date(F.max("l_shipdate")))
+            - F.unix_date(F.to_date(F.min("l_shipdate")))
+        ).collect()[0][0]
+    )
+    # every file sees a strict subset of the 3 flags or a narrow date
+    # range — and on average both dimensions are well below full width
+    avg_flags = sum(r["flags"] for r in per_file) / len(per_file)
+    avg_span = sum(r["date_span_days"] for r in per_file) / len(per_file)
+    assert avg_flags <= 2.5, avg_flags
+    assert avg_span <= 0.8 * total_days, (avg_span, total_days)
