@@ -100,9 +100,13 @@ def check(df: DataFrame, rules: list[dict]) -> DataFrame:
             stacked.select("s.rule", "s.violations", "rows_checked")
         )
 
+    # Set-rule reports union FIRST and join the row count ONCE — each
+    # additional set rule adds only its own agg/anti-join, never
+    # another full-table count scan.
+    set_reports: list[DataFrame] = []
     for r in set_rules:
         if r["rule"] == "unique":
-            dup_rows = (
+            set_reports.append(
                 df.groupBy(*r["cols"])
                 .agg(F.count(F.lit(1)).alias("cnt"))
                 .filter(F.col("cnt") > 1)
@@ -111,14 +115,7 @@ def check(df: DataFrame, rules: list[dict]) -> DataFrame:
                     .cast("bigint")
                     .alias("violations")
                 )
-            )
-            n = df.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
-            reports.append(
-                dup_rows.crossJoin(F.broadcast(n)).select(
-                    F.lit(_rule_name(r)).alias("rule"),
-                    "violations",
-                    F.col("n").alias("rows_checked"),
-                )
+                .select(F.lit(_rule_name(r)).alias("rule"), "violations")
             )
         elif r["rule"] == "foreign_key":
             ref = (
@@ -131,21 +128,26 @@ def check(df: DataFrame, rules: list[dict]) -> DataFrame:
                 )
                 .distinct()
             )
-            orphans = df.join(ref, on=r["cols"], how="left_anti")
-            n = df.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
-            reports.append(
-                orphans.agg(
+            set_reports.append(
+                df.join(ref, on=r["cols"], how="left_anti")
+                .agg(
                     F.count(F.lit(1)).cast("bigint").alias("violations")
                 )
-                .crossJoin(F.broadcast(n))
-                .select(
-                    F.lit(_rule_name(r)).alias("rule"),
-                    "violations",
-                    F.col("n").alias("rows_checked"),
-                )
+                .select(F.lit(_rule_name(r)).alias("rule"), "violations")
             )
         else:
             raise ValueError(f"unknown set rule: {r['rule']}")
+
+    if set_reports:
+        unioned = set_reports[0]
+        for rep in set_reports[1:]:
+            unioned = unioned.unionByName(rep)
+        n = df.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        reports.append(
+            unioned.crossJoin(F.broadcast(n)).select(
+                "rule", "violations", F.col("n").alias("rows_checked")
+            )
+        )
 
     out = reports[0]
     for rep in reports[1:]:
