@@ -54,6 +54,31 @@ _LOG_DIR = "_txlog"
 _DATA_DIR = "data"
 
 
+def _evolve_schema(prev_json: str, new_json: str) -> str:
+    """Additive schema evolution for appends: the committed schema is
+    the previous columns (types unchanged — a type change raises, the
+    caller must rewrite the table) plus any NEW columns the incoming
+    batch introduces, which older files surface as NULL. Column order
+    follows the previous schema, new columns appended — the same rules
+    Delta's mergeSchema applies."""
+    prev = StructType.fromJson(json.loads(prev_json))
+    new = StructType.fromJson(json.loads(new_json))
+    new_by_name = {f.name: f for f in new.fields}
+    for f in prev.fields:
+        g = new_by_name.get(f.name)
+        if g is not None and g.dataType != f.dataType:
+            raise ValueError(
+                f"schema evolution cannot change column "
+                f"{f.name!r} from {f.dataType.simpleString()} to "
+                f"{g.dataType.simpleString()}; overwrite the table "
+                f"to change types"
+            )
+    merged = list(prev.fields) + [
+        f for f in new.fields if f.name not in {p.name for p in prev.fields}
+    ]
+    return StructType(merged).json()
+
+
 class TxTable:
     """Handle to a transaction-log table rooted at ``path``."""
 
@@ -193,8 +218,12 @@ class TxTable:
             prev = self.manifest(latest) if latest is not None else {}
             if mode == "append" and latest is not None:
                 live = prev["live"] + new_files
+                schema_json = _evolve_schema(
+                    prev["schema"], df.schema.json()
+                )
             else:
                 live = list(new_files)
+                schema_json = df.schema.json()
             txn = dict(prev.get("txn", {}))
             if app_id is not None and batch_id is not None:
                 # a concurrent committer may have advanced the mark
@@ -206,7 +235,7 @@ class TxTable:
                 "version": version,
                 "mode": mode,
                 "live": live,
-                "schema": df.schema.json(),
+                "schema": schema_json,
                 "app_id": app_id,
                 "batch_id": batch_id,
                 "txn": txn,
@@ -224,18 +253,19 @@ class TxTable:
     # -- reads ---------------------------------------------------------
 
     def snapshot(self, version: int | None = None) -> DataFrame:
-        """The table at ``version`` (default: latest). Empty tables
-        reconstruct their schema from the manifest."""
+        """The table at ``version`` (default: latest), read under the
+        manifest's (possibly evolved) schema — files written before an
+        additive evolution surface the new columns as NULL. Empty
+        tables reconstruct their schema from the manifest."""
         latest = self.latest_version()
         if latest is None:
             raise ValueError(f"{self.path} has no commits")
         v = latest if version is None else version
         m = self.manifest(v)
+        schema = StructType.fromJson(json.loads(m["schema"]))
         if not m["live"]:
-            return self.spark.createDataFrame(
-                [], StructType.fromJson(json.loads(m["schema"]))
-            )
-        return self.spark.read.parquet(*m["live"])
+            return self.spark.createDataFrame([], schema)
+        return self.spark.read.schema(schema).parquet(*m["live"])
 
     # -- maintenance ---------------------------------------------------
 

@@ -367,3 +367,34 @@ def test_commit_check_constraints_reject_bad_batches(spark, tmp_path):
 
     assert t.commit(_df(spark, [3]), expectations=rules) == 1
     assert sorted(r["id"] for r in t.snapshot().collect()) == [1, 2, 3]
+
+
+def test_additive_schema_evolution_on_append(spark, tmp_path):
+    """Appending a batch with a NEW column widens the table schema;
+    pre-evolution files surface the column as NULL, and the pre-
+    evolution version still reads under its own narrower schema."""
+    t = TxTable(spark, str(tmp_path / "tbl"))
+    t.commit(_df(spark, [1, 2]))
+    wider = spark.createDataFrame(
+        [(3, "r3", "extra")], "id long, s string, note string"
+    )
+    t.commit(wider)
+    snap = t.snapshot()
+    assert snap.columns == ["id", "s", "note"]
+    rows = {r["id"]: r["note"] for r in snap.collect()}
+    assert rows == {1: None, 2: None, 3: "extra"}
+    # time travel: version 0 keeps its original two columns
+    assert t.snapshot(version=0).columns == ["id", "s"]
+
+
+def test_schema_evolution_rejects_type_changes(spark, tmp_path):
+    t = TxTable(spark, str(tmp_path / "tbl"))
+    t.commit(_df(spark, [1]))
+    retyped = spark.createDataFrame(
+        [("x", "r")], "id string, s string"
+    )
+    with pytest.raises(ValueError, match="cannot change column"):
+        t.commit(retyped)
+    # overwrite DOES allow the new type (explicit table rewrite)
+    assert t.commit(retyped, mode="overwrite") == 1
+    assert t.snapshot().collect()[0]["id"] == "x"
