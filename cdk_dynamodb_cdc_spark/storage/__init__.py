@@ -2,8 +2,10 @@
 
 from cdk_dynamodb_cdc_spark.storage.txlog import (  # noqa: F401
     TxTable,
+    attach_stats,
     merge_into,
     optimize,
     read_txlog_feed,
+    scan,
     txlog_sink_writer,
 )

@@ -553,3 +553,102 @@ def read_txlog_feed(spark: SparkSession, path: str):
         .option("path", path)
         .load()
     )
+
+
+# ---------------------------------------------------------------------------
+# Data skipping: per-file column statistics in the manifest, consumed
+# by stats-pruned scans. collect_stats() reads footer min/max for the
+# requested columns (bounded by files-per-commit; in a distributed
+# writer these numbers fall out of the write tasks themselves, as
+# Delta collects them); scan() intersects range predicates with the
+# stats and hands Spark only the files that can match — composed with
+# optimize(zorder_cols=...), this is the working OPTIMIZE + data-
+# skipping stack.
+# ---------------------------------------------------------------------------
+
+
+def _local(p: str) -> str:
+    return "/" + p.split(":", 1)[1].lstrip("/") if ":" in p else p
+
+
+def collect_stats(files: list[str], cols: list[str]) -> dict:
+    """``{file: {col: [min, max]}}`` from parquet footers."""
+    import pyarrow.parquet as pq
+
+    out: dict = {}
+    for f in files:
+        pf = pq.ParquetFile(_local(f))
+        per_col: dict = {}
+        for c in cols:
+            idx = pf.schema_arrow.get_field_index(c)
+            if idx < 0:
+                continue
+            mins, maxs = [], []
+            for i in range(pf.metadata.num_row_groups):
+                st = pf.metadata.row_group(i).column(idx).statistics
+                if st is None or st.min is None:
+                    mins, maxs = [], []
+                    break
+                mins.append(st.min)
+                maxs.append(st.max)
+            if mins:
+                per_col[c] = [min(mins), max(maxs)]
+        out[f] = per_col
+    return out
+
+
+def attach_stats(table: TxTable, cols: list[str]) -> int:
+    """Republish the CURRENT version's manifest content as a new
+    version carrying per-file stats for ``cols`` (an in-place metadata
+    upgrade — same live set, same schema). Returns the new version."""
+    base = table.latest_version()
+    m = table.manifest(base)
+    manifest = dict(m)
+    manifest["version"] = base + 1
+    manifest["mode"] = "stats"
+    manifest["stats"] = collect_stats(m["live"], cols)
+    manifest["app_id"] = None
+    manifest["batch_id"] = None
+    if not table._create_exclusive(
+        table._manifest_path(base + 1), json.dumps(manifest)
+    ):
+        raise RuntimeError(
+            f"attach_stats based on v{base} lost the race; re-run"
+        )
+    return base + 1
+
+
+def scan(
+    table: TxTable,
+    *,
+    where: list[tuple] | None = None,
+    version: int | None = None,
+) -> tuple[DataFrame, int, int]:
+    """Stats-pruned read: ``where`` is a list of ``(col, lo, hi)``
+    closed ranges (ANDed). Files whose stats exclude the range are
+    never handed to Spark. Returns ``(df, files_read, files_total)``
+    — the DataFrame still carries the predicate as a filter, so
+    correctness never depends on pruning, only scan cost does (the
+    same contract as parquet row-group pruning)."""
+    v = table.latest_version() if version is None else version
+    m = table.manifest(v)
+    stats = m.get("stats", {})
+    keep = []
+    for f in m["live"]:
+        per_col = stats.get(f, {})
+        ok = True
+        for c, lo, hi in where or []:
+            rng = per_col.get(c)
+            if rng is not None and (rng[0] > hi or rng[1] < lo):
+                ok = False
+                break
+        if ok:
+            keep.append(f)
+    schema = StructType.fromJson(json.loads(m["schema"]))
+    if not keep:
+        df = table.spark.createDataFrame([], schema)
+    else:
+        df = table.spark.read.schema(schema).parquet(*keep)
+    for c, lo, hi in where or []:
+        df = df.filter((F.col(c) >= lo) & (F.col(c) <= hi))
+    return df, len(keep), len(m["live"])

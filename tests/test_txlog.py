@@ -398,3 +398,43 @@ def test_schema_evolution_rejects_type_changes(spark, tmp_path):
     # overwrite DOES allow the new type (explicit table rewrite)
     assert t.commit(retyped, mode="overwrite") == 1
     assert t.snapshot().collect()[0]["id"] == "x"
+
+
+def test_stats_pruned_scan_skips_files_and_stays_correct(
+    spark, tmp_path
+):
+    """Data skipping: after optimize(zorder) + attach_stats, a range
+    scan reads a strict subset of files and returns exactly the rows a
+    full-scan filter would."""
+    from cdk_dynamodb_cdc_spark.storage.txlog import (
+        attach_stats,
+        optimize,
+        scan,
+    )
+
+    t = TxTable(spark, str(tmp_path / "tbl"))
+    li = spark.read.parquet(
+        "/root/testdata/sf0.001/lineitem.parquet"
+    ).select("l_orderkey", "l_partkey", "l_suppkey")
+    t.commit(li)
+    optimize(
+        t,
+        target_file_bytes=12_000,  # force several files
+        zorder_cols=["l_partkey", "l_suppkey"],
+    )
+    attach_stats(t, ["l_partkey", "l_suppkey"])
+
+    where = [("l_partkey", 0, 50), ("l_suppkey", 0, 8)]
+    df, files_read, files_total = scan(t, where=where)
+    assert files_total > 2
+    assert files_read < files_total  # pruning actually bit
+    want = (
+        li.filter("l_partkey between 0 and 50")
+        .filter("l_suppkey between 0 and 8")
+        .count()
+    )
+    assert df.count() == want
+
+    # a range outside the data prunes everything and returns empty
+    df0, read0, _ = scan(t, where=[("l_partkey", 10**9, 10**9 + 1)])
+    assert read0 == 0 and df0.count() == 0
