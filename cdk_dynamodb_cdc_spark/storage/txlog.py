@@ -291,15 +291,49 @@ class TxTable:
         return deleted
 
 
-def txlog_sink_writer(spark: SparkSession, sink_path: str, app_id: str):
+def txlog_sink_writer(
+    spark: SparkSession,
+    sink_path: str,
+    app_id: str,
+    *,
+    expectations: list[dict] | None = None,
+    dead_letter_path: str | None = None,
+):
     """Transactional ``sink_writer`` for ``run_cdc_stream`` — same
     contract as ``delta_sink_writer`` but with no external package:
     each micro-batch is one atomic, idempotent ``TxTable.commit``
     keyed by ``(app_id, batch_id)``, so replays after a crash publish
-    nothing twice and readers never observe a half-written batch."""
+    nothing twice and readers never observe a half-written batch.
+
+    With ``expectations``, each micro-batch is first split by the
+    data contract (operators/expect.py:enforce): passing rows commit
+    to the main table, violating rows — annotated with their failed
+    rules — commit to the ``dead_letter_path`` table under the same
+    batch id (both commits idempotent, so a replay after a crash
+    between the two commits re-publishes only the missing one). This
+    is the streaming composition of the contract lane: quarantine
+    instead of reject, nothing dropped silently.
+    """
     table = TxTable(spark, sink_path)
+    dlq = (
+        TxTable(spark, dead_letter_path)
+        if dead_letter_path is not None
+        else None
+    )
 
     def write(events: DataFrame, batch_id: int) -> None:
+        if expectations:
+            from cdk_dynamodb_cdc_spark.operators.expect import enforce
+
+            good, bad = enforce(events, expectations)
+            if dlq is not None:
+                dlq.commit(
+                    bad,
+                    mode="append",
+                    app_id=f"{app_id}:dlq",
+                    batch_id=batch_id,
+                )
+            events = good
         table.commit(
             events, mode="append", app_id=app_id, batch_id=batch_id
         )

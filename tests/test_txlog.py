@@ -438,3 +438,78 @@ def test_stats_pruned_scan_skips_files_and_stays_correct(
     # a range outside the data prunes everything and returns empty
     df0, read0, _ = scan(t, where=[("l_partkey", 10**9, 10**9 + 1)])
     assert read0 == 0 and df0.count() == 0
+
+
+def test_streaming_contract_quarantines_to_dead_letter_table(
+    spark, tmp_path
+):
+    """Contract-enforcing streaming sink: passing events commit to the
+    main table, violating events land in the dead-letter table with
+    their failed rules; replays publish neither twice."""
+    import datetime
+    import json as _json
+
+    from cdk_dynamodb_cdc_spark.sources.cdc_shards import (
+        append_cdc_records,
+        read_cdc_shards_stream,
+    )
+    from cdk_dynamodb_cdc_spark.streaming import run_cdc_stream
+
+    shards = str(tmp_path / "shards")
+    sink = str(tmp_path / "sink")
+    dlq_path = str(tmp_path / "dlq")
+    ckpt = str(tmp_path / "ckpt")
+
+    def rec(seq, pk):
+        return {
+            "event_id": f"e{seq}",
+            "seq": seq,
+            "ts": datetime.datetime(2024, 1, 1, 0, 0, seq),
+            "operation": "INSERT",
+            "pk": pk,
+            "sk": "v0",
+            "old_image": None,
+            "new_image": _json.dumps({"v": {"N": str(seq)}}),
+            "size_bytes": 30,
+        }
+
+    append_cdc_records(
+        shards, "0000",
+        [rec(1, "USER#1"), rec(2, "USER#2"), rec(3, "ORDER#9")],
+    )
+    writer = txlog_sink_writer(
+        spark,
+        sink,
+        app_id="contract-test",
+        expectations=[
+            {"rule": "matches", "col": "pk", "pattern": "^USER#"}
+        ],
+        dead_letter_path=dlq_path,
+    )
+
+    def run_once():
+        q = run_cdc_stream(
+            read_cdc_shards_stream(
+                spark, shards, starting_position="trim_horizon"
+            ),
+            sink_path=sink,
+            checkpoint_path=ckpt,
+            sink_writer=writer,
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    main = TxTable(spark, sink).snapshot()
+    dlq = TxTable(spark, dlq_path).snapshot()
+    assert sorted(r["pk"] for r in main.collect()) == [
+        "USER#1",
+        "USER#2",
+    ]
+    bad = dlq.collect()
+    assert [r["pk"] for r in bad] == ["ORDER#9"]
+    assert bad[0]["_violations"] == ["matches(pk)"]
+
+    # replay: neither table grows
+    run_once()
+    assert TxTable(spark, sink).snapshot().count() == 2
+    assert TxTable(spark, dlq_path).snapshot().count() == 1
