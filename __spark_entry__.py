@@ -46,6 +46,8 @@ _GATE_PRIORITY = [
     # streaks, day-partitioned interval sweep, market-basket pairs,
     # blocked edit-distance join, fixed-point integer PageRank,
     # sliding distinct users.
+    "nation_supplier_pareto",
+    "order_linecount_distribution",
     "dq_expectations_report",
     "user_activity_similarity_topk",
     "cusum_revenue_changepoint",

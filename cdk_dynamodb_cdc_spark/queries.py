@@ -6722,3 +6722,113 @@ def dq_expectations_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         },
     ]
     return check(li, rules)
+
+
+# ---------------------------------------------------------------------------
+# Pareto coverage: per nation, how many top suppliers cover >= 50% of
+# the nation's supply revenue (the "how concentrated is my supply
+# base" question Gini summarizes as a scalar, answered as an
+# actionable count). Ranked cumulative sums run per BOUNDED group
+# (nations); revenue stays exact in decimal, and the 50% threshold
+# compares 2*cum >= total in integer-scaled decimal — no float
+# boundary ambiguity.
+# ---------------------------------------------------------------------------
+@query(
+    "nation_supplier_pareto",
+    oracle="""
+    WITH sup_rev AS (
+      SELECT s_nationkey, l_suppkey,
+             SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS rev
+      FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      GROUP BY s_nationkey, l_suppkey
+    ), ranked AS (
+      SELECT s_nationkey, rev,
+             SUM(rev) OVER (PARTITION BY s_nationkey
+                            ORDER BY rev DESC, l_suppkey
+                            ROWS UNBOUNDED PRECEDING) AS cum,
+             SUM(rev) OVER (PARTITION BY s_nationkey) AS total,
+             ROW_NUMBER() OVER (PARTITION BY s_nationkey
+                                ORDER BY rev DESC, l_suppkey) AS rk
+      FROM sup_rev
+    )
+    SELECT n_name,
+           CAST(MIN(CASE WHEN 2 * cum >= total THEN rk END) AS BIGINT)
+             AS suppliers_for_half,
+           CAST(COUNT(*) AS BIGINT) AS n_suppliers
+    FROM ranked JOIN nation ON n_nationkey = s_nationkey
+    GROUP BY n_name
+    """,
+)
+def nation_supplier_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_extendedprice"
+    )
+    sup = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    nat = load_table(spark, sf_dir, "nation")
+    sup_rev = (
+        li.join(sup, li.l_suppkey == sup.s_suppkey)
+        .groupBy("s_nationkey", "l_suppkey")
+        .agg(F.sum(_dec("l_extendedprice")).alias("rev"))
+    )
+    w = Window.partitionBy("s_nationkey").orderBy(
+        F.col("rev").desc(), "l_suppkey"
+    )
+    ranked = sup_rev.select(
+        "s_nationkey",
+        "rev",
+        F.sum("rev")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("cum"),
+        F.sum("rev")
+        .over(Window.partitionBy("s_nationkey"))
+        .alias("total"),
+        F.row_number().over(w).alias("rk"),
+    )
+    return (
+        ranked.join(
+            F.broadcast(nat),
+            ranked.s_nationkey == nat.n_nationkey,
+        )
+        .groupBy("n_name")
+        .agg(
+            F.min(
+                F.when(
+                    F.lit(2) * F.col("cum") >= F.col("total"),
+                    F.col("rk"),
+                )
+            ).alias("suppliers_for_half"),
+            F.count(F.lit(1)).alias("n_suppliers"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Degree distribution: how many orders have k line items, for each k —
+# the count-of-counts shape (group sizes, node degrees, key skew) that
+# diagnoses fan-out before a join strategy is chosen. Two keyed
+# aggregations, both map-side combinable; output bounded by the max
+# group size.
+# ---------------------------------------------------------------------------
+@query(
+    "order_linecount_distribution",
+    oracle="""
+    WITH per_order AS (
+      SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS n_lines
+      FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT n_lines, CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM per_order GROUP BY n_lines
+    """,
+)
+def order_linecount_distribution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_lines")
+    )
+    return per_order.groupBy("n_lines").agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
