@@ -513,3 +513,39 @@ def test_streaming_contract_quarantines_to_dead_letter_table(
     run_once()
     assert TxTable(spark, sink).snapshot().count() == 2
     assert TxTable(spark, dlq_path).snapshot().count() == 1
+
+
+def test_bulk_feed_replays_backlog_with_file_partitions(spark, tmp_path):
+    """The partition-planned feed reads the same rows as the simple
+    feed, with executor-side file reads; restart resumes from the
+    checkpointed version offset."""
+    from cdk_dynamodb_cdc_spark.storage.txlog import read_txlog_feed_bulk
+
+    tbl = str(tmp_path / "tbl")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    t = TxTable(spark, tbl)
+    t.commit(_df(spark, [1, 2]))
+    t.commit(_df(spark, [3]))
+    t.commit(_df(spark, [99]), mode="overwrite")  # feed skips rewrites
+    t.commit(_df(spark, [4]))
+
+    def run_once():
+        q = (
+            read_txlog_feed_bulk(spark, tbl)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    got = sorted(r["id"] for r in spark.read.parquet(out).collect())
+    assert got == [1, 2, 3, 4]
+
+    t.commit(_df(spark, [5]))
+    run_once()
+    got = sorted(r["id"] for r in spark.read.parquet(out).collect())
+    assert got == [1, 2, 3, 4, 5]
