@@ -802,3 +802,28 @@ def read_txlog_feed_bulk(spark: SparkSession, path: str):
         .option("path", path)
         .load()
     )
+
+
+def restore(table: TxTable, version: int) -> int:
+    """RESTORE: make an earlier version's content the CURRENT table
+    state, published as a new overwrite version (history intact — the
+    rollback itself is time-travelable, exactly like Delta RESTORE).
+    The restored version's files must still exist (not vacuumed)."""
+    m = table.manifest(version)
+    for _ in range(10):
+        latest = table.latest_version()
+        manifest = {
+            "version": latest + 1,
+            "mode": "restore",
+            "restored_from": version,
+            "live": m["live"],
+            "schema": m["schema"],
+            "app_id": None,
+            "batch_id": None,
+            "txn": table.manifest(latest).get("txn", {}),
+        }
+        if table._create_exclusive(
+            table._manifest_path(latest + 1), json.dumps(manifest)
+        ):
+            return latest + 1
+    raise RuntimeError("restore lost 10 optimistic-concurrency races")

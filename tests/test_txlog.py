@@ -549,3 +549,17 @@ def test_bulk_feed_replays_backlog_with_file_partitions(spark, tmp_path):
     run_once()
     got = sorted(r["id"] for r in spark.read.parquet(out).collect())
     assert got == [1, 2, 3, 4, 5]
+
+
+def test_restore_rolls_back_as_a_new_version(spark, tmp_path):
+    from cdk_dynamodb_cdc_spark.storage.txlog import restore
+
+    t = TxTable(spark, str(tmp_path / "tbl"))
+    t.commit(_df(spark, [1, 2]))
+    t.commit(_df(spark, [99]), mode="overwrite")
+    v = restore(t, 0)
+    assert v == 2
+    assert sorted(r["id"] for r in t.snapshot().collect()) == [1, 2]
+    # the overwrite remains in history; the restore is itself history
+    assert [r["id"] for r in t.snapshot(version=1).collect()] == [99]
+    assert t.manifest(2)["restored_from"] == 0
