@@ -269,25 +269,55 @@ class TxTable:
 
     # -- maintenance ---------------------------------------------------
 
-    def vacuum(self, retain_last: int = 1) -> list[str]:
+    def vacuum(
+        self,
+        retain_last: int = 1,
+        retention_seconds: float = 3600.0,
+    ) -> list[str]:
         """Delete data files referenced by NO retained version (the
         last ``retain_last`` manifests stay time-travelable) — plus
         crashed-commit orphans no manifest ever named. Older manifests
         remain readable as history metadata, but their exclusive files
-        are gone, exactly like a vacuumed Delta table."""
+        are gone, exactly like a vacuumed Delta table.
+
+        Two guards make this safe against CONCURRENT commits (the same
+        guards Delta's VACUUM uses):
+
+        * candidate files are listed BEFORE the manifests are read, so
+          a commit that publishes during the vacuum either published
+          before our manifest read (its files land in ``keep``) or
+          staged its files after our listing (never candidates);
+        * files younger than ``retention_seconds`` are never deleted —
+          this spares the window between a writer's ``df.write`` and
+          its manifest publish, where the files are staged but not yet
+          referenced by any manifest. Production keeps this at hours;
+          tests pass ``retention_seconds=0`` for immediate sweeps.
+        """
+        import time
+
+        candidates = []
+        for commit_dir in self._ls(f"{self.path}/{_DATA_DIR}"):
+            for f in self._ls(commit_dir):
+                if f.rsplit("/", 1)[-1].startswith("part-"):
+                    candidates.append(f)
+        # manifests are read AFTER the listing (see docstring)
         vs = self.versions()
         keep = set()
         for v in vs[-retain_last:] if retain_last else []:
             keep.update(self.manifest(v)["live"])
+        cutoff_ms = (time.time() - retention_seconds) * 1000.0
         deleted = []
-        for commit_dir in self._ls(f"{self.path}/{_DATA_DIR}"):
-            for f in self._ls(commit_dir):
-                if (
-                    f.rsplit("/", 1)[-1].startswith("part-")
-                    and f not in keep
-                ):
-                    self._fs.delete(self._jPath(f), False)
-                    deleted.append(f)
+        for f in candidates:
+            if f in keep:
+                continue
+            p = self._jPath(f)
+            try:
+                if self._fs.getFileStatus(p).getModificationTime() > cutoff_ms:
+                    continue  # inside the retention window: maybe mid-commit
+            except Exception:
+                continue  # already gone (concurrent vacuum)
+            self._fs.delete(p, False)
+            deleted.append(f)
         return deleted
 
 
@@ -476,13 +506,21 @@ class TxLogFeedReader(_SimpleReader):
     manifest arithmetic — no Spark session needed in the worker; rows
     are read driver-side via pyarrow (the simple-reader contract), so
     the feed suits control-plane-sized batches; a partition-planning
-    DataSourceStreamReader is the evolution for bulk replay."""
+    DataSourceStreamReader is the evolution for bulk replay.
 
-    def __init__(self, options: dict):
+    Rows are decoded BY NAME against the stream's declared schema
+    (``field_names``), never positionally: files written before an
+    additive schema evolution have fewer columns (they surface the new
+    ones as NULL), and a writer whose DataFrame column order differs
+    from the evolved manifest order must not have same-typed values
+    silently swapped between columns."""
+
+    def __init__(self, options: dict, field_names: list[str]):
         import glob as _glob
         import os as _os
 
         self.path = options["path"].rstrip("/")
+        self.field_names = field_names
         self._glob = _glob
         self._os = _os
 
@@ -523,12 +561,16 @@ class TxLogFeedReader(_SimpleReader):
         import pyarrow.parquet as pq
 
         rows: list[tuple] = []
+        names = self.field_names
         for f in files:
             # Hadoop reports local paths as file:/... or file:///...;
             # strip the scheme, keep the absolute path.
             local = "/" + f.split(":", 1)[1].lstrip("/") if ":" in f else f
             for rec in pq.read_table(local).to_pylist():
-                rows.append(tuple(rec.values()))
+                # by-name decode: pre-evolution files lack the newer
+                # columns (pad with None); column order in the file is
+                # irrelevant.
+                rows.append(tuple(rec.get(n) for n in names))
         return rows
 
     def read(self, start: dict):
@@ -575,7 +617,7 @@ class TxLogFeedDataSource(_DataSource):
         return _St.fromJson(json.loads(schema_json))
 
     def simpleStreamReader(self, schema) -> TxLogFeedReader:
-        return TxLogFeedReader(self.options)
+        return TxLogFeedReader(self.options, [f.name for f in schema.fields])
 
 
 def read_txlog_feed(spark: SparkSession, path: str):
@@ -605,8 +647,29 @@ def _local(p: str) -> str:
     return "/" + p.split(":", 1)[1].lstrip("/") if ":" in p else p
 
 
+def _json_stat(v):
+    """JSON-serializable form of a footer min/max, or None when the
+    type has no safe serialization (binary): date/datetime become ISO
+    strings — which order lexicographically exactly as they order
+    chronologically, so range intersection in :func:`scan` still
+    works — numbers and strings pass through."""
+    import datetime
+
+    if isinstance(v, (datetime.datetime, datetime.date)):
+        return v.isoformat()
+    if isinstance(v, (bytes, bytearray)):
+        return None
+    if isinstance(v, (int, float, str, bool)):
+        return v
+    return None
+
+
 def collect_stats(files: list[str], cols: list[str]) -> dict:
-    """``{file: {col: [min, max]}}`` from parquet footers."""
+    """``{file: {col: [min, max]}}`` from parquet footers. Temporal
+    stats are ISO strings (JSON-safe, order-preserving); columns whose
+    stats cannot be serialized (binary, exotic types) are omitted for
+    that file — scan() then never prunes on them, which is always
+    correct."""
     import pyarrow.parquet as pq
 
     out: dict = {}
@@ -626,7 +689,9 @@ def collect_stats(files: list[str], cols: list[str]) -> dict:
                 mins.append(st.min)
                 maxs.append(st.max)
             if mins:
-                per_col[c] = [min(mins), max(maxs)]
+                lo, hi = _json_stat(min(mins)), _json_stat(max(maxs))
+                if lo is not None and hi is not None:
+                    per_col[c] = [lo, hi]
         out[f] = per_col
     return out
 
@@ -664,6 +729,16 @@ def scan(
     — the DataFrame still carries the predicate as a filter, so
     correctness never depends on pruning, only scan cost does (the
     same contract as parquet row-group pruning)."""
+    import datetime
+
+    def _norm(bound):
+        # predicate bounds given as date/datetime compare against the
+        # manifest's ISO-string temporal stats (same format, so
+        # lexicographic == chronological)
+        if isinstance(bound, (datetime.datetime, datetime.date)):
+            return bound.isoformat()
+        return bound
+
     v = table.latest_version() if version is None else version
     m = table.manifest(v)
     stats = m.get("stats", {})
@@ -673,7 +748,9 @@ def scan(
         ok = True
         for c, lo, hi in where or []:
             rng = per_col.get(c)
-            if rng is not None and (rng[0] > hi or rng[1] < lo):
+            if rng is not None and (
+                rng[0] > _norm(hi) or rng[1] < _norm(lo)
+            ):
                 ok = False
                 break
         if ok:
@@ -706,18 +783,23 @@ BULK_FEED_SOURCE_NAME = "txlog_feed_bulk"
 
 
 class _FeedFilePartition(_InputPartition):
-    def __init__(self, path: str):
+    def __init__(self, path: str, field_names: list[str]):
         self.path = path
+        self.field_names = field_names
 
 
 class TxLogBulkFeedReader(_FullReader):
-    """Version offsets, file-grained partitions, executor-side reads."""
+    """Version offsets, file-grained partitions, executor-side reads.
+    Like the simple feed, rows decode BY NAME against the stream's
+    declared schema (pre-evolution files pad missing columns with
+    None; file-local column order never leaks into the stream)."""
 
-    def __init__(self, options: dict):
+    def __init__(self, options: dict, field_names: list[str]):
         import glob as _glob
         import os as _os
 
         self.path = options["path"].rstrip("/")
+        self.field_names = field_names
         self._glob = _glob
         self._os = _os
 
@@ -755,8 +837,9 @@ class TxLogBulkFeedReader(_FullReader):
                 )
             prev_live = set(m["live"])
         # one partition per file: executors read in parallel
-        return [_FeedFilePartition(_local(f)) for f in added] or [
-            _FeedFilePartition("")  # Spark requires >= 1 partition
+        names = self.field_names
+        return [_FeedFilePartition(_local(f), names) for f in added] or [
+            _FeedFilePartition("", names)  # Spark requires >= 1 partition
         ]
 
     def read(self, partition: _FeedFilePartition):
@@ -764,8 +847,9 @@ class TxLogBulkFeedReader(_FullReader):
             return iter([])
         import pyarrow.parquet as pq
 
+        names = partition.field_names
         rows = [
-            tuple(rec.values())
+            tuple(rec.get(n) for n in names)
             for rec in pq.read_table(partition.path).to_pylist()
         ]
         return iter(rows)
@@ -791,7 +875,9 @@ class TxLogBulkFeedDataSource(_DataSource):
         return StructType.fromJson(json.loads(schema_json))
 
     def streamReader(self, schema) -> TxLogBulkFeedReader:
-        return TxLogBulkFeedReader(self.options)
+        return TxLogBulkFeedReader(
+            self.options, [f.name for f in schema.fields]
+        )
 
 
 def read_txlog_feed_bulk(spark: SparkSession, path: str):
@@ -808,8 +894,23 @@ def restore(table: TxTable, version: int) -> int:
     """RESTORE: make an earlier version's content the CURRENT table
     state, published as a new overwrite version (history intact — the
     rollback itself is time-travelable, exactly like Delta RESTORE).
-    The restored version's files must still exist (not vacuumed)."""
+    The restored version's files must still exist (not vacuumed) —
+    verified before publishing, so a restore never creates a current
+    version whose reads fail later."""
+    if table.latest_version() is None:
+        raise ValueError(
+            f"{table.path} has no commits; nothing to restore"
+        )
     m = table.manifest(version)
+    missing = [
+        f for f in m["live"] if not table._fs.exists(table._jPath(f))
+    ]
+    if missing:
+        raise ValueError(
+            f"cannot restore {table.path} to v{version}: "
+            f"{len(missing)} of its files were vacuumed "
+            f"(first: {missing[0]})"
+        )
     for _ in range(10):
         latest = table.latest_version()
         manifest = {

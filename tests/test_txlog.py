@@ -79,7 +79,7 @@ def test_crashed_commit_files_stay_invisible_and_vacuumable(
     # a crashed job: data files written, no manifest published
     _df(spark, [777]).write.parquet(str(tmp_path / "tbl/data/c-crashed"))
     assert sorted(r["id"] for r in t.snapshot().collect()) == [1]
-    deleted = t.vacuum(retain_last=1)
+    deleted = t.vacuum(retain_last=1, retention_seconds=0)
     assert any("c-crashed" in f for f in deleted)
     assert sorted(r["id"] for r in t.snapshot().collect()) == [1]
 
@@ -88,7 +88,7 @@ def test_vacuum_prunes_time_travel_beyond_retention(spark, tmp_path):
     t = TxTable(spark, str(tmp_path / "tbl"))
     t.commit(_df(spark, [1]))
     t.commit(_df(spark, [2]), mode="overwrite")
-    deleted = t.vacuum(retain_last=1)
+    deleted = t.vacuum(retain_last=1, retention_seconds=0)
     assert deleted  # version 0's exclusive file went away
     assert sorted(r["id"] for r in t.snapshot().collect()) == [2]
     with pytest.raises(Exception):
@@ -346,7 +346,7 @@ def test_random_commit_walks_match_model(spark, tmp_path, seed):
         assert got == want, f"seed {seed} version {v}"
 
     # vacuum keeps the last two versions readable and unchanged
-    t.vacuum(retain_last=2)
+    t.vacuum(retain_last=2, retention_seconds=0)
     for v in range(len(model) - 2, len(model)):
         got = sorted(r["id"] for r in t.snapshot(version=v).collect())
         assert got == model[v]
@@ -563,3 +563,190 @@ def test_restore_rolls_back_as_a_new_version(spark, tmp_path):
     # the overwrite remains in history; the restore is itself history
     assert [r["id"] for r in t.snapshot(version=1).collect()] == [99]
     assert t.manifest(2)["restored_from"] == 0
+
+
+def test_restore_guards_empty_table_and_vacuumed_versions(
+    spark, tmp_path
+):
+    """restore() fails loudly instead of publishing a broken current
+    version: empty table -> clear error; vacuumed target -> clear
+    error BEFORE any manifest is written."""
+    from cdk_dynamodb_cdc_spark.storage.txlog import restore
+
+    t = TxTable(spark, str(tmp_path / "tbl"))
+    with pytest.raises(ValueError, match="no commits"):
+        restore(t, 0)
+
+    t.commit(_df(spark, [1, 2]))
+    t.commit(_df(spark, [99]), mode="overwrite")
+    t.vacuum(retain_last=1, retention_seconds=0)
+    latest_before = t.latest_version()
+    with pytest.raises(ValueError, match="vacuumed"):
+        restore(t, 0)
+    # no restore manifest was published
+    assert t.latest_version() == latest_before
+
+
+def test_vacuum_retention_window_spares_young_unreferenced_files(
+    spark, tmp_path
+):
+    """Files inside the retention window are never deleted — this is
+    the guard that makes vacuum safe against a concurrent committer
+    whose files are staged but whose manifest is not yet published."""
+    t = TxTable(spark, str(tmp_path / "tbl"))
+    t.commit(_df(spark, [1]))
+    t.commit(_df(spark, [2]), mode="overwrite")  # v0's file now dead
+    # default 1h retention: the just-written dead file is spared
+    assert t.vacuum(retain_last=1) == []
+    assert sorted(r["id"] for r in t.snapshot(version=0).collect()) == [1]
+    # zero retention: swept
+    assert len(t.vacuum(retain_last=1, retention_seconds=0)) >= 1
+    with pytest.raises(Exception):
+        t.snapshot(version=0).collect()
+
+
+def test_feeds_decode_by_name_across_evolution_and_reorder(
+    spark, tmp_path
+):
+    """Both change feeds must decode rows BY NAME against the stream
+    schema: files older than an additive evolution pad the new columns
+    with NULL, and a commit whose DataFrame column order differs from
+    the manifest order must not swap same-typed values."""
+    from cdk_dynamodb_cdc_spark.storage.txlog import (
+        read_txlog_feed,
+        read_txlog_feed_bulk,
+    )
+
+    tbl = str(tmp_path / "tbl")
+    t = TxTable(spark, tbl)
+    t.commit(_df(spark, [1]))  # (id long, s string)
+    # additive evolution: new column t
+    t.commit(
+        spark.createDataFrame(
+            [(2, "r2", "x2")], "id long, s string, t string"
+        )
+    )
+    # same types s/t, REVERSED dataframe order vs manifest order —
+    # positional decode would swap s and t silently
+    t.commit(
+        spark.createDataFrame(
+            [("t3", "s3", 3)], "t string, s string, id long"
+        )
+    )
+
+    for reader, tag in (
+        (read_txlog_feed, "simple"),
+        (read_txlog_feed_bulk, "bulk"),
+    ):
+        out = str(tmp_path / f"out_{tag}")
+        ckpt = str(tmp_path / f"ckpt_{tag}")
+        q = (
+            reader(spark, tbl)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        rows = {
+            r["id"]: (r["s"], r["t"])
+            for r in spark.read.parquet(out).collect()
+        }
+        assert rows == {
+            1: ("r1", None),  # pre-evolution file: t padded NULL
+            2: ("r2", "x2"),
+            3: ("s3", "t3"),  # by-name, not by position
+        }, tag
+
+
+def test_temporal_stats_serialize_and_prune(spark, tmp_path):
+    """attach_stats on date/timestamp columns must produce a JSON
+    manifest (ISO strings) and scan() must prune on date-range
+    predicates given as datetime.date bounds."""
+    import datetime
+
+    from cdk_dynamodb_cdc_spark.storage.txlog import attach_stats, scan
+
+    t = TxTable(spark, str(tmp_path / "tbl"))
+    for d in ("2024-01-01", "2024-06-01", "2024-12-01"):
+        t.commit(
+            spark.sql(
+                f"SELECT DATE'{d}' AS dt, TIMESTAMP'{d} 10:00:00' AS ts,"
+                f" 1 AS v"
+            )
+        )
+    attach_stats(t, ["dt", "ts"])  # raised TypeError before the fix
+    df, files_read, files_total = scan(
+        t,
+        where=[
+            (
+                "dt",
+                datetime.date(2024, 5, 1),
+                datetime.date(2024, 7, 1),
+            )
+        ],
+    )
+    assert files_total == 3 and files_read == 1
+    assert [r["dt"] for r in df.collect()] == [
+        datetime.date(2024, 6, 1)
+    ]
+
+
+def test_bulk_feed_restore_composition_at_scale(spark, tmp_path):
+    """Composition pin: the bulk (executor-parallel) feed over a
+    multi-hundred-file table, with a RESTORE mid-stream. The restore
+    publishes as new history (time-travelable version) but emits
+    NOTHING on the appends feed — its rows were already streamed when
+    first appended — and the feed resumes cleanly past it, offsets
+    advancing through the restore version."""
+    from cdk_dynamodb_cdc_spark.storage.txlog import (
+        read_txlog_feed_bulk,
+        restore,
+    )
+
+    tbl = str(tmp_path / "tbl")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    t = TxTable(spark, tbl)
+    # ~40 commits x 6 files = 240 data files
+    n_commits, files_per = 40, 6
+    for c in range(n_commits):
+        df = spark.range(c * 10, c * 10 + 10).select(
+            F.col("id"), F.concat(F.lit("r"), F.col("id")).alias("s")
+        )
+        t.commit(df.repartition(files_per))
+    n_rows = n_commits * 10
+
+    def run_once():
+        q = (
+            read_txlog_feed_bulk(spark, tbl)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    run_once()
+    assert spark.read.parquet(out).count() == n_rows
+    assert (
+        spark.read.parquet(out).select("id").distinct().count() == n_rows
+    )
+
+    # mid-stream: squash history with an overwrite, then restore back
+    t.commit(_df(spark, [777_000]), mode="overwrite")
+    v = restore(t, n_commits - 1)  # back to the full table
+    assert t.manifest(v)["mode"] == "restore"
+    assert t.snapshot().count() == n_rows
+
+    run_once()  # restore emits nothing on the appends feed
+    assert spark.read.parquet(out).count() == n_rows
+
+    # and the feed picks up appends AFTER the restore
+    t.commit(_df(spark, [999_999]))
+    run_once()
+    got = spark.read.parquet(out)
+    assert got.count() == n_rows + 1
+    assert got.filter(F.col("id") == 999_999).count() == 1
