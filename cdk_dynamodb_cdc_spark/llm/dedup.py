@@ -19,8 +19,11 @@ Five operators, each with the scale-correct shape:
   Jaccard      prefix filtering (AllPairs/PPJoin): rarest-shingle
                prefixes propose candidates, size-ratio pruning, exact
                verify. See ngram_jaccard_pairs.
-* clustering — connected_components: distributed min-label propagation
-               turning any of the pair lists above into near-duplicate
+* clustering — connected_components_star (registered default:
+               large-star/small-star, O(log n) rounds on any topology)
+               and connected_components (min-label propagation, the
+               simpler plan for known-small-diameter graphs) — both
+               turn any of the pair lists above into near-duplicate
                clusters with canonical representatives.
 
 The MinHash signatures use xxhash64 (JVM, no DuckDB twin) — that's fine
@@ -640,12 +643,14 @@ def connected_components_star(
     (``(node, cluster_id)``, cluster_id = minimum reachable node id)
     but O(log n) rounds instead of O(diameter).
 
-    :func:`connected_components` is the right default for near-dup
-    graphs (unions of dense cliques, diameter ~2-3, simpler plan).
-    THIS is the escalation path for adversarial topology — long chains
-    or stringy components whose diameter exceeds any sane round budget.
-    The 300-node path graph in the pytest needs 300 propagation rounds
-    (the simple loop refuses at its round cap) but 5 star rounds.
+    THIS is the registered default for every clustering query: its
+    round count is O(log n) regardless of topology, so a long chain or
+    stringy component — which sends the propagation loop to its round
+    cap (the 300-node path graph in the pytest needs 300 propagation
+    rounds but 5 star rounds) — costs the same as a clique union.
+    :func:`connected_components` remains available as the simpler
+    plan when the caller KNOWS the graph is unions of dense cliques
+    (diameter ~2-3), where it runs marginally fewer jobs.
 
     Per round (each one shuffle per star phase, lineage truncated):
 

@@ -3056,11 +3056,13 @@ def q21_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ===========================================================================
 # Dedup clustering: connected components over the near-dup pair graph
-# (iterative distributed algorithm — min-label propagation; see
-# llm/dedup.py:connected_components). The oracle computes the same
-# clusters non-iteratively via a DuckDB recursive CTE (transitive
-# closure + MIN per node), so even the iterative operator gets a full
-# rows+schema+hash check.
+# (iterative distributed algorithm — alternating large-star/small-star,
+# O(log n) rounds on ANY topology; see
+# llm/dedup.py:connected_components_star; the simpler min-label
+# propagation loop remains available for known-small-diameter graphs).
+# The oracle computes the same clusters non-iteratively via a DuckDB
+# recursive CTE (transitive closure + MIN per node), so even the
+# iterative operator gets a full rows+schema+hash check.
 # ===========================================================================
 
 @query(
@@ -3100,14 +3102,14 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     representative — the row a dedup pass would retain.
 
     Scale: the pair graph is tiny relative to the corpus (only
-    near-dups), so the propagation loop iterates over edges/labels
+    near-dups), so the star rounds iterate over edges/labels
     DataFrames orders of magnitude smaller than `documents`; the final
     assignment is one left join from the corpus to the labels. The
     DuckDB twin is a recursive CTE — non-iterative, so it cross-checks
     the loop's fixpoint rather than mirroring its plan."""
     docs = load_table(spark, sf_dir, "documents")
     pairs = llm_dedup.minhash_near_dup_pairs(docs, threshold=0.8)
-    cc = llm_dedup.connected_components(pairs)
+    cc = llm_dedup.connected_components_star(pairs)
     assigned = (
         docs.select("doc_id")
         .join(cc, F.col("doc_id") == F.col("node"), "left")
@@ -3600,7 +3602,7 @@ def curate_corpus_dispositions(spark: SparkSession, sf_dir: str) -> DataFrame:
     in isolation; this query pins the COMPOSITION."""
     docs = load_table(spark, sf_dir, "documents")
     pairs = llm_dedup.minhash_near_dup_pairs(docs, threshold=0.8)
-    cc = llm_dedup.connected_components(pairs)
+    cc = llm_dedup.connected_components_star(pairs)
     eval_docs = docs.filter(F.col("doc_id") % 29 == 0)
     contam = (
         llm_curation.decontaminate(docs, eval_docs)
@@ -5796,7 +5798,7 @@ def doc_commonness_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 # what keeps blocked fuzzy joins viable at 100 TB. Edges are
 # distinct-name pairs within Levenshtein distance 2 inside a noun
 # block; transitive closure over them reuses
-# llm/dedup.py:connected_components (the document-dedup label loop);
+# llm/dedup.py:connected_components_star (the document-dedup CC);
 # parts then join back to their name's cluster. The DuckDB twin closes
 # the graph with a recursive CTE, cross-checking the loop's fixpoint
 # rather than mirroring its plan.
@@ -5853,7 +5855,7 @@ def part_name_match_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("a.name_id").alias("doc_a"),
         F.col("b.name_id").alias("doc_b"),
     )
-    cc = llm_dedup.connected_components(edges)
+    cc = llm_dedup.connected_components_star(edges)
     w = Window.partitionBy("cluster_id")
     return (
         pt.join(names.select("p_name", "name_id"), "p_name")
