@@ -6834,3 +6834,165 @@ def order_linecount_distribution(
     return per_order.groupBy("n_lines").agg(
         F.count(F.lit(1)).alias("n_orders")
     )
+
+
+# ---------------------------------------------------------------------------
+# Transactional table (storage/txlog.py) end-to-end: a deterministic
+# commit sequence — append, append, atomic DELETE-where (overwrite),
+# OPTIMIZE, RESTORE, append with an idempotent replay — then per-
+# version row counts and decimal price totals read back via time
+# travel, plus a stats-pruned range scan. The DuckDB twin recomputes
+# every version's expected content from `orders` with set algebra, so
+# the ACID surface (atomic versions, time travel, restore, exactly-
+# once commits, data-skipping scans) gets a full rows+schema+hash
+# check, not just pytest evidence. The table is built fresh in a temp
+# dir on every invocation — the sequence, not the storage location,
+# defines the result.
+# ---------------------------------------------------------------------------
+@query(
+    "txlog_history_stats",
+    oracle="""
+    WITH a AS (SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(12,2)) AS p
+               FROM orders WHERE o_orderkey % 10 = 0),
+    b AS (SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(12,2)) AS p
+          FROM orders WHERE o_orderkey % 10 = 1),
+    d AS (SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(12,2)) AS p
+          FROM orders WHERE o_orderkey % 10 = 2),
+    ab AS (SELECT * FROM a UNION ALL SELECT * FROM b),
+    ab_kept AS (SELECT * FROM ab WHERE p >= 150000),
+    abd AS (SELECT * FROM ab UNION ALL SELECT * FROM d),
+    states(version, mode) AS (VALUES
+      (0, 'append'), (1, 'append'), (2, 'overwrite'), (3, 'optimize'),
+      (4, 'restore'), (5, 'append'), (6, 'stats'), (99, 'scan_pruned'))
+    SELECT s.version, s.mode,
+           CAST(t.n AS BIGINT) AS n_rows,
+           CAST(t.tot AS DOUBLE) AS total_price
+    FROM states s JOIN (
+      SELECT 0 AS v, COUNT(*) AS n, SUM(p) AS tot FROM a
+      UNION ALL SELECT 1, COUNT(*), SUM(p) FROM ab
+      UNION ALL SELECT 2, COUNT(*), SUM(p) FROM ab_kept
+      UNION ALL SELECT 3, COUNT(*), SUM(p) FROM ab_kept
+      UNION ALL SELECT 4, COUNT(*), SUM(p) FROM ab
+      UNION ALL SELECT 5, COUNT(*), SUM(p) FROM abd
+      UNION ALL SELECT 6, COUNT(*), SUM(p) FROM abd
+      UNION ALL SELECT 99, COUNT(*), SUM(p) FROM abd
+                 WHERE o_orderkey BETWEEN 10000 AND 50000
+    ) t ON t.v = s.version
+    """,
+)
+def txlog_history_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drive the transactional table through its whole surface and
+    report each version's content.
+
+    Sequence (versions): 0 append keys%10=0 -> 1 append keys%10=1 ->
+    2 DELETE WHERE p < 150000 as one atomic overwrite -> 3 OPTIMIZE
+    (content unchanged, files rewritten) -> 4 RESTORE to v1 (the
+    delete rolled back as NEW history) -> 5 append keys%10=2 under an
+    (app_id, batch_id) that is then REPLAYED — the second commit must
+    publish nothing -> 6 attach_stats metadata version -> stats-pruned
+    range scan (rows must equal the plain predicate; pruning may only
+    cut files, never rows).
+
+    Scale: every version read is an O(1) manifest open + a parquet
+    scan of that version's files; the aggregates are map-side-partial
+    decimal sums. The commit protocol (create-exclusive manifests,
+    optimistic retry) is identical on a 1000-executor cluster — only
+    df.write parallelism changes."""
+    import tempfile
+
+    from cdk_dynamodb_cdc_spark.storage.txlog import (
+        TxTable,
+        attach_stats,
+        optimize,
+        restore,
+        scan,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", _dec("o_totalprice").alias("p")
+    )
+    t = TxTable(spark, tempfile.mkdtemp(prefix="txlog_q_"))
+    t.commit(orders.filter(F.col("o_orderkey") % 10 == 0))          # v0
+    t.commit(orders.filter(F.col("o_orderkey") % 10 == 1))          # v1
+    t.commit(                                                        # v2
+        t.snapshot().filter(F.col("p") >= 150000), mode="overwrite"
+    )
+    optimize(t, target_file_bytes=64 * 1024 * 1024)                  # v3
+    restore(t, 1)                                                    # v4
+    d = orders.filter(F.col("o_orderkey") % 10 == 2)
+    assert t.commit(d, app_id="txq", batch_id=1) == 5                # v5
+    assert t.commit(d, app_id="txq", batch_id=1) is None             # replay
+    attach_stats(t, ["o_orderkey"])                                  # v6
+    pruned, _files_read, _files_total = scan(
+        t, where=[("o_orderkey", 10000, 50000)]
+    )
+
+    def state(version: int, mode: str, df: DataFrame) -> DataFrame:
+        return df.agg(
+            F.lit(version).alias("version"),
+            F.lit(mode).alias("mode"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("p").cast("double").alias("total_price"),
+        )
+
+    out = state(0, "append", t.snapshot(version=0))
+    for v, mode in (
+        (1, "append"),
+        (2, "overwrite"),
+        (3, "optimize"),
+        (4, "restore"),
+        (5, "append"),
+        (6, "stats"),
+    ):
+        out = out.unionByName(state(v, mode, t.snapshot(version=v)))
+    return out.unionByName(state(99, "scan_pruned", pruned))
+
+
+# ---------------------------------------------------------------------------
+# MERGE INTO through the transactional boundary (storage/txlog.py:
+# merge_into): commit the cutoff snapshot as a TxTable version, MERGE
+# the post-cutoff CDC window onto it as ONE atomic overwrite version,
+# and read the result back through the table. The oracle is the same
+# full-replay state that verifies cdc_merge_apply — so the green hash
+# extends the maintenance theorem merge(snap(T1), log(T1,..]) ==
+# snap(latest) across the ACID commit/readback round-trip, and the
+# table_version column pins that exactly one version was published.
+# ---------------------------------------------------------------------------
+@query(
+    "txlog_merge_into_state",
+    oracle="""
+    WITH le AS (
+      SELECT user_id, event_type, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn,
+             COUNT(*) OVER (PARTITION BY user_id) AS nv
+      FROM events
+    )
+    SELECT 'USER#' || CAST(user_id AS VARCHAR) AS pk,
+           event_type, value,
+           CAST(nv AS BIGINT) AS n_versions,
+           CAST(1 AS BIGINT) AS table_version
+    FROM le WHERE rn = 1 AND user_id % 17 <> 0
+    """,
+)
+def txlog_merge_into_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from cdk_dynamodb_cdc_spark.operators.compaction import snapshot_at
+    from cdk_dynamodb_cdc_spark.storage.txlog import TxTable, merge_into
+
+    records = _augment_with_removes(synthesize_cdc_records(spark, sf_dir))
+    t = TxTable(spark, tempfile.mkdtemp(prefix="txlog_m_"))
+    t.commit(snapshot_at(records, _SNAPSHOT_CUTOFF))               # v0
+    window = records.filter(F.col("ts") > F.lit(_SNAPSHOT_CUTOFF))
+    v = merge_into(t, window, app_id="txm", batch_id=1)            # v1
+    assert v == 1
+    # replay of the same window publishes nothing (exactly-once)
+    assert merge_into(t, window, app_id="txm", batch_id=1) is None
+    return t.snapshot().select(
+        "pk",
+        F.get_json_object("image", "$.event_type.S").alias("event_type"),
+        F.get_json_object("image", "$.value.N").cast("double").alias("value"),
+        "n_versions",
+        F.lit(t.latest_version()).cast("bigint").alias("table_version"),
+    )

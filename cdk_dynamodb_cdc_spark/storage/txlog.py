@@ -682,12 +682,18 @@ def collect_stats(files: list[str], cols: list[str]) -> dict:
                 continue
             mins, maxs = [], []
             for i in range(pf.metadata.num_row_groups):
-                st = pf.metadata.row_group(i).column(idx).statistics
-                if st is None or st.min is None:
+                try:
+                    st = pf.metadata.row_group(i).column(idx).statistics
+                    lo_hi = (
+                        (st.min, st.max) if st is not None else None
+                    )
+                except Exception:
+                    lo_hi = None  # type pyarrow can't extract (decimal)
+                if lo_hi is None or lo_hi[0] is None:
                     mins, maxs = [], []
                     break
-                mins.append(st.min)
-                maxs.append(st.max)
+                mins.append(lo_hi[0])
+                maxs.append(lo_hi[1])
             if mins:
                 lo, hi = _json_stat(min(mins)), _json_stat(max(maxs))
                 if lo is not None and hi is not None:
