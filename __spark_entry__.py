@@ -49,6 +49,9 @@ _GATE_PRIORITY = [
     # large-star/small-star connected-components implementation.
     "txlog_history_stats",
     "txlog_merge_into_state",
+    "semantic_dedup_keep",
+    "corpus_mix_temperature",
+    "perplexity_filter_stats",
     "dedup_clusters",
     "part_name_match_clusters",
     "curate_corpus_dispositions",

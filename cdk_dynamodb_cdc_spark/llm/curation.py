@@ -195,3 +195,91 @@ def weighted_sample(
         .limit(n)
         .select(key_col, weight_col)
     )
+
+
+MIX_SALT = "mix-0"
+
+
+def source_temperature_plan(
+    docs: DataFrame,
+    *,
+    source_col: str = "source",
+    tau: float = 0.5,
+    target_frac: float = 0.5,
+) -> DataFrame:
+    """Per-source keep rates for TEMPERATURE-BASED corpus mixing:
+    sampled counts proportional to ``n_s ** tau`` (tau < 1 upweights
+    small sources, tau = 1 is natural proportions — the mixture rule
+    multilingual/multi-domain training corpora use), scaled so the
+    expected kept total is ``target_frac`` of the corpus, with
+    per-source rates capped at 1 (a capped source simply contributes
+    everything it has).
+
+    Returns ``(source, n_docs, keep_millionths)`` where
+    ``keep_millionths`` is the keep probability in integer millionths
+    — integer thresholds make the downstream hash filter exact and
+    engine-portable (no float comparison at the row level).
+
+    Determinism: the normalizer sum(n_s ** tau) is accumulated in
+    DECIMAL(28,10) (order-independent, bit-identical on any engine /
+    partitioning), then the per-source arithmetic is a fixed scalar
+    double expression.
+
+    Scale: one count per source (map-side combinable), a 1-row global
+    aggregate broadcast back — no shuffle of the corpus itself.
+    """
+    counts = docs.groupBy(source_col).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    pw = F.pow(F.col("n_docs").cast("double"), F.lit(tau))
+    z = counts.agg(
+        F.sum(pw.cast("decimal(28,10)")).cast("double").alias("z"),
+        F.sum("n_docs").alias("n_total"),
+    )
+    p = F.least(
+        F.lit(1.0),
+        (F.col("n_total") * F.lit(target_frac))
+        * (pw / F.col("z"))
+        / F.col("n_docs").cast("double"),
+    )
+    return counts.crossJoin(F.broadcast(z)).select(
+        source_col,
+        "n_docs",
+        F.floor(p * F.lit(1_000_000)).cast("long").alias(
+            "keep_millionths"
+        ),
+    )
+
+
+def temperature_mix(
+    docs: DataFrame,
+    *,
+    key_col: str = "doc_id",
+    source_col: str = "source",
+    tau: float = 0.5,
+    target_frac: float = 0.5,
+    salt: str = MIX_SALT,
+) -> DataFrame:
+    """Filter ``docs`` to the temperature-mixed subsample: a document
+    survives iff its salted 60-bit hash, reduced mod 1e6, falls under
+    its source's ``keep_millionths`` rate from
+    :func:`source_temperature_plan`. Deterministic (no RNG state),
+    reproducible across engines/runs/partitionings, and a different
+    salt draws an independent mixture — the same discipline as
+    :func:`weighted_sample`.
+
+    Scale: the plan side is sources-sized (broadcast); the corpus is
+    filtered map-side in one pass."""
+    from cdk_dynamodb_cdc_spark.llm.text import token_hash60
+
+    plan = source_temperature_plan(
+        docs, source_col=source_col, tau=tau, target_frac=target_frac
+    )
+    h = token_hash60(
+        F.concat(
+            F.lit(f"{salt}:"), F.col(key_col).cast("string")
+        )
+    )
+    return docs.join(F.broadcast(plan), source_col).filter(
+        (h % F.lit(1_000_000)) < F.col("keep_millionths")
+    )

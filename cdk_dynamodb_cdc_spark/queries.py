@@ -6996,3 +6996,214 @@ def txlog_merge_into_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_versions",
         F.lit(t.latest_version()).cast("bigint").alias("table_version"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Semantic dedup (SemDeDup shape): embedding-space near-dup pairs
+# (the deterministic sign-LSH + exact-cosine contract of
+# near_dup_embedding_pairs) -> connected components (large-star/
+# small-star) -> ONE kept representative per cluster, chosen by max
+# L2 norm with vec_id tiebreak (a deterministic stand-in for the
+# keep-nearest-centroid rule; norms are per-row sequential folds, so
+# the ranking is bit-stable across engines). The oracle closes the
+# same pair graph with a recursive CTE and ranks by the same norm.
+# ---------------------------------------------------------------------------
+@query(
+    "semantic_dedup_keep",
+    oracle=f"""
+    WITH RECURSIVE
+    s AS (
+      SELECT vec_id, embedding, {_lsh_bucket_sql('embedding')} AS bucket
+      FROM embeddings WHERE vec_id < 500
+    ),
+    p AS (
+      SELECT a.vec_id AS src, b.vec_id AS dst
+      FROM s a JOIN s b
+        ON a.vec_id < b.vec_id
+       AND bit_count(xor(a.bucket, b.bucket)) <= 2
+      WHERE list_sum(list_transform(range(1, len(a.embedding) + 1),
+                     i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
+            / (sqrt(list_sum(list_transform(range(1, len(a.embedding) + 1),
+                     i -> a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE)))
+               * sqrt(list_sum(list_transform(range(1, len(b.embedding) + 1),
+                     i -> b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))))
+            >= 0.4
+    ),
+    e AS (SELECT src, dst FROM p UNION ALL SELECT dst, src FROM p),
+    reach(node, lbl) AS (
+      SELECT vec_id, vec_id FROM s
+      UNION
+      SELECT e.dst, r.lbl FROM reach r JOIN e ON e.src = r.node
+    ),
+    cl AS (SELECT node AS vec_id, MIN(lbl) AS cluster_id
+           FROM reach GROUP BY node),
+    n2 AS (SELECT vec_id,
+                  list_sum(list_transform(range(1, len(embedding) + 1),
+                    i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE))
+                    AS norm2
+           FROM s)
+    SELECT cl.vec_id, cl.cluster_id,
+           CAST(COUNT(*) OVER (PARTITION BY cl.cluster_id) AS BIGINT)
+             AS cluster_size,
+           ROW_NUMBER() OVER (PARTITION BY cl.cluster_id
+                              ORDER BY n2.norm2 DESC, cl.vec_id) = 1
+             AS is_kept
+    FROM cl JOIN n2 USING (vec_id)
+    """,
+)
+def semantic_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row per vector: its semantic-dup cluster, the cluster size,
+    and whether a SemDeDup pass keeps it. Composes the deterministic
+    LSH pair contract, star-CC clustering, and a bit-stable
+    representative rule.
+
+    Scale: pairs come from the bucketed equi-join (never all-pairs),
+    clustering is O(log n) rounds over the pair graph only, and the
+    norm/rank pass is one windowed aggregation over the corpus
+    partitioned by cluster."""
+    from cdk_dynamodb_cdc_spark.llm.vectors import _dot, lsh_near_dup_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < 500
+    )
+    pairs = lsh_near_dup_pairs(emb, dim=64, threshold=0.4)
+    cc = llm_dedup.connected_components_star(pairs, "vec_a", "vec_b")
+    v = F.col("embedding").cast("array<double>")
+    base = emb.select("vec_id", _dot(v, v).alias("norm2"))
+    j = base.join(cc, base.vec_id == cc.node, "left").select(
+        "vec_id",
+        "norm2",
+        F.coalesce("cluster_id", "vec_id").alias("cluster_id"),
+    )
+    w = Window.partitionBy("cluster_id")
+    wr = Window.partitionBy("cluster_id").orderBy(
+        F.col("norm2").desc(), "vec_id"
+    )
+    return j.select(
+        "vec_id",
+        "cluster_id",
+        F.count(F.lit(1)).over(w).alias("cluster_size"),
+        (F.row_number().over(wr) == 1).alias("is_kept"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Temperature-based corpus mixing (llm/curation.py:temperature_mix):
+# per-source keep rates proportional to n^tau (tau=0.5 upweights small
+# sources), capped at 1, scaled to a target corpus fraction, applied
+# with a salted deterministic hash — the multilingual-mixture sampling
+# rule as a two-pass scan with a broadcast sources-sized plan. The
+# oracle recomputes the plan (decimal-accumulated normalizer, integer
+# millionth thresholds) and the md5-hash filter exactly.
+# ---------------------------------------------------------------------------
+@query(
+    "corpus_mix_temperature",
+    oracle="""
+    WITH c AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM documents GROUP BY source
+    ),
+    t AS (
+      SELECT CAST(SUM(CAST(sqrt(CAST(n_docs AS DOUBLE))
+                           AS DECIMAL(28,10))) AS DOUBLE) AS z,
+             SUM(n_docs) AS n_total
+      FROM c
+    ),
+    w AS (
+      SELECT source, n_docs,
+             CAST(floor(LEAST(1.0,
+                 (t.n_total * 0.5)
+                 * (sqrt(CAST(n_docs AS DOUBLE)) / t.z)
+                 / CAST(n_docs AS DOUBLE)) * 1000000) AS BIGINT)
+               AS keep_millionths
+      FROM c, t
+    ),
+    k AS (
+      SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_kept
+      FROM documents d JOIN w ON w.source = d.source
+      WHERE ('0x' || substr(md5('mix-0:' || CAST(d.doc_id AS VARCHAR)),
+                            1, 15))::BIGINT % 1000000 < w.keep_millionths
+      GROUP BY d.source
+    )
+    SELECT w.source, w.n_docs, w.keep_millionths,
+           CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept
+    FROM w LEFT JOIN k ON k.source = w.source
+    """,
+)
+def corpus_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdk_dynamodb_cdc_spark.llm.curation import (
+        source_temperature_plan,
+        temperature_mix,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = source_temperature_plan(docs, tau=0.5, target_frac=0.5)
+    kept = (
+        temperature_mix(docs, tau=0.5, target_frac=0.5)
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+    )
+    return plan.join(kept, "source", "left").select(
+        "source",
+        "n_docs",
+        "keep_millionths",
+        F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Perplexity quality filter (llm/quality_lm.py): the CCNet/Gopher
+# LM-filter stage built from first principles — train an add-one
+# bigram LM on the corpus (two vocabulary-sized aggregations), score
+# each document's average bigram log-likelihood, keep docs above the
+# floor. The per-doc sum folds over distinct (c2, c1) integer pairs
+# in integer order, so both engines add identical values in identical
+# order; the output is the integer n_bigrams and the keep DECISION
+# (raw floats never enter the hash — the threshold sits far from any
+# document's score, so last-ulp libm ln noise cannot flip it).
+# ---------------------------------------------------------------------------
+@query(
+    "perplexity_filter_stats",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ),
+    uni AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS c1
+      FROM (SELECT unnest(ws) AS w FROM toks) GROUP BY w
+    ),
+    vc AS (SELECT COUNT(*) AS v FROM uni),
+    bgx AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(ws)),
+                    i -> ws[i] || chr(1) || ws[i + 1])) AS bg
+      FROM toks
+    ),
+    bgc AS (SELECT bg, CAST(COUNT(*) AS BIGINT) AS c2
+            FROM bgx GROUP BY bg),
+    t AS (
+      SELECT b.doc_id, bgc.c2, uni.c1, CAST(COUNT(*) AS BIGINT) AS n
+      FROM bgx b
+      JOIN bgc USING (bg)
+      JOIN uni ON uni.w = string_split(b.bg, chr(1))[1]
+      GROUP BY b.doc_id, bgc.c2, uni.c1
+    ),
+    d AS (
+      SELECT doc_id,
+             list_sum(list(n * ln((c2 + 1)::DOUBLE / (c1 + vc.v)::DOUBLE)
+                           ORDER BY c2, c1)) AS logprob,
+             SUM(n) AS n_bigrams
+      FROM t, vc GROUP BY doc_id
+    )
+    SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams,
+           logprob / n_bigrams >= -3.5 AS kept
+    FROM d
+    """,
+)
+def perplexity_filter_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdk_dynamodb_cdc_spark.llm.quality_lm import perplexity_filter
+
+    docs = load_table(spark, sf_dir, "documents")
+    return perplexity_filter(docs, min_avg_logprob=-3.5).select(
+        F.col("key").alias("doc_id"), "n_bigrams", "kept"
+    )

@@ -704,3 +704,132 @@ def test_star_cc_keeps_components_separate(spark):
         (10, 10), (11, 10),
         (20, 20), (21, 20), (22, 20),
     }
+
+
+def test_temperature_mix_rates_and_determinism(spark):
+    """tau=0.5 upweights small sources (higher keep rate), rates cap
+    at 1.0, the kept set is identical across repartitionings, and the
+    realized counts sit near n_s * rate."""
+    import pyspark.sql.functions as F
+
+    from cdk_dynamodb_cdc_spark.llm.curation import (
+        source_temperature_plan,
+        temperature_mix,
+    )
+
+    rows = [(i, "big" if i < 9000 else "small") for i in range(10_000)]
+    docs = spark.createDataFrame(rows, "doc_id long, source string")
+
+    plan = {
+        r["source"]: r
+        for r in source_temperature_plan(
+            docs, tau=0.5, target_frac=0.5
+        ).collect()
+    }
+    big, small = plan["big"], plan["small"]
+    big_rate = big["keep_millionths"] / 1e6
+    small_rate = small["keep_millionths"] / 1e6
+    assert small_rate > big_rate  # tau < 1 upweights the small source
+    assert 0 < big_rate <= 1.0 and 0 < small_rate <= 1.0
+    # tau=0.5 gives the small source weight 0.25 -> raw rate 1.25,
+    # capped at 1.0 (contributes all 1000 docs, no redistribution);
+    # big keeps 5000*0.75/9000 -> expected total 3750 + 1000 = 4750.
+    assert small_rate == 1.0
+    exp_total = big["n_docs"] * big_rate + small["n_docs"] * small_rate
+    assert abs(exp_total - 4750) < 5  # millionth-floor rounding only
+
+    kept = temperature_mix(docs, tau=0.5, target_frac=0.5)
+    kept_ids = sorted(r["doc_id"] for r in kept.collect())
+    kept_ids_re = sorted(
+        r["doc_id"]
+        for r in temperature_mix(
+            docs.repartition(13), tau=0.5, target_frac=0.5
+        ).collect()
+    )
+    assert kept_ids == kept_ids_re  # partitioning-independent
+    # realized counts within 5% of expectation (hash uniformity)
+    n_big = kept.filter(F.col("source") == "big").count()
+    assert abs(n_big - big["n_docs"] * big_rate) < 0.05 * big["n_docs"]
+
+
+def test_temperature_mix_caps_small_sources_at_one(spark):
+    """A tiny source whose upweighted rate exceeds 1 contributes all
+    its documents, never more."""
+    from cdk_dynamodb_cdc_spark.llm.curation import (
+        source_temperature_plan,
+        temperature_mix,
+    )
+
+    rows = [(i, "big" if i < 9990 else "tiny") for i in range(10_000)]
+    docs = spark.createDataFrame(rows, "doc_id long, source string")
+    plan = {
+        r["source"]: r["keep_millionths"]
+        for r in source_temperature_plan(
+            docs, tau=0.1, target_frac=0.9
+        ).collect()
+    }
+    assert plan["tiny"] == 1_000_000  # capped
+    kept = temperature_mix(docs, tau=0.1, target_frac=0.9)
+    assert kept.filter("source = 'tiny'").count() == 10
+
+
+def test_semantic_dedup_keeps_one_per_cluster(spark):
+    """semantic_dedup_keep: exactly one kept representative per
+    cluster, and it is the member with the largest L2 norm."""
+    import pyspark.sql.functions as F
+
+    from cdk_dynamodb_cdc_spark.queries import QUERIES
+
+    out = QUERIES["semantic_dedup_keep"](
+        spark, "/root/testdata/sf0.001"
+    )
+    per_cluster = out.groupBy("cluster_id").agg(
+        F.sum(F.col("is_kept").cast("int")).alias("n_kept"),
+        F.count(F.lit(1)).alias("n"),
+        F.max("cluster_size").alias("sz"),
+    )
+    bad = per_cluster.filter(
+        (F.col("n_kept") != 1) | (F.col("n") != F.col("sz"))
+    ).count()
+    assert bad == 0
+    assert out.count() == 500
+
+
+def test_perplexity_filter_scores_and_decisions(spark):
+    """Bigram-LM scoring: repeated high-probability sequences score
+    above a gibberish doc; scores are partitioning-independent; every
+    doc with >= 2 tokens gets exactly one row."""
+    from cdk_dynamodb_cdc_spark.llm.quality_lm import (
+        doc_logprob_scores,
+        perplexity_filter,
+    )
+
+    common = "the cat sat on the mat"
+    rows = [(i, common) for i in range(20)]
+    rows.append((100, "zq xv qj wk vz kx"))  # singleton bigrams
+    rows.append((101, "solo"))  # one token: no bigrams, no row
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    scores = {
+        r["key"]: r["avg_logprob"]
+        for r in doc_logprob_scores(docs).collect()
+    }
+    assert 101 not in scores
+    assert len(scores) == 21
+    # the common sentence's bigrams have corpus count 20+; gibberish 1
+    assert scores[0] > scores[100]
+    assert scores[0] == scores[19]  # identical text -> identical score
+
+    re_scores = {
+        r["key"]: r["avg_logprob"]
+        for r in doc_logprob_scores(docs.repartition(7)).collect()
+    }
+    assert scores == re_scores  # deterministic fold order
+
+    # a threshold between the two scores separates them
+    thr = (scores[0] + scores[100]) / 2
+    kept = {
+        r["key"]: r["kept"]
+        for r in perplexity_filter(docs, min_avg_logprob=thr).collect()
+    }
+    assert kept[0] is True and kept[100] is False

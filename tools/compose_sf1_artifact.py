@@ -1,8 +1,8 @@
 """Compose BENCH_SF1_r{N}.json from tools/run_sf1_study.sh output.
 
-Reads the four bench JSONs in /tmp/sf1_study (lineitem family and
-events family, each at sf1 and sf0.1), computes total and per-query
-sf1/sf0.1 ratios, and writes the committed artifact. Tolerates a
+Reads the six bench JSONs in /tmp/sf1_study (lineitem, events, and
+documents/embeddings families, each at sf1 and sf0.1), computes total
+and per-query sf1/sf0.1 ratios, and writes the committed artifact. Tolerates a
 leading non-JSON warning line in the files (conda shell banner).
 
 Usage: python tools/compose_sf1_artifact.py <out.json> "<note>"
@@ -48,8 +48,17 @@ def main() -> int:
         load("/tmp/sf1_study/EV_sf1.json"),
         load("/tmp/sf1_study/EV_sf0.1.json"),
     )
-    artifact = {"note": note, **li, "cdc_events_family": ev}
-    for fam in (li, ev):
+    doc = ratios(
+        load("/tmp/sf1_study/DOC_sf1.json"),
+        load("/tmp/sf1_study/DOC_sf0.1.json"),
+    )
+    artifact = {
+        "note": note,
+        **li,
+        "cdc_events_family": ev,
+        "documents_embeddings_family": doc,
+    }
+    for fam in (li, ev, doc):
         assert "errors" not in fam["sf1"], fam["sf1"].get("errors")
         assert "errors" not in fam["sf01_same_subset"]
     with open(out_path, "w") as fh:
@@ -57,7 +66,8 @@ def main() -> int:
     print(
         f"wrote {out_path}: lineitem {li['total_ratio']}x "
         f"(max {li['max_query_ratio']}x), events {ev['total_ratio']}x "
-        f"(max {ev['max_query_ratio']}x)"
+        f"(max {ev['max_query_ratio']}x), docs/emb {doc['total_ratio']}x "
+        f"(max {doc['max_query_ratio']}x)"
     )
     return 0
 

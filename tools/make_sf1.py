@@ -17,11 +17,24 @@ is committed):
   and window queries key on) are byte-identical to the original, so the
   workload scales in users, not in per-key depth — the way a real
   stream grows.
+* `documents`: replicated 10x with disjoint doc_id spaces AND a
+  per-replica BIJECTIVE token mutation (every word gets a `_<rep>`
+  suffix; replica 0 is unchanged). A bijection on tokens maps each
+  document's shingle set bijectively, so every within-replica Jaccard
+  similarity — and therefore the entire near-dup pair/cluster
+  structure — is preserved EXACTLY, while cross-replica Jaccard is 0.
+  The corpus grows 10x in documents with the same dup density, which
+  is how a real crawl grows; naive replication would instead add
+  exact cross-replica duplicates and quadratically inflate pair
+  counts, measuring a different workload.
+* `embeddings`: replicated 10x with disjoint vec_id spaces and a
+  per-replica CYCLIC SHIFT of the vector components. A fixed
+  permutation applied to both sides of any within-replica pair
+  preserves dot products and norms exactly (cosine structure intact);
+  across replicas the shifted vectors decorrelate, so ANN/near-dup
+  workloads scale in corpus size, not in duplicate count.
 * every other table: symlinked to the sf0.1 file unchanged (dimension
-  tables scale sub-linearly in TPC-H anyway; documents/embeddings
-  queries are not part of the sf1 study — replicating near-identical
-  documents would quadratically inflate near-dup pair counts and measure
-  a different workload, not a bigger one).
+  tables scale sub-linearly in TPC-H anyway).
 
 Usage: python tools/make_sf1.py  (idempotent; ~40 MB of parquet)
 Then:  SPARK_GRAFT_SF_DIR=/root/repo/sf1 \
@@ -44,7 +57,6 @@ DST = "/root/repo/sf1"
 REPLICAS = 10
 COPY_TABLES = [
     "region", "nation", "customer", "supplier", "part",
-    "documents", "embeddings",
 ]
 
 
@@ -54,10 +66,14 @@ def main() -> int:
 
     orders = spark.read.parquet(f"{SRC}/orders.parquet")
     ev = spark.read.parquet(f"{SRC}/events.parquet")
+    docs = spark.read.parquet(f"{SRC}/documents.parquet")
+    emb = spark.read.parquet(f"{SRC}/embeddings.parquet")
     strides = {
         "o_orderkey": orders.agg(F.max("o_orderkey")).first()[0] + 1,
         "event_id": ev.agg(F.max("event_id")).first()[0] + 1,
         "user_id": ev.agg(F.max("user_id")).first()[0] + 1,
+        "doc_id": docs.agg(F.max("doc_id")).first()[0] + 1,
+        "vec_id": emb.agg(F.max("vec_id")).first()[0] + 1,
     }
     strides["l_orderkey"] = strides["o_orderkey"]  # shared key domain
     reps = spark.range(REPLICAS).select(F.col("id").alias("rep"))
@@ -66,6 +82,8 @@ def main() -> int:
         "orders": ["o_orderkey"],
         "lineitem": ["l_orderkey"],
         "events": ["event_id", "user_id"],
+        "documents": ["doc_id"],
+        "embeddings": ["vec_id"],
     }
     for table, keys in replicate.items():
         src_df = spark.read.parquet(f"{SRC}/{table}.parquet")
@@ -73,6 +91,35 @@ def main() -> int:
         for key in keys:
             out = out.withColumn(
                 key, F.col(key) + F.col("rep") * F.lit(strides[key])
+            )
+        if table == "documents":
+            # bijective per-replica token mutation: within-replica
+            # shingle-set Jaccard is EXACTLY preserved, cross-replica
+            # Jaccard is 0 (see module docstring). Replica 0 unchanged.
+            out = out.withColumn(
+                "text",
+                F.when(F.col("rep") == 0, F.col("text")).otherwise(
+                    F.array_join(
+                        F.transform(
+                            F.split("text", " "),
+                            lambda w: F.concat(
+                                w, F.lit("_"), F.col("rep").cast("string")
+                            ),
+                        ),
+                        " ",
+                    )
+                ),
+            ).withColumn("n_chars", F.length("text"))
+        elif table == "embeddings":
+            # per-replica cyclic shift: within-replica dot products and
+            # norms exactly preserved; replicas mutually decorrelated.
+            out = out.withColumn(
+                "embedding",
+                F.expr(
+                    "concat(slice(embedding, int(rep) + 1, "
+                    "             size(embedding) - int(rep)), "
+                    "       slice(embedding, 1, int(rep)))"
+                ),
             )
         # Even, machine-wide file layout: without this the output
         # inherits the source's 1-3 uneven input splits and every
