@@ -52,6 +52,8 @@ _GATE_PRIORITY = [
     "semantic_dedup_keep",
     "corpus_mix_temperature",
     "perplexity_filter_stats",
+    "substring_dup_stats",
+    "bpe_merge_candidates",
     "dedup_clusters",
     "part_name_match_clusters",
     "curate_corpus_dispositions",

@@ -726,3 +726,60 @@ def connected_components_star(
         "node",
         F.coalesce("cluster_id", F.col("node")).alias("cluster_id"),
     )
+
+
+def substring_dup_stats(
+    docs: DataFrame,
+    *,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    window_tokens: int = 10,
+) -> DataFrame:
+    """EXACT-substring duplication profile (the Lee et al. 2022
+    "Deduplicating Training Data Makes Language Models Better"
+    suffix-array criterion, re-expressed relationally): a ``window_
+    tokens``-token span is DUPLICATED iff the identical token sequence
+    occurs at least twice anywhere in the corpus (another document or
+    elsewhere in the same one). Returns, per document with at least
+    one full window: ``(key, n_windows, n_dup_windows)`` — integer
+    counts, so the result is exactly portable across engines.
+
+    The suffix-array formulation finds maximal repeated spans in
+    O(corpus) memory on one machine; this rolling-window formulation
+    finds the same fixed-length evidence as two shuffles, both
+    corpus-distributable: explode each document into its rolling
+    windows (positions preserved by multiplicity), aggregate global
+    window frequencies (map-side combinable, vocabulary-of-windows
+    sized), join back and count per document. A span of L >= k
+    duplicated tokens shows up as L - k + 1 duplicated windows, so
+    ``n_dup_windows`` recovers span structure the way the paper's
+    50-token criterion does.
+
+    Scale: windows are hashed strings; frequency agg is bounded by
+    distinct windows; the join back is gram-keyed. Nothing quadratic,
+    no Python.
+    """
+    toks = docs.select(
+        F.col(key_col).alias("key"),
+        F.split(F.col(text_col), " ").alias("ws"),
+    ).filter(F.size("ws") >= window_tokens)
+    wins = toks.select(
+        "key",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(ws) - {window_tokens} + 1), "
+                f"i -> array_join(slice(ws, i, {window_tokens}), ' '))"
+            )
+        ).alias("win"),
+    )
+    freq = wins.groupBy("win").agg(F.count(F.lit(1)).alias("n_occ"))
+    return (
+        wins.join(freq, "win")
+        .groupBy("key")
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.sum((F.col("n_occ") >= 2).cast("long")).alias(
+                "n_dup_windows"
+            ),
+        )
+    )

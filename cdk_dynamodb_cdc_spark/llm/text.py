@@ -357,3 +357,50 @@ def commonness_score(docs: DataFrame) -> DataFrame:
             )
         ).alias("commonness"),
     )
+
+
+def bpe_merge_candidates(
+    docs: Column | "DataFrame",  # noqa: F821 - DataFrame at runtime
+    *,
+    text_col: str = "text",
+    top_n: int = 20,
+):
+    """The first iteration of byte-pair-encoding tokenizer training:
+    corpus-weighted adjacent character-pair frequencies, ranked. BPE
+    training repeatedly merges the most frequent adjacent symbol pair;
+    this operator computes that ranking for the initial character
+    alphabet — the step that decides the first merge rule — as two
+    bounded aggregations.
+
+    Output: ``(pair, n_occurrences)``, the ``top_n`` most frequent
+    2-character adjacencies (count desc, pair asc — a total order, so
+    the cut is deterministic). Counts weight each word by its corpus
+    frequency, exactly as BPE training does.
+
+    Scale: the first aggregation reduces the corpus to its vocabulary
+    (map-side combinable, vocabulary-sized); the pair explosion runs
+    over VOCABULARY rows, not corpus rows — the standard trick that
+    makes BPE training corpus-size-independent after one pass. The
+    full training loop is this operator iterated with a re-symbolized
+    vocabulary; each iteration is the same two-aggregation plan.
+    """
+    from pyspark.sql import functions as F
+
+    words = (
+        docs.select(F.explode(F.split(F.col(text_col), " ")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.length("w") >= 2)
+    )
+    pairs = words.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")
+        ).alias("pair"),
+        "n",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("n").alias("n_occurrences"))
+        .orderBy(F.col("n_occurrences").desc(), "pair")
+        .limit(top_n)
+    )

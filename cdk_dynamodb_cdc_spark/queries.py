@@ -7207,3 +7207,71 @@ def perplexity_filter_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return perplexity_filter(docs, min_avg_logprob=-3.5).select(
         F.col("key").alias("doc_id"), "n_bigrams", "kept"
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact-substring duplication profile (llm/dedup.py:
+# substring_dup_stats): the Lee et al. 2022 suffix-array dedup
+# criterion as a relational plan — a 10-token window is duplicated iff
+# the identical token sequence occurs >= 2 times anywhere in the
+# corpus. Integer counts per document; the oracle rebuilds the same
+# rolling windows 1-indexed in SQL.
+# ---------------------------------------------------------------------------
+@query(
+    "substring_dup_stats",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ),
+    wins AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(ws) - 10 + 2),
+                    i -> array_to_string(list_slice(ws, i, i + 9), ' ')))
+               AS win
+      FROM toks WHERE len(ws) >= 10
+    ),
+    freq AS (SELECT win, CAST(COUNT(*) AS BIGINT) AS n_occ
+             FROM wins GROUP BY win)
+    SELECT w.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_windows,
+           CAST(SUM(CASE WHEN f.n_occ >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_windows
+    FROM wins w JOIN freq f USING (win)
+    GROUP BY w.doc_id
+    """,
+)
+def substring_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return llm_dedup.substring_dup_stats(
+        docs, window_tokens=10
+    ).select(F.col("key").alias("doc_id"), "n_windows", "n_dup_windows")
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer training, first merge decision (llm/text.py:
+# bpe_merge_candidates): corpus-weighted adjacent character-pair
+# frequencies over the vocabulary — the aggregation BPE training runs
+# per merge iteration, corpus-size-independent after the vocab pass.
+# Total order (count desc, pair asc) makes the top-20 cut exact.
+# ---------------------------------------------------------------------------
+@query(
+    "bpe_merge_candidates",
+    oracle="""
+    WITH words AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS n
+      FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      GROUP BY w HAVING length(w) >= 2
+    ),
+    pairs AS (
+      SELECT unnest(list_transform(range(1, length(w)),
+                    i -> substr(w, i, 2))) AS pair, n
+      FROM words
+    )
+    SELECT pair, CAST(SUM(n) AS BIGINT) AS n_occurrences
+    FROM pairs GROUP BY pair
+    ORDER BY n_occurrences DESC, pair LIMIT 20
+    """,
+)
+def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return llm_text.bpe_merge_candidates(docs, top_n=20)

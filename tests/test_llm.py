@@ -833,3 +833,54 @@ def test_perplexity_filter_scores_and_decisions(spark):
         for r in perplexity_filter(docs, min_avg_logprob=thr).collect()
     }
     assert kept[0] is True and kept[100] is False
+
+
+def test_substring_dup_finds_planted_shared_span(spark):
+    """A 12-token span shared verbatim by two docs yields exactly
+    span_len - k + 1 duplicated windows in each, and an all-unique doc
+    yields zero."""
+    span = " ".join(f"s{i}" for i in range(12))
+    rows = [
+        (0, span + " " + " ".join(f"a{i}" for i in range(8))),
+        (1, " ".join(f"b{i}" for i in range(8)) + " " + span),
+        (2, " ".join(f"u{i}" for i in range(20))),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["key"]: (r["n_windows"], r["n_dup_windows"])
+        for r in dedup.substring_dup_stats(
+            docs, window_tokens=10
+        ).collect()
+    }
+    # 20 tokens -> 11 windows each; the 12-token span contributes
+    # 12 - 10 + 1 = 3 windows fully inside it
+    assert got == {0: (11, 3), 1: (11, 3), 2: (11, 0)}
+
+
+def test_substring_dup_counts_within_doc_repeats(spark):
+    """A span repeated within ONE document is duplication too (the
+    suffix-array criterion is corpus-global, not cross-doc)."""
+    span = " ".join(f"r{i}" for i in range(10))
+    docs = spark.createDataFrame(
+        [(0, span + " " + span)], "doc_id long, text string"
+    )
+    [r] = dedup.substring_dup_stats(docs, window_tokens=10).collect()
+    assert r["n_windows"] == 11
+    # windows at offsets 0 and 10 are the identical span
+    assert r["n_dup_windows"] == 2
+
+
+def test_bpe_merge_candidates_ranks_weighted_pairs(spark):
+    """Pair counts weight words by corpus frequency, and the ranking
+    picks the dominant adjacency."""
+    from cdk_dynamodb_cdc_spark.llm.text import bpe_merge_candidates
+
+    docs = spark.createDataFrame(
+        [(0, "abab abab cd"), (1, "abab xy")],
+        "doc_id long, text string",
+    )
+    rows = bpe_merge_candidates(docs, top_n=3).collect()
+    ranked = [(r["pair"], r["n_occurrences"]) for r in rows]
+    # 'abab' x3 occurrences: pairs ab(2), ba(1) each per occurrence
+    assert ranked[0] == ("ab", 6)
+    assert ("ba", 3) in ranked
