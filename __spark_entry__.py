@@ -54,6 +54,7 @@ _GATE_PRIORITY = [
     "perplexity_filter_stats",
     "substring_dup_stats",
     "bpe_merge_candidates",
+    "quality_gate_dispositions",
     "dedup_clusters",
     "part_name_match_clusters",
     "curate_corpus_dispositions",

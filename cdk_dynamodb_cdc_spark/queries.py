@@ -7275,3 +7275,122 @@ def substring_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return llm_text.bpe_merge_candidates(docs, top_n=20)
+
+
+# ---------------------------------------------------------------------------
+# Quality-gate composition over the round-6 signals: repetition
+# (Gopher duplicated-gram fraction), exact-substring duplication
+# (Lee et al. windows, INTEGER fraction test 5*dup > n), perplexity
+# (corpus bigram LM), and the length/stopword quality score — first
+# matching rule wins, survivors are 'kept'. Every individual signal is
+# oracle-verified in isolation elsewhere in this registry; this query
+# pins the COMPOSITION (same pattern as curate_corpus_dispositions).
+# Float comparisons are safe by construction: dup_frac and
+# quality_score are single IEEE divisions (bit-identical inputs ->
+# identical results), the excerpt test is pure-integer, and the ppl
+# threshold sits ~7e-4 from the nearest score.
+# ---------------------------------------------------------------------------
+@query(
+    "quality_gate_dispositions",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ),
+    wins AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(ws) - 10 + 2),
+                    i -> array_to_string(list_slice(ws, i, i + 9), ' ')))
+               AS win
+      FROM toks WHERE len(ws) >= 10
+    ),
+    wfreq AS (SELECT win, COUNT(*) AS n_occ FROM wins GROUP BY win),
+    sub AS (
+      SELECT w.doc_id, COUNT(*) AS n_windows,
+             SUM(CASE WHEN f.n_occ >= 2 THEN 1 ELSE 0 END)
+               AS n_dup_windows
+      FROM wins w JOIN wfreq f USING (win) GROUP BY w.doc_id
+    ),
+    uni AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS c1
+      FROM (SELECT unnest(ws) AS w FROM toks) GROUP BY w
+    ),
+    vc AS (SELECT COUNT(*) AS v FROM uni),
+    bgx AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(ws)),
+                    i -> ws[i] || chr(1) || ws[i + 1])) AS bg
+      FROM toks
+    ),
+    bgc AS (SELECT bg, CAST(COUNT(*) AS BIGINT) AS c2
+            FROM bgx GROUP BY bg),
+    pt AS (
+      SELECT b.doc_id, bgc.c2, uni.c1, CAST(COUNT(*) AS BIGINT) AS n
+      FROM bgx b
+      JOIN bgc USING (bg)
+      JOIN uni ON uni.w = string_split(b.bg, chr(1))[1]
+      GROUP BY b.doc_id, bgc.c2, uni.c1
+    ),
+    ppl AS (
+      SELECT doc_id,
+             list_sum(list(n * ln((c2 + 1)::DOUBLE / (c1 + vc.v)::DOUBLE)
+                           ORDER BY c2, c1))
+               / SUM(n) AS avg_logprob
+      FROM pt, vc GROUP BY doc_id
+    ),
+    q AS (
+      SELECT doc_id,
+             {llm_cleaning.duck_duplicated_gram_fraction('text')}
+               AS dup_frac,
+             (CAST(least(len(string_split(text, ' ')), 80) AS DOUBLE)
+                / 80.0) * 0.7
+             + (CAST(len(list_filter(string_split(text, ' '),
+                        w -> w IN ({_STOP_LIST_SQL}))) AS DOUBLE)
+                / len(string_split(text, ' '))) * 0.3 AS quality_score
+      FROM documents
+    )
+    SELECT q.doc_id,
+           CASE
+             WHEN q.dup_frac > 0.2 THEN 'repetitive'
+             WHEN 5 * COALESCE(sub.n_dup_windows, 0)
+                  > COALESCE(sub.n_windows, 1) THEN 'excerpt_dup'
+             WHEN ppl.avg_logprob < -3.5 THEN 'low_ppl'
+             WHEN q.quality_score < 0.3 THEN 'low_quality'
+             ELSE 'kept'
+           END AS disposition
+    FROM q
+    LEFT JOIN sub ON sub.doc_id = q.doc_id
+    LEFT JOIN ppl ON ppl.doc_id = q.doc_id
+    """,
+)
+def quality_gate_dispositions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdk_dynamodb_cdc_spark.llm.quality_lm import doc_logprob_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    rep = docs.select(
+        "doc_id",
+        llm_cleaning.duplicated_gram_fraction(F.col("text")).alias(
+            "dup_frac"
+        ),
+        llm_text.text_quality(F.col("text"))["quality_score"].alias(
+            "quality_score"
+        ),
+    )
+    sub = llm_dedup.substring_dup_stats(docs, window_tokens=10).select(
+        F.col("key").alias("doc_id"), "n_windows", "n_dup_windows"
+    )
+    ppl = doc_logprob_scores(docs).select(
+        F.col("key").alias("doc_id"), "avg_logprob"
+    )
+    base = rep.join(sub, "doc_id", "left").join(ppl, "doc_id", "left")
+    disposition = (
+        F.when(F.col("dup_frac") > 0.2, "repetitive")
+        .when(
+            F.lit(5) * F.coalesce("n_dup_windows", F.lit(0))
+            > F.coalesce("n_windows", F.lit(1)),
+            "excerpt_dup",
+        )
+        .when(F.col("avg_logprob") < -3.5, "low_ppl")
+        .when(F.col("quality_score") < 0.3, "low_quality")
+        .otherwise("kept")
+    )
+    return base.select("doc_id", disposition.alias("disposition"))

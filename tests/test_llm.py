@@ -884,3 +884,44 @@ def test_bpe_merge_candidates_ranks_weighted_pairs(spark):
     # 'abab' x3 occurrences: pairs ab(2), ba(1) each per occurrence
     assert ranked[0] == ("ab", 6)
     assert ("ba", 3) in ranked
+
+
+def test_substring_dup_randomized_equals_brute_force(spark):
+    """Seeded random corpora from a tiny vocabulary (dense window
+    space, worst case for collisions): the relational profile must
+    equal a pure-Python recount every time."""
+    import numpy as np
+
+    rng = np.random.default_rng(23)
+    vocab = [f"w{i}" for i in range(6)]
+    k = 4
+    for _ in range(3):
+        texts = [
+            " ".join(rng.choice(vocab, size=int(rng.integers(2, 18))))
+            for _ in range(25)
+        ]
+        docs = _docs(spark, texts)
+        got = {
+            r["key"]: (r["n_windows"], r["n_dup_windows"])
+            for r in dedup.substring_dup_stats(
+                docs, window_tokens=k
+            ).collect()
+        }
+
+        from collections import Counter
+
+        freq: Counter = Counter()
+        per_doc: dict[int, list[str]] = {}
+        for i, t in enumerate(texts):
+            ws = t.split(" ")
+            wins = [
+                " ".join(ws[j:j + k]) for j in range(len(ws) - k + 1)
+            ]
+            if wins:
+                per_doc[i] = wins
+                freq.update(wins)
+        want = {
+            i: (len(wins), sum(1 for w in wins if freq[w] >= 2))
+            for i, wins in per_doc.items()
+        }
+        assert got == want
