@@ -55,6 +55,7 @@ _GATE_PRIORITY = [
     "substring_dup_stats",
     "bpe_merge_candidates",
     "quality_gate_dispositions",
+    "incremental_near_dup_pairs",
     "dedup_clusters",
     "part_name_match_clusters",
     "curate_corpus_dispositions",

@@ -783,3 +783,103 @@ def substring_dup_stats(
             ),
         )
     )
+
+
+def minhash_index(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Persistable MinHash-LSH corpus index: ``(bands, shingles)``.
+
+    ``bands`` is ``(doc_id, band, bh)`` — the banded signature rows the
+    candidate join keys on; ``shingles`` is ``(doc_id, s)`` — the exact
+    word-3-gram sets the verify step needs. Both are computed in ONE
+    pass over the corpus and are the two tables a production pipeline
+    writes once and reuses for every incoming batch (bucket/partition
+    ``bands`` by ``(band, bh)`` and the candidate join is shuffle-free
+    on the corpus side).
+    """
+    sigs = minhash_signatures(docs)
+    bands = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.hash(
+                            *[
+                                F.col("mh")[b * LSH_ROWS + r]
+                                for r in range(LSH_ROWS)
+                            ]
+                        ).alias("bh"),
+                    )
+                    for b in range(LSH_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bh")
+    shingles = docs.select(
+        "doc_id", word_shingles(F.col("text")).alias("s")
+    )
+    return bands, shingles
+
+
+def incremental_near_dup_pairs(
+    new_docs: DataFrame,
+    index_bands: DataFrame,
+    index_shingles: DataFrame,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Near-duplicates of an INCOMING BATCH against an existing corpus
+    index — the daily-crawl production shape: the corpus's signatures
+    and shingle sets were computed once (:func:`minhash_index`); each
+    new batch computes only ITS OWN, joins its band rows against the
+    index, and exact-verifies the candidates. Corpus text is never
+    re-read, corpus signatures never recomputed.
+
+    Output: ``(new_doc_id, corpus_doc_id, n_common, n_union, jaccard)``
+    with exact Jaccard >= ``threshold`` — equal to the all-pairs
+    new-batch x corpus answer under the standard banding miss bound
+    (module docstring). Pairs WITHIN the new batch are the symmetric
+    operator's job (:func:`minhash_near_dup_pairs` on the batch);
+    compose both for full coverage, then fold the batch into the index.
+
+    Scale: the candidate join is an equi-join on ``(band, bh)`` —
+    batch-sized left side against a bucketed corpus index, no C(n,2)
+    expansion anywhere; the verify join moves only candidate rows'
+    shingle arrays.
+    """
+    nb, ns = minhash_index(new_docs)
+    cands = (
+        nb.select(
+            F.col("doc_id").alias("new_doc_id"), "band", "bh"
+        )
+        .join(
+            index_bands.select(
+                F.col("doc_id").alias("corpus_doc_id"), "band", "bh"
+            ),
+            ["band", "bh"],
+        )
+        .filter(F.col("new_doc_id") != F.col("corpus_doc_id"))
+        .select("new_doc_id", "corpus_doc_id")
+        .distinct()
+    )
+    sa = ns.select(F.col("doc_id").alias("new_doc_id"), F.col("s").alias("sa"))
+    sb = index_shingles.select(
+        F.col("doc_id").alias("corpus_doc_id"), F.col("s").alias("sb")
+    )
+    n_common = F.size(F.array_intersect("sa", "sb"))
+    n_union = F.size("sa") + F.size("sb") - n_common
+    jaccard = F.when(
+        n_union > 0, n_common.cast("double") / n_union
+    ).otherwise(F.lit(0.0))
+    return (
+        cands.join(sa, "new_doc_id")
+        .join(sb, "corpus_doc_id")
+        .select(
+            "new_doc_id",
+            "corpus_doc_id",
+            n_common.alias("n_common"),
+            n_union.alias("n_union"),
+            jaccard.alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )

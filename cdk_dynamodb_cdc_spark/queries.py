@@ -7394,3 +7394,48 @@ def quality_gate_dispositions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("kept")
     )
     return base.select("doc_id", disposition.alias("disposition"))
+
+
+# ---------------------------------------------------------------------------
+# Incremental dedup (llm/dedup.py:minhash_index +
+# incremental_near_dup_pairs): near-dups of an incoming batch (doc_id
+# % 10 = 0) against the already-indexed corpus remainder — the
+# daily-crawl shape where corpus signatures/shingles are computed once
+# and each batch joins only its own band rows against the index. The
+# oracle is the exact all-pairs batch x corpus Jaccard join (the same
+# banding miss bound as the symmetric minhash query).
+# ---------------------------------------------------------------------------
+@query(
+    "incremental_near_dup_pairs",
+    oracle="""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+               FROM documents),
+    sh AS (SELECT doc_id,
+                  list_distinct(list_transform(range(1, len(ws) - 1),
+                      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))
+                    AS s
+           FROM w),
+    newb AS (SELECT * FROM sh WHERE doc_id % 10 = 0),
+    corp AS (SELECT * FROM sh WHERE doc_id % 10 <> 0)
+    SELECT n.doc_id AS new_doc_id, c.doc_id AS corpus_doc_id,
+           CAST(len(list_intersect(n.s, c.s)) AS INT) AS n_common,
+           CAST(len(n.s) + len(c.s) - len(list_intersect(n.s, c.s))
+                AS INT) AS n_union,
+           CAST(len(list_intersect(n.s, c.s)) AS DOUBLE)
+             / (len(n.s) + len(c.s) - len(list_intersect(n.s, c.s)))
+             AS jaccard
+    FROM newb n JOIN corp c ON TRUE
+    WHERE len(n.s) + len(c.s) - len(list_intersect(n.s, c.s)) > 0
+      AND CAST(len(list_intersect(n.s, c.s)) AS DOUBLE)
+          / (len(n.s) + len(c.s) - len(list_intersect(n.s, c.s)))
+          >= 0.8
+    """,
+)
+def incremental_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    batch = docs.filter(F.col("doc_id") % 10 == 0)
+    bands, shingles = llm_dedup.minhash_index(corpus)
+    return llm_dedup.incremental_near_dup_pairs(
+        batch, bands, shingles, threshold=0.8
+    )

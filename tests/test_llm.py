@@ -925,3 +925,110 @@ def test_substring_dup_randomized_equals_brute_force(spark):
             for i, wins in per_doc.items()
         }
         assert got == want
+
+
+def test_incremental_dedup_matches_symmetric_on_cross_pairs(spark):
+    """The incremental (batch x index) operator finds exactly the
+    cross-set subset of the symmetric operator's pairs, and a planted
+    batch near-dup of a corpus doc is caught."""
+    base = " ".join(f"w{i}" for i in range(50))
+    near = " ".join(f"w{i}" for i in range(49)) + " zz"
+    corpus_texts = [base, " ".join(f"c{i}" for i in range(40))]
+    batch_texts = [near, " ".join(f"b{i}" for i in range(40))]
+    rows = [(i * 2 + 1, t) for i, t in enumerate(corpus_texts)]  # odd ids
+    rows += [(i * 2, t) for i, t in enumerate(batch_texts)]  # even ids
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    corpus = docs.filter("doc_id % 2 = 1")
+    batch = docs.filter("doc_id % 2 = 0")
+
+    bands, shingles = dedup.minhash_index(corpus)
+    inc = {
+        (r["new_doc_id"], r["corpus_doc_id"])
+        for r in dedup.incremental_near_dup_pairs(
+            batch, bands, shingles, threshold=0.8
+        ).collect()
+    }
+    assert inc == {(0, 1)}  # planted near-dup found, nothing else
+
+    sym = {
+        tuple(sorted((r["doc_a"], r["doc_b"])))
+        for r in dedup.minhash_near_dup_pairs(docs, 0.8).collect()
+    }
+    cross = {
+        p for p in sym if (p[0] % 2 == 0) != (p[1] % 2 == 0)
+    }
+    assert {tuple(sorted(p)) for p in inc} == cross
+
+
+def test_streaming_curation_into_transactional_table(spark, tmp_path):
+    """End-to-end streaming composition: documents arrive as a file
+    stream, each micro-batch runs the quality signals (repetition +
+    quality score) and commits survivors to a transactional table with
+    a CHECK constraint, rejects to a dead-letter table — exactly-once
+    across a restart."""
+    import json as _json
+
+    from cdk_dynamodb_cdc_spark.llm.cleaning import (
+        duplicated_gram_fraction,
+    )
+    from cdk_dynamodb_cdc_spark.llm.text import text_quality
+    from cdk_dynamodb_cdc_spark.storage import TxTable
+
+    src = tmp_path / "in"
+    src.mkdir()
+    good = " ".join(f"alpha{i} beta{i}" for i in range(25))
+    junk = "spam spam spam spam spam spam spam spam spam spam"
+    with open(src / "b0.json", "w") as fh:
+        for i, t in ((0, good), (1, junk), (2, good + " more")):
+            fh.write(_json.dumps({"doc_id": i, "text": t}) + "\n")
+
+    tbl = str(tmp_path / "tbl")
+    dlq = str(tmp_path / "dlq")
+    table, dead = TxTable(spark, tbl), TxTable(spark, dlq)
+
+    def gate(batch_df, batch_id):
+        scored = batch_df.select(
+            "doc_id",
+            "text",
+            duplicated_gram_fraction(F.col("text")).alias("rep"),
+            text_quality(F.col("text"))["quality_score"].alias("q"),
+        )
+        keep = scored.filter((F.col("rep") <= 0.5) & (F.col("q") >= 0.3))
+        drop = scored.filter((F.col("rep") > 0.5) | (F.col("q") < 0.3))
+        table.commit(
+            keep.select("doc_id", "text"),
+            app_id="curate", batch_id=batch_id,
+        )
+        dead.commit(
+            drop.select("doc_id", "text", "rep", "q"),
+            app_id="curate:dlq", batch_id=batch_id,
+        )
+
+    def run_once():
+        q = (
+            spark.readStream.schema("doc_id long, text string")
+            .json(str(src))
+            .writeStream.foreachBatch(gate)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    assert sorted(
+        r["doc_id"] for r in table.snapshot().collect()
+    ) == [0, 2]
+    assert [r["doc_id"] for r in dead.snapshot().collect()] == [1]
+
+    # restart replays nothing (checkpoint + txn idempotence)...
+    run_once()
+    assert table.snapshot().count() == 2 and dead.snapshot().count() == 1
+
+    # ...and a new arriving file flows through the same gate
+    with open(src / "b1.json", "w") as fh:
+        fh.write(_json.dumps({"doc_id": 3, "text": good + " x"}) + "\n")
+    run_once()
+    assert sorted(
+        r["doc_id"] for r in table.snapshot().collect()
+    ) == [0, 2, 3]
