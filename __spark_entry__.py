@@ -56,6 +56,7 @@ _GATE_PRIORITY = [
     "bpe_merge_candidates",
     "quality_gate_dispositions",
     "incremental_near_dup_pairs",
+    "nb_lang_confusion",
     "dedup_clusters",
     "part_name_match_clusters",
     "curate_corpus_dispositions",

@@ -7439,3 +7439,72 @@ def incremental_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return llm_dedup.incremental_near_dup_pairs(
         batch, bands, shingles, threshold=0.8
     )
+
+
+# ---------------------------------------------------------------------------
+# Trained text classification (llm/classify.py): multinomial Naive
+# Bayes trained on the corpus's own language labels, then applied back
+# — training is two vocabulary-sized counts, inference one gram-keyed
+# join + per-(doc, label) fold in deterministic integer order (the
+# quality_lm discipline). Output is the integer confusion matrix, so
+# the hash check verifies every prediction while no float enters the
+# result. Complements the heuristic lang_id with the model-based lane.
+# ---------------------------------------------------------------------------
+@query(
+    "nb_lang_confusion",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
+      FROM documents
+    ),
+    tc AS (SELECT lang AS label, w, CAST(COUNT(*) AS BIGINT) AS c
+           FROM tok GROUP BY label, w),
+    ls AS (SELECT label, SUM(c) AS n_tokens FROM tc GROUP BY label),
+    ld AS (SELECT lang AS label, CAST(COUNT(*) AS BIGINT) AS n_docs
+           FROM documents GROUP BY lang),
+    vc AS (SELECT COUNT(DISTINCT w) AS v FROM tok),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+    td AS (SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS n
+           FROM tok GROUP BY doc_id, w),
+    pl AS (
+      SELECT td.doc_id, ls.label, td.n,
+             COALESCE(tc.c, 0) AS c, ls.n_tokens
+      FROM td
+      CROSS JOIN ls
+      LEFT JOIN tc ON tc.label = ls.label AND tc.w = td.w
+    ),
+    sc AS (
+      SELECT pl.doc_id, pl.label,
+             list_sum(list(
+               pl.n * ln((c + 1)::DOUBLE / (n_tokens + vc.v)::DOUBLE)
+               ORDER BY c, pl.n))
+             + ln(ld.n_docs::DOUBLE / tot.n::DOUBLE) AS score
+      FROM pl, vc, tot
+      JOIN ld ON ld.label = pl.label
+      GROUP BY pl.doc_id, pl.label, ld.n_docs, tot.n, vc.v
+    ),
+    pred AS (
+      SELECT doc_id, label AS predicted_lang,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, label) AS rk
+      FROM sc
+    )
+    SELECT d.lang AS actual_lang, p.predicted_lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM documents d
+    JOIN pred p ON p.doc_id = d.doc_id AND p.rk = 1
+    GROUP BY d.lang, p.predicted_lang
+    """,
+)
+def nb_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdk_dynamodb_cdc_spark.llm.classify import predict_nb, train_nb
+
+    docs = load_table(spark, sf_dir, "documents")
+    tc, ls, v = train_nb(docs, label_col="lang")
+    pred = predict_nb(docs, tc, ls, v)
+    return (
+        docs.select("doc_id", F.col("lang").alias("actual_lang"))
+        .join(pred, F.col("doc_id") == F.col("key"))
+        .groupBy("actual_lang", F.col("predicted_label").alias("predicted_lang"))
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )

@@ -1032,3 +1032,30 @@ def test_streaming_curation_into_transactional_table(spark, tmp_path):
     assert sorted(
         r["doc_id"] for r in table.snapshot().collect()
     ) == [0, 2, 3]
+
+
+def test_nb_classifier_learns_separable_labels(spark):
+    """NB trained on clearly separable vocabularies predicts the
+    training labels back perfectly, and prediction is
+    partitioning-independent."""
+    from cdk_dynamodb_cdc_spark.llm.classify import predict_nb, train_nb
+
+    rows = []
+    for i in range(10):
+        rows.append((i, " ".join(f"en{j}" for j in range(8)), "en"))
+        rows.append((100 + i, " ".join(f"fr{j}" for j in range(8)), "fr"))
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string"
+    )
+    tc, ls, v = train_nb(docs)
+    pred = {
+        r["key"]: r["predicted_label"]
+        for r in predict_nb(docs, tc, ls, v).collect()
+    }
+    assert all(pred[i] == "en" for i in range(10))
+    assert all(pred[100 + i] == "fr" for i in range(10))
+    pred2 = {
+        r["key"]: r["predicted_label"]
+        for r in predict_nb(docs.repartition(7), tc, ls, v).collect()
+    }
+    assert pred == pred2
