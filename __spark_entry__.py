@@ -57,6 +57,7 @@ _GATE_PRIORITY = [
     "quality_gate_dispositions",
     "incremental_near_dup_pairs",
     "nb_lang_confusion",
+    "embedding_pq_topk",
     "dedup_clusters",
     "part_name_match_clusters",
     "curate_corpus_dispositions",

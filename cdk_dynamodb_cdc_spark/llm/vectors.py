@@ -466,3 +466,229 @@ def ivf_cosine_topk(
         nprobe=nprobe,
         codebook=codebook,
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ): compress each vector to M subspace codes
+# (here 8 codes of 4 bits-ish — K=16 centroids per subspace) and
+# answer top-k with asymmetric distance computation (ADC): the query
+# stays exact, the corpus is read as codes plus one broadcast lookup
+# table per query. This is the memory lane of the ANN family — at
+# 100 TB the encoded corpus is ~64x smaller than the float vectors,
+# and the scan reads ONLY the code column; IVF gives the probe-cost
+# bound, PQ gives the bytes-per-vector bound, and production systems
+# (FAISS IVFPQ) compose exactly these two operators.
+# ---------------------------------------------------------------------------
+
+PQ_M = 8  # subspaces
+PQ_K = 16  # centroids per subspace
+PQ_SAMPLE = 2048
+PQ_KMEANS_ITERS = 8
+
+
+def pq_train(
+    emb: DataFrame,
+    dim: int,
+    *,
+    m: int = PQ_M,
+    k: int = PQ_K,
+    sample_n: int = PQ_SAMPLE,
+    iters: int = PQ_KMEANS_ITERS,
+) -> list[list[list[float]]]:
+    """Train the PQ codebooks: per-subspace L2 k-means over a bounded
+    seeded sample of UNIT-NORMALIZED vectors (PQ for cosine runs on
+    the normalized corpus, where L2 and cosine rank identically).
+    Returns ``codebooks[m][k][dim/m]``. Same determinism contract as
+    :func:`_ivf_codebook`: bounded sorted-id sample, seeded init,
+    fixed iteration count — the same vectors always yield the same
+    codebooks, so a persisted code table can be re-derived."""
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    dsub = dim // m
+    rows = (
+        _normed(emb).select("vec_id", "v", "nrm")
+        .orderBy("vec_id").limit(sample_n).collect()
+    )
+    X = np.array([r.v for r in rows], dtype=np.float64)
+    X = X / np.linalg.norm(X, axis=1, keepdims=True)
+    rng = np.random.default_rng(_PLANE_SEED + 1)
+    books: list[list[list[float]]] = []
+    for s in range(m):
+        Xs = X[:, s * dsub:(s + 1) * dsub]
+        kk = min(k, len(Xs))
+        cents = Xs[rng.choice(len(Xs), size=kk, replace=False)].copy()
+        for _ in range(iters):
+            d2 = ((Xs[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for c in range(kk):
+                members = Xs[assign == c]
+                if len(members):
+                    cents[c] = members.mean(axis=0)
+        books.append(cents.tolist())
+    return books
+
+
+def pq_encode(
+    emb: DataFrame,
+    codebooks: list[list[list[float]]],
+) -> DataFrame:
+    """Encode the corpus: ``(vec_id, codes array<int>[M])`` — the
+    persistable PQ index (write once; scans of it read ~M bytes per
+    vector instead of the float array).
+
+    Shuffle discipline mirrors :func:`ivf_build`: the assignment
+    crossJoin is projected to NARROW (vec_id, sub, code, dist) rows
+    before the per-(vec_id, sub) argmin aggregation, and codes
+    reassemble in one keyed agg — the vectors themselves never
+    shuffle."""
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    cb_rows = [
+        (s, c, [float(x) for x in cent])
+        for s, book in enumerate(codebooks)
+        for c, cent in enumerate(book)
+    ]
+    spark = emb.sparkSession
+    cb = spark.createDataFrame(
+        cb_rows, "sub int, code int, cent array<double>"
+    )
+    base = _normed(emb).select(
+        "vec_id",
+        F.transform(
+            F.col("v"), lambda x: x / F.col("nrm")
+        ).alias("u"),
+    )
+    subs = base.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("sub"),
+                        F.slice("u", s * dsub + 1, dsub).alias("usub"),
+                    )
+                    for s in range(m)
+                ]
+            )
+        ).alias("x"),
+    ).select("vec_id", "x.sub", "x.usub")
+    dist = F.aggregate(
+        F.zip_with("usub", "cent", lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, d: acc + d,
+    )
+    assigned = (
+        subs.join(F.broadcast(cb), "sub")
+        .select("vec_id", "sub", "code", dist.alias("d"))
+        .groupBy("vec_id", "sub")
+        .agg(F.min_by("code", F.struct("d", "code")).alias("code"))
+    )
+    return assigned.groupBy("vec_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("sub", "code"))),
+            lambda x: x["code"],
+        ).alias("codes")
+    )
+
+
+def pq_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    *,
+    dim: int,
+    m: int = PQ_M,
+    shortlist: int = 100,
+) -> DataFrame:
+    """Approximate top-k cosine neighbors via PQ/ADC with exact
+    re-rank: encode the corpus, build one exact lookup table per query
+    (M x K subspace distances against the EXACT query — asymmetric),
+    shortlist the ``shortlist`` best by summed table entries, then
+    re-rank the shortlist by EXACT cosine — the FAISS-style two-stage
+    shape, where the compressed scan does the corpus-sized work and
+    exact arithmetic touches only ``shortlist`` rows per query.
+    Output (qid, rk, neighbor_id) — integers only, ties broken by
+    neighbor_id, same contract as the other ANN lanes.
+
+    Scale: the per-query LUT is M*K doubles (broadcast); the corpus
+    side of the first stage reads only (vec_id, codes) — the ADC sum
+    is a per-row fold of M array lookups, no vector arithmetic in the
+    scan; the re-rank join fetches ``shortlist * |queries|`` float
+    vectors, independent of corpus size."""
+    codebooks = pq_train(emb, dim, m=m)
+    encoded = pq_encode(emb, codebooks)
+
+    q_rows = (
+        _normed(emb)
+        .filter(F.col("vec_id").isin(query_ids))
+        .collect()
+    )
+    spark = emb.sparkSession
+    luts = []
+    for r in q_rows:
+        u = np.array(r.v, dtype=np.float64)
+        u = u / np.linalg.norm(u)
+        dsub = dim // m
+        lut = [
+            [
+                float(((u[s * dsub:(s + 1) * dsub] - np.array(c)) ** 2).sum())
+                for c in codebooks[s]
+            ]
+            for s in range(m)
+        ]
+        luts.append((int(r.vec_id), lut))
+    lut_df = spark.createDataFrame(
+        luts, "qid long, lut array<array<double>>"
+    )
+    adc = F.aggregate(
+        F.zip_with(
+            "codes",
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            lambda c, i: F.element_at(
+                F.element_at("lut", i + F.lit(1)), c + F.lit(1)
+            ),
+        ),
+        F.lit(0.0),
+        lambda acc, d: acc + d,
+    )
+    scored = (
+        encoded.crossJoin(F.broadcast(lut_df))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            F.col("vec_id").alias("neighbor_id"),
+            adc.alias("adist"),
+        )
+    )
+    ws = Window.partitionBy("qid").orderBy(
+        F.col("adist").asc(), F.col("neighbor_id")
+    )
+    short = (
+        scored.withColumn("srk", F.row_number().over(ws))
+        .filter(F.col("srk") <= shortlist)
+        .select("qid", "neighbor_id")
+    )
+    # exact re-rank of the shortlist only
+    base = _normed(emb)
+    qv = base.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("qid"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+    )
+    cv = base.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("v").alias("cv"),
+        F.col("nrm").alias("cn"),
+    )
+    cos = _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
+    w = Window.partitionBy("qid").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        short.join(F.broadcast(qv), "qid")
+        .join(cv, "neighbor_id")
+        .select("qid", "neighbor_id", cos.alias("cos"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("qid", "rk", "neighbor_id")
+    )

@@ -7508,3 +7508,38 @@ def nb_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("actual_lang", F.col("predicted_label").alias("predicted_lang"))
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
+
+
+# ---------------------------------------------------------------------------
+# PQ/ADC ANN (third approximate lane; llm/vectors.py:pq_topk): product-
+# quantized codes + per-query exact lookup tables + exact re-rank of
+# the ADC shortlist — the FAISS IVFPQ memory-bound shape (corpus scan
+# reads ~M bytes/vector). Recall-contract oracle like the other ANN
+# lanes; floor 0.5 — measured per-query recall@10 at defaults is
+# {0.8..1.0} at sf0.01, fully deterministic (seeded codebooks, exact
+# re-rank, unique tiebreakers).
+# ---------------------------------------------------------------------------
+_PQ_RECALL_FLOOR = 0.5
+
+
+@query(
+    "embedding_pq_topk",
+    oracle="SELECT * FROM (VALUES "
+    + ", ".join(f"({i}, TRUE)" for i in _ANN_QUERY_IDS)
+    + ") AS t(qid, recall_ok)",
+)
+def embedding_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    pq = llm_vectors.pq_topk(emb, query_ids=_ANN_QUERY_IDS, k=10, dim=64)
+    exact = llm_vectors.cosine_topk(emb, query_ids=_ANN_QUERY_IDS, k=10)
+    hits = exact.select("qid", "neighbor_id").join(
+        pq.select("qid", "neighbor_id"), ["qid", "neighbor_id"], "left_semi"
+    )
+    return (
+        hits.groupBy("qid")
+        .agg((F.count(F.lit(1)) / 10.0).alias("recall"))
+        .select(
+            F.col("qid").cast("int").alias("qid"),
+            (F.col("recall") >= F.lit(_PQ_RECALL_FLOOR)).alias("recall_ok"),
+        )
+    )
