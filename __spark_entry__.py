@@ -58,6 +58,7 @@ _GATE_PRIORITY = [
     "incremental_near_dup_pairs",
     "nb_lang_confusion",
     "embedding_pq_topk",
+    "cdc_field_drift_stats",
     "dedup_clusters",
     "part_name_match_clusters",
     "curate_corpus_dispositions",

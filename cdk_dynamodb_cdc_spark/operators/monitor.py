@@ -100,3 +100,46 @@ def profile_columns(df: DataFrame, cols: list[str]) -> DataFrame:
         F.sum(F.col("value").isNull().cast("long")).alias("n_nulls"),
         F.count_distinct("value").alias("n_distinct"),
     )
+
+
+def field_drift_stats(
+    records: DataFrame,
+    *,
+    image_col: str = "new_image",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Schema-drift profile of a CDC stream: one row per (attribute,
+    wire type) pair seen in the marshalled images — how many records
+    carry it and the first/last time it appeared (epoch µs). The lane
+    that catches a producer adding, dropping, or re-typing an item
+    attribute mid-stream, which a typed consumer (operators/
+    typed_diff.py) must know before its generated schema goes stale.
+
+    Parsing is generic (no schema assumed): each image is read as
+    ``map<attr, map<wiretype, value>>`` — the DynamoDB AttributeValue
+    wire shape — and exploded to (attr, wiretype) pairs. Per-pair
+    aggregation is map-side combinable; output is attribute-schema
+    sized, not stream sized. Per-row scan-speed otherwise.
+    """
+    # epoch µs for TIMESTAMP or TIMESTAMP_NTZ input (unix_micros
+    # rejects NTZ; timestampdiff from the NTZ epoch handles both)
+    ts_us = F.timestamp_diff(
+        "MICROSECOND",
+        F.lit("1970-01-01 00:00:00").cast("timestamp_ntz"),
+        F.col(ts_col).cast("timestamp_ntz"),
+    )
+    parsed = records.filter(F.col(image_col).isNotNull()).select(
+        ts_us.alias("ts_us"),
+        F.explode(
+            F.from_json(
+                F.col(image_col), "map<string, map<string, string>>"
+            )
+        ).alias("field", "av"),
+    )
+    return parsed.select(
+        "ts_us", "field", F.map_keys("av")[0].alias("wire_type")
+    ).groupBy("field", "wire_type").agg(
+        F.count(F.lit(1)).alias("n_records"),
+        F.min("ts_us").alias("first_seen_us"),
+        F.max("ts_us").alias("last_seen_us"),
+    )

@@ -7543,3 +7543,71 @@ def embedding_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("recall") >= F.lit(_PQ_RECALL_FLOOR)).alias("recall_ok"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# CDC schema-drift profiling (operators/monitor.py:field_drift_stats):
+# the stream gains two attributes mid-life (a numeric v2_score on
+# every 7th event, a string tag for every 5th user) and the profiler
+# — which assumes NO schema, parsing images as the generic
+# AttributeValue map shape — must report exactly which attributes
+# exist, under which wire type, over which time span. The oracle
+# recomputes presence sets and spans from the events table directly.
+# ---------------------------------------------------------------------------
+@query(
+    "cdc_field_drift_stats",
+    oracle="""
+    WITH e AS (
+      SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events
+    ),
+    fields(field, wire_type, pred) AS (VALUES
+      ('event_type', 'S', 'all'), ('value', 'N', 'all'),
+      ('v2_score', 'N', 'e7'), ('tag', 'S', 'u5'))
+    SELECT f.field, f.wire_type,
+           CAST(COUNT(*) AS BIGINT) AS n_records,
+           MIN(e.ts_us) AS first_seen_us,
+           MAX(e.ts_us) AS last_seen_us
+    FROM fields f JOIN e ON
+      CASE f.pred WHEN 'all' THEN TRUE
+                  WHEN 'e7' THEN e.event_id % 7 = 0
+                  ELSE e.user_id % 5 = 0 END
+    GROUP BY f.field, f.wire_type
+    """,
+)
+def cdc_field_drift_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdk_dynamodb_cdc_spark.operators.monitor import field_drift_stats
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    image = F.concat(
+        F.lit('{"event_type":{"S":"'), F.col("event_type"),
+        F.lit('"},"value":{"N":"'), F.col("value").cast("string"),
+        F.lit('"}'),
+        F.when(
+            F.col("event_id") % 7 == 0,
+            F.concat(
+                F.lit(',"v2_score":{"N":"'),
+                (F.col("value") * 2).cast("string"),
+                F.lit('"}'),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("user_id") % 5 == 0,
+            F.concat(
+                F.lit(',"tag":{"S":"u'),
+                F.col("user_id").cast("string"),
+                F.lit('"}'),
+            ),
+        ).otherwise(F.lit("")),
+        F.lit("}"),
+    )
+    records = ev.select(
+        F.col("event_id").cast("string").alias("event_id"),
+        F.row_number().over(w).cast("long").alias("seq"),
+        F.col("ts"),
+        F.lit("MODIFY").alias("operation"),
+        F.concat(F.lit("USER#"), F.col("user_id")).alias("pk"),
+        F.lit("STATE").alias("sk"),
+        image.alias("new_image"),
+    )
+    return field_drift_stats(records)
