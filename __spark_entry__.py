@@ -59,6 +59,7 @@ _GATE_PRIORITY = [
     "nb_lang_confusion",
     "embedding_pq_topk",
     "cdc_field_drift_stats",
+    "embedding_ivfpq_topk",
     "dedup_clusters",
     "part_name_match_clusters",
     "curate_corpus_dispositions",

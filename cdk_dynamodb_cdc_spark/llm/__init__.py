@@ -16,18 +16,35 @@ from cdk_dynamodb_cdc_spark.llm.text import (  # noqa: F401
 )
 from cdk_dynamodb_cdc_spark.llm.dedup import (  # noqa: F401
     connected_components,
+    connected_components_star,
     exact_dedup_groups,
+    incremental_near_dup_pairs,
+    minhash_index,
     minhash_near_dup_pairs,
     simhash_near_dup_pairs,
+    substring_dup_stats,
 )
 from cdk_dynamodb_cdc_spark.llm.curation import (  # noqa: F401
     decontaminate,
     pack_sequences,
     stratified_sample,
+    temperature_mix,
+    weighted_sample,
 )
 from cdk_dynamodb_cdc_spark.llm.vectors import (  # noqa: F401
     ann_cosine_topk,
     cosine_topk,
+    ivf_cosine_topk,
+    lsh_near_dup_pairs,
+    pq_topk,
+)
+from cdk_dynamodb_cdc_spark.llm.quality_lm import (  # noqa: F401
+    doc_logprob_scores,
+    perplexity_filter,
+)
+from cdk_dynamodb_cdc_spark.llm.classify import (  # noqa: F401
+    predict_nb,
+    train_nb,
 )
 from cdk_dynamodb_cdc_spark.llm.multimodal import (  # noqa: F401
     attach_binary_payload,

@@ -692,3 +692,113 @@ def pq_topk(
         .filter(F.col("rk") <= k)
         .select("qid", "rk", "neighbor_id")
     )
+
+
+def ivfpq_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    *,
+    dim: int,
+    nlist: int = IVF_NLIST,
+    nprobe: int = IVF_NPROBE,
+    m: int = PQ_M,
+    shortlist: int = 100,
+) -> DataFrame:
+    """IVF + PQ composed — the FAISS IVFPQ shape, which is what
+    billion-vector deployments actually run: the IVF cells bound WHICH
+    FRACTION of the corpus each query touches (~nprobe/nlist), the PQ
+    codes bound the BYTES PER VECTOR that fraction costs to scan
+    (~M bytes), and an exact re-rank of the ADC shortlist restores
+    precision. Both trained structures come from the same seeded
+    deterministic fits as their standalone operators.
+
+    (This variant encodes raw normalized vectors; production IVFPQ
+    encodes residuals x - centroid for tighter quantization — a
+    per-cell subtraction before :func:`pq_encode`, same plan shape.)
+
+    Scale: probe list and lookup tables broadcast; the candidate join
+    keys on (cell); stored cell-bucketed, the scan reads only probed
+    cells' (vec_id, codes) rows; exact arithmetic touches
+    ``shortlist * |queries|`` vectors regardless of corpus size.
+    """
+    codebook = _ivf_codebook(_normed(emb), nlist)
+    index = ivf_build(emb, nlist=nlist, codebook=codebook)
+    pq_books = pq_train(emb, dim, m=m)
+    encoded = pq_encode(emb, pq_books)
+    indexed = index.select("vec_id", "cell").join(encoded, "vec_id")
+
+    spark = emb.sparkSession
+    q_rows = (
+        _normed(emb).filter(F.col("vec_id").isin(query_ids)).collect()
+    )
+    cents = np.array(codebook)
+    dsub = dim // m
+    probe_rows, lut_rows = [], []
+    for r in q_rows:
+        u = np.array(r.v, dtype=np.float64)
+        u = u / np.linalg.norm(u)
+        sims = cents @ u
+        order = np.lexsort((np.arange(len(sims)), -sims))[:nprobe]
+        probe_rows += [(int(r.vec_id), int(c)) for c in order]
+        lut = [
+            [
+                float(((u[s * dsub:(s + 1) * dsub] - np.array(c)) ** 2).sum())
+                for c in pq_books[s]
+            ]
+            for s in range(m)
+        ]
+        lut_rows.append((int(r.vec_id), lut))
+    probes = spark.createDataFrame(probe_rows, "qid long, cell int")
+    luts = spark.createDataFrame(lut_rows, "qid long, lut array<array<double>>")
+
+    adc = F.aggregate(
+        F.zip_with(
+            "codes",
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            lambda c, i: F.element_at(
+                F.element_at("lut", i + F.lit(1)), c + F.lit(1)
+            ),
+        ),
+        F.lit(0.0),
+        lambda acc, d: acc + d,
+    )
+    scored = (
+        indexed.join(F.broadcast(probes), "cell")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .join(F.broadcast(luts), "qid")
+        .select(
+            "qid", F.col("vec_id").alias("neighbor_id"), adc.alias("adist")
+        )
+    )
+    ws = Window.partitionBy("qid").orderBy(
+        F.col("adist").asc(), F.col("neighbor_id")
+    )
+    short = (
+        scored.withColumn("srk", F.row_number().over(ws))
+        .filter(F.col("srk") <= shortlist)
+        .select("qid", "neighbor_id")
+    )
+    base = _normed(emb)
+    qv = base.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("qid"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+    )
+    cv = base.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("v").alias("cv"),
+        F.col("nrm").alias("cn"),
+    )
+    cos = _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
+    w = Window.partitionBy("qid").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        short.join(F.broadcast(qv), "qid")
+        .join(cv, "neighbor_id")
+        .select("qid", "neighbor_id", cos.alias("cos"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("qid", "rk", "neighbor_id")
+    )

@@ -7611,3 +7611,40 @@ def cdc_field_drift_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         image.alias("new_image"),
     )
     return field_drift_stats(records)
+
+
+# ---------------------------------------------------------------------------
+# IVFPQ (llm/vectors.py:ivfpq_topk): the composed billion-vector shape
+# — IVF cells bound the corpus FRACTION each query touches
+# (nprobe/nlist), PQ codes bound the BYTES per touched vector (~M),
+# exact re-rank restores precision. Recall is IVF-bounded (the probe
+# set caps what PQ can see), so the contract floor matches the
+# IVF-flat lane: 0.3, measured {0.4..0.8} per query at sf0.01.
+# ---------------------------------------------------------------------------
+@query(
+    "embedding_ivfpq_topk",
+    oracle="SELECT * FROM (VALUES "
+    + ", ".join(f"({i}, TRUE)" for i in _ANN_QUERY_IDS)
+    + ") AS t(qid, recall_ok)",
+)
+def embedding_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    ivfpq = llm_vectors.ivfpq_topk(
+        emb, query_ids=_ANN_QUERY_IDS, k=10, dim=64
+    )
+    exact = llm_vectors.cosine_topk(emb, query_ids=_ANN_QUERY_IDS, k=10)
+    hits = exact.select("qid", "neighbor_id").join(
+        ivfpq.select("qid", "neighbor_id"),
+        ["qid", "neighbor_id"],
+        "left_semi",
+    )
+    return (
+        hits.groupBy("qid")
+        .agg((F.count(F.lit(1)) / 10.0).alias("recall"))
+        .select(
+            F.col("qid").cast("int").alias("qid"),
+            (F.col("recall") >= F.lit(_IVF_RECALL_FLOOR)).alias(
+                "recall_ok"
+            ),
+        )
+    )

@@ -1092,3 +1092,19 @@ def test_pq_recall_floor_and_encode_shape(spark):
         r.vec_id: r.codes for r in vectors.pq_encode(emb, books).collect()
     }
     assert enc1 == enc2  # partitioning-independent
+
+
+def test_ivfpq_recall_floor_vs_brute_force(spark):
+    """Composed IVF + PQ + exact re-rank: recall bounded below by the
+    contract floor (IVF probing is the binding constraint)."""
+    emb = load_table(spark, SF_DIR, "embeddings")
+    qids = [0, 1, 2, 3, 4]
+    bf = {
+        (r.qid, r.neighbor_id)
+        for r in vectors.cosine_topk(emb, qids, 10).collect()
+    }
+    got = {
+        (r.qid, r.neighbor_id)
+        for r in vectors.ivfpq_topk(emb, qids, 10, dim=64).collect()
+    }
+    assert len(bf & got) / len(bf) >= 0.3
