@@ -60,6 +60,7 @@ _GATE_PRIORITY = [
     "embedding_pq_topk",
     "cdc_field_drift_stats",
     "embedding_ivfpq_topk",
+    "doc_hash_embedding_topk",
     "dedup_clusters",
     "part_name_match_clusters",
     "curate_corpus_dispositions",

@@ -404,3 +404,68 @@ def bpe_merge_candidates(
         .orderBy(F.col("n_occurrences").desc(), "pair")
         .limit(top_n)
     )
+
+
+HASH_EMBED_DIM = 64
+
+
+def hashed_doc_vectors(
+    docs,  # DataFrame
+    *,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    dim: int = HASH_EMBED_DIM,
+):
+    """Feature-hashed bag-of-words document vectors (the HashingTF /
+    "hashing trick" embedding, with the sign trick that makes
+    collisions unbiased): token t contributes ±1 to dimension
+    ``hash(t) % dim``, sign from the next hash bit. No model, no
+    vocabulary table — documents embed in one scan, and the output
+    plugs straight into the vector family (cosine top-k, LSH, IVF,
+    PQ), giving the engine an embed -> search path with zero external
+    dependencies.
+
+    Output: ``(key, vec array<long>)`` — INTEGER vectors (signed token
+    counts), so downstream cosine ranking is exact arithmetic on
+    identical integers in any engine.
+
+    Scale: explode + one (key, dim) aggregation + one per-key
+    assembly; map-side combinable, output is corpus-sized rows of
+    ``dim`` longs.
+    """
+    if dim & (dim - 1) != 0:
+        raise ValueError(f"dim must be a power of two: {dim}")
+    shift = dim.bit_length() - 1
+    toks = docs.select(
+        F.col(key_col).alias("key"),
+        F.explode(F.split(F.col(text_col), " ")).alias("w"),
+    )
+    h = token_hash60(F.col("w"))
+    # sign from a hash bit ABOVE the dim bits, via exact integer shift
+    # (float division would lose bits past 2^53 on a 60-bit hash)
+    per_dim = (
+        toks.select(
+            "key",
+            (h % dim).cast("int").alias("d"),
+            F.when(F.shiftright(h, shift) % 2 == 0, F.lit(1))
+            .otherwise(F.lit(-1))
+            .alias("sgn"),
+        )
+        .groupBy("key", "d")
+        .agg(F.sum("sgn").alias("val"))
+    )
+    as_map = per_dim.groupBy("key").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("d", "val"))
+        ).alias("mv")
+    )
+    return as_map.select(
+        "key",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda i: F.coalesce(
+                F.element_at("mv", i.cast("int")),
+                F.lit(0).cast("long"),
+            ),
+        ).alias("vec"),
+    )

@@ -7648,3 +7648,103 @@ def embedding_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Feature-hashed document embeddings + exact search (llm/text.py:
+# hashed_doc_vectors): the hashing-trick BoW embedding (signed ±1
+# per token into hash(t) % 64 dims) gives the engine a model-free
+# embed -> search path over raw text. Vectors are INTEGER, so the
+# cosine ranking is exact arithmetic on identical integers — this is
+# the one ANN-family query with a full exact oracle instead of a
+# recall contract (DuckDB rebuilds the vectors dim-by-dim and ranks
+# by the same integer dot products).
+# ---------------------------------------------------------------------------
+@query(
+    "doc_hash_embedding_topk",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    pd AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(w), 1, 15))::BIGINT % 64 AS INT)
+               AS d,
+             CASE WHEN ((('0x' || substr(md5(w), 1, 15))::BIGINT >> 6)
+                        & 1) = 0 THEN 1 ELSE -1 END AS sgn
+      FROM tok
+    ),
+    v AS (SELECT doc_id, d, CAST(SUM(sgn) AS BIGINT) AS val
+          FROM pd GROUP BY doc_id, d),
+    nrm AS (SELECT doc_id, SUM(val * val) AS n2 FROM v GROUP BY doc_id),
+    pairs AS (
+      SELECT p.doc_id AS qid, c.doc_id AS neighbor_id
+      FROM (SELECT doc_id FROM documents WHERE doc_id IN (0,1,2,3,4)) p,
+           (SELECT doc_id FROM documents) c
+      WHERE c.doc_id <> p.doc_id
+    ),
+    dots AS (
+      SELECT q.doc_id AS qid, c.doc_id AS neighbor_id,
+             SUM(q.val * c.val) AS dot
+      FROM v q JOIN v c ON c.d = q.d
+      WHERE q.doc_id IN (0,1,2,3,4) AND c.doc_id <> q.doc_id
+      GROUP BY q.doc_id, c.doc_id
+    ),
+    scored AS (
+      SELECT pairs.qid, pairs.neighbor_id,
+             COALESCE(dots.dot, 0)::DOUBLE
+               / (sqrt(nq.n2::DOUBLE) * sqrt(nc.n2::DOUBLE)) AS cos
+      FROM pairs
+      LEFT JOIN dots ON dots.qid = pairs.qid
+                    AND dots.neighbor_id = pairs.neighbor_id
+      JOIN nrm nq ON nq.doc_id = pairs.qid
+      JOIN nrm nc ON nc.doc_id = pairs.neighbor_id
+    )
+    SELECT qid, CAST(rk AS INT) AS rk, neighbor_id
+    FROM (SELECT qid, neighbor_id,
+                 ROW_NUMBER() OVER (PARTITION BY qid
+                                    ORDER BY cos DESC, neighbor_id) AS rk
+          FROM scored)
+    WHERE rk <= 10
+    """,
+)
+def doc_hash_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdk_dynamodb_cdc_spark.llm.text import hashed_doc_vectors
+
+    docs = load_table(spark, sf_dir, "documents")
+    vecs = hashed_doc_vectors(docs, dim=64)
+    dot_ll = lambda a, b: F.aggregate(  # noqa: E731 - integer-exact fold
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    base = vecs.select(
+        "key", "vec", dot_ll(F.col("vec"), F.col("vec")).alias("n2")
+    )
+    q = base.filter(F.col("key").isin([0, 1, 2, 3, 4])).select(
+        F.col("key").alias("qid"),
+        F.col("vec").alias("qv"),
+        F.col("n2").alias("qn2"),
+    )
+    c = base.select(
+        F.col("key").alias("neighbor_id"),
+        F.col("vec").alias("cv"),
+        F.col("n2").alias("cn2"),
+    )
+    cos = dot_ll(F.col("qv"), F.col("cv")).cast("double") / (
+        F.sqrt(F.col("qn2").cast("double"))
+        * F.sqrt(F.col("cn2").cast("double"))
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("qid"))
+        .select("qid", "neighbor_id", cos.alias("cos"))
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 10)
+        .select("qid", F.col("rk").cast("int").alias("rk"), "neighbor_id")
+    )
