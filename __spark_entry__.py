@@ -61,6 +61,7 @@ _GATE_PRIORITY = [
     "cdc_field_drift_stats",
     "embedding_ivfpq_topk",
     "doc_hash_embedding_topk",
+    "epoch_shard_heads",
     "dedup_clusters",
     "part_name_match_clusters",
     "curate_corpus_dispositions",

@@ -283,3 +283,49 @@ def temperature_mix(
     return docs.join(F.broadcast(plan), source_col).filter(
         (h % F.lit(1_000_000)) < F.col("keep_millionths")
     )
+
+
+EPOCH_SALT = "epoch"
+
+
+def epoch_shards(
+    docs: DataFrame,
+    *,
+    key_col: str = "doc_id",
+    n_shards: int = 8,
+    epoch: int = 0,
+    salt: str = EPOCH_SALT,
+) -> DataFrame:
+    """Deterministic training-order assignment: every document gets a
+    ``(shard, position)`` for the given epoch, from a salted hash —
+    the distributed equivalent of "shuffle the corpus and split it
+    into worker files", with no RNG state: any engine, any
+    partitioning, any rerun produces the identical order, and a
+    different epoch (salt input) draws an independent permutation.
+
+    Shape: shard = hash % n_shards routes documents; position ranks
+    WITHIN each shard by the remaining hash bits — per-shard window
+    functions, never a global sort (the all-in-one ORDER BY hash
+    formulation serializes the corpus through one sort at 100 TB;
+    sharding first keeps every sort partition-local, which is also
+    exactly the file layout a training job wants to read).
+    """
+    from cdk_dynamodb_cdc_spark.llm.text import token_hash60
+
+    h = token_hash60(
+        F.concat(
+            F.lit(f"{salt}-{epoch}:"), F.col(key_col).cast("string")
+        )
+    )
+    from pyspark.sql import Window as _W
+
+    w = _W.partitionBy("shard").orderBy("h", key_col)
+    return (
+        docs.select(
+            key_col,
+            (h % n_shards).cast("int").alias("shard"),
+            h.alias("h"),
+        )
+        .withColumn("position", F.row_number().over(w))
+        .select(key_col, "shard", "position")
+    )

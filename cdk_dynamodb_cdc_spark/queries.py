@@ -7748,3 +7748,40 @@ def doc_hash_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 10)
         .select("qid", F.col("rk").cast("int").alias("rk"), "neighbor_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic epoch sharding (llm/curation.py:epoch_shards): the
+# "shuffle and split for training workers" step with zero RNG state —
+# shard from a salted hash, order within shard from the remaining
+# bits, per-shard windows only (no global sort at any scale). The
+# query returns each shard's size and first three documents; the
+# oracle replays the same hash arithmetic.
+# ---------------------------------------------------------------------------
+@query(
+    "epoch_shard_heads",
+    oracle="""
+    WITH h AS (
+      SELECT doc_id,
+             ('0x' || substr(md5('epoch-0:' || CAST(doc_id AS VARCHAR)),
+                             1, 15))::BIGINT AS h
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, CAST(h % 8 AS INT) AS shard,
+             ROW_NUMBER() OVER (PARTITION BY h % 8
+                                ORDER BY h, doc_id) AS position
+      FROM h
+    )
+    SELECT shard, CAST(position AS INT) AS position, doc_id
+    FROM s WHERE position <= 3
+    """,
+)
+def epoch_shard_heads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdk_dynamodb_cdc_spark.llm.curation import epoch_shards
+
+    docs = load_table(spark, sf_dir, "documents")
+    shards = epoch_shards(docs, n_shards=8, epoch=0)
+    return shards.filter(F.col("position") <= 3).select(
+        "shard", F.col("position").cast("int").alias("position"), "doc_id"
+    )

@@ -1108,3 +1108,75 @@ def test_ivfpq_recall_floor_vs_brute_force(spark):
         for r in vectors.ivfpq_topk(emb, qids, 10, dim=64).collect()
     }
     assert len(bf & got) / len(bf) >= 0.3
+
+
+def test_streaming_ivf_index_maintenance(spark, tmp_path):
+    """Streaming ANN-index maintenance: new embedding batches arrive
+    as a file stream, each micro-batch is cell-assigned with the FIXED
+    trained codebook and appended exactly-once to a transactional
+    index table; ivf_search over the read-back index returns the same
+    neighbors as a batch-built index over the same vectors."""
+    import json as _json
+
+    from cdk_dynamodb_cdc_spark.storage import TxTable
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    base = emb.filter(F.col("vec_id") < 100)
+    arriving = emb.filter(
+        (F.col("vec_id") >= 100) & (F.col("vec_id") < 200)
+    )
+    codebook = vectors._ivf_codebook(vectors._normed(emb), vectors.IVF_NLIST)
+
+    tbl = str(tmp_path / "index")
+    t = TxTable(spark, tbl)
+    t.commit(vectors.ivf_build(base, codebook=codebook))
+
+    # arriving vectors land as two stream files
+    src = tmp_path / "in"
+    src.mkdir()
+    rows = arriving.collect()
+    for part, chunk in enumerate((rows[:50], rows[50:])):
+        with open(src / f"b{part}.json", "w") as fh:
+            for r in chunk:
+                fh.write(
+                    _json.dumps(
+                        {"vec_id": r.vec_id, "embedding": list(map(float, r.embedding))}
+                    )
+                    + "\n"
+                )
+
+    def append_batch(batch_df, batch_id):
+        t.commit(
+            vectors.ivf_build(batch_df, codebook=codebook),
+            app_id="ivf", batch_id=batch_id,
+        )
+
+    q = (
+        spark.readStream.schema("vec_id long, embedding array<float>")
+        .json(str(src))
+        .writeStream.foreachBatch(append_batch)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    streamed_index = t.snapshot()
+    assert streamed_index.count() == 200
+
+    both = emb.filter(F.col("vec_id") < 200)
+    batch_index = vectors.ivf_build(both, codebook=codebook)
+    qids = [0, 1, 2]
+    got = {
+        (r.qid, r.rk, r.neighbor_id)
+        for r in vectors.ivf_search(
+            streamed_index, qids, 10, codebook=codebook
+        ).collect()
+    }
+    want = {
+        (r.qid, r.rk, r.neighbor_id)
+        for r in vectors.ivf_search(
+            batch_index, qids, 10, codebook=codebook
+        ).collect()
+    }
+    assert got == want and len(want) == 30
