@@ -62,6 +62,7 @@ _GATE_PRIORITY = [
     "embedding_ivfpq_topk",
     "doc_hash_embedding_topk",
     "epoch_shard_heads",
+    "winnow_fingerprint_overlap",
     "dedup_clusters",
     "part_name_match_clusters",
     "curate_corpus_dispositions",

@@ -469,3 +469,59 @@ def hashed_doc_vectors(
             ),
         ).alias("vec"),
     )
+
+
+WINNOW_GRAM_CHARS = 8
+WINNOW_WINDOW = 4
+
+
+def winnow_fingerprints(
+    text: Column,
+    k: int = WINNOW_GRAM_CHARS,
+    w: int = WINNOW_WINDOW,
+) -> Column:
+    """Winnowed fingerprint set (Schleimer et al., the MOSS
+    algorithm): hash every character k-gram, slide a window of ``w``
+    positions, keep each window's MINIMUM hash, dedupe. The guarantee
+    that makes this the production span-detector: any shared substring
+    of at least ``w + k - 1`` characters yields at least one SHARED
+    fingerprint, while only ~2/(w+1) of the gram hashes are stored —
+    :func:`doc_fingerprint` is the single-fingerprint special case,
+    and the exact rolling-window profile (llm/dedup.py:
+    substring_dup_stats) is the store-everything end of the same
+    trade-off.
+
+    Pure per-row Column expressions (one hash array, one windowed-min
+    pass, one dedup) — scan speed, no shuffle.
+    """
+    positions = F.sequence(
+        F.lit(1), F.greatest(F.length(text) - (k - 1), F.lit(1))
+    )
+    hashes = F.transform(
+        positions, lambda i: token_hash60(text.substr(i, F.lit(k)))
+    )
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.size(hashes) - (w - 1), F.lit(1))
+    )
+    mins = F.transform(
+        starts, lambda s: F.array_min(F.slice(hashes, s, w))
+    )
+    return F.array_distinct(mins)
+
+
+def duck_winnow_fingerprints(
+    text_expr: str,
+    k: int = WINNOW_GRAM_CHARS,
+    w: int = WINNOW_WINDOW,
+) -> str:
+    """DuckDB SQL twin of :func:`winnow_fingerprints`."""
+    hashes = (
+        f"list_transform(range(1, greatest(len({text_expr}) - {k - 1}, 1) + 1), "
+        f"i -> ('0x' || substr(md5(substr({text_expr}, i, {k})), 1, 15))::BIGINT)"
+    )
+    return (
+        f"(SELECT list_distinct(list_transform("
+        f"range(1, greatest(len(hs) - {w - 1}, 1) + 1), "
+        f"s -> list_min(hs[s:s+{w - 1}]))) "
+        f"FROM (SELECT {hashes} AS hs) __wf)"
+    )

@@ -7785,3 +7785,49 @@ def epoch_shard_heads(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shards.filter(F.col("position") <= 3).select(
         "shard", F.col("position").cast("int").alias("position"), "doc_id"
     )
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprint overlap (llm/text.py:winnow_fingerprints):
+# the MOSS span detector — per-window minimum gram hashes guarantee a
+# shared fingerprint for any shared substring of >= w+k-1 chars at
+# ~2/(w+1) of the storage of the exact rolling-window profile. Per
+# doc: fingerprints stored and how many also appear in another
+# document. Oracle replays the identical hash/window arithmetic.
+# ---------------------------------------------------------------------------
+@query(
+    "winnow_fingerprint_overlap",
+    oracle=f"""
+    WITH fp AS (
+      SELECT doc_id, {llm_text.duck_winnow_fingerprints('text')} AS fps
+      FROM documents
+    ),
+    x AS (SELECT doc_id, unnest(fps) AS fp FROM fp),
+    freq AS (SELECT fp, COUNT(DISTINCT doc_id) AS nd FROM x GROUP BY fp)
+    SELECT x.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_fingerprints,
+           CAST(SUM(CASE WHEN freq.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_shared
+    FROM x JOIN freq USING (fp)
+    GROUP BY x.doc_id
+    """,
+)
+def winnow_fingerprint_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    fps = docs.select(
+        "doc_id",
+        F.explode(
+            llm_text.winnow_fingerprints(F.col("text"))
+        ).alias("fp"),
+    )
+    freq = fps.groupBy("fp").agg(
+        F.count_distinct("doc_id").alias("nd")
+    )
+    return (
+        fps.join(freq, "fp")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_fingerprints"),
+            F.sum((F.col("nd") >= 2).cast("long")).alias("n_shared"),
+        )
+    )

@@ -1180,3 +1180,26 @@ def test_streaming_ivf_index_maintenance(spark, tmp_path):
         ).collect()
     }
     assert got == want and len(want) == 30
+
+
+def test_winnowing_guarantees_shared_fingerprint_for_long_spans(spark):
+    """Any shared substring of >= w+k-1 chars must produce a shared
+    fingerprint; disjoint-alphabet docs share none."""
+    span = "qwertyuiopasdfgh"  # 16 chars >= w+k-1 = 11
+    df = spark.createDataFrame(
+        [
+            (0, "aaa" + span + "zzz"),
+            (1, "mmm" + span + "nnn"),
+            (2, "0123456789012345678901234"),
+        ],
+        "doc_id long, text string",
+    )
+    fps = {
+        r.doc_id: set(r.fps)
+        for r in df.select(
+            "doc_id",
+            llm_text.winnow_fingerprints(F.col("text")).alias("fps"),
+        ).collect()
+    }
+    assert fps[0] & fps[1]  # the guarantee
+    assert not (fps[0] & fps[2]) and not (fps[1] & fps[2])
