@@ -377,9 +377,18 @@ def interval_join_streams(
     tail-of-stream rows whose horizon the final watermark never
     crosses stay buffered, which is correct streaming semantics, so
     finite-input tests advance the watermark with a late flush row.
+
+    `how="left_semi"` emits each matched left row exactly once (no
+    right columns, no fan-out on multiple matches) — the streaming
+    EXISTS filter; the same watermark horizon governs when a left row
+    can be dropped unmatched. Spark's stream-stream left_anti is not
+    supported; express NOT EXISTS as left_outer + IS NULL on a right
+    column once the horizon passes.
     """
-    if how not in ("inner", "left_outer"):
-        raise ValueError(f"how must be 'inner' or 'left_outer', got {how!r}")
+    if how not in ("inner", "left_outer", "left_semi"):
+        raise ValueError(
+            f"how must be inner|left_outer|left_semi, got {how!r}"
+        )
     lw = left.withWatermark(left_time, watermark)
     rw = right.withWatermark(right_time, watermark)
     cond = (

@@ -767,3 +767,84 @@ def test_snapshot_store_delete_only_bucket_purges_key(spark, tmp_path):
     # deletion durable), just hidden by the reader
     raw = spark.read.parquet(state).collect()
     assert [r.operation for r in raw] == ["REMOVE"]
+
+
+def test_stream_stream_left_semi_interval_join_matches_batch(
+    spark, tmp_path
+):
+    """left_semi stream-stream interval join: each matched left row
+    exactly once (no fan-out on multiple matches), equal to the batch
+    semi join."""
+    import datetime
+    import json as _json
+
+    from cdk_dynamodb_cdc_spark.streaming.stream import (
+        interval_join_streams,
+    )
+
+    UTC = datetime.timezone.utc
+    t0 = datetime.datetime(2024, 1, 1, tzinfo=UTC)
+
+    def rec(eid, minutes, op, pk):
+        return {
+            "event_id": eid, "seq": minutes,
+            "ts": (t0 + datetime.timedelta(minutes=minutes)).strftime(
+                "%Y-%m-%dT%H:%M:%S.%f%z"),
+            "operation": op, "pk": pk, "sk": "SK",
+            "old_image": None, "new_image": "{}", "size_bytes": 64,
+        }
+
+    rows = [
+        rec("i1", 0, "INSERT", "A"),
+        rec("m1", 5, "MODIFY", "A"),    # match for i1
+        rec("m2", 10, "MODIFY", "A"),   # SECOND match: no fan-out
+        rec("i2", 100, "INSERT", "A"),  # no mod in window -> dropped
+        rec("i3", 0, "INSERT", "B"),    # no mods at all -> dropped
+    ]
+    src = tmp_path / "src"
+    src.mkdir()
+    (src / "data.json").write_text(
+        "\n".join(_json.dumps(r) for r in rows) + "\n")
+
+    def split(df):
+        ins = df.filter(F.col("operation") == "INSERT").select(
+            F.col("pk"), F.col("ts").alias("ins_ts"),
+            F.col("event_id").alias("ins_id"))
+        mods = df.filter(F.col("operation") == "MODIFY").select(
+            F.col("pk"), F.col("ts").alias("mod_ts"),
+            F.col("event_id").alias("mod_id"))
+        return ins, mods
+
+    batch_df = spark.read.schema(CDC_RECORD_SCHEMA).json(str(src))
+    bi, bm = split(batch_df)
+    expected = sorted(
+        r.ins_id
+        for r in bi.join(
+            bm,
+            (bi["pk"] == bm["pk"])
+            & (bm["mod_ts"] > bi["ins_ts"])
+            & (bm["mod_ts"] <= bi["ins_ts"] + F.expr("INTERVAL 30 MINUTES")),
+            "left_semi",
+        ).collect()
+    )
+    assert expected == ["i1"]
+
+    stream = spark.readStream.schema(CDC_RECORD_SCHEMA).json(str(src))
+    si, sm = split(stream)
+    joined = interval_join_streams(
+        si, sm, key="pk", left_time="ins_ts", right_time="mod_ts",
+        max_delay="30 minutes", how="left_semi",
+    ).select("ins_id")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ssj_semi_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_semi"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        r.ins_id for r in spark.sql("SELECT * FROM ssj_semi_out").collect()
+    )
+    assert got == expected
