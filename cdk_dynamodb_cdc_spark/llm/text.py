@@ -476,37 +476,62 @@ WINNOW_WINDOW = 4
 
 
 def winnow_fingerprints(
-    text: Column,
+    docs: "DataFrame",
+    *,
+    key_col: str = "doc_id",
+    text_col: str = "text",
     k: int = WINNOW_GRAM_CHARS,
     w: int = WINNOW_WINDOW,
-) -> Column:
-    """Winnowed fingerprint set (Schleimer et al., the MOSS
+) -> "DataFrame":
+    """Winnowed fingerprint rows (Schleimer et al., the MOSS
     algorithm): hash every character k-gram, slide a window of ``w``
-    positions, keep each window's MINIMUM hash, dedupe. The guarantee
-    that makes this the production span-detector: any shared substring
-    of at least ``w + k - 1`` characters yields at least one SHARED
-    fingerprint, while only ~2/(w+1) of the gram hashes are stored —
-    :func:`doc_fingerprint` is the single-fingerprint special case,
-    and the exact rolling-window profile (llm/dedup.py:
-    substring_dup_stats) is the store-everything end of the same
-    trade-off.
+    positions, keep each window's MINIMUM hash, dedupe. Returns
+    ``(key, fp)`` — one row per distinct fingerprint per document.
+    The guarantee that makes this the production span-detector: any
+    shared substring of at least ``w + k - 1`` characters yields at
+    least one SHARED fingerprint, while only ~2/(w+1) of the gram
+    hashes are stored — :func:`doc_fingerprint` is the
+    single-fingerprint special case, and the exact rolling-window
+    profile (llm/dedup.py:substring_dup_stats) is the
+    store-everything end of the same trade-off.
 
-    Pure per-row Column expressions (one hash array, one windowed-min
-    pass, one dedup) — scan speed, no shuffle.
+    Shape: the gram hashes are materialized by a posexplode (ONE md5
+    per gram — an all-Column formulation that re-references the hash
+    array per window start re-inlines the md5 transform into every
+    window, going quadratic in document length; measured 18x slower
+    at sf0.1), then the sliding minimum is a per-document ROWS window
+    — partition-local sort on (doc, pos), no cross-doc shuffle
+    skew since fingerprint counts are bounded by document length.
     """
+    from pyspark.sql import Window as _W
+
+    text = F.col(text_col)
     positions = F.sequence(
         F.lit(1), F.greatest(F.length(text) - (k - 1), F.lit(1))
     )
-    hashes = F.transform(
-        positions, lambda i: token_hash60(text.substr(i, F.lit(k)))
+    grams = docs.select(
+        F.col(key_col).alias("key"),
+        F.posexplode(
+            F.transform(positions, lambda i: text.substr(i, F.lit(k)))
+        ).alias("pos", "gram"),
+    ).select("key", "pos", token_hash60(F.col("gram")).alias("h"))
+    ww = _W.partitionBy("key").orderBy("pos").rowsBetween(0, w - 1)
+    wn = _W.partitionBy("key")
+    return (
+        grams.select(
+            "key",
+            "pos",
+            F.min("h").over(ww).alias("fp"),
+            F.count(F.lit(1)).over(wn).alias("n"),
+        )
+        # windows of exactly w (tail stubs excluded), except that a
+        # doc with fewer than w grams keeps its single full window
+        .filter(
+            (F.col("pos") <= F.col("n") - w) | (F.col("pos") == 0)
+        )
+        .select("key", "fp")
+        .distinct()
     )
-    starts = F.sequence(
-        F.lit(1), F.greatest(F.size(hashes) - (w - 1), F.lit(1))
-    )
-    mins = F.transform(
-        starts, lambda s: F.array_min(F.slice(hashes, s, w))
-    )
-    return F.array_distinct(mins)
 
 
 def duck_winnow_fingerprints(

@@ -7814,11 +7814,8 @@ def epoch_shard_heads(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def winnow_fingerprint_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    fps = docs.select(
-        "doc_id",
-        F.explode(
-            llm_text.winnow_fingerprints(F.col("text"))
-        ).alias("fp"),
+    fps = llm_text.winnow_fingerprints(docs).select(
+        F.col("key").alias("doc_id"), "fp"
     )
     freq = fps.groupBy("fp").agg(
         F.count_distinct("doc_id").alias("nd")

@@ -1194,12 +1194,9 @@ def test_winnowing_guarantees_shared_fingerprint_for_long_spans(spark):
         ],
         "doc_id long, text string",
     )
-    fps = {
-        r.doc_id: set(r.fps)
-        for r in df.select(
-            "doc_id",
-            llm_text.winnow_fingerprints(F.col("text")).alias("fps"),
-        ).collect()
-    }
+    rows = llm_text.winnow_fingerprints(df).collect()
+    fps: dict[int, set] = {}
+    for r in rows:
+        fps.setdefault(r["key"], set()).add(r["fp"])
     assert fps[0] & fps[1]  # the guarantee
     assert not (fps[0] & fps[2]) and not (fps[1] & fps[2])
