@@ -47,6 +47,7 @@ _GATE_PRIORITY = [
     # (history/time-travel/restore/exactly-once + MERGE INTO), and
     # the three clustering queries now route through the
     # large-star/small-star connected-components implementation.
+    "dsir_importance_keep",
     "txlog_history_stats",
     "txlog_merge_into_state",
     "semantic_dedup_keep",

@@ -285,6 +285,111 @@ def temperature_mix(
     )
 
 
+DSIR_BUCKETS = 1024
+
+
+def dsir_importance(
+    corpus: DataFrame,
+    target: DataFrame,
+    *,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = DSIR_BUCKETS,
+) -> DataFrame:
+    """Data Selection via Importance Resampling (DSIR, Xie et al. 2023):
+    score every corpus document by how much more likely its hashed
+    n-gram features are under the TARGET distribution than under the
+    raw corpus distribution; documents with positive log importance
+    weight look more target-like than corpus-like and are the ones an
+    importance resampler keeps.
+
+    Features are word unigrams + bigrams hashed into ``n_buckets``
+    buckets (the paper's hashed generative model). Both bucket
+    distributions are add-one smoothed:
+
+        lambda_b = ln(ct_b + 1) - ln(Nt + B) - ln(cr_b + 1) + ln(Nr + B)
+
+    and a document's log weight is the multiplicity-weighted sum of
+    ``lambda`` over its feature occurrences.
+
+    Determinism discipline (same as llm/quality_lm.py): the per-doc sum
+    folds the (ct, cr) integer pairs in integer order so both engines
+    add identical values in identical order; callers compare DECISIONS
+    (``kept`` = weight >= 0) and integer feature counts, never raw
+    floats.
+
+    Returns ``(key, n_feats, kept)``.
+
+    Scale shape: bucket tables are B-sized (broadcast); the corpus is
+    exploded once and aggregated map-side by (doc, bucket) — one
+    corpus-linear shuffle keyed by the doc, nothing quadratic, no
+    Python in the plan.
+    """
+    from cdk_dynamodb_cdc_spark.llm.text import token_hash60
+
+    def feats(df: DataFrame, *cols: str) -> DataFrame:
+        ws = df.select(*cols, F.split(F.col(text_col), " ").alias("ws"))
+        grams = F.concat(
+            F.col("ws"),
+            F.expr(
+                "transform(slice(ws, 1, size(ws) - 1), "
+                "(w, i) -> concat(w, ' ', ws[i + 1]))"
+            ),
+        )
+        return ws.select(
+            *cols, F.explode(grams).alias("g")
+        ).select(*cols, (token_hash60(F.col("g")) % n_buckets).alias("b"))
+
+    fb = feats(corpus, key_col)
+    tb = feats(target)
+    raw = fb.groupBy("b").agg(F.count(F.lit(1)).alias("cr"))
+    tgt = tb.groupBy("b").agg(F.count(F.lit(1)).alias("ct"))
+    tot = raw.agg(F.sum("cr").alias("nr")).crossJoin(
+        tb.agg(F.count(F.lit(1)).alias("nt"))
+    )
+    per_pair = (
+        fb.join(F.broadcast(raw), "b")
+        .join(F.broadcast(tgt), "b", "left")
+        .select(
+            key_col,
+            F.coalesce("ct", F.lit(0)).cast("long").alias("ct"),
+            F.col("cr"),
+        )
+        .groupBy(key_col, "ct", "cr")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .crossJoin(F.broadcast(tot))
+    )
+    lam = (
+        F.log((F.col("ct") + 1).cast("double"))
+        - F.log((F.col("nt") + n_buckets).cast("double"))
+        - F.log((F.col("cr") + 1).cast("double"))
+        + F.log((F.col("nr") + n_buckets).cast("double"))
+    )
+    per_doc = (
+        per_pair.select(
+            key_col,
+            "ct",
+            "cr",
+            (F.col("n").cast("double") * lam).alias("term"),
+            "n",
+        )
+        .groupBy(key_col)
+        .agg(
+            F.aggregate(
+                F.sort_array(F.collect_list(F.struct("ct", "cr", "term"))),
+                F.lit(0.0),
+                lambda acc, x: acc + x["term"],
+            ).alias("w"),
+            F.sum("n").alias("n_feats"),
+        )
+    )
+    return per_doc.select(
+        F.col(key_col).alias("key"),
+        F.col("n_feats"),
+        (F.col("w") >= F.lit(0.0)).alias("kept"),
+    )
+
+
 EPOCH_SALT = "epoch"
 
 

@@ -7828,3 +7828,63 @@ def winnow_fingerprint_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum((F.col("nd") >= 2).cast("long")).alias("n_shared"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance resampling (llm/curation.py:dsir_importance): Xie et
+# al. 2023 — hashed unigram+bigram bucket distributions for a TARGET
+# slice (lang = 'en') vs the raw corpus, add-one smoothed; a document
+# is kept when its summed log importance weight is >= 0 (more
+# target-like than corpus-like). Floats never enter the hash: the
+# per-doc sum folds integer (ct, cr) pairs in integer order on both
+# engines and the output is the integer feature count plus the keep
+# DECISION (same libm-noise discipline as perplexity_filter_stats).
+# ---------------------------------------------------------------------------
+@query(
+    "dsir_importance_keep",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents
+    ),
+    fb AS (
+      SELECT doc_id, lang,
+             ('0x' || substr(md5(g), 1, 15))::BIGINT % 1024 AS b
+      FROM (
+        SELECT doc_id, lang,
+               unnest(ws || list_transform(range(1, len(ws)),
+                      i -> ws[i] || ' ' || ws[i + 1])) AS g
+        FROM toks
+      )
+    ),
+    raw AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS cr FROM fb GROUP BY b),
+    tgt AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS ct
+            FROM fb WHERE lang = 'en' GROUP BY b),
+    tot AS (SELECT (SELECT COUNT(*) FROM fb) AS nr,
+                   (SELECT COUNT(*) FROM fb WHERE lang = 'en') AS nt),
+    t AS (
+      SELECT fb.doc_id, COALESCE(tgt.ct, 0) AS ct, raw.cr,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM fb JOIN raw USING (b) LEFT JOIN tgt USING (b)
+      GROUP BY fb.doc_id, ct, raw.cr
+    ),
+    d AS (
+      SELECT doc_id,
+             list_sum(list(n * (ln((ct + 1)::DOUBLE)
+                                - ln((tot.nt + 1024)::DOUBLE)
+                                - ln((cr + 1)::DOUBLE)
+                                + ln((tot.nr + 1024)::DOUBLE))
+                           ORDER BY ct, cr)) AS w,
+             SUM(n) AS n_feats
+      FROM t, tot GROUP BY doc_id
+    )
+    SELECT doc_id, CAST(n_feats AS BIGINT) AS n_feats, w >= 0.0 AS kept
+    FROM d
+    """,
+)
+def dsir_importance_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdk_dynamodb_cdc_spark.llm.curation import dsir_importance
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dsir_importance(
+        docs, docs.filter(F.col("lang") == "en")
+    ).select(F.col("key").alias("doc_id"), "n_feats", "kept")

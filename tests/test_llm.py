@@ -1200,3 +1200,27 @@ def test_winnowing_guarantees_shared_fingerprint_for_long_spans(spark):
         fps.setdefault(r["key"], set()).add(r["fp"])
     assert fps[0] & fps[1]  # the guarantee
     assert not (fps[0] & fps[2]) and not (fps[1] & fps[2])
+
+
+def test_dsir_importance_separates_target_like_docs(spark):
+    from cdk_dynamodb_cdc_spark.llm.curation import dsir_importance
+
+    # target slice = lang 'en'; probe 100 shares the en vocabulary,
+    # probe 101 the xx vocabulary — DSIR keeps 100 and drops 101.
+    # 20 docs per side so the counts dominate the add-one smoothing
+    # (64 buckets, not the production 1024, for the same reason).
+    en, xx = "alpha beta gamma delta", "zonk quux blarg fnord"
+    rows = (
+        [(i, en, "en") for i in range(20)]
+        + [(20 + i, xx, "xx") for i in range(20)]
+        + [(100, en, "qq"), (101, xx, "qq")]
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    scored = dsir_importance(
+        docs, docs.filter(F.col("lang") == "en"), n_buckets=64
+    ).collect()
+    out = {r.key: r.kept for r in scored}
+    assert out[100] is True and out[101] is False
+    assert out[0] is True and out[20] is False
+    # n_feats = unigrams + bigrams = 4 + 3 per doc
+    assert all(r.n_feats == 7 for r in scored)
