@@ -48,6 +48,8 @@ _GATE_PRIORITY = [
     # the three clustering queries now route through the
     # large-star/small-star connected-components implementation.
     "dsir_importance_keep",
+    "daily_revenue_acf",
+    "cms_user_count_estimates",
     "txlog_history_stats",
     "txlog_merge_into_state",
     "semantic_dedup_keep",

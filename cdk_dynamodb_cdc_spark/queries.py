@@ -7888,3 +7888,152 @@ def dsir_importance_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dsir_importance(
         docs, docs.filter(F.col("lang") == "en")
     ).select(F.col("key").alias("doc_id"), "n_feats", "kept")
+
+
+# ---------------------------------------------------------------------------
+# Autocorrelation function of the daily revenue series: lag-1..7
+# Pearson correlation of the series with its lagged self (pairwise-
+# complete pairs — the sample cross-correlation form). All six moments
+# accumulate in exact decimal; doubles only in the closed form, wide
+# sums entering through the floor-split cast (_dec_double) so the
+# expression tree is bit-identical across engines. Scale shape: the
+# daily aggregate is one map-side-combined shuffle; the lag window runs
+# over the DAYS-sized series (~1e2 rows per year — driver-bounded at
+# any corpus size), so the single-partition window is not a scale
+# hazard.
+# ---------------------------------------------------------------------------
+_ACF_LAGS = range(1, 8)
+
+
+@query(
+    "daily_revenue_acf",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS rev
+      FROM events GROUP BY day
+    ),
+    lagged AS (
+      SELECT rev,
+             {', '.join(f'lag(rev, {L}) OVER (ORDER BY day) AS l{L}' for L in _ACF_LAGS)}
+      FROM daily
+    ),
+    pairs AS (
+      {' UNION ALL '.join(f"SELECT {L} AS lag, rev, l{L} AS prev FROM lagged WHERE l{L} IS NOT NULL" for L in _ACF_LAGS)}
+    ),
+    m AS (
+      SELECT lag, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+             SUM(rev) AS sx, SUM(prev) AS sy,
+             SUM(CAST(rev AS DECIMAL(19,6)) * CAST(prev AS DECIMAL(19,6))) AS sxy,
+             SUM(CAST(rev AS DECIMAL(19,6)) * CAST(rev AS DECIMAL(19,6))) AS sxx,
+             SUM(CAST(prev AS DECIMAL(19,6)) * CAST(prev AS DECIMAL(19,6))) AS syy
+      FROM pairs GROUP BY lag
+    )
+    SELECT lag, n_pairs,
+           (CAST(n_pairs AS DOUBLE) * {_duck_dec_double("sxy")}
+            - {_duck_dec_double("sx")} * {_duck_dec_double("sy")})
+           / (sqrt(CAST(n_pairs AS DOUBLE) * {_duck_dec_double("sxx")}
+                   - {_duck_dec_double("sx")} * {_duck_dec_double("sx")})
+              * sqrt(CAST(n_pairs AS DOUBLE) * {_duck_dec_double("syy")}
+                     - {_duck_dec_double("sy")} * {_duck_dec_double("sy")}))
+             AS acf
+    FROM m ORDER BY lag
+    """,
+)
+def daily_revenue_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.sum(F.col("value").cast("decimal(18,6)"))
+        .cast("decimal(18,6)")
+        .alias("rev")
+    )
+    w = Window.orderBy("day")
+    lagged = daily.select(
+        "rev",
+        *[F.lag("rev", L).over(w).alias(f"l{L}") for L in _ACF_LAGS],
+    )
+    stack_args = ", ".join(f"{L}, l{L}" for L in _ACF_LAGS)
+    pairs = lagged.select(
+        "rev",
+        F.expr(
+            f"stack({len(_ACF_LAGS)}, {stack_args}) as (lag, prev)"
+        ),
+    ).filter(F.col("prev").isNotNull())
+    m = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum("rev").alias("sx"),
+        F.sum("prev").alias("sy"),
+        F.sum(F.col("rev") * F.col("prev")).alias("sxy"),
+        F.sum(F.col("rev") * F.col("rev")).alias("sxx"),
+        F.sum(F.col("prev") * F.col("prev")).alias("syy"),
+    )
+    nd = F.col("n_pairs").cast("double")
+    sx, sy = _dec_double(F.col("sx")), _dec_double(F.col("sy"))
+    sxy = _dec_double(F.col("sxy"))
+    sxx, syy = _dec_double(F.col("sxx")), _dec_double(F.col("syy"))
+    acf = (nd * sxy - sx * sy) / (
+        F.sqrt(nd * sxx - sx * sx) * F.sqrt(nd * syy - sy * sy)
+    )
+    return m.select(
+        F.col("lag").cast("int").alias("lag"), "n_pairs", acf.alias("acf")
+    ).orderBy("lag")
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch heavy hitters (functions/sketches.py): build a 4x256
+# CMS over event user_ids, estimate the top-20 exact users, and emit
+# the no-underestimate CONTRACT (est_n >= exact_n — the deterministic
+# CMS theorem, checked per key). All integers; the oracle rebuilds the
+# identical md5-hashed cells, so estimates match bit-exactly.
+# ---------------------------------------------------------------------------
+@query(
+    "cms_user_count_estimates",
+    oracle="""
+    WITH keys AS (SELECT CAST(user_id AS VARCHAR) AS k FROM events),
+    seeds AS (SELECT unnest(range(4)) AS seed),
+    cells AS (
+      SELECT seed,
+             ('0x' || substr(md5('cms-' || CAST(seed AS VARCHAR)
+                                 || ':' || k), 1, 15))::BIGINT % 256
+               AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM keys, seeds GROUP BY seed, bucket
+    ),
+    exact AS (
+      SELECT k, CAST(COUNT(*) AS BIGINT) AS exact_n FROM keys
+      GROUP BY k ORDER BY exact_n DESC, k LIMIT 20
+    )
+    SELECT e.k AS user_id, e.exact_n, MIN(c.c) AS est_n,
+           MIN(c.c) >= e.exact_n AS no_underestimate
+    FROM exact e
+    JOIN seeds s ON TRUE
+    JOIN cells c
+      ON c.seed = s.seed
+     AND c.bucket = ('0x' || substr(md5('cms-' || CAST(s.seed AS VARCHAR)
+                                        || ':' || e.k), 1, 15))::BIGINT % 256
+    GROUP BY e.k, e.exact_n
+    """,
+)
+def cms_user_count_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdk_dynamodb_cdc_spark.functions.sketches import (
+        cms_cells,
+        cms_estimate,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").cast("string").alias("user_id")
+    )
+    cells = cms_cells(ev, "user_id")
+    exact = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+        .orderBy(F.col("exact_n").desc(), "user_id")
+        .limit(20)
+    )
+    est = cms_estimate(cells, exact, "user_id")
+    return est.select(
+        "user_id",
+        "exact_n",
+        "est_n",
+        (F.col("est_n") >= F.col("exact_n")).alias("no_underestimate"),
+    )

@@ -181,3 +181,32 @@ def test_mode_stats_break_count_ties_lexicographically(spark, tmp_path):
     assert r["modal_priority"] == "HIGH"
     assert r["mode_count"] == 2
     assert r["median_price"] == 20.0
+
+
+def test_cms_no_underestimate_and_mergeable(spark):
+    from cdk_dynamodb_cdc_spark.functions.sketches import (
+        cms_cells,
+        cms_estimate,
+    )
+
+    rows = [(f"k{i % 7}",) for i in range(200)] + [("hot",)] * 50
+    df = spark.createDataFrame(rows, "k string")
+    cells = cms_cells(df, "k", depth=3, width=16)
+    exact = df.groupBy("k").agg(F.count(F.lit(1)).alias("exact_n"))
+    est = cms_estimate(cells, exact, "k", depth=3, width=16)
+    got = {r.k: (r.exact_n, r.est_n) for r in est.collect()}
+    assert got["hot"][0] == 50
+    for exact_n, est_n in got.values():
+        assert est_n >= exact_n  # the CMS theorem
+    # mergeability: cells(a ++ b) == cellwise sum of cells(a), cells(b)
+    half1 = spark.createDataFrame(rows[:100], "k string")
+    half2 = spark.createDataFrame(rows[100:], "k string")
+    merged = (
+        cms_cells(half1, "k", depth=3, width=16)
+        .unionByName(cms_cells(half2, "k", depth=3, width=16))
+        .groupBy("seed", "bucket")
+        .agg(F.sum("c").alias("c"))
+    )
+    whole = cms_cells(df, "k", depth=3, width=16)
+    assert merged.exceptAll(whole).count() == 0
+    assert whole.exceptAll(merged).count() == 0
