@@ -85,9 +85,27 @@ def cms_estimate(
 ) -> DataFrame:
     """Point-estimate each probe key: min over its depth cells.
 
-    ``probes`` rows pass through with an ``est_n`` column appended;
-    the sketch side is broadcast (depth*width rows)."""
-    probed = probes.select(
+    EVERY ``probes`` row passes through exactly once with an ``est_n``
+    column appended (duplicate probe rows are preserved via an internal
+    per-row id); the sketch side is broadcast (depth*width rows). The
+    sketch is stored sparsely — cells no input key hashed into are
+    absent — so the join is a LEFT join with absent counts coalesced to
+    0: a probe key the build stream never saw estimates 0 (the true CMS
+    estimate for an empty cell), and a key with a mix of empty and
+    non-empty cells takes its min over all ``depth`` cells, empty ones
+    included. Internal columns are ``__cms_``-prefixed so probe frames
+    that already carry ``seed``/``bucket``/``p`` columns join cleanly.
+    """
+    cells_k = F.broadcast(
+        cells.select(
+            F.col("seed").alias("__cms_seed"),
+            F.col("bucket").alias("__cms_bucket"),
+            F.col("c").alias("__cms_c"),
+        )
+    )
+    probed = probes.withColumn(
+        "__cms_rid", F.monotonically_increasing_id()
+    ).select(
         "*",
         F.explode(
             F.array(
@@ -101,11 +119,16 @@ def cms_estimate(
                     for s in range(depth)
                 ]
             )
-        ).alias("p"),
-    ).select("*", F.col("p.seed").alias("seed"), F.col("p.bucket").alias("bucket"))
+        ).alias("__cms_p"),
+    ).select(
+        "*",
+        F.col("__cms_p.seed").alias("__cms_seed"),
+        F.col("__cms_p.bucket").alias("__cms_bucket"),
+    )
     out_cols = [c for c in probes.columns]
     return (
-        probed.join(F.broadcast(cells), ["seed", "bucket"])
-        .groupBy(*out_cols)
-        .agg(F.min("c").alias("est_n"))
+        probed.join(cells_k, ["__cms_seed", "__cms_bucket"], "left")
+        .groupBy("__cms_rid", *out_cols)
+        .agg(F.min(F.coalesce(F.col("__cms_c"), F.lit(0))).alias("est_n"))
+        .drop("__cms_rid")
     )

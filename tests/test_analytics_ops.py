@@ -210,3 +210,32 @@ def test_cms_no_underestimate_and_mergeable(spark):
     whole = cms_cells(df, "k", depth=3, width=16)
     assert merged.exceptAll(whole).count() == 0
     assert whole.exceptAll(merged).count() == 0
+
+
+def test_cms_estimate_preserves_probe_rows(spark):
+    """ADVICE r6 fixes: unseen keys estimate 0 (not dropped), duplicate
+    probe rows survive, and probe columns named seed/bucket/p don't
+    collide with the sketch internals."""
+    from cdk_dynamodb_cdc_spark.functions.sketches import (
+        cms_cells,
+        cms_estimate,
+    )
+
+    df = spark.createDataFrame([("a",)] * 5 + [("b",)] * 3, "k string")
+    cells = cms_cells(df, "k", depth=3, width=16)
+    # probes: an unseen key, a duplicated probe row, and colliding names
+    probes = spark.createDataFrame(
+        [("a", 1, 9, "x"), ("a", 1, 9, "x"), ("never-seen", 2, 8, "y")],
+        "k string, seed int, bucket int, p string",
+    )
+    est = cms_estimate(cells, probes, "k", depth=3, width=16)
+    rows = est.collect()
+    assert len(rows) == 3  # every probe row survives, duplicates intact
+    by_k = {}
+    for r in rows:
+        by_k.setdefault(r.k, []).append(r)
+    assert len(by_k["a"]) == 2
+    for r in by_k["a"]:
+        assert r.est_n >= 5
+        assert (r.seed, r.bucket, r.p) == (1, 9, "x")  # probe cols intact
+    assert by_k["never-seen"][0].est_n == 0
