@@ -8,16 +8,25 @@ Layout::
 
     <table>/
       data/c-<uuid>/part-*.parquet   immutable files, one dir per commit
-      _txlog/00000000000000000042.json   one manifest per version
+      _txlog/00000000000000000042.json             one ACTION per version
+      _txlog/00000000000000000040.checkpoint.json  full state every K versions
 
-Each manifest is the COMPLETE state at its version: the live file
-list, the schema (as Spark schema JSON), and the committing
-``(app_id, batch_id)`` if any. Readers open exactly one manifest —
-O(1), no log folding — and time travel is "open an older manifest".
-(Delta instead logs incremental actions with periodic parquet
-checkpoints; that is the production evolution of this layout once
-file counts make full-list manifests heavy. The commit protocol below
-is unchanged by that swap.)
+Each version file is an INCREMENTAL ACTION — the files this commit
+``add``s to / ``remove``s from the live set, plus the (small) full
+schema JSON and per-app ``txn`` high-water marks — so commit cost is
+O(files touched), not O(files live): at 100-TB file counts with
+frequent streaming commits a full-list manifest per version makes the
+log O(commits x files) and every reader pays it. Every
+``checkpoint_interval`` versions the committer also publishes a
+CHECKPOINT holding the complete reconstructed state; a reader
+materializes version v by opening the newest checkpoint <= v and
+replaying at most ``checkpoint_interval`` action files — never the
+whole log. This is Delta's _delta_log design (JSON actions + periodic
+checkpoints); :meth:`TxTable.manifest` still RETURNS the full
+reconstructed state dict, so every consumer of the old full-list
+layout (snapshot, vacuum, scan, feeds, restore) is unchanged, and
+legacy full-list manifests (a ``live`` key in the version file) are
+still read as full-state resets for tables written by older code.
 
 ACID comes from two properties:
 
@@ -79,12 +88,49 @@ def _evolve_schema(prev_json: str, new_json: str) -> str:
     return StructType(merged).json()
 
 
-class TxTable:
-    """Handle to a transaction-log table rooted at ``path``."""
+def _apply_action(state: dict, action: dict) -> None:
+    """Fold one version's action file into the running state (mutates
+    ``state`` = {"live": [...], "stats": {...}}).
 
-    def __init__(self, spark: SparkSession, path: str):
+    * legacy full-list manifest (``live`` key): full-state reset;
+    * ``mode == "stats"``: stats attached, live set untouched;
+    * anything else: ``live := (live - remove) ++ add``, and any
+      previously attached stats are dropped — mirroring the original
+      layout, where only the ``stats`` version itself carried stats.
+    """
+    if "live" in action:
+        state["live"] = list(action["live"])
+        state["stats"] = dict(action.get("stats", {}))
+        return
+    if action.get("mode") == "stats":
+        state["stats"] = dict(action.get("stats", {}))
+        return
+    removed = set(action.get("remove", []))
+    state["live"] = [
+        f for f in state["live"] if f not in removed
+    ] + list(action.get("add", []))
+    state["stats"] = {}
+
+
+class TxTable:
+    """Handle to a transaction-log table rooted at ``path``.
+
+    ``checkpoint_interval``: publish a full-state checkpoint every K
+    versions (0 disables). Readers replay at most K action files past
+    the newest checkpoint; pick K to balance commit-path overhead
+    (one checkpoint write per K commits) against read amplification.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        *,
+        checkpoint_interval: int = 10,
+    ):
         self.spark = spark
         self.path = path.rstrip("/")
+        self.checkpoint_interval = checkpoint_interval
         jvm = spark._jvm
         self._jPath = jvm.org.apache.hadoop.fs.Path
         self._fs = self._jPath(self.path).getFileSystem(
@@ -129,23 +175,89 @@ class TxTable:
     def _manifest_path(self, version: int) -> str:
         return f"{self.path}/{_LOG_DIR}/{version:020d}.json"
 
+    def _checkpoint_path(self, version: int) -> str:
+        return f"{self.path}/{_LOG_DIR}/{version:020d}.checkpoint.json"
+
     def versions(self) -> list[int]:
         out = []
         for f in self._ls(f"{self.path}/{_LOG_DIR}"):
             name = f.rsplit("/", 1)[-1]
-            if name.endswith(".json"):
+            if name.endswith(".json") and name[:-5].isdigit():
                 out.append(int(name[:-5]))
+        return sorted(out)
+
+    def checkpoints(self) -> list[int]:
+        out = []
+        for f in self._ls(f"{self.path}/{_LOG_DIR}"):
+            name = f.rsplit("/", 1)[-1]
+            if name.endswith(".checkpoint.json"):
+                out.append(int(name[: -len(".checkpoint.json")]))
         return sorted(out)
 
     def latest_version(self) -> int | None:
         vs = self.versions()
         return vs[-1] if vs else None
 
-    def manifest(self, version: int) -> dict:
+    def _action(self, version: int) -> dict:
+        """The raw version file — an incremental action (or a legacy
+        full-list manifest). Schema and txn marks are carried in full
+        on every action, so the commit path never reconstructs."""
         return json.loads(self._read_text(self._manifest_path(version)))
+
+    def manifest(self, version: int) -> dict:
+        """The COMPLETE state at ``version``, reconstructed from the
+        newest checkpoint <= version plus at most
+        ``checkpoint_interval`` action replays. Shape is the original
+        full-list manifest dict (live/schema/txn/mode/...), so every
+        downstream consumer is layout-agnostic."""
+        action = self._action(version)
+        if "live" in action:  # legacy full-list manifest: complete as-is
+            return action
+        state = {"live": [], "stats": {}}
+        start = 0
+        for cp_v in reversed(self.checkpoints()):
+            if cp_v <= version:
+                cp = json.loads(
+                    self._read_text(self._checkpoint_path(cp_v))
+                )
+                state["live"] = list(cp["live"])
+                state["stats"] = dict(cp.get("stats", {}))
+                start = cp_v + 1
+                break
+        for v in range(start, version + 1):
+            _apply_action(state, action if v == version else self._action(v))
+        out = {
+            k: v
+            for k, v in action.items()
+            if k not in ("add", "remove", "stats")
+        }
+        out["live"] = state["live"]
+        if state["stats"]:
+            out["stats"] = state["stats"]
+        return out
 
     def history(self) -> list[dict]:
         return [self.manifest(v) for v in self.versions()]
+
+    def _maybe_checkpoint(self, version: int) -> None:
+        """Publish a full-state checkpoint if ``version`` lands on the
+        cadence. Best-effort and idempotent: create-exclusive, so two
+        committers racing the same checkpoint write it once, and a
+        failure never affects the already-durable commit."""
+        k = self.checkpoint_interval
+        if not k or version <= 0 or version % k != 0:
+            return
+        m = self.manifest(version)
+        cp = {
+            "version": version,
+            "live": m["live"],
+            "schema": m["schema"],
+            "txn": m.get("txn", {}),
+            "stats": m.get("stats", {}),
+        }
+        self._create_exclusive(
+            self._checkpoint_path(version), json.dumps(cp)
+        )
 
     # -- commits -------------------------------------------------------
 
@@ -186,7 +298,7 @@ class TxTable:
             # commit.
             latest = self.latest_version()
             if latest is not None:
-                txn = self.manifest(latest).get("txn", {})
+                txn = self._action(latest).get("txn", {})
                 if (
                     app_id in txn
                     and batch_id <= txn[app_id]
@@ -215,14 +327,24 @@ class TxTable:
 
         for _ in range(max_retries):
             latest = self.latest_version()
-            prev = self.manifest(latest) if latest is not None else {}
+            prev = self._action(latest) if latest is not None else {}
             if mode == "append" and latest is not None:
-                live = prev["live"] + new_files
+                # incremental append: O(files written), never O(files
+                # live) — the action names only this commit's files
+                add, remove = new_files, []
                 schema_json = _evolve_schema(
                     prev["schema"], df.schema.json()
                 )
             else:
-                live = list(new_files)
+                # overwrite retires the current live set; that set is
+                # reconstructed (checkpoint + <=K actions), the action
+                # itself still only names touched files
+                add = list(new_files)
+                remove = (
+                    self.manifest(latest)["live"]
+                    if latest is not None and mode == "overwrite"
+                    else []
+                )
                 schema_json = df.schema.json()
             txn = dict(prev.get("txn", {}))
             if app_id is not None and batch_id is not None:
@@ -231,18 +353,20 @@ class TxTable:
                     return None
                 txn[app_id] = batch_id
             version = 0 if latest is None else latest + 1
-            manifest = {
+            action = {
                 "version": version,
                 "mode": mode,
-                "live": live,
+                "add": add,
+                "remove": remove,
                 "schema": schema_json,
                 "app_id": app_id,
                 "batch_id": batch_id,
                 "txn": txn,
             }
             if self._create_exclusive(
-                self._manifest_path(version), json.dumps(manifest)
+                self._manifest_path(version), json.dumps(action)
             ):
+                self._maybe_checkpoint(version)
                 return version
             # lost the race: a concurrent writer took this version —
             # fold in ITS result and retry on the next one.
@@ -465,23 +589,25 @@ def optimize(
             f"optimize based on v{base_version} conflicts with "
             f"concurrent commit v{latest}; re-run against the new state"
         )
-    manifest = {
+    action = {
         "version": base_version + 1,
         "mode": "optimize",
-        "live": new_files,
+        "add": new_files,
+        "remove": table.manifest(base_version)["live"],
         "schema": snap.schema.json(),
         "app_id": None,
         "batch_id": None,
         # carry per-app replay marks across the rewrite
-        "txn": table.manifest(base_version).get("txn", {}),
+        "txn": table._action(base_version).get("txn", {}),
     }
     if not table._create_exclusive(
-        table._manifest_path(base_version + 1), json.dumps(manifest)
+        table._manifest_path(base_version + 1), json.dumps(action)
     ):
         raise RuntimeError(
             f"optimize based on v{base_version} lost the race for "
             f"v{base_version + 1}; re-run against the new state"
         )
+    table._maybe_checkpoint(base_version + 1)
     return base_version + 1
 
 
@@ -501,6 +627,66 @@ from pyspark.sql.datasource import (  # noqa: E402
 FEED_SOURCE_NAME = "txlog_feed"
 
 
+def _log_versions(path: str) -> list[int]:
+    """Action-file versions under ``path/_txlog`` (plain-os listing —
+    feed readers run without a Spark session). Checkpoint files are
+    not versions."""
+    import glob as _glob
+    import os as _os
+
+    out = []
+    for f in _glob.glob(_os.path.join(path, _LOG_DIR, "*.json")):
+        name = _os.path.basename(f)
+        if name.endswith(".json") and name[:-5].isdigit():
+            out.append(int(name[:-5]))
+    return sorted(out)
+
+
+def _log_action(path: str, version: int) -> dict:
+    import os as _os
+
+    with open(
+        _os.path.join(path, _LOG_DIR, f"{version:020d}.json")
+    ) as fh:
+        return json.load(fh)
+
+
+def _log_added_files(path: str, lo: int, hi: int) -> list[str]:
+    """Files first appearing in versions ``(lo, hi]``. Only append
+    versions contribute; overwrite/optimize/restore rewrite existing
+    rows and are skipped by the change feed.
+
+    Incremental logs answer this from the in-range action files alone
+    (each append action names exactly its new files) — O(hi - lo)
+    opens, never O(versions). Logs containing legacy full-list append
+    manifests fall back to a full live-set replay."""
+    vs = _log_versions(path)
+    in_range = [v for v in vs if lo < v <= hi]
+    actions = {v: _log_action(path, v) for v in in_range}
+    if all(
+        "add" in a
+        for a in actions.values()
+        if a.get("mode") == "append"
+    ):
+        return [
+            f
+            for v in in_range
+            if actions[v].get("mode") == "append"
+            for f in actions[v]["add"]
+        ]
+    added: list[str] = []
+    state: dict = {"live": [], "stats": {}}
+    for v in vs:
+        a = actions.get(v) or _log_action(path, v)
+        prev_live = set(state["live"])
+        _apply_action(state, a)
+        if lo < v <= hi and a.get("mode") == "append":
+            added.extend(
+                f for f in state["live"] if f not in prev_live
+            )
+    return added
+
+
 class TxLogFeedReader(_SimpleReader):
     """Version-offset reader over a TxTable's manifest log. Pure
     manifest arithmetic — no Spark session needed in the worker; rows
@@ -516,44 +702,17 @@ class TxLogFeedReader(_SimpleReader):
     silently swapped between columns."""
 
     def __init__(self, options: dict, field_names: list[str]):
-        import glob as _glob
-        import os as _os
-
         self.path = options["path"].rstrip("/")
         self.field_names = field_names
-        self._glob = _glob
-        self._os = _os
 
     def _versions(self) -> list[int]:
-        files = self._glob.glob(
-            self._os.path.join(self.path, _LOG_DIR, "*.json")
-        )
-        return sorted(
-            int(self._os.path.basename(f)[:-5]) for f in files
-        )
-
-    def _manifest(self, v: int) -> dict:
-        with open(
-            self._os.path.join(self.path, _LOG_DIR, f"{v:020d}.json")
-        ) as fh:
-            return json.load(fh)
+        return _log_versions(self.path)
 
     def initialOffset(self) -> dict:
         return {"version": -1}
 
     def _added_files(self, lo: int, hi: int) -> list[str]:
-        """Files first appearing in versions (lo, hi]. Only append
-        versions contribute; overwrite/optimize rewrite existing rows."""
-        added: list[str] = []
-        prev_live: set[str] = set()
-        for v in self._versions():
-            m = self._manifest(v)
-            if lo < v <= hi and m.get("mode") == "append":
-                added.extend(
-                    f for f in m["live"] if f not in prev_live
-                )
-            prev_live = set(m["live"])
-        return added
+        return _log_added_files(self.path, lo, hi)
 
     def _rows(self, files: list[str]) -> list[tuple]:
         # Materialized (not a generator): the simple-reader contract
@@ -605,13 +764,10 @@ class TxLogFeedDataSource(_DataSource):
 
     def schema(self) -> str:
         path = self.options["path"].rstrip("/")
-        files = sorted(
-            __import__("glob").glob(f"{path}/{_LOG_DIR}/*.json")
-        )
-        if not files:
+        vs = _log_versions(path)
+        if not vs:
             raise ValueError(f"{path} has no commits to infer a schema")
-        with open(files[-1]) as fh:
-            schema_json = json.load(fh)["schema"]
+        schema_json = _log_action(path, vs[-1])["schema"]
         from pyspark.sql.types import StructType as _St
 
         return _St.fromJson(json.loads(schema_json))
@@ -708,18 +864,24 @@ def attach_stats(table: TxTable, cols: list[str]) -> int:
     upgrade — same live set, same schema). Returns the new version."""
     base = table.latest_version()
     m = table.manifest(base)
-    manifest = dict(m)
-    manifest["version"] = base + 1
-    manifest["mode"] = "stats"
-    manifest["stats"] = collect_stats(m["live"], cols)
-    manifest["app_id"] = None
-    manifest["batch_id"] = None
+    action = {
+        "version": base + 1,
+        "mode": "stats",
+        "add": [],
+        "remove": [],
+        "schema": m["schema"],
+        "app_id": None,
+        "batch_id": None,
+        "txn": table._action(base).get("txn", {}),
+        "stats": collect_stats(m["live"], cols),
+    }
     if not table._create_exclusive(
-        table._manifest_path(base + 1), json.dumps(manifest)
+        table._manifest_path(base + 1), json.dumps(action)
     ):
         raise RuntimeError(
             f"attach_stats based on v{base} lost the race; re-run"
         )
+    table._maybe_checkpoint(base + 1)
     return base + 1
 
 
@@ -801,27 +963,11 @@ class TxLogBulkFeedReader(_FullReader):
     None; file-local column order never leaks into the stream)."""
 
     def __init__(self, options: dict, field_names: list[str]):
-        import glob as _glob
-        import os as _os
-
         self.path = options["path"].rstrip("/")
         self.field_names = field_names
-        self._glob = _glob
-        self._os = _os
 
     def _versions(self) -> list[int]:
-        files = self._glob.glob(
-            self._os.path.join(self.path, _LOG_DIR, "*.json")
-        )
-        return sorted(
-            int(self._os.path.basename(f)[:-5]) for f in files
-        )
-
-    def _manifest(self, v: int) -> dict:
-        with open(
-            self._os.path.join(self.path, _LOG_DIR, f"{v:020d}.json")
-        ) as fh:
-            return json.load(fh)
+        return _log_versions(self.path)
 
     def initialOffset(self) -> dict:
         return {"version": -1}
@@ -831,17 +977,11 @@ class TxLogBulkFeedReader(_FullReader):
         return {"version": vs[-1] if vs else -1}
 
     def partitions(self, start: dict, end: dict):
-        lo = int(start.get("version", -1))
-        hi = int(end.get("version", -1))
-        added: list[str] = []
-        prev_live: set[str] = set()
-        for v in self._versions():
-            m = self._manifest(v)
-            if lo < v <= hi and m.get("mode") == "append":
-                added.extend(
-                    f for f in m["live"] if f not in prev_live
-                )
-            prev_live = set(m["live"])
+        added = _log_added_files(
+            self.path,
+            int(start.get("version", -1)),
+            int(end.get("version", -1)),
+        )
         # one partition per file: executors read in parallel
         names = self.field_names
         return [_FeedFilePartition(_local(f), names) for f in added] or [
@@ -871,13 +1011,10 @@ class TxLogBulkFeedDataSource(_DataSource):
 
     def schema(self):
         path = self.options["path"].rstrip("/")
-        files = sorted(
-            __import__("glob").glob(f"{path}/{_LOG_DIR}/*.json")
-        )
-        if not files:
+        vs = _log_versions(path)
+        if not vs:
             raise ValueError(f"{path} has no commits to infer a schema")
-        with open(files[-1]) as fh:
-            schema_json = json.load(fh)["schema"]
+        schema_json = _log_action(path, vs[-1])["schema"]
         return StructType.fromJson(json.loads(schema_json))
 
     def streamReader(self, schema) -> TxLogBulkFeedReader:
@@ -919,18 +1056,23 @@ def restore(table: TxTable, version: int) -> int:
         )
     for _ in range(10):
         latest = table.latest_version()
-        manifest = {
+        action = {
             "version": latest + 1,
             "mode": "restore",
             "restored_from": version,
-            "live": m["live"],
+            # restore = retire the whole current live set, re-add the
+            # restored one (the action names both explicitly so log
+            # replay never needs the restored-from version's state)
+            "add": m["live"],
+            "remove": table.manifest(latest)["live"],
             "schema": m["schema"],
             "app_id": None,
             "batch_id": None,
-            "txn": table.manifest(latest).get("txn", {}),
+            "txn": table._action(latest).get("txn", {}),
         }
         if table._create_exclusive(
-            table._manifest_path(latest + 1), json.dumps(manifest)
+            table._manifest_path(latest + 1), json.dumps(action)
         ):
+            table._maybe_checkpoint(latest + 1)
             return latest + 1
     raise RuntimeError("restore lost 10 optimistic-concurrency races")

@@ -750,3 +750,56 @@ def test_bulk_feed_restore_composition_at_scale(spark, tmp_path):
     got = spark.read.parquet(out)
     assert got.count() == n_rows + 1
     assert got.filter(F.col("id") == 999_999).count() == 1
+
+
+def test_incremental_log_bounds_reader_cost(spark, tmp_path):
+    """The Delta-layout property: materializing a snapshot opens the
+    newest checkpoint plus at most checkpoint_interval action files —
+    never the whole log — and append commits write O(files-added)
+    actions, not full live lists."""
+    t = TxTable(spark, str(tmp_path / "tbl"), checkpoint_interval=10)
+    for c in range(25):
+        t.commit(_df(spark, [c]))  # versions 0..24; checkpoints at 10, 20
+    assert t.checkpoints() == [10, 20]
+
+    # action files are incremental: each append names only its own files
+    for v in (5, 15, 24):
+        a = t._action(v)
+        assert "live" not in a
+        assert a["remove"] == []
+        assert 0 < len(a["add"]) <= 2  # one tiny df's part files
+
+    # reader cost: snapshot(24) = 1 action (mode/schema) + 1 checkpoint
+    # + replay of (20, 24] = 4 actions. Bounded by K, not by 25.
+    opens = []
+    orig = TxTable._read_text
+
+    def counting(self, file_path):
+        opens.append(file_path)
+        return orig(self, file_path)
+
+    TxTable._read_text = counting
+    try:
+        live = t.manifest(24)["live"]
+    finally:
+        TxTable._read_text = orig
+    assert len(live) > 0
+    action_opens = [p for p in opens if not p.endswith(".checkpoint.json")]
+    cp_opens = [p for p in opens if p.endswith(".checkpoint.json")]
+    assert len(cp_opens) == 1 and cp_opens[0].endswith(
+        "00000000000000000020.checkpoint.json"
+    )
+    assert len(action_opens) <= t.checkpoint_interval
+    # and the reconstructed state is right: 25 appended rows
+    assert sorted(r["id"] for r in t.snapshot().collect()) == list(range(25))
+
+    # overwrite folds correctly through a checkpoint boundary too
+    t.commit(_df(spark, [99]), mode="overwrite")  # v25
+    for _ in range(5):
+        t.commit(_df(spark, [100]))  # v26..30 -> checkpoint at 30
+    assert 30 in t.checkpoints()
+    assert sorted(r["id"] for r in t.snapshot().collect()) == [99] + [100] * 5
+    # time travel across the whole mixed log still reconstructs
+    assert sorted(r["id"] for r in t.snapshot(version=24).collect()) == list(
+        range(25)
+    )
