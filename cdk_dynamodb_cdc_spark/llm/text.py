@@ -406,6 +406,138 @@ def bpe_merge_candidates(
     )
 
 
+BPE_SEP = "\x1f"  # unit separator: never occurs in tokenized text
+
+
+def bpe_train(
+    docs,  # DataFrame
+    *,
+    text_col: str = "text",
+    n_merges: int = 32,
+):
+    """The FULL byte-pair-encoding training loop (Sennrich et al.
+    2016): iterate ``bpe_merge_candidates``'s most-frequent-pair
+    decision ``n_merges`` times, re-symbolizing the vocabulary between
+    iterations. Returns ``(merges, vocab_tokens)`` — the ordered merge
+    rules ``[(a, b), ...]`` and a DataFrame ``(w, n, syms)`` mapping
+    every corpus word to its trained symbol sequence, ready to join
+    back onto the corpus for tokenization.
+
+    Representation: each word is a separator-joined symbol string
+    (``··a··b··c··`` with ``\\x1f`` separators, doubled BETWEEN
+    symbols and at the edges), so applying merge ``(a, b)`` is one
+    ``replace('·a··b·' -> '·ab·')`` — left-to-right non-overlapping
+    string replacement, which is exactly BPE's greedy merge semantics
+    (in ``aaa`` the pair ``(a,a)`` merges once, yielding ``aa, a``),
+    and reproduces bit-identically in any engine with the same
+    replace semantics (the DuckDB oracle replays the identical loop
+    as a recursive CTE). Ties in the best-pair choice break by
+    (count desc, left asc, right asc) — a total order, so the merge
+    SEQUENCE is deterministic.
+
+    Scale: ONE corpus pass builds the word-count vocabulary; every
+    iteration after that is vocabulary-sized (Heaps' law: ~1e7 rows
+    at 100 TB, trivially partitioned) — a pair-count aggregation
+    (map-side combined), a 1-row driver collect of the winning pair
+    (the only driver state: n_merges pairs), and one Column
+    ``replace``. localCheckpoint truncates the growing replace
+    lineage each iteration so iteration cost stays O(vocab), not
+    O(vocab x merges-so-far).
+    """
+    from pyspark.sql import functions as F
+
+    s2 = BPE_SEP + BPE_SEP
+    vocab = (
+        docs.select(
+            F.explode(F.split(F.col(text_col), " ")).alias("w")
+        )
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn(
+            "s",
+            F.concat(
+                F.lit(s2),
+                F.regexp_replace(F.col("w"), "(.)", "$1" + s2),
+            ),
+        )
+        .localCheckpoint()
+    )
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        syms = F.split(F.btrim(F.col("s"), F.lit(BPE_SEP)), s2)
+        pairs = vocab.filter(F.size(syms) >= 2).select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(syms) - 1),
+                    lambda i: F.struct(
+                        F.element_at(syms, i).alias("pa"),
+                        F.element_at(syms, i + 1).alias("pb"),
+                    ),
+                )
+            ).alias("p"),
+            "n",
+        )
+        best = (
+            pairs.groupBy("p.pa", "p.pb")
+            .agg(F.sum("n").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), "pa", "pb")
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break  # every word is a single symbol: nothing to merge
+        pa, pb = best[0]["pa"], best[0]["pb"]
+        merges.append((pa, pb))
+        vocab = vocab.withColumn(
+            "s",
+            F.replace(
+                F.col("s"),
+                F.lit(BPE_SEP + pa + s2 + pb + BPE_SEP),
+                F.lit(BPE_SEP + pa + pb + BPE_SEP),
+            ),
+        ).localCheckpoint()
+    vocab_tokens = vocab.select(
+        "w",
+        "n",
+        F.split(F.btrim(F.col("s"), F.lit(BPE_SEP)), s2).alias("syms"),
+    )
+    return merges, vocab_tokens
+
+
+def bpe_token_stats(
+    docs,  # DataFrame
+    *,
+    text_col: str = "text",
+    group_col: str = "lang",
+    n_merges: int = 32,
+):
+    """Train BPE on the corpus, tokenize the corpus with the trained
+    merges, and report integer token counts per ``group_col``:
+    ``(group, n_words, n_chars, n_tokens)``. Tokenization is a join
+    of corpus word occurrences onto the trained vocabulary (words
+    tokenize once, however often they occur — the vocabulary side is
+    Heaps'-law small and AQE broadcasts it)."""
+    from pyspark.sql import functions as F
+
+    _, vocab_tokens = bpe_train(
+        docs, text_col=text_col, n_merges=n_merges
+    )
+    words = docs.select(
+        F.col(group_col),
+        F.explode(F.split(F.col(text_col), " ")).alias("w"),
+    ).filter(F.col("w") != "")
+    return (
+        words.join(vocab_tokens, "w")
+        .groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum(F.length("w")).alias("n_chars"),
+            F.sum(F.size("syms")).alias("n_tokens"),
+        )
+    )
+
+
 HASH_EMBED_DIM = 64
 
 

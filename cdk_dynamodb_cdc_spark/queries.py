@@ -7278,6 +7278,73 @@ def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# The FULL BPE training loop closed (llm/text.py:bpe_train): 32 merge
+# iterations with vocabulary re-symbolization between them, then the
+# corpus tokenized with the trained merges — integer token counts per
+# language. The oracle REPLAYS THE IDENTICAL TRAINING LOOP as a
+# DuckDB recursive CTE: same separator-string representation, same
+# one-replace-per-merge greedy semantics, same (count desc, pair asc)
+# tie-break — so a green hash pins the entire 32-step merge SEQUENCE,
+# not just the final counts. Both engines' `replace` is left-to-right
+# non-overlapping (Java String.replace / DuckDB replace), which is
+# exactly BPE's greedy merge.
+# ---------------------------------------------------------------------------
+_BPE_SEP = "\x1f"
+_BPE_MERGES = 32
+@query(
+    "bpe_train_token_counts",
+    oracle=f"""
+    WITH RECURSIVE vocab AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS n
+      FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      WHERE w <> '' GROUP BY w
+    ),
+    bpe(iter, w, n, s) AS (
+      SELECT 0, w, n,
+             '{_BPE_SEP}{_BPE_SEP}' ||
+             list_aggregate(string_split(w, ''), 'string_agg',
+                            '{_BPE_SEP}{_BPE_SEP}') ||
+             '{_BPE_SEP}{_BPE_SEP}'
+      FROM vocab
+      UNION ALL
+      SELECT iter + 1, w, n,
+             replace(s,
+                     '{_BPE_SEP}' || best.pa || '{_BPE_SEP}{_BPE_SEP}'
+                                  || best.pb || '{_BPE_SEP}',
+                     '{_BPE_SEP}' || best.pa || best.pb || '{_BPE_SEP}')
+      FROM bpe, (
+        SELECT pa, pb
+        FROM (
+          SELECT syms[i] AS pa, syms[i+1] AS pb, SUM(n) AS cnt
+          FROM (SELECT n, string_split(trim(s, '{_BPE_SEP}'),
+                                       '{_BPE_SEP}{_BPE_SEP}') AS syms
+                FROM bpe),
+               UNNEST(range(1, len(syms))) AS t(i)
+          GROUP BY pa, pb
+        ) ORDER BY cnt DESC, pa, pb LIMIT 1
+      ) best
+      WHERE iter < {_BPE_MERGES}
+    )
+    SELECT d.lang,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(length(t.w)) AS BIGINT) AS n_chars,
+           CAST(SUM(len(string_split(trim(t.s, '{_BPE_SEP}'),
+                    '{_BPE_SEP}{_BPE_SEP}'))) AS BIGINT) AS n_tokens
+    FROM (SELECT lang, unnest(string_split(text, ' ')) AS w
+          FROM documents) d
+    JOIN (SELECT w, s FROM bpe WHERE iter = {_BPE_MERGES}) t ON t.w = d.w
+    WHERE d.w <> ''
+    GROUP BY d.lang
+    """,
+)
+def bpe_train_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return llm_text.bpe_token_stats(
+        docs, group_col="lang", n_merges=_BPE_MERGES
+    )
+
+
+# ---------------------------------------------------------------------------
 # Quality-gate composition over the round-6 signals: repetition
 # (Gopher duplicated-gram fraction), exact-substring duplication
 # (Lee et al. windows, INTEGER fraction test 5*dup > n), perplexity

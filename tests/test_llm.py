@@ -1224,3 +1224,52 @@ def test_dsir_importance_separates_target_like_docs(spark):
     assert out[0] is True and out[20] is False
     # n_feats = unigrams + bigrams = 4 + 3 per doc
     assert all(r.n_feats == 7 for r in scored)
+
+
+def test_bpe_train_greedy_semantics_and_python_parity(spark):
+    """The trained merge sequence and tokenization must equal a pure-
+    Python reference BPE (Sennrich-style greedy left-to-right merges,
+    ties broken count-desc then pair-asc) — including the overlap case
+    where 'aaaa' under merge (a,a) yields [aa, aa] and 'aaa' yields
+    [aa, a]."""
+    from collections import Counter
+
+    from cdk_dynamodb_cdc_spark.llm.text import bpe_train
+
+    texts = [
+        "the cat sat on the mat",
+        "the rat ate the cake",
+        "aaaa aaa the that",
+        "banana bandana",
+    ]
+    docs = spark.createDataFrame([(t,) for t in texts], "text string")
+
+    # pure-Python reference
+    vocab = Counter(w for t in texts for w in t.split(" ") if w)
+    syms = {w: list(w) for w in vocab}
+    ref_merges = []
+    for _ in range(12):
+        pc = Counter()
+        for w, n in vocab.items():
+            s = syms[w]
+            for i in range(len(s) - 1):
+                pc[(s[i], s[i + 1])] += n
+        if not pc:
+            break
+        a, b = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        ref_merges.append((a, b))
+        for w in vocab:
+            s, out, i = syms[w], [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            syms[w] = out
+
+    merges, vocab_tokens = bpe_train(docs, n_merges=12)
+    assert merges == ref_merges
+    got = {r["w"]: list(r["syms"]) for r in vocab_tokens.collect()}
+    assert got == syms
