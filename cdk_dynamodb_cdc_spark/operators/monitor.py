@@ -143,3 +143,216 @@ def field_drift_stats(
         F.min("ts_us").alias("first_seen_us"),
         F.max("ts_us").alias("last_seen_us"),
     )
+
+
+def infer_item_schema(
+    records: DataFrame,
+    *,
+    image_cols: tuple[str, ...] = ("new_image", "old_image"),
+    ts_col: str = "ts",
+    number_type=None,
+):
+    """The missing link between the drift profile and the typed lane:
+    derive the ``StructType`` that ``operators/typed_diff.py`` needs
+    from the stream itself — ``field_drift_stats``'s (field, wire
+    type) profile becomes a declared schema, so the scale lane runs
+    without hand-written schemas and re-derives itself after drift.
+
+    Wire-type mapping mirrors the dynamic lane's value semantics
+    (functions/dynamo.py): S -> string, N -> decimal(38,18) by
+    default (numeric-exact comparison, like the dynamic lane's
+    Decimal — pass ``number_type`` to override), BOOL -> boolean,
+    B -> binary, SS/NS/BS -> sorted arrays tagged with the
+    ``dynamo_type`` metadata the typed lane canonicalizes on, M ->
+    nested struct (recursively profiled), L -> array of the
+    elements' inferred type. Fields sort by name, so the schema —
+    and therefore the typed lane's generated plan — is deterministic
+    for a given stream content.
+
+    DRIFT POLICY: a field observed under several wire types resolves
+    to the type of its LATEST occurrence (max last-seen timestamp,
+    ties by count then tag) — "the schema now". Records predating the
+    flip parse to null for that field, which the typed lane documents
+    as reading absent; route mixed-era replays through the dynamic
+    lane instead.
+
+    Cost: one profiling aggregation per nesting LEVEL that contains
+    an M or L field (top level reuses ``field_drift_stats``), each
+    map-side combinable and attribute-schema-sized in output; the
+    driver holds only the schema itself. Run it per corpus drop, not
+    per query.
+    """
+    from pyspark.sql import types as T
+
+    num = number_type or T.DecimalType(38, 18)
+    ts_us = F.timestamp_diff(
+        "MICROSECOND",
+        F.lit("1970-01-01 00:00:00").cast("timestamp_ntz"),
+        F.col(ts_col).cast("timestamp_ntz"),
+    )
+    frames = [
+        records.select(ts_us.alias("ts"), F.col(c).alias("img"))
+        for c in image_cols
+    ]
+    frame = frames[0]
+    for f in frames[1:]:
+        frame = frame.unionByName(f)
+
+    def winners(profile_rows):
+        """field -> winning wire type (latest occurrence wins)."""
+        best: dict = {}
+        for r in profile_rows:
+            key = (r["last_seen_us"], r["n_records"], r["wire_type"])
+            if r["field"] not in best or key > best[r["field"]][0]:
+                best[r["field"]] = (key, r["wire_type"])
+        return {f: wt for f, (_, wt) in best.items()}
+
+    def leaf_type(wt: str, field: str):
+        if wt == "S":
+            return T.StringType(), {}
+        if wt == "N":
+            return num, {}
+        if wt == "BOOL":
+            return T.BooleanType(), {}
+        if wt == "B":
+            return T.BinaryType(), {}
+        if wt == "SS":
+            return T.ArrayType(T.StringType()), {"dynamo_type": "SS"}
+        if wt == "NS":
+            return T.ArrayType(num), {"dynamo_type": "NS"}
+        if wt == "BS":
+            return T.ArrayType(T.BinaryType()), {"dynamo_type": "BS"}
+        raise ValueError(
+            f"cannot infer a typed-lane type for field {field!r} "
+            f"with wire type {wt!r}"
+        )
+
+    def node_frame(obj_frame, field: str, wt: str):
+        """(ts, img)-frame of the wire values under ``field``/``wt``
+        inside a frame of marshalled OBJECT json texts."""
+        return (
+            obj_frame.filter(F.col("img").isNotNull())
+            .select(
+                "ts",
+                F.explode(
+                    F.from_json(F.col("img"), "map<string, string>")
+                ).alias("field", "av"),
+            )
+            .filter(F.col("field") == field)
+            .select(
+                "ts",
+                F.from_json(F.col("av"), "map<string, string>")[
+                    wt
+                ].alias("img"),
+            )
+        )
+
+    def infer_struct(obj_frame, prof=None) -> T.StructType:
+        if prof is None:
+            prof = (
+                obj_frame.filter(F.col("img").isNotNull())
+                .select(
+                    "ts",
+                    F.explode(
+                        F.from_json(
+                            F.col("img"),
+                            "map<string, map<string, string>>",
+                        )
+                    ).alias("field", "av"),
+                )
+                .select(
+                    "ts", "field", F.map_keys("av")[0].alias("wire_type")
+                )
+                .groupBy("field", "wire_type")
+                .agg(
+                    F.count(F.lit(1)).alias("n_records"),
+                    F.max("ts").alias("last_seen_us"),
+                )
+                .collect()
+            )
+        fields = []
+        for name, wt in sorted(winners(prof).items()):
+            if wt == "M":
+                dt: T.DataType = infer_struct(node_frame(obj_frame, name, wt))
+                meta: dict = {}
+            elif wt == "L":
+                elems = (
+                    node_frame(obj_frame, name, wt)
+                    .filter(F.col("img").isNotNull())
+                    .select(
+                        "ts",
+                        F.explode(
+                            F.from_json(F.col("img"), "array<string>")
+                        ).alias("img"),
+                    )
+                )
+                dt, meta = T.ArrayType(infer_av(elems)), {}
+            else:
+                dt, meta = leaf_type(wt, name)
+            fields.append(T.StructField(name, dt, True, metadata=meta))
+        if not fields:
+            raise ValueError("no attributes observed: cannot infer a schema")
+        return T.StructType(fields)
+
+    def infer_av(av_frame) -> T.DataType:
+        """Element type of a list: profile the AttributeValue nodes."""
+        prof = (
+            av_frame.select(
+                "ts",
+                F.map_keys(
+                    F.from_json(F.col("img"), "map<string, string>")
+                )[0].alias("wire_type"),
+            )
+            .groupBy("wire_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_records"),
+                F.max("ts").alias("last_seen_us"),
+            )
+            .withColumn("field", F.lit("<list element>"))
+            .collect()
+        )
+        wt = winners(prof).get("<list element>")
+        if wt is None:
+            return T.StringType()  # only empty lists observed
+        if wt == "M":
+            elems = av_frame.select(
+                "ts",
+                F.from_json(F.col("img"), "map<string, string>")[
+                    "M"
+                ].alias("img"),
+            )
+            return infer_struct(elems)
+        if wt == "L":
+            inner = av_frame.select(
+                "ts",
+                F.explode(
+                    F.from_json(
+                        F.from_json(F.col("img"), "map<string, string>")[
+                            "L"
+                        ],
+                        "array<string>",
+                    )
+                ).alias("img"),
+            )
+            return T.ArrayType(infer_av(inner))
+        dt, _meta = leaf_type(wt, "<list element>")
+        return dt
+
+    # top level: the literal field_drift_stats composition — profile
+    # every image column and fold the per-column profiles together
+    profs = [
+        field_drift_stats(records, image_col=c, ts_col=ts_col)
+        for c in image_cols
+    ]
+    prof_all = profs[0]
+    for p in profs[1:]:
+        prof_all = prof_all.unionByName(p)
+    top = (
+        prof_all.groupBy("field", "wire_type")
+        .agg(
+            F.sum("n_records").alias("n_records"),
+            F.max("last_seen_us").alias("last_seen_us"),
+        )
+        .collect()
+    )
+    return infer_struct(frame, prof=top)

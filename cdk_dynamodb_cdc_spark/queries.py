@@ -1137,6 +1137,52 @@ def cdc_change_stats_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# AUTO-typed CDC lane (operators/monitor.py:infer_item_schema ->
+# operators/typed_diff.py): the declared schema is not hand-written
+# but INFERRED from the stream's own drift profile
+# (field_drift_stats), then the zero-Python typed pipeline runs under
+# it. Same oracle as cdc_change_stats — a green hash is driver-side
+# evidence that the drift-profile -> StructType -> typed-diff
+# composition reproduces the dynamic lane exactly, which is the link
+# that makes the scale lane usable without hand-declared schemas.
+# ---------------------------------------------------------------------------
+@query(
+    "cdc_change_stats_autotyped",
+    oracle="""
+    WITH versions AS (
+      SELECT user_id, event_type, value,
+             LAG(event_type) OVER w AS prev_type,
+             LAG(value) OVER w AS prev_value,
+             LAG(event_id) OVER w AS prev_id
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), diffs AS (
+      SELECT CASE WHEN prev_id IS NULL THEN 'INSERT' ELSE 'MODIFY' END AS operation,
+             CASE WHEN prev_id IS NULL THEN 2
+                  ELSE (CASE WHEN event_type <> prev_type THEN 1 ELSE 0 END)
+                     + (CASE WHEN value <> prev_value THEN 1 ELSE 0 END) END AS n_changed
+      FROM versions
+    )
+    SELECT operation, CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(n_changed) AS BIGINT) AS total_attrs_changed
+    FROM diffs WHERE n_changed > 0
+    GROUP BY operation
+    """,
+)
+def cdc_change_stats_autotyped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdk_dynamodb_cdc_spark.operators.monitor import infer_item_schema
+    from cdk_dynamodb_cdc_spark.operators.typed_diff import cdc_change_events_typed
+
+    records = synthesize_cdc_records(spark, sf_dir)
+    item_schema = infer_item_schema(records)
+    changes = cdc_change_events_typed(records, item_schema)
+    return changes.groupBy("operation").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.size("attributes_changed")).alias("total_attrs_changed"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Range (theta) join: events landing within 7 days after one of the
 # user's order dates. Equi key (user) + range predicate — Catalyst
 # plans the equi part as the join key and evaluates the range as a

@@ -312,3 +312,102 @@ def test_ivm_deltas_identical_across_lanes(spark):
         "x": (0, decimal.Decimal("0.00")),
         "y": (1, decimal.Decimal("10.00")),
     }
+
+
+def test_infer_item_schema_nested_sets_and_drift(spark):
+    """infer_item_schema derives the typed lane's StructType from the
+    stream itself: nested M structs recurse, L lists infer element
+    types, SS/NS tag the set metadata the typed lane canonicalizes on,
+    and a re-typed field resolves to its LATEST wire type."""
+    import datetime
+
+    from pyspark.sql import types as T
+
+    from cdk_dynamodb_cdc_spark.operators.monitor import infer_item_schema
+
+    def rec(ts_s, new_image):
+        return (
+            str(ts_s),
+            1,
+            datetime.datetime(2024, 1, 1, 0, 0, ts_s),
+            "INSERT",
+            "PK#1",
+            "SK",
+            None,
+            new_image,
+            64,
+        )
+
+    rows = [
+        rec(1, '{"name":{"S":"a"},"score":{"N":"1.5"},'
+               '"tags":{"SS":["x","y"]},"nums":{"NS":["2","1"]},'
+               '"meta":{"M":{"depth":{"N":"3"},"flag":{"BOOL":true}}},'
+               '"hops":{"L":[{"N":"1"},{"N":"2"}]}}'),
+        # drift: "score" re-typed N -> S in a later record
+        rec(2, '{"name":{"S":"b"},"score":{"S":"high"}}'),
+    ]
+    records = spark.createDataFrame(
+        rows,
+        "event_id string, seq long, ts timestamp, operation string, "
+        "pk string, sk string, old_image string, new_image string, "
+        "size_bytes long",
+    )
+    schema = infer_item_schema(records)
+    by_name = {f.name: f for f in schema.fields}
+    assert sorted(by_name) == ["hops", "meta", "name", "nums", "score", "tags"]
+    assert isinstance(by_name["name"].dataType, T.StringType)
+    # drift policy: latest occurrence wins -> score is now a string
+    assert isinstance(by_name["score"].dataType, T.StringType)
+    assert by_name["tags"].metadata == {"dynamo_type": "SS"}
+    assert isinstance(by_name["tags"].dataType.elementType, T.StringType)
+    assert by_name["nums"].metadata == {"dynamo_type": "NS"}
+    assert isinstance(by_name["nums"].dataType.elementType, T.DecimalType)
+    meta_t = by_name["meta"].dataType
+    assert isinstance(meta_t, T.StructType)
+    assert [f.name for f in meta_t.fields] == ["depth", "flag"]
+    assert isinstance(meta_t["flag"].dataType, T.BooleanType)
+    hops_t = by_name["hops"].dataType
+    assert isinstance(hops_t, T.ArrayType)
+    assert isinstance(hops_t.elementType, T.DecimalType)
+
+
+def test_autotyped_lane_matches_dynamic_paths(spark):
+    """Full composition: drift profile -> inferred schema -> typed
+    pipeline must report the same changed-path SETS as the dynamic
+    lane on nested records (the lane-parity contract, now reachable
+    with no hand-declared schema)."""
+    import datetime
+
+    from cdk_dynamodb_cdc_spark.operators.monitor import infer_item_schema
+    from cdk_dynamodb_cdc_spark.operators.pipeline import cdc_change_events
+    from cdk_dynamodb_cdc_spark.operators.typed_diff import (
+        cdc_change_events_typed,
+    )
+
+    old = ('{"a":{"N":"1"},"m":{"M":{"x":{"S":"p"},"y":{"N":"7"}}},'
+           '"gone":{"S":"bye"}}')
+    new = ('{"a":{"N":"2"},"m":{"M":{"x":{"S":"q"},"y":{"N":"7"}}},'
+           '"fresh":{"BOOL":true}}')
+    records = spark.createDataFrame(
+        [
+            ("e1", 1, datetime.datetime(2024, 1, 1), "MODIFY",
+             "PK#1", "SK", old, new, 64),
+            ("e2", 2, datetime.datetime(2024, 1, 1, 0, 1), "MODIFY",
+             "PK#1", "SK", new, new, 64),  # no-op: must be dropped
+        ],
+        "event_id string, seq long, ts timestamp, operation string, "
+        "pk string, sk string, old_image string, new_image string, "
+        "size_bytes long",
+    )
+    schema = infer_item_schema(records)
+    dyn = {
+        r["event_id"]: sorted(r["attributes_changed"])
+        for r in cdc_change_events(records).collect()
+    }
+    typ = {
+        r["event_id"]: sorted(r["attributes_changed"])
+        for r in cdc_change_events_typed(records, schema).collect()
+    }
+    assert dyn == typ == {
+        "e1": ["a", "fresh", "gone", "m", "m.x"],
+    }
