@@ -166,6 +166,8 @@ def weighted_sample(
     *,
     key_col: str = "doc_id",
     salt: str = WEIGHTED_SAMPLE_SALT,
+    log_weight: bool = False,
+    extra_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Deterministic weighted sampling without replacement
     (Efraimidis–Spirakis A-ES): each row draws u from a salted md5 of
@@ -182,18 +184,28 @@ def weighted_sample(
     state; the score-and-top-n form is the embarrassingly parallel
     equivalent (same distribution), which is why it is the one
     distributed pipelines run.
+
+    ``log_weight=True`` reads ``weight_col`` as a LOG weight and
+    scores ``r = ln(-ln(u)) - w`` — identical ordering to
+    ``-ln(u) / exp(w)`` (``ln`` is monotone and ``-ln(u) > 0``) with
+    no ``exp`` overflow/underflow for large ``|w|``; inclusion odds
+    are proportional to ``exp(w)``. This is the lane importance
+    resamplers (DSIR) ride, where weights live in log space.
     """
     h = F.expr(
         f"cast(conv(substring(md5(concat('{salt}:', "
         f"cast({key_col} as string))), 1, 12), 16, 10) as bigint)"
     )
     u = (h + F.lit(1)).cast("double") / F.lit(_U48)
-    r = -F.log(u) / F.col(weight_col).cast("double")
+    if log_weight:
+        r = F.log(-F.log(u)) - F.col(weight_col).cast("double")
+    else:
+        r = -F.log(u) / F.col(weight_col).cast("double")
     return (
-        df.select(key_col, weight_col, r.alias("r"))
+        df.select(key_col, weight_col, *extra_cols, r.alias("r"))
         .orderBy(F.col("r").asc(), F.col(key_col))
         .limit(n)
-        .select(key_col, weight_col)
+        .select(key_col, weight_col, *extra_cols)
     )
 
 
@@ -318,13 +330,40 @@ def dsir_importance(
     (``kept`` = weight >= 0) and integer feature counts, never raw
     floats.
 
-    Returns ``(key, n_feats, kept)``.
+    Returns ``(key, n_feats, kept)``. (:func:`dsir_log_weights`
+    exposes the raw log weight ``w`` for the resampling step.)
 
     Scale shape: bucket tables are B-sized (broadcast); the corpus is
     exploded once and aggregated map-side by (doc, bucket) — one
     corpus-linear shuffle keyed by the doc, nothing quadratic, no
     Python in the plan.
     """
+    per_doc = dsir_log_weights(
+        corpus,
+        target,
+        key_col=key_col,
+        text_col=text_col,
+        n_buckets=n_buckets,
+    )
+    return per_doc.select(
+        "key",
+        "n_feats",
+        (F.col("w") >= F.lit(0.0)).alias("kept"),
+    )
+
+
+def dsir_log_weights(
+    corpus: DataFrame,
+    target: DataFrame,
+    *,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = DSIR_BUCKETS,
+) -> DataFrame:
+    """Per-document DSIR log importance weights ``(key, n_feats, w)``
+    — the quantity :func:`dsir_importance` thresholds and
+    :func:`dsir_resample` samples by. Same plan, same integer-ordered
+    fold determinism."""
     from cdk_dynamodb_cdc_spark.llm.text import token_hash60
 
     def feats(df: DataFrame, *cols: str) -> DataFrame:
@@ -386,7 +425,49 @@ def dsir_importance(
     return per_doc.select(
         F.col(key_col).alias("key"),
         F.col("n_feats"),
-        (F.col("w") >= F.lit(0.0)).alias("kept"),
+        F.col("w"),
+    )
+
+
+def dsir_resample(
+    corpus: DataFrame,
+    target: DataFrame,
+    n: int,
+    *,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = DSIR_BUCKETS,
+    salt: str = WEIGHTED_SAMPLE_SALT,
+) -> DataFrame:
+    """DSIR's SECOND step, the actual resampler (Xie et al. 2023 §2):
+    draw ``n`` documents without replacement with probability
+    proportional to ``exp(w)`` — not merely the ``w >= 0`` keep bit.
+    Pure composition: :func:`dsir_log_weights` supplies the log
+    weights, :func:`weighted_sample` (A-ES) in its log-weight lane
+    draws the sample — deterministic (salted-hash u, no RNG state),
+    reproducible across engines and partitionings.
+
+    Returns ``(key, n_feats, w)`` for the ``n`` sampled documents.
+
+    Scale shape: inherits dsir_log_weights' one corpus-linear doc-
+    keyed shuffle, then A-ES's TakeOrderedAndProject partial top-n —
+    no global sort, no new corpus pass.
+    """
+    weights = dsir_log_weights(
+        corpus,
+        target,
+        key_col=key_col,
+        text_col=text_col,
+        n_buckets=n_buckets,
+    )
+    return weighted_sample(
+        weights,
+        "w",
+        n,
+        key_col="key",
+        salt=salt,
+        log_weight=True,
+        extra_cols=("n_feats",),
     )
 
 

@@ -8004,6 +8004,72 @@ def dsir_importance_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# DSIR step 2 — the actual importance RESAMPLER (llm/curation.py:
+# dsir_resample): 200 documents drawn without replacement with
+# probability proportional to exp(w), via the A-ES machinery in log
+# space (r = ln(-ln(u)) - w ranks identically to -ln(u)/exp(w), no
+# overflow). The oracle rebuilds the identical log weights (integer-
+# ordered fold, as dsir_importance_keep) and replays the identical
+# A-ES draw; output columns are the doc id and integer feature count.
+# ---------------------------------------------------------------------------
+@query(
+    "dsir_resample_topn",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents
+    ),
+    fb AS (
+      SELECT doc_id, lang,
+             ('0x' || substr(md5(g), 1, 15))::BIGINT % 1024 AS b
+      FROM (
+        SELECT doc_id, lang,
+               unnest(ws || list_transform(range(1, len(ws)),
+                      i -> ws[i] || ' ' || ws[i + 1])) AS g
+        FROM toks
+      )
+    ),
+    raw AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS cr FROM fb GROUP BY b),
+    tgt AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS ct
+            FROM fb WHERE lang = 'en' GROUP BY b),
+    tot AS (SELECT (SELECT COUNT(*) FROM fb) AS nr,
+                   (SELECT COUNT(*) FROM fb WHERE lang = 'en') AS nt),
+    t AS (
+      SELECT fb.doc_id, COALESCE(tgt.ct, 0) AS ct, raw.cr,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM fb JOIN raw USING (b) LEFT JOIN tgt USING (b)
+      GROUP BY fb.doc_id, ct, raw.cr
+    ),
+    d AS (
+      SELECT doc_id,
+             list_sum(list(n * (ln((ct + 1)::DOUBLE)
+                                - ln((tot.nt + 1024)::DOUBLE)
+                                - ln((cr + 1)::DOUBLE)
+                                + ln((tot.nr + 1024)::DOUBLE))
+                           ORDER BY ct, cr)) AS w,
+             SUM(n) AS n_feats
+      FROM t, tot GROUP BY doc_id
+    ),
+    scored AS (
+      SELECT doc_id, n_feats,
+             ln(-ln((('0x' || substr(md5('wsample-0:' ||
+                 CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT + 1)
+               / 281474976710656.0)) - w AS r
+      FROM d
+    )
+    SELECT doc_id, CAST(n_feats AS BIGINT) AS n_feats
+    FROM scored ORDER BY r, doc_id LIMIT 200
+    """,
+)
+def dsir_resample_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdk_dynamodb_cdc_spark.llm.curation import dsir_resample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dsir_resample(
+        docs, docs.filter(F.col("lang") == "en"), 200
+    ).select(F.col("key").alias("doc_id"), "n_feats")
+
+
+# ---------------------------------------------------------------------------
 # Autocorrelation function of the daily revenue series: lag-1..7
 # Pearson correlation of the series with its lagged self (pairwise-
 # complete pairs — the sample cross-correlation form). All six moments

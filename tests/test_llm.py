@@ -1273,3 +1273,72 @@ def test_bpe_train_greedy_semantics_and_python_parity(spark):
     assert merges == ref_merges
     got = {r["w"]: list(r["syms"]) for r in vocab_tokens.collect()}
     assert got == syms
+
+
+def test_weighted_sample_log_lane_matches_linear_lane(spark):
+    """log_weight=True with w = ln(weight) must pick the identical
+    sample as the linear lane (r = ln(-ln u) - w orders exactly like
+    -ln(u)/e^w), while handling magnitudes where exp(w) would
+    overflow."""
+    import math
+
+    from cdk_dynamodb_cdc_spark.llm import curation
+
+    rows = [(f"d{i}", float(1 + (i * 37) % 101)) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id string, wt double")
+    lin = sorted(
+        r.doc_id
+        for r in curation.weighted_sample(df, "wt", 25).collect()
+    )
+    logd = df.select(
+        "doc_id", F.log(F.col("wt")).alias("lw")
+    )
+    log_s = sorted(
+        r.doc_id
+        for r in curation.weighted_sample(
+            logd, "lw", 25, log_weight=True
+        ).collect()
+    )
+    assert lin == log_s
+    # extreme log weights: exp would overflow/underflow a double
+    big = spark.createDataFrame(
+        [("hot", 800.0)] + [(f"c{i}", -900.0) for i in range(50)],
+        "doc_id string, lw double",
+    )
+    got = curation.weighted_sample(
+        big, "lw", 1, log_weight=True
+    ).collect()
+    assert [r.doc_id for r in got] == ["hot"]
+    assert all(math.isfinite(0.0) for _ in got)  # no overflow surfaced
+
+
+def test_dsir_resample_prefers_target_like_docs(spark):
+    """The resampler composes dsir_log_weights with log-space A-ES:
+    sampled docs skew heavily toward the target-like population, and
+    the draw is deterministic across partitionings."""
+    from cdk_dynamodb_cdc_spark.llm.curation import dsir_resample
+
+    # same two-vocabulary corpus shape as the dsir_importance test:
+    # counts must dominate the add-one smoothing (64 buckets)
+    en, xx = "alpha beta gamma delta", "zonk quux blarg fnord"
+    docs = spark.createDataFrame(
+        [(f"t{i}", en, "en") for i in range(20)]
+        + [(f"n{i}", xx, "xx") for i in range(20)],
+        "doc_id string, text string, lang string",
+    )
+    target = docs.filter(F.col("lang") == "en")
+    got = dsir_resample(docs, target, 10, n_buckets=64)
+    rows = got.collect()
+    ids = sorted(r["key"] for r in rows)
+    assert len(ids) == 10
+    # exp(w) gap between the vocabularies is many orders of magnitude:
+    # every sampled doc is target-like
+    assert all(i.startswith("t") for i in ids)
+    assert all(r["n_feats"] == 7 for r in rows)
+    ids2 = sorted(
+        r["key"]
+        for r in dsir_resample(
+            docs.repartition(7), target, 10, n_buckets=64
+        ).collect()
+    )
+    assert ids == ids2
