@@ -384,10 +384,18 @@ def interval_join_streams(
     can be dropped unmatched. Spark's stream-stream left_anti is not
     supported; express NOT EXISTS as left_outer + IS NULL on a right
     column once the horizon passes.
+
+    `how="full_outer"` completes the how-surface: unmatched rows from
+    BOTH sides emit null-padded at their watermark horizons — the
+    left side's horizon is `left_time + max_delay` (a match could
+    arrive that long after), the right side's is `right_time` itself
+    (its potential partners all precede it, so once the left
+    watermark passes `right_time` no match can appear). Same bounded
+    state, same batch-parity contract as the other lanes.
     """
-    if how not in ("inner", "left_outer", "left_semi"):
+    if how not in ("inner", "left_outer", "left_semi", "full_outer"):
         raise ValueError(
-            f"how must be inner|left_outer|left_semi, got {how!r}"
+            f"how must be inner|left_outer|left_semi|full_outer, got {how!r}"
         )
     lw = left.withWatermark(left_time, watermark)
     rw = right.withWatermark(right_time, watermark)

@@ -541,7 +541,7 @@ def test_stream_stream_left_outer_interval_join_emits_unmatched(
     with _pytest.raises(ValueError, match="how"):
         interval_join_streams(
             ins, mods, key="pk", left_time="ins_ts", right_time="mod_ts",
-            how="full_outer",
+            how="left_anti",  # stream-stream anti join is unsupported
         )
 
 
@@ -847,4 +847,101 @@ def test_stream_stream_left_semi_interval_join_matches_batch(
     got = sorted(
         r.ins_id for r in spark.sql("SELECT * FROM ssj_semi_out").collect()
     )
+    assert got == expected
+
+
+def test_stream_stream_full_outer_interval_join_matches_batch(
+    spark, tmp_path
+):
+    """full_outer stream-stream interval join: matches join, unmatched
+    LEFT rows null-pad once the watermark passes ins_ts + delay,
+    unmatched RIGHT rows null-pad once it passes mod_ts — equal to the
+    batch full outer join (flush rows excluded)."""
+    import datetime
+    import json as _json
+
+    from cdk_dynamodb_cdc_spark.streaming.stream import (
+        interval_join_streams,
+    )
+
+    UTC = datetime.timezone.utc
+    t0 = datetime.datetime(2024, 1, 1, tzinfo=UTC)
+
+    def rec(eid, minutes, op, pk):
+        return {
+            "event_id": eid, "seq": minutes,
+            "ts": (t0 + datetime.timedelta(minutes=minutes)).strftime(
+                "%Y-%m-%dT%H:%M:%S.%f%z"),
+            "operation": op, "pk": pk, "sk": "SK",
+            "old_image": None, "new_image": "{}", "size_bytes": 64,
+        }
+
+    rows = [
+        rec("i1", 0, "INSERT", "A"),
+        rec("m1", 5, "MODIFY", "A"),     # matches i1
+        rec("i2", 100, "INSERT", "A"),   # unmatched left
+        rec("m2", 200, "MODIFY", "A"),   # unmatched right (precedes no ins)
+        rec("i3", 0, "INSERT", "B"),     # unmatched left (no B mods)
+        rec("m3", 3, "MODIFY", "C"),     # unmatched right (no C inserts)
+        # flush: push both watermarks far past every horizon above
+        rec("i_flush", 100000, "INSERT", "Z"),
+        rec("m_flush", 100000, "MODIFY", "Z"),
+    ]
+    src = tmp_path / "src"
+    src.mkdir()
+    (src / "data.json").write_text(
+        "\n".join(_json.dumps(r) for r in rows) + "\n")
+
+    def split(df):
+        ins = df.filter(F.col("operation") == "INSERT").select(
+            F.col("pk"), F.col("ts").alias("ins_ts"),
+            F.col("event_id").alias("ins_id"))
+        mods = df.filter(F.col("operation") == "MODIFY").select(
+            F.col("pk"), F.col("ts").alias("mod_ts"),
+            F.col("event_id").alias("mod_id"))
+        return ins, mods
+
+    def pairs(df):
+        return sorted(
+            (
+                (r.ins_id, r.mod_id)
+                for r in df.collect()
+                if (r.ins_id or "") != "i_flush"
+                and (r.mod_id or "") != "m_flush"
+            ),
+            key=lambda p: (p[0] or "", p[1] or ""),
+        )
+
+    batch_df = spark.read.schema(CDC_RECORD_SCHEMA).json(str(src))
+    bi, bm = split(batch_df)
+    expected = pairs(
+        bi.join(
+            bm,
+            (bi["pk"] == bm["pk"])
+            & (bm["mod_ts"] > bi["ins_ts"])
+            & (bm["mod_ts"] <= bi["ins_ts"] + F.expr("INTERVAL 30 MINUTES")),
+            "full_outer",
+        ).select("ins_id", "mod_id")
+    )
+    assert (None, "m2") in expected and (None, "m3") in expected
+    assert ("i2", None) in expected and ("i3", None) in expected
+    assert ("i1", "m1") in expected
+
+    stream = spark.readStream.schema(CDC_RECORD_SCHEMA).json(str(src))
+    si, sm = split(stream)
+    joined = interval_join_streams(
+        si, sm, key="pk", left_time="ins_ts", right_time="mod_ts",
+        max_delay="30 minutes", how="full_outer",
+    )
+    q = (
+        joined.select("ins_id", "mod_id")
+        .writeStream.format("memory")
+        .queryName("ssj_fo_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_fo"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = pairs(spark.sql("SELECT * FROM ssj_fo_out"))
     assert got == expected
