@@ -441,8 +441,9 @@ def bpe_train(
     (map-side combined), a 1-row driver collect of the winning pair
     (the only driver state: n_merges pairs), and one Column
     ``replace``. localCheckpoint truncates the growing replace
-    lineage each iteration so iteration cost stays O(vocab), not
-    O(vocab x merges-so-far).
+    lineage every few iterations so iteration cost stays O(vocab x
+    small-constant), never O(vocab x merges-so-far); materializing
+    every iteration would instead pay one extra job per merge.
     """
     from pyspark.sql import functions as F
 
@@ -461,6 +462,12 @@ def bpe_train(
                 F.regexp_replace(F.col("w"), "(.)", "$1" + s2),
             ),
         )
+        # the vocabulary is Heaps'-law small relative to the corpus;
+        # folding it onto fewer partitions keeps the per-iteration
+        # jobs from being dominated by empty-task scheduling (coalesce
+        # = no shuffle; floor of 8 keeps real parallelism when the
+        # vocabulary IS large)
+        .coalesce(max(docs.sparkSession.sparkContext.defaultParallelism // 4, 8))
         .localCheckpoint()
     )
     merges: list[tuple[str, str]] = []
@@ -496,7 +503,9 @@ def bpe_train(
                 F.lit(BPE_SEP + pa + s2 + pb + BPE_SEP),
                 F.lit(BPE_SEP + pa + pb + BPE_SEP),
             ),
-        ).localCheckpoint()
+        )
+        if len(merges) % 4 == 0:
+            vocab = vocab.localCheckpoint()
     vocab_tokens = vocab.select(
         "w",
         "n",
