@@ -1,6 +1,6 @@
-"""Count-min sketch as a relational plan (Cormode & Muthukrishnan
-2005): the engine's mergeable frequency sketch for heavy-hitter
-queries over unbounded key domains.
+"""Mergeable sketches as relational plans: count-min (Cormode &
+Muthukrishnan 2005) for frequency estimation and a Bloom filter
+(Bloom 1970) for membership, both over unbounded key domains.
 
 The sketch IS a (depth x width) count table — ``cms_cells`` builds it
 with one map-side-combined aggregation (each input row contributes
@@ -72,6 +72,104 @@ def cms_cells(
     return pairs.groupBy(
         F.col("p.seed").alias("seed"), F.col("p.bucket").alias("bucket")
     ).agg(F.count(F.lit(1)).alias("c"))
+
+
+BLOOM_M = 4096
+BLOOM_K = 4
+BLOOM_SALT = "bloom"
+
+
+def bloom_bits(
+    df: DataFrame,
+    key_col: str,
+    *,
+    m_bits: int = BLOOM_M,
+    k: int = BLOOM_K,
+    salt: str = BLOOM_SALT,
+) -> DataFrame:
+    """Build a Bloom filter as a SPARSE BIT TABLE: one row per set bit
+    position (``pos int``), at most ``m_bits`` rows however large the
+    build stream is. Each key sets ``k`` positions via the engine's
+    md5-based ``token_hash60`` — deterministic, so a DuckDB oracle
+    reproduces the filter bit-for-bit.
+
+    Mergeability: the union of two filters' bit tables, de-duplicated,
+    IS the filter of the concatenated streams (bitwise OR on the
+    sparse representation) — the same groupBy-union merge the CMS
+    cells and the streaming rollup lane use, so per-micro-batch
+    filters fold across time.
+
+    Scale shape: one explode (k rows per input row) into a distinct
+    aggregation that is map-side partial — executors emit at most
+    ``m_bits`` rows each regardless of input size. The membership use
+    at 100 TB: broadcast the (KB-sized) bit table and pre-filter a
+    corpus-sized stream BEFORE an expensive join — e.g. eval-set
+    decontamination where the eval side fits a filter but not a
+    broadcast-join hash table of full keys.
+    """
+    pos = F.explode(
+        F.array(
+            *[
+                _bucket(F.col(key_col), s, m_bits, salt)
+                .cast("int")
+                .alias("p")
+                for s in range(k)
+            ]
+        )
+    )
+    return df.select(pos.alias("pos")).distinct()
+
+
+def bloom_probe(
+    bits: DataFrame,
+    probes: DataFrame,
+    key_col: str,
+    *,
+    m_bits: int = BLOOM_M,
+    k: int = BLOOM_K,
+    salt: str = BLOOM_SALT,
+) -> DataFrame:
+    """Append ``maybe_present`` to every probe row: true iff all ``k``
+    of the key's bit positions are set. The Bloom theorem makes the
+    FALSE branch exact (no false negatives — a key the build stream
+    contains always probes true) and bounds the false-positive rate by
+    ``(1 - e^{-kn/m})^k``. Same probe-row discipline as
+    :func:`cms_estimate`: every probe row survives exactly once
+    (internal per-row id), internal columns are ``__bloom_``-prefixed,
+    and the bit table is broadcast."""
+    bits_k = F.broadcast(
+        bits.select(
+            F.col("pos").alias("__bloom_pos"),
+            F.lit(1).alias("__bloom_hit"),
+        )
+    )
+    probed = probes.withColumn(
+        "__bloom_rid", F.monotonically_increasing_id()
+    ).select(
+        "*",
+        F.explode(
+            F.array(
+                *[
+                    _bucket(F.col(key_col), s, m_bits, salt)
+                    .cast("int")
+                    .alias("p")
+                    for s in range(k)
+                ]
+            )
+        ).alias("__bloom_pos"),
+    )
+    out_cols = [c for c in probes.columns]
+    return (
+        probed.join(bits_k, ["__bloom_pos"], "left")
+        .groupBy("__bloom_rid", *out_cols)
+        .agg(
+            (
+                F.sum(F.coalesce(F.col("__bloom_hit"), F.lit(0)))
+                == F.lit(k)
+            ).alias("maybe_present")
+        )
+        .drop("__bloom_rid")
+    )
 
 
 def cms_estimate(

@@ -802,3 +802,91 @@ def ivfpq_topk(
         .filter(F.col("rk") <= k)
         .select("qid", "rk", "neighbor_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Johnson–Lindenstrauss random projection: the dimensionality-
+# reduction lane that composes with every search path above. A
+# Rademacher (+-1) projection matrix preserves pairwise distances to
+# (1 +- eps) with out_dim = O(ln n / eps^2) (Achlioptas 2003 shows
+# +-1 entries suffice — no Gaussians needed), and a +-1 matrix keeps
+# every projected coordinate an EXACT signed sum of input
+# coordinates: the fold is plain double addition in index order, so
+# any engine replays it bit-for-bit.
+# ---------------------------------------------------------------------------
+
+JL_OUT_DIM = 16
+JL_SALT = "jl-0"
+
+
+def jl_signs(
+    in_dim: int, out_dim: int = JL_OUT_DIM, salt: str = JL_SALT
+) -> list[list[int]]:
+    """The deterministic +-1 projection matrix (out_dim x in_dim):
+    entry (j, i) is the low bit of md5(f"{salt}:{j}:{i}") — no RNG
+    state, reproducible in any engine or language, and small enough
+    (out_dim x in_dim ints) to inline as a literal in both the Spark
+    plan and a SQL oracle."""
+    import hashlib
+
+    return [
+        [
+            1
+            if hashlib.md5(f"{salt}:{j}:{i}".encode()).digest()[0] & 1
+            else -1
+            for i in range(in_dim)
+        ]
+        for j in range(out_dim)
+    ]
+
+
+def jl_project(
+    emb: DataFrame,
+    in_dim: int,
+    *,
+    out_dim: int = JL_OUT_DIM,
+    salt: str = JL_SALT,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Project ``(vec_id, embedding)`` to ``(vec_id, embedding)`` with
+    ``out_dim`` components: out[j] = sum_i sign(j,i) * v[i], folded in
+    index order (bit-deterministic). The matrix is a broadcast-free
+    LITERAL in the plan — projection is a pure map over the corpus, no
+    shuffle, no Python; at 100 TB this is the cheap pass that shrinks
+    every downstream distance computation by in_dim/out_dim.
+
+    The output column is named ``embedding`` so the projected frame
+    drops into :func:`cosine_topk` / :func:`ann_cosine_topk` /
+    :func:`ivf_build` unchanged."""
+    v = F.col(vec_col).cast("array<double>")
+    rows = []
+    for j_row in jl_signs(in_dim, out_dim, salt):
+        signed = F.zip_with(
+            v,
+            F.array(*[F.lit(float(s)) for s in j_row]),
+            lambda x, s: x * s,
+        )
+        rows.append(
+            F.aggregate(signed, F.lit(0.0), lambda acc, x: acc + x)
+        )
+    return emb.select("vec_id", F.array(*rows).alias("embedding"))
+
+
+def jl_cosine_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    *,
+    in_dim: int,
+    k: int = 10,
+    out_dim: int = JL_OUT_DIM,
+    salt: str = JL_SALT,
+) -> DataFrame:
+    """Exact top-k cosine IN THE PROJECTED SPACE — the JL search lane:
+    project once (map-side), then brute-force the out_dim-sized
+    vectors. Output (qid, rk, neighbor_id), integer-only like
+    :func:`cosine_topk`."""
+    return cosine_topk(
+        jl_project(emb, in_dim, out_dim=out_dim, salt=salt),
+        query_ids,
+        k=k,
+    )

@@ -912,6 +912,72 @@ def embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Johnson–Lindenstrauss projected search (llm/vectors.py:jl_project):
+# project the 64-dim corpus to 16 dims with the deterministic
+# Rademacher matrix and run exact cosine top-10 in the PROJECTED
+# space. The oracle inlines the identical +-1 matrix literal and
+# replays projection + ranking — a green hash pins the whole
+# project-then-search lane bit-for-bit (the +-1 entries keep every
+# projected coordinate an exact signed sum, folded in index order on
+# both engines).
+# ---------------------------------------------------------------------------
+def _jl_matrix_sql(in_dim: int, out_dim: int) -> str:
+    from cdk_dynamodb_cdc_spark.llm.vectors import jl_signs
+
+    return (
+        "["
+        + ", ".join(
+            "[" + ", ".join(str(s) for s in row) + "]"
+            for row in jl_signs(in_dim, out_dim)
+        )
+        + "]"
+    )
+
+
+_JL_IN_DIM, _JL_OUT_DIM = 64, 16
+
+
+@query(
+    "embedding_jl_topk",
+    oracle=f"""
+    WITH m AS (SELECT {_jl_matrix_sql(_JL_IN_DIM, _JL_OUT_DIM)} AS mat),
+    p AS (
+      SELECT vec_id,
+             list_transform(range(1, {_JL_OUT_DIM + 1}), j ->
+               list_sum(list_transform(range(1, {_JL_IN_DIM + 1}),
+                 i -> embedding[i]::DOUBLE * mat[j][i]))) AS pv
+      FROM embeddings, m
+    ),
+    q AS (SELECT vec_id AS qid, pv AS qv FROM p
+          WHERE vec_id IN (0, 1, 2, 3, 4)),
+    s AS (SELECT qid, p.vec_id AS neighbor_id,
+            list_sum(list_transform(range(1, {_JL_OUT_DIM + 1}),
+                     i -> qv[i] * p.pv[i]))
+            / (sqrt(list_sum(list_transform(range(1, {_JL_OUT_DIM + 1}),
+                     i -> qv[i] * qv[i])))
+               * sqrt(list_sum(list_transform(range(1, {_JL_OUT_DIM + 1}),
+                     i -> p.pv[i] * p.pv[i])))) AS cos
+          FROM q, p WHERE p.vec_id <> qid)
+    SELECT qid, CAST(rk AS INT) AS rk, neighbor_id
+    FROM (SELECT qid, neighbor_id,
+                 ROW_NUMBER() OVER (PARTITION BY qid
+                                    ORDER BY cos DESC, neighbor_id) AS rk
+          FROM s)
+    WHERE rk <= 10
+    """,
+)
+def embedding_jl_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return llm_vectors.jl_cosine_topk(
+        emb,
+        query_ids=[0, 1, 2, 3, 4],
+        in_dim=_JL_IN_DIM,
+        k=10,
+        out_dim=_JL_OUT_DIM,
+    )
+
+
+# ---------------------------------------------------------------------------
 # ANN with a recall CONTRACT oracle (the approx_distinct pattern): the
 # ANN result itself is approximate by design, so the driver-checkable
 # claim is "recall@10 vs the exact path >= floor for every query".
@@ -8215,4 +8281,85 @@ def cms_user_count_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
         "exact_n",
         "est_n",
         (F.col("est_n") >= F.col("exact_n")).alias("no_underestimate"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter membership (functions/sketches.py:bloom_bits/probe):
+# build a 4096-bit / 4-hash filter over the custkeys that placed
+# URGENT orders (a strict subset — this corpus gives every customer
+# SOME order, so probing against all orders would leave no negative
+# population), probe EVERY customer, and cross-tabulate the sketch's
+# answer against ground truth. The Bloom theorem shows up as a
+# structural fact in the output: the (in_build=true,
+# maybe_present=false) cell is absent — no false negatives — while
+# the false-positive cell is whatever the md5 bits make it,
+# reproduced exactly by the oracle.
+# The 100-TB use is the pre-join filter: broadcast the KB-sized bit
+# table to cheaply drop most of a corpus-sized stream before an
+# expensive decontamination or anti join.
+# ---------------------------------------------------------------------------
+@query(
+    "bloom_membership_stats",
+    oracle="""
+    WITH seeds AS (SELECT unnest(range(4)) AS seed),
+    build AS (SELECT o_custkey FROM orders
+              WHERE o_orderpriority = '1-URGENT'),
+    bpos AS (
+      SELECT DISTINCT
+             ('0x' || substr(md5('bloom-' || CAST(seed AS VARCHAR)
+                 || ':' || CAST(o_custkey AS VARCHAR)), 1, 15))::BIGINT
+               % 4096 AS pos
+      FROM build, seeds
+    ),
+    probe AS (
+      SELECT c.c_custkey,
+             s.seed,
+             ('0x' || substr(md5('bloom-' || CAST(s.seed AS VARCHAR)
+                 || ':' || CAST(c.c_custkey AS VARCHAR)), 1, 15))::BIGINT
+               % 4096 AS pos
+      FROM customer c, seeds s
+    ),
+    verdict AS (
+      SELECT c_custkey,
+             SUM(CASE WHEN pos IN (SELECT pos FROM bpos)
+                      THEN 1 ELSE 0 END) = 4 AS maybe_present
+      FROM probe GROUP BY c_custkey
+    ),
+    truth AS (
+      SELECT c_custkey,
+             c_custkey IN (SELECT o_custkey FROM build) AS in_build
+      FROM customer
+    )
+    SELECT t.in_build, v.maybe_present,
+           CAST(COUNT(*) AS BIGINT) AS n_customers
+    FROM verdict v JOIN truth t USING (c_custkey)
+    GROUP BY t.in_build, v.maybe_present
+    """,
+)
+def bloom_membership_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdk_dynamodb_cdc_spark.functions.sketches import (
+        bloom_bits,
+        bloom_probe,
+    )
+
+    build = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    bits = bloom_bits(build, "o_custkey")
+    probed = bloom_probe(bits, cust, "c_custkey")
+    truth = build.distinct().withColumn("__in", F.lit(True))
+    return (
+        probed.join(
+            truth, probed["c_custkey"] == truth["o_custkey"], "left"
+        )
+        .select(
+            F.coalesce("__in", F.lit(False)).alias("in_build"),
+            "maybe_present",
+        )
+        .groupBy("in_build", "maybe_present")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
     )

@@ -239,3 +239,44 @@ def test_cms_estimate_preserves_probe_rows(spark):
         assert r.est_n >= 5
         assert (r.seed, r.bucket, r.p) == (1, 9, "x")  # probe cols intact
     assert by_k["never-seen"][0].est_n == 0
+
+
+def test_bloom_no_false_negatives_and_mergeable(spark):
+    from cdk_dynamodb_cdc_spark.functions.sketches import (
+        bloom_bits,
+        bloom_probe,
+    )
+
+    keys = [(f"k{i}",) for i in range(100)]
+    df = spark.createDataFrame(keys, "k string")
+    bits = bloom_bits(df, "k", m_bits=256, k=3)
+    # every build key probes true: the no-false-negative theorem
+    present = bloom_probe(bits, df, "k", m_bits=256, k=3)
+    assert all(r.maybe_present for r in present.collect())
+    # absent keys: false positives allowed, never required — just
+    # check the sketch can say no at all at this load factor
+    absent = spark.createDataFrame(
+        [(f"absent{i}",) for i in range(200)], "k string"
+    )
+    neg = bloom_probe(bits, absent, "k", m_bits=256, k=3)
+    rows = neg.collect()
+    assert len(rows) == 200  # every probe row survives
+    assert any(not r.maybe_present for r in rows)
+    # mergeability: bits(a ++ b) == distinct-union of bits(a), bits(b)
+    half1 = spark.createDataFrame(keys[:50], "k string")
+    half2 = spark.createDataFrame(keys[50:], "k string")
+    merged = (
+        bloom_bits(half1, "k", m_bits=256, k=3)
+        .unionByName(bloom_bits(half2, "k", m_bits=256, k=3))
+        .distinct()
+    )
+    whole = bloom_bits(df, "k", m_bits=256, k=3)
+    assert merged.exceptAll(whole).count() == 0
+    assert whole.exceptAll(merged).count() == 0
+    # probe frames with colliding column names and duplicates survive
+    tricky = spark.createDataFrame(
+        [("k0", 7, "x"), ("k0", 7, "x")], "k string, pos int, p string"
+    )
+    out = bloom_probe(bits, tricky, "k", m_bits=256, k=3).collect()
+    assert len(out) == 2
+    assert all(r.maybe_present and r.pos == 7 and r.p == "x" for r in out)

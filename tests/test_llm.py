@@ -1342,3 +1342,47 @@ def test_dsir_resample_prefers_target_like_docs(spark):
         ).collect()
     )
     assert ids == ids2
+
+
+def test_jl_projection_preserves_geometry_and_composes(spark):
+    """JL lane: (1) projected squared norms concentrate around the
+    original squared norms (Rademacher matrices are isometries in
+    expectation: E||Rv||^2 = out_dim * ||v||^2 with rows scaled +-1 —
+    we check the per-dim-normalized ratio), (2) the projection is
+    deterministic under repartitioning, (3) the projected frame drops
+    straight into the exact search path."""
+    import math
+    import random
+
+    from cdk_dynamodb_cdc_spark.llm.vectors import (
+        cosine_topk,
+        jl_project,
+    )
+
+    rng = random.Random(7)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(64)]) for i in range(80)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    proj = jl_project(emb, 64, out_dim=16)
+    got = {r.vec_id: list(r.embedding) for r in proj.collect()}
+    assert all(len(v) == 16 for v in got.values())
+    # expectation check: mean over vectors of ||Rv||^2 / (16 * ||v||^2)
+    ratios = []
+    for i, v in rows:
+        n2 = sum(x * x for x in v)
+        p2 = sum(x * x for x in got[i])
+        ratios.append(p2 / (16 * n2))
+    mean_ratio = sum(ratios) / len(ratios)
+    assert 0.8 < mean_ratio < 1.2, mean_ratio
+    # determinism across partitionings
+    got2 = {
+        r.vec_id: list(r.embedding)
+        for r in jl_project(emb.repartition(7), 64, out_dim=16).collect()
+    }
+    assert got == got2
+    # composition: the projected frame IS an embeddings frame
+    top = cosine_topk(proj, query_ids=[0, 1], k=5).collect()
+    assert {r.qid for r in top} == {0, 1}
+    assert all(1 <= r.rk <= 5 for r in top)
+    assert math.isfinite(mean_ratio)
