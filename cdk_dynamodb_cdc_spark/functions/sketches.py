@@ -172,6 +172,47 @@ def bloom_probe(
     )
 
 
+def bloom_words(bits: DataFrame, *, m_bits: int = BLOOM_M) -> list[int]:
+    """Pack the sparse bit table into ``m_bits / 64`` little-endian
+    64-bit words (driver-side; bounded by ``m_bits`` BY CONSTRUCTION,
+    never by the build stream — an 8 KB list for the default filter).
+    This is the form :func:`bloom_contains` inlines into a plan."""
+    words = [0] * ((m_bits + 63) // 64)
+    for r in bits.select("pos").collect():
+        words[r["pos"] // 64] |= 1 << (r["pos"] % 64)
+    # keep values in signed-64 range for Spark long literals
+    return [w - (1 << 64) if w >= (1 << 63) else w for w in words]
+
+
+def bloom_contains(
+    words: list[int],
+    key: Column,
+    *,
+    m_bits: int = BLOOM_M,
+    k: int = BLOOM_K,
+    salt: str = BLOOM_SALT,
+) -> Column:
+    """Scan-speed membership test: a pure Column that is true iff all
+    ``k`` of the key's bit positions are set in the packed filter —
+    no join, no shuffle, no Python. THE 100-TB prefilter shape: the
+    filter rides into every task as a plan literal and drops rows
+    map-side before any expensive join (:func:`bloom_probe` is the
+    relational twin for when the probe side needs per-row sketch
+    columns). False positives pass (bounded rate); members always
+    pass (no false negatives)."""
+    words_lit = F.array(*[F.lit(w).cast("long") for w in words])
+    out = None
+    for s in range(k):
+        pos = _bucket(key, s, m_bits, salt)
+        word = F.element_at(words_lit, (pos / 64).cast("int") + 1)
+        bit = F.call_function(
+            "shiftleft", F.lit(1).cast("long"), (pos % 64).cast("int")
+        )
+        test = word.bitwiseAND(bit) != 0
+        out = test if out is None else (out & test)
+    return out
+
+
 def cms_estimate(
     cells: DataFrame,
     probes: DataFrame,

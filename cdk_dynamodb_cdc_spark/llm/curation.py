@@ -72,6 +72,68 @@ def decontaminate(
     )
 
 
+def decontaminate_bloom(
+    corpus: DataFrame,
+    eval_set: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = DECONTAM_GRAM_WORDS,
+    m_bits: int = 1 << 16,
+    n_hashes: int = 4,
+) -> DataFrame:
+    """:func:`decontaminate` with a Bloom PREFILTER — the shape that
+    survives when even the distinct eval gram set outgrows a
+    broadcast-join hash table: broadcast only the KB-to-MB bit table,
+    drop the (vast) majority of corpus grams map-side, and run the
+    exact gram join on the survivors alone. The Bloom theorem (no
+    false negatives) makes this IDENTICAL to the exact operator —
+    false positives only cost candidate volume, and the exact verify
+    join removes them — which the registered query pins by sharing
+    :func:`decontaminate`'s oracle.
+
+    Returns the same ``(id_col, n_grams, n_shared_grams)`` frame.
+    """
+    from cdk_dynamodb_cdc_spark.functions.sketches import (
+        bloom_bits,
+        bloom_contains,
+        bloom_words,
+    )
+
+    grams = word_shingles(F.col(text_col), k)
+    eval_grams = (
+        eval_set.select(F.explode(grams).alias("gram")).distinct()
+    )
+    words = bloom_words(
+        bloom_bits(eval_grams, "gram", m_bits=m_bits, k=n_hashes),
+        m_bits=m_bits,
+    )
+    doc_grams = corpus.select(
+        F.col(id_col), F.explode_outer(grams).alias("gram")
+    )
+    # map-side prefilter: the packed filter rides into every task as a
+    # plan literal — no shuffle, no join, just dropped rows
+    candidates = doc_grams.filter(
+        bloom_contains(
+            words, F.col("gram"), m_bits=m_bits, k=n_hashes
+        )
+    )
+    shared = (
+        candidates.join(F.broadcast(eval_grams), "gram", "inner")
+        .groupBy(id_col)
+        .agg(F.count_distinct("gram").alias("n_shared_grams"))
+    )
+    per_doc = corpus.select(
+        F.col(id_col), F.size(grams).alias("n_grams")
+    )
+    return per_doc.join(shared, id_col, "left").select(
+        id_col,
+        "n_grams",
+        F.coalesce("n_shared_grams", F.lit(0)).cast("long").alias(
+            "n_shared_grams"
+        ),
+    )
+
+
 def pack_sequences(
     docs: DataFrame,
     budget: int,

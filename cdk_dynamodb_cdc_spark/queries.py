@@ -978,6 +978,59 @@ def embedding_jl_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Keyless interval-lookup join (operators/interval.py:
+# grid_interval_join): orders priced into IRREGULAR price bands — no
+# equi key exists, so the operator manufactures one by grid-bucketing
+# the number line (intervals explode to their cells and broadcast;
+# facts hash-join on their single cell) instead of the O(facts x
+# intervals) nested loop a raw BETWEEN join plans. The oracle is the
+# plain BETWEEN join — a green hash proves the bucketed rewrite is
+# exactly the containment join.
+# ---------------------------------------------------------------------------
+_PRICE_BANDS = [
+    ("A_budget", 0, 49_999),
+    ("B_mid", 50_000, 149_999),
+    ("C_premium", 150_000, 299_999),
+    ("D_luxury", 300_000, 600_000),
+]
+
+
+@query(
+    "orders_price_band_stats",
+    oracle=f"""
+    WITH bands(band, lo, hi) AS (VALUES
+      {", ".join(f"('{b}', {lo}, {hi})" for b, lo, hi in _PRICE_BANDS)})
+    SELECT b.band,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS total_price
+    FROM orders o
+    JOIN bands b ON o.o_totalprice BETWEEN b.lo AND b.hi
+    GROUP BY b.band
+    """,
+)
+def orders_price_band_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdk_dynamodb_cdc_spark.operators.interval import (
+        grid_interval_join,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_totalprice").cast("double").alias("price"),
+        _dec("o_totalprice").alias("p_dec"),
+    )
+    bands = spark.createDataFrame(
+        _PRICE_BANDS, "band string, lo long, hi long"
+    )
+    joined = grid_interval_join(
+        orders, bands, value_col="price", cell=50_000.0
+    )
+    return joined.groupBy("band").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("p_dec").cast("double").alias("total_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # ANN with a recall CONTRACT oracle (the approx_distinct pattern): the
 # ANN result itself is approximate by design, so the driver-checkable
 # claim is "recall@10 vs the exact path >= floor for every query".
@@ -3276,6 +3329,40 @@ def decontam_eval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     eval_set = docs.filter(F.col("doc_id") % 29 == 0)
     corpus = docs.filter(F.col("doc_id") % 29 != 0)
     return curation.decontaminate(corpus, eval_set)
+
+
+# ---------------------------------------------------------------------------
+# Bloom-prefiltered decontamination (llm/curation.py:
+# decontaminate_bloom + functions/sketches.py:bloom_contains): the
+# packed eval-gram filter rides into every task as a plan literal and
+# drops corpus grams MAP-SIDE before the exact verify join — the
+# shape for when even the distinct eval gram set outgrows a broadcast
+# hash table. The oracle is decontam_eval_overlap's EXACT overlap
+# (verbatim): a green hash is the no-false-negative theorem as
+# driver-checked evidence — the prefilter provably loses nothing.
+# ---------------------------------------------------------------------------
+@query(
+    "decontam_bloom_prefilter",
+    oracle="""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    g AS (SELECT doc_id, list_distinct(list_transform(range(1, len(ws) - 6), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4] || ' ' || ws[i+5] || ' ' || ws[i+6] || ' ' || ws[i+7])) AS gs FROM w),
+    e AS (SELECT DISTINCT unnest(gs) AS gram FROM g WHERE doc_id % 29 = 0),
+    c AS (SELECT doc_id, gs FROM g WHERE doc_id % 29 <> 0),
+    cg AS (SELECT doc_id, unnest(gs) AS gram FROM c),
+    sh AS (SELECT cg.doc_id, COUNT(DISTINCT cg.gram) AS n_shared
+           FROM cg JOIN e USING (gram) GROUP BY cg.doc_id)
+    SELECT c.doc_id, CAST(len(c.gs) AS INT) AS n_grams,
+           CAST(COALESCE(sh.n_shared, 0) AS BIGINT) AS n_shared_grams
+    FROM c LEFT JOIN sh ON c.doc_id = sh.doc_id
+    """,
+)
+def decontam_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdk_dynamodb_cdc_spark.llm import curation
+
+    docs = load_table(spark, sf_dir, "documents")
+    eval_set = docs.filter(F.col("doc_id") % 29 == 0)
+    corpus = docs.filter(F.col("doc_id") % 29 != 0)
+    return curation.decontaminate_bloom(corpus, eval_set)
 
 
 @query(

@@ -445,6 +445,49 @@ class TxTable:
         return deleted
 
 
+def cleanup_log(table: TxTable, retain_versions: int = 100) -> list[str]:
+    """Metadata vacuum for the incremental log: delete action and
+    checkpoint files no retained read needs, so log size is bounded by
+    ``retain_versions`` rather than growing with every commit ever
+    made (Delta's log-retention cleanup).
+
+    A version ``v`` stays reconstructable iff some checkpoint <= v
+    survives along with every action in ``(checkpoint, v]``. We keep
+    the newest checkpoint at or below the oldest retained version
+    (``latest - retain_versions + 1``) and everything after it;
+    earlier action files and superseded checkpoints are deleted.
+    Versions older than that checkpoint stop being time-travelable —
+    same contract as data-file ``vacuum``, which already bounds HOW
+    FAR back snapshots reach; run both with aligned horizons. If no
+    checkpoint predates the horizon (young table), nothing is
+    deleted.
+
+    Returns the deleted file paths.
+    """
+    latest = table.latest_version()
+    if latest is None:
+        return []
+    oldest_retained = max(latest - retain_versions + 1, 0)
+    base_cp = None
+    for cp in table.checkpoints():
+        if cp <= oldest_retained:
+            base_cp = cp
+    if base_cp is None:
+        return []
+    deleted = []
+    for v in table.versions():
+        if v < base_cp:
+            p = table._manifest_path(v)
+            table._fs.delete(table._jPath(p), False)
+            deleted.append(p)
+    for cp in table.checkpoints():
+        if cp < base_cp:
+            p = table._checkpoint_path(cp)
+            table._fs.delete(table._jPath(p), False)
+            deleted.append(p)
+    return deleted
+
+
 def txlog_sink_writer(
     spark: SparkSession,
     sink_path: str,

@@ -280,3 +280,41 @@ def test_bloom_no_false_negatives_and_mergeable(spark):
     out = bloom_probe(bits, tricky, "k", m_bits=256, k=3).collect()
     assert len(out) == 2
     assert all(r.maybe_present and r.pos == 7 and r.p == "x" for r in out)
+
+
+def test_bloom_contains_column_matches_relational_probe(spark):
+    """bloom_contains (packed-literal, map-side) and bloom_probe
+    (relational) must agree on every key — same bits, two access
+    paths — and members always pass."""
+    from cdk_dynamodb_cdc_spark.functions.sketches import (
+        bloom_bits,
+        bloom_contains,
+        bloom_probe,
+        bloom_words,
+    )
+
+    build = spark.createDataFrame(
+        [(f"k{i}",) for i in range(80)], "k string"
+    )
+    bits = bloom_bits(build, "k", m_bits=512, k=3)
+    words = bloom_words(bits, m_bits=512)
+    assert len(words) == 8
+    probes = spark.createDataFrame(
+        [(f"k{i}",) for i in range(80)]
+        + [(f"nope{i}",) for i in range(120)],
+        "k string",
+    )
+    col_path = {
+        r.k: r.m
+        for r in probes.select(
+            "k",
+            bloom_contains(words, F.col("k"), m_bits=512, k=3).alias("m"),
+        ).collect()
+    }
+    rel_path = {
+        r.k: r.maybe_present
+        for r in bloom_probe(bits, probes, "k", m_bits=512, k=3).collect()
+    }
+    assert col_path == rel_path
+    assert all(col_path[f"k{i}"] for i in range(80))
+    assert not all(col_path[f"nope{i}"] for i in range(120))

@@ -803,3 +803,34 @@ def test_incremental_log_bounds_reader_cost(spark, tmp_path):
     assert sorted(r["id"] for r in t.snapshot(version=24).collect()) == list(
         range(25)
     )
+
+
+def test_cleanup_log_bounds_log_size(spark, tmp_path):
+    """Metadata vacuum: action/checkpoint files behind the retention
+    horizon's base checkpoint are deleted, retained versions still
+    reconstruct exactly, older versions stop being readable."""
+    from cdk_dynamodb_cdc_spark.storage.txlog import cleanup_log
+
+    t = TxTable(spark, str(tmp_path / "tbl"), checkpoint_interval=5)
+    for c in range(23):
+        t.commit(_df(spark, [c]))  # v0..22, checkpoints at 5,10,15,20
+    # retain 8 versions -> oldest retained v15; base checkpoint 15
+    deleted = cleanup_log(t, retain_versions=8)
+    assert deleted
+    assert t.versions() == list(range(15, 23))
+    assert t.checkpoints() == [15, 20]
+    # retained versions reconstruct bit-identically
+    assert sorted(r["id"] for r in t.snapshot().collect()) == list(range(23))
+    assert sorted(
+        r["id"] for r in t.snapshot(version=16).collect()
+    ) == list(range(17))
+    # pre-horizon versions are gone
+    with pytest.raises(Exception):
+        t.manifest(3)
+    # a young table (no checkpoint behind the horizon) deletes nothing
+    t2 = TxTable(spark, str(tmp_path / "tbl2"), checkpoint_interval=5)
+    t2.commit(_df(spark, [1]))
+    assert cleanup_log(t2, retain_versions=8) == []
+    # commits continue normally after cleanup
+    assert t.commit(_df(spark, [99])) == 23
+    assert 99 in {r["id"] for r in t.snapshot().collect()}
