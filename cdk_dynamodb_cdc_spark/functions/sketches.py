@@ -74,6 +74,94 @@ def cms_cells(
     ).agg(F.count(F.lit(1)).alias("c"))
 
 
+HLL_REGISTERS = 256  # p = 8
+_HLL_HASH_BITS = 60  # token_hash60
+_HLL_W_BITS = _HLL_HASH_BITS - 8  # 52 suffix bits feed rho
+
+
+def hll_registers(
+    df: DataFrame,
+    key_col: str,
+    *,
+    m: int = HLL_REGISTERS,
+    salt: str = "hll",
+) -> DataFrame:
+    """HyperLogLog (Flajolet et al. 2007) as a relational plan: the
+    sketch IS the ``(reg, rho)`` register table — at most ``m`` rows
+    whatever the stream size. Unlike ``approx_count_distinct`` (whose
+    internal HLL bytes no other engine reproduces), every step here is
+    md5-determined integer arithmetic, so a DuckDB oracle rebuilds the
+    registers — and therefore the estimate — bit-exactly.
+
+    reg = low 8 hash bits; w = the remaining 52; rho = number of
+    leading zeros of w within those 52 bits, plus 1 (w = 0 -> 53),
+    computed as ``53 - bitlength(w)`` with bitlength taken as the
+    length of the base-2 string — pure integer, no float log.
+
+    Mergeability: registers merge by MAX — ``groupBy(reg).max(rho)``
+    over a union — the same shape as the CMS cell-sum and Bloom
+    bit-union merges, so per-micro-batch sketches fold across time.
+
+    Scale shape: one map-side-combinable aggregation; executors emit
+    at most ``m`` rows each. The estimator (:func:`hll_estimate`)
+    never touches the stream again.
+    """
+    p = m.bit_length() - 1
+    if (1 << p) != m:
+        raise ValueError(f"m must be a power of two: {m}")
+    h = token_hash60(
+        F.concat(F.lit(f"{salt}:"), F.col(key_col).cast("string"))
+    )
+    reg = (h % m).cast("int")
+    # integer suffix extraction: a float division would lose bits
+    # above 2^53 on the 60-bit hash
+    w = F.shiftrightunsigned(h, p)
+    w_bits = _HLL_HASH_BITS - p
+    rho = F.when(w == 0, F.lit(w_bits + 1)).otherwise(
+        F.lit(w_bits + 1) - F.length(F.conv(w.cast("string"), 10, 2))
+    )
+    return (
+        df.select(reg.alias("reg"), rho.cast("int").alias("rho"))
+        .groupBy("reg")
+        .agg(F.max("rho").alias("rho"))
+    )
+
+
+def hll_estimate(registers: DataFrame, *, m: int = HLL_REGISTERS) -> DataFrame:
+    """The HLL cardinality estimate from a register table: one row
+    ``(n_registers_set, estimate)``.
+
+    alpha_m * m^2 / sum_j 2^-rho_j (empty registers count 2^0), with
+    the small-range linear-counting correction E <= 2.5m -> m*ln(m/V)
+    when V empty registers remain. Floats appear only here, and every
+    term is engine-portable: 2^-rho is an exact dyadic double and the
+    sum folds over registers in REGISTER ORDER (sorted fold, same
+    discipline as the DSIR/perplexity operators), so both engines add
+    identical values in identical order.
+    """
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    agg = registers.agg(
+        F.count(F.lit(1)).alias("n_set"),
+        F.aggregate(
+            F.sort_array(F.collect_list(F.struct("reg", "rho"))),
+            F.lit(0.0),
+            lambda acc, x: acc + F.pow(F.lit(2.0), -x["rho"].cast("double")),
+        ).alias("s_set"),
+    )
+    # empty registers contribute 2^0 = 1 each — added as one exact term
+    s = F.col("s_set") + (F.lit(m) - F.col("n_set")).cast("double")
+    raw = F.lit(alpha * m * m) / s
+    zeros = (F.lit(m) - F.col("n_set")).cast("double")
+    est = F.when(
+        (raw <= F.lit(2.5 * m)) & (zeros > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / zeros),
+    ).otherwise(raw)
+    return agg.select(
+        F.col("n_set").alias("n_registers_set"),
+        est.alias("estimate"),
+    )
+
+
 BLOOM_M = 4096
 BLOOM_K = 4
 BLOOM_SALT = "bloom"

@@ -8372,6 +8372,79 @@ def cms_user_count_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# HyperLogLog as a relational plan (functions/sketches.py:
+# hll_registers/hll_estimate): unlike approx_count_distinct (whose
+# internal sketch bytes no other engine reproduces), every step is
+# md5-determined integer arithmetic — the oracle rebuilds the 256
+# registers and replays the estimator (register-ordered float fold,
+# shared literal constants) bit-for-bit. Output: exact distinct count,
+# registers set, floor(estimate), and the relative-error contract.
+# ---------------------------------------------------------------------------
+_HLL_M = 256
+_HLL_ALPHA_M2 = (0.7213 / (1.0 + 1.079 / _HLL_M)) * _HLL_M * _HLL_M
+
+
+@query(
+    "hll_user_cardinality",
+    oracle=f"""
+    WITH h AS (
+      SELECT ('0x' || substr(md5('hll:' || CAST(user_id AS VARCHAR)),
+              1, 15))::BIGINT AS hv
+      FROM events
+    ),
+    regs AS (
+      SELECT CAST(hv % {_HLL_M} AS INT) AS reg,
+             MAX(CASE WHEN hv // {_HLL_M} = 0 THEN 53
+                      ELSE 53 - length(bin(hv // {_HLL_M})) END) AS rho
+      FROM h GROUP BY reg
+    ),
+    agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_set,
+             list_sum(list(pow(2.0, -rho) ORDER BY reg)) AS s_set
+      FROM regs
+    ),
+    est AS (
+      SELECT n_set,
+             CASE WHEN {_HLL_ALPHA_M2!r} / (s_set + ({_HLL_M} - n_set))
+                       <= {2.5 * _HLL_M!r}
+                   AND n_set < {_HLL_M}
+                  THEN {float(_HLL_M)!r} * ln({float(_HLL_M)!r}
+                       / CAST({_HLL_M} - n_set AS DOUBLE))
+                  ELSE {_HLL_ALPHA_M2!r} / (s_set + ({_HLL_M} - n_set))
+             END AS estimate
+      FROM agg
+    ),
+    exact AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact
+              FROM events)
+    SELECT e.n_exact,
+           s.n_set AS n_registers_set,
+           CAST(floor(s.estimate) AS BIGINT) AS estimate_floor,
+           abs(s.estimate - e.n_exact) / e.n_exact < 0.2 AS rel_err_ok
+    FROM est s, exact e
+    """,
+)
+def hll_user_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdk_dynamodb_cdc_spark.functions.sketches import (
+        hll_estimate,
+        hll_registers,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select("user_id")
+    est = hll_estimate(hll_registers(ev, "user_id"))
+    exact = ev.agg(F.count_distinct("user_id").alias("n_exact"))
+    return est.crossJoin(F.broadcast(exact)).select(
+        "n_exact",
+        "n_registers_set",
+        F.floor("estimate").cast("long").alias("estimate_floor"),
+        (
+            F.abs(F.col("estimate") - F.col("n_exact"))
+            / F.col("n_exact")
+            < 0.2
+        ).alias("rel_err_ok"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Bloom-filter membership (functions/sketches.py:bloom_bits/probe):
 # build a 4096-bit / 4-hash filter over the custkeys that placed
 # URGENT orders (a strict subset — this corpus gives every customer

@@ -318,3 +318,36 @@ def test_bloom_contains_column_matches_relational_probe(spark):
     assert col_path == rel_path
     assert all(col_path[f"k{i}"] for i in range(80))
     assert not all(col_path[f"nope{i}"] for i in range(120))
+
+
+def test_hll_registers_mergeable_and_estimate_sane(spark):
+    """HLL: register tables merge by MAX (sketch of the union), the
+    estimator tracks true cardinality within the theoretical error
+    band, and m must be a power of two."""
+    import pytest as _pytest
+
+    from cdk_dynamodb_cdc_spark.functions.sketches import (
+        hll_estimate,
+        hll_registers,
+    )
+
+    rows = [(f"u{i}",) for i in range(5000)]
+    df = spark.createDataFrame(rows, "k string")
+    regs = hll_registers(df, "k")
+    [r] = hll_estimate(regs).collect()
+    # 1.04/sqrt(256) ~ 6.5% std error; allow 4 sigma
+    assert abs(r.estimate - 5000) / 5000 < 0.26
+    # mergeability: max-union of split sketches == whole-stream sketch
+    half1 = spark.createDataFrame(rows[:2500], "k string")
+    half2 = spark.createDataFrame(rows[1500:], "k string")  # overlap too
+    merged = (
+        hll_registers(half1, "k")
+        .unionByName(hll_registers(half2, "k"))
+        .groupBy("reg")
+        .agg(F.max("rho").alias("rho"))
+    )
+    whole = hll_registers(df, "k")
+    assert merged.exceptAll(whole).count() == 0
+    assert whole.exceptAll(merged).count() == 0
+    with _pytest.raises(ValueError, match="power of two"):
+        hll_registers(df, "k", m=100)
