@@ -8384,6 +8384,156 @@ _HLL_M = 256
 _HLL_ALPHA_M2 = (0.7213 / (1.0 + 1.079 / _HLL_M)) * _HLL_M * _HLL_M
 
 
+# ---------------------------------------------------------------------------
+# Triangle counting (operators/graph.py:triangle_count) on the
+# frequently-co-ordered-parts graph: nodes are parts, an edge joins
+# two parts co-ordered in >= 2 distinct orders (the weight prune
+# keeps the graph at signal density — raw co-order pairs are mostly
+# one-off noise). The Spark side runs the degree-ORIENTED wedge join
+# (each triangle counted once from its min-rank vertex, out-degrees
+# O(sqrt m)); the oracle counts the same triangles with the simple
+# u<v<w three-way join — orientation changes the COST, never the
+# count, which is exactly what the hash compare pins.
+# ---------------------------------------------------------------------------
+@query(
+    "part_coorder_triangles",
+    oracle="""
+    WITH it AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e AS (
+      SELECT a.l_partkey AS u, b.l_partkey AS v
+      FROM it a JOIN it b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY u, v HAVING COUNT(*) >= 2
+    ),
+    nodes AS (SELECT u AS node FROM e UNION SELECT v FROM e),
+    tri AS (
+      SELECT COUNT(*) AS n
+      FROM e e1 JOIN e e2 ON e2.u = e1.v
+                JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+    )
+    SELECT CAST((SELECT COUNT(*) FROM nodes) AS BIGINT) AS n_nodes,
+           CAST((SELECT COUNT(*) FROM e) AS BIGINT) AS n_edges,
+           CAST(tri.n AS BIGINT) AS n_triangles
+    FROM tri
+    """,
+)
+def part_coorder_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdk_dynamodb_cdc_spark.operators.graph import triangle_count
+
+    it = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = it.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u")
+    )
+    b = it.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v")
+    )
+    edges = (
+        a.join(b, "ok")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= 2)
+        .select("u", "v")
+    )
+    return triangle_count(edges)
+
+
+# ---------------------------------------------------------------------------
+# Classical seasonal decomposition of the daily revenue series:
+# trend = 7-day centered moving average (full windows only),
+# seasonal = per-ISO-weekday mean of the detrended series, residual =
+# detrended - seasonal. The additive decomposition every ops
+# dashboard runs. Determinism discipline: daily revenue accumulates
+# in exact decimal; the trend is an exact-decimal 7-day sum divided
+# once; the per-weekday means fold the (day, value) pairs in DAY
+# ORDER on both engines (the DSIR/perplexity sorted-fold pattern), so
+# every double is bit-identical. Window shape: the series is
+# days-sized (pre-aggregated), so the unpartitioned ordered window
+# runs over a bounded frame — same bounded-window argument as
+# daily_revenue_acf.
+# ---------------------------------------------------------------------------
+@query(
+    "daily_revenue_seasonal",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS rev
+      FROM events GROUP BY day
+    ),
+    tr AS (
+      SELECT day, rev,
+             CASE WHEN COUNT(*) OVER w = 7
+                  THEN CAST(SUM(rev) OVER w AS DOUBLE) / 7.0
+             END AS trend
+      FROM daily
+      WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    ),
+    det AS (
+      SELECT day, isodow(day) AS dow,
+             CAST(rev AS DOUBLE) - trend AS det
+      FROM tr WHERE trend IS NOT NULL
+    ),
+    seas AS (
+      SELECT dow, CAST(COUNT(*) AS BIGINT) AS n_days,
+             list_sum(list(det ORDER BY day)) / COUNT(*) AS seasonal
+      FROM det GROUP BY dow
+    )
+    SELECT s.dow, s.n_days, s.seasonal,
+           list_sum(list(abs(d.det - s.seasonal) ORDER BY d.day))
+             / s.n_days AS mean_abs_residual
+    FROM det d JOIN seas s USING (dow)
+    GROUP BY s.dow, s.n_days, s.seasonal
+    """,
+)
+def daily_revenue_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.sum(F.col("value").cast("decimal(18,6)"))
+        .cast("decimal(18,6)")
+        .alias("rev")
+    )
+    w = Window.orderBy("day").rowsBetween(-3, 3)
+    tr = daily.select(
+        "day",
+        "rev",
+        F.when(
+            F.count(F.lit(1)).over(w) == 7,
+            F.sum("rev").over(w).cast("double") / F.lit(7.0),
+        ).alias("trend"),
+    )
+    det = tr.filter(F.col("trend").isNotNull()).select(
+        "day",
+        (F.weekday("day") + F.lit(1)).alias("dow"),
+        (F.col("rev").cast("double") - F.col("trend")).alias("det"),
+    )
+
+    def day_ordered_mean(value_col):
+        return F.aggregate(
+            F.sort_array(F.collect_list(F.struct("day", value_col))),
+            F.lit(0.0),
+            lambda acc, x: acc + x[value_col],
+        ) / F.count(F.lit(1))
+
+    seas = det.groupBy("dow").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        day_ordered_mean("det").alias("seasonal"),
+    )
+    resid = det.join(seas, "dow").select(
+        "dow",
+        "n_days",
+        "seasonal",
+        "day",
+        F.abs(F.col("det") - F.col("seasonal")).alias("ares"),
+    )
+    return resid.groupBy("dow", "n_days", "seasonal").agg(
+        day_ordered_mean("ares").alias("mean_abs_residual")
+    )
+
+
 @query(
     "hll_user_cardinality",
     oracle=f"""

@@ -351,3 +351,23 @@ def test_hll_registers_mergeable_and_estimate_sane(spark):
     assert whole.exceptAll(merged).count() == 0
     with _pytest.raises(ValueError, match="power of two"):
         hll_registers(df, "k", m=100)
+
+
+def test_triangle_count_hand_graphs(spark):
+    from cdk_dynamodb_cdc_spark.operators.graph import triangle_count
+
+    def run(pairs):
+        df = spark.createDataFrame(pairs, "u long, v long")
+        [r] = triangle_count(df).collect()
+        return (r.n_nodes, r.n_edges, r.n_triangles)
+
+    # K4: 4 nodes, 6 edges, 4 triangles
+    k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    assert run(k4) == (4, 6, 4)
+    # path graph: no triangles
+    assert run([(1, 2), (2, 3), (3, 4)]) == (4, 3, 0)
+    # duplicate edges / reversed orientation / self-loop are cleaned
+    messy = k4 + [(b, a) for a, b in k4] + [(0, 0), (1, 2)]
+    assert run(messy) == (4, 6, 4)
+    # two triangles sharing an edge (bowtie-ish)
+    assert run([(1, 2), (2, 3), (1, 3), (3, 4), (2, 4)]) == (4, 5, 2)
