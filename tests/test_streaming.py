@@ -945,3 +945,57 @@ def test_stream_stream_full_outer_interval_join_matches_batch(
     q.awaitTermination(120)
     got = pairs(spark.sql("SELECT * FROM ssj_fo_out"))
     assert got == expected
+
+
+def test_streaming_cms_maintenance_folds_to_batch_sketch(
+    spark, tmp_path
+):
+    """Sketch maintenance across micro-batches: each batch's CMS cells
+    append to a transactional table (exactly-once via app/batch ids);
+    the groupBy-sum fold of all appended cells equals the one-shot
+    batch sketch of the whole stream — the mergeability theorem as a
+    running pipeline."""
+    from cdk_dynamodb_cdc_spark.functions.sketches import cms_cells
+    from cdk_dynamodb_cdc_spark.storage import TxTable
+
+    rows = fixture_rows()
+    src = tmp_path / "src"
+    src.mkdir()
+    _write_records_file(src / "b0.json", rows[:6])
+    _write_records_file(src / "b1.json", rows[6:])
+
+    state = str(tmp_path / "cms_state")
+    table = TxTable(spark, state)
+
+    def sink(batch_df, batch_id):
+        table.commit(
+            cms_cells(batch_df, "pk", depth=3, width=32),
+            app_id="cms",
+            batch_id=batch_id,
+        )
+
+    stream = read_cdc_stream(
+        spark, str(src), starting_position="trim_horizon"
+    )
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert not q.isActive
+
+    folded = (
+        table.snapshot()
+        .groupBy("seed", "bucket")
+        .agg(F.sum("c").alias("c"))
+    )
+    whole = cms_cells(
+        spark.read.schema(CDC_RECORD_SCHEMA).json(str(src)),
+        "pk",
+        depth=3,
+        width=32,
+    )
+    assert folded.exceptAll(whole).count() == 0
+    assert whole.exceptAll(folded).count() == 0
