@@ -42,125 +42,183 @@ def entry(spark: SparkSession) -> DataFrame:
 # ordering only decides which subset the driver re-verifies
 # independently.
 _GATE_PRIORITY = [
-    # NEW or changed this round (r6): the transactional-table
-    # surface gets driver-side oracle evidence for the first time
-    # (history/time-travel/restore/exactly-once + MERGE INTO), and
-    # the three clustering queries now route through the
-    # large-star/small-star connected-components implementation.
-    "dsir_importance_keep",
-    "daily_revenue_acf",
-    "cms_user_count_estimates",
-    "txlog_history_stats",
-    "txlog_merge_into_state",
-    "semantic_dedup_keep",
-    "corpus_mix_temperature",
-    "perplexity_filter_stats",
-    "substring_dup_stats",
-    "bpe_merge_candidates",
-    "quality_gate_dispositions",
-    "incremental_near_dup_pairs",
-    "nb_lang_confusion",
-    "embedding_pq_topk",
-    "cdc_field_drift_stats",
-    "embedding_ivfpq_topk",
-    "doc_hash_embedding_topk",
-    "epoch_shard_heads",
-    "winnow_fingerprint_overlap",
-    "dedup_clusters",
-    "part_name_match_clusters",
-    "curate_corpus_dispositions",
-    # Rotation: every entry below was NOT in the round-5 gate
-    # window (CORRECTNESS_r05 covered the first 50 registry
-    # entries); front-loading them means each registry entry is
-    # driver-verified within two rounds. Previously-gated green
-    # queries follow after this list (registry order).
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "semi_join_customers_with_orders",
-    "anti_join_customers_without_orders",
-    "window_topk_orders_per_customer",
-    "window_running_revenue",
-    "rollup_lineitem_status",
-    "pivot_returnflag_by_status",
-    "setop_active_1996_not_1997",
-    "distinct_parts_per_brand",
-    "json_extract_events_props",
-    "sessionize_events",
-    "asof_latest_order_at_event",
-    "cdc_change_stats",
-    "cdc_unmarshall_roundtrip",
-    "claim_check_pointer_stats",
-    "dedup_exact_groups",
-    "near_dup_minhash_pairs",
-    "near_dup_simhash_pairs",
-    "doc_signatures",
-    "text_quality_stats",
-    "lang_id_confusion",
-    "embedding_cosine_topk",
-    "embedding_ann_topk",
-    "media_metadata",
-    "media_frame_sample",
-    "tumbling_window_counts",
-    "session_window_stats",
-    "cdc_change_stats_typed",
-    "range_join_clicks_after_errors",
-    "cube_lineitem_flag_status",
-    "approx_distinct_custkeys",
-    "cdc_change_stats_reconstructed",
-    "scalar_function_suite",
-    "ttl_expiry_removes",
-    "variant_props_stats",
-    "udtf_changed_path_stats",
-    "token_counts_bpeish",
-    "quarantine_stats",
-    "q6_forecast_revenue",
-    "q10_returned_items",
-    "q14_promo_revenue_share",
-    "q19_disjunctive_predicates",
-    "pk_filter_prefix_counts",
-    "publish_route_counts",
-    "rollup_daily_from_hourly",
-    "chunk_documents",
-    "train_val_test_split",
-    "sql_surface_identical_text",
-    "q4_late_shipment_priority",
-    "q12_priority_by_linestatus",
-    "q13_customer_order_distribution",
-    "q17_small_quantity_revenue",
-    "q18_large_volume_orders",
-    "q22_idle_high_balance_customers",
-    "window_range_frame_revenue",
-    "udaf_weighted_revenue_cents",
-    "cdc_decimal_fidelity",
-    "corr_qty_price_exact_moments",
-    "percentile_order_values",
-    "asof_next_event_after_order",
-    "q2_min_cost_supplier",
-    "q7_volume_shipping",
-    "q8_national_market_share",
-    "q9_product_type_profit",
-    "q11_important_stock",
-    "q15_top_supplier",
-    "q16_parts_supplier_relationship",
-    "q20_potential_part_promotion",
-    "q21_suppliers_kept_waiting",
-    "decontam_eval_overlap",
-    "pack_training_sequences",
-    "stratified_sample_by_lang",
-    "near_dup_ngram_jaccard",
-    "repetition_stats",
-    "boilerplate_ngram_stats",
-    "gapfill_hourly_user_activity",
-    "approx_quantile_contract",
-    "cdc_snapshot_at",
-    "cdc_squash_net_changes",
-    "media_transform_stats",
-    "hll_sketch_union_contract",
-    "unpivot_lineitem_measures",
-    "array_function_suite",
-    "mad_outlier_stats",
-    "event_transition_matrix",
-    "weekly_retention_cohorts",
+    # Round-7 ordering. First: the 10 queries NEW this round (BPE
+    # training loop, auto-typed CDC lane, DSIR resampler, Bloom
+    # membership + prefiltered decontamination, JL projection, grid
+    # interval join, relational HLL, seasonal decomposition, triangle
+    # counting) plus the 5 whose implementations CHANGED (cms_estimate
+    # probe fix, txlog incremental-manifest layout, DSIR/weighted-
+    # sample refactor). Then: every registry entry the r6 gate window
+    # (CORRECTNESS_r06.json) did not cover, in registry order — so the
+    # r7 window is disjoint from r6's except where code changed.
+    'bpe_train_token_counts',
+    'cdc_change_stats_autotyped',
+    'dsir_resample_topn',
+    'bloom_membership_stats',
+    'embedding_jl_topk',
+    'orders_price_band_stats',
+    'decontam_bloom_prefilter',
+    'hll_user_cardinality',
+    'daily_revenue_seasonal',
+    'part_coorder_triangles',
+    'cms_user_count_estimates',
+    'txlog_history_stats',
+    'txlog_merge_into_state',
+    'dsir_importance_keep',
+    'weighted_sample_by_length',
+    'q1_pricing_summary',
+    'embedding_ivf_topk',
+    'cdc_change_stats_typed',
+    'range_join_clicks_after_errors',
+    'cube_lineitem_flag_status',
+    'approx_distinct_custkeys',
+    'cdc_change_stats_reconstructed',
+    'scalar_function_suite',
+    'ttl_expiry_removes',
+    'variant_props_stats',
+    'udtf_changed_path_stats',
+    'token_counts_bpeish',
+    'near_dup_embedding_pairs',
+    'quarantine_stats',
+    'q6_forecast_revenue',
+    'q10_returned_items',
+    'q14_promo_revenue_share',
+    'q19_disjunctive_predicates',
+    'pk_filter_prefix_counts',
+    'publish_route_counts',
+    'rollup_daily_from_hourly',
+    'chunk_documents',
+    'train_val_test_split',
+    'sql_surface_identical_text',
+    'q4_late_shipment_priority',
+    'q12_priority_by_linestatus',
+    'q13_customer_order_distribution',
+    'q17_small_quantity_revenue',
+    'q18_large_volume_orders',
+    'q22_idle_high_balance_customers',
+    'window_range_frame_revenue',
+    'udaf_weighted_revenue_cents',
+    'cdc_decimal_fidelity',
+    'corr_qty_price_exact_moments',
+    'percentile_order_values',
+    'asof_next_event_after_order',
+    'q2_min_cost_supplier',
+    'q7_volume_shipping',
+    'q8_national_market_share',
+    'q9_product_type_profit',
+    'q11_important_stock',
+    'q15_top_supplier',
+    'q16_parts_supplier_relationship',
+    'q20_potential_part_promotion',
+    'q21_suppliers_kept_waiting',
+    'decontam_eval_overlap',
+    'pack_training_sequences',
+    'stratified_sample_by_lang',
+    'pii_scrub_stats',
+    'vocab_top_terms_by_lang',
+    'tfidf_top_terms',
+    'cdc_seq_inversion_stats',
+    'cdc_scd2_history',
+    'cdc_incremental_group_totals',
+    'near_dup_ngram_jaccard',
+    'repetition_stats',
+    'boilerplate_ngram_stats',
+    'gapfill_hourly_user_activity',
+    'approx_quantile_contract',
+    'cdc_snapshot_at',
+    'cdc_squash_net_changes',
+    'media_transform_stats',
+    'hll_sketch_union_contract',
+    'unpivot_lineitem_measures',
+    'spend_decile_profile',
+    'array_function_suite',
+    'mad_outlier_stats',
+    'event_transition_matrix',
+    'weekly_retention_cohorts',
+    'funnel_conversion_steps',
+    'ewma_revenue_trend',
+    'value_histogram_events',
+    'time_weighted_avg_value',
+    'inverted_index_search',
+    'profile_event_columns',
+    'cdc_snapshot_diff',
+    'cdc_merge_apply',
+    'hopping_window_counts',
+    'nation_revenue_share',
+    'funnel_time_to_convert',
+    'rolling_zscore_daily_revenue',
+    'ols_price_on_quantity',
+    'attribution_last_touch',
+    'session_path_trigrams',
+    'near_dup_containment_pairs',
+    'user_daily_streaks',
+    'peak_concurrent_sessions',
+    'basket_brand_pairs',
+    'part_name_fuzzy_pairs',
+    'event_type_pagerank',
+    'sliding_distinct_users_3h',
+    'doc_commonness_score',
+    'order_priority_mode_stats',
+    'returnflag_linestatus_chisq_cells',
+    'nation_order_gini',
+    'bitmap_distinct_suppliers_by_brand',
+    'brand_affinity_triangles',
+    'approx_topk_event_types_contract',
+    'order_rank_distribution',
+    'priority_listagg_by_status',
+    'grouping_sets_flag_status',
+    'cusum_revenue_changepoint',
+    'ab_test_conversion_zscore',
+    'user_activity_similarity_topk',
+    'dq_expectations_report',
+    'nation_supplier_pareto',
+    'order_linecount_distribution',
+    'q3_shipping_priority',
+    'q5_local_supplier_volume',
+    'semi_join_customers_with_orders',
+    'anti_join_customers_without_orders',
+    'window_topk_orders_per_customer',
+    'window_running_revenue',
+    'rollup_lineitem_status',
+    'pivot_returnflag_by_status',
+    'setop_active_1996_not_1997',
+    'distinct_parts_per_brand',
+    'json_extract_events_props',
+    'sessionize_events',
+    'asof_latest_order_at_event',
+    'cdc_change_stats',
+    'cdc_unmarshall_roundtrip',
+    'claim_check_pointer_stats',
+    'dedup_exact_groups',
+    'near_dup_minhash_pairs',
+    'near_dup_simhash_pairs',
+    'doc_signatures',
+    'text_quality_stats',
+    'lang_id_confusion',
+    'embedding_cosine_topk',
+    'embedding_ann_topk',
+    'media_metadata',
+    'media_frame_sample',
+    'tumbling_window_counts',
+    'session_window_stats',
+    'dedup_clusters',
+    'curate_corpus_dispositions',
+    'part_name_match_clusters',
+    'semantic_dedup_keep',
+    'corpus_mix_temperature',
+    'perplexity_filter_stats',
+    'substring_dup_stats',
+    'bpe_merge_candidates',
+    'quality_gate_dispositions',
+    'incremental_near_dup_pairs',
+    'nb_lang_confusion',
+    'embedding_pq_topk',
+    'cdc_field_drift_stats',
+    'embedding_ivfpq_topk',
+    'doc_hash_embedding_topk',
+    'epoch_shard_heads',
+    'winnow_fingerprint_overlap',
+    'daily_revenue_acf',
 ]
 
 
