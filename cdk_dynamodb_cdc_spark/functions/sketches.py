@@ -162,6 +162,92 @@ def hll_estimate(registers: DataFrame, *, m: int = HLL_REGISTERS) -> DataFrame:
     )
 
 
+KMV_K = 64
+_KMV_SPACE = float(1 << 60)  # token_hash60 range
+
+
+def kmv_hashes(
+    df: DataFrame,
+    key_col: str,
+    *,
+    k: int = KMV_K,
+    salt: str = "kmv",
+) -> DataFrame:
+    """K-minimum-values sketch (Beyer et al. 2007): the ``k`` smallest
+    DISTINCT md5 hashes of the key stream, one row each — the sketch
+    that supports estimated SET OPERATIONS (union, intersection,
+    Jaccard), which HLL registers cannot express. Mergeable: the
+    sketch of a union is the k smallest of the concatenated sketches
+    (distinct-union then re-limit) — same fold-across-micro-batches
+    shape as the other three sketches in this module.
+
+    Scale shape: distinct-then-TakeOrdered — the per-partition partial
+    keeps at most k rows, so executors ship k hashes each, never the
+    stream; estimation never touches the stream again."""
+    h = token_hash60(
+        F.concat(F.lit(f"{salt}:"), F.col(key_col).cast("string"))
+    )
+    return (
+        df.select(h.alias("h")).distinct().orderBy("h").limit(k)
+    )
+
+
+def kmv_cardinality(hashes: DataFrame, *, k: int = KMV_K) -> DataFrame:
+    """Distinct-count estimate from a KMV sketch: one row
+    ``(n_hashes, estimate)``. An unfull sketch (fewer than ``k``
+    distinct values existed) IS the exact distinct count; a full one
+    estimates ``(k - 1) / (kth_min / 2^60)``. Everything before the
+    single final division is md5 integer arithmetic — oracle-exact."""
+    return hashes.agg(
+        F.count(F.lit(1)).alias("n_hashes"),
+        F.max("h").alias("kth"),
+    ).select(
+        "n_hashes",
+        F.when(F.col("n_hashes") < k, F.col("n_hashes").cast("double"))
+        .otherwise(
+            F.lit(float(k - 1))
+            / (F.col("kth").cast("double") / F.lit(_KMV_SPACE))
+        )
+        .alias("estimate"),
+    )
+
+
+def kmv_set_ops(
+    hashes_a: DataFrame, hashes_b: DataFrame, *, k: int = KMV_K
+) -> DataFrame:
+    """Estimated |A ∪ B|, |A ∩ B|, and Jaccard from two KMV sketches
+    (Beyer et al. §4): merge the sketches (k smallest of the distinct
+    union — a valid KMV of A ∪ B), estimate the union from it, and
+    scale by the fraction ρ of merged hashes present in BOTH input
+    sketches. One row ``(n_merged, union_est, jaccard_est,
+    intersection_est)``. All frames involved are <= 2k rows."""
+    merged = (
+        hashes_a.unionByName(hashes_b).distinct().orderBy("h").limit(k)
+    )
+    in_both = merged.join(hashes_a, "h", "left_semi").join(
+        hashes_b, "h", "left_semi"
+    )
+    stats = merged.agg(
+        F.count(F.lit(1)).alias("n_merged"),
+        F.max("h").alias("kth"),
+    ).crossJoin(in_both.agg(F.count(F.lit(1)).alias("n_both")))
+    union_est = F.when(
+        F.col("n_merged") < k, F.col("n_merged").cast("double")
+    ).otherwise(
+        F.lit(float(k - 1))
+        / (F.col("kth").cast("double") / F.lit(_KMV_SPACE))
+    )
+    rho = F.col("n_both").cast("double") / F.col("n_merged").cast(
+        "double"
+    )
+    return stats.select(
+        "n_merged",
+        union_est.alias("union_est"),
+        rho.alias("jaccard_est"),
+        (rho * union_est).alias("intersection_est"),
+    )
+
+
 BLOOM_M = 4096
 BLOOM_K = 4
 BLOOM_SALT = "bloom"

@@ -8372,6 +8372,108 @@ def cms_user_count_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# KMV sketch set operations (functions/sketches.py:kmv_hashes/
+# kmv_set_ops, Beyer et al. 2007): estimated union / intersection /
+# Jaccard of two distinct-user audiences (high-value clickers vs
+# high-value purchasers) — the set algebra HLL registers cannot
+# express. Every hash and k-min selection is md5-determined, so the
+# oracle rebuilds both sketches and replays the estimators exactly;
+# output pairs each estimate's floor with the exact truth.
+# ---------------------------------------------------------------------------
+_KMV_ORACLE_SK = """
+      SELECT DISTINCT ('0x' || substr(md5('kmv:' ||
+               CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+      FROM events WHERE event_type = '{et}' AND value > 150
+      ORDER BY h LIMIT 64
+"""
+
+
+@query(
+    "kmv_audience_overlap",
+    oracle=f"""
+    WITH ska AS ({_KMV_ORACLE_SK.format(et="click")}),
+    skb AS ({_KMV_ORACLE_SK.format(et="purchase")}),
+    merged AS (
+      SELECT h FROM (SELECT h FROM ska UNION SELECT h FROM skb)
+      ORDER BY h LIMIT 64
+    ),
+    stats AS (
+      SELECT (SELECT COUNT(*) FROM merged) AS n_merged,
+             (SELECT MAX(h) FROM merged) AS kth,
+             (SELECT COUNT(*) FROM merged
+              WHERE h IN (SELECT h FROM ska)
+                AND h IN (SELECT h FROM skb)) AS n_both
+    ),
+    est AS (
+      SELECT n_merged,
+             CASE WHEN n_merged < 64 THEN CAST(n_merged AS DOUBLE)
+                  ELSE 63.0 / (CAST(kth AS DOUBLE)
+                               / 1152921504606846976.0) END AS union_est,
+             CAST(n_both AS DOUBLE) / CAST(n_merged AS DOUBLE) AS rho
+      FROM stats
+    ),
+    exact AS (
+      SELECT
+        (SELECT COUNT(DISTINCT user_id) FROM events
+         WHERE event_type = 'click' AND value > 150) AS exact_a,
+        (SELECT COUNT(DISTINCT user_id) FROM events
+         WHERE event_type = 'purchase' AND value > 150) AS exact_b,
+        (SELECT COUNT(*) FROM
+          (SELECT DISTINCT user_id FROM events
+           WHERE event_type = 'click' AND value > 150)
+         WHERE user_id IN
+          (SELECT user_id FROM events
+           WHERE event_type = 'purchase' AND value > 150)) AS exact_ab
+    )
+    SELECT CAST(x.exact_a AS BIGINT) AS exact_a,
+           CAST(x.exact_b AS BIGINT) AS exact_b,
+           CAST(x.exact_ab AS BIGINT) AS exact_intersection,
+           e.n_merged,
+           CAST(floor(e.union_est) AS BIGINT) AS union_est_floor,
+           CAST(floor(e.rho * e.union_est) AS BIGINT)
+             AS intersection_est_floor
+    FROM est e, exact x
+    """,
+)
+def kmv_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdk_dynamodb_cdc_spark.functions.sketches import (
+        kmv_hashes,
+        kmv_set_ops,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+
+    def audience(et):
+        return ev.filter(
+            (F.col("event_type") == et) & (F.col("value") > 150)
+        ).select("user_id")
+
+    ska = kmv_hashes(audience("click"), "user_id")
+    skb = kmv_hashes(audience("purchase"), "user_id")
+    ops = kmv_set_ops(ska, skb)
+    a = audience("click").distinct()
+    b = audience("purchase").distinct()
+    ex = (
+        a.agg(F.count(F.lit(1)).alias("exact_a"))
+        .crossJoin(b.agg(F.count(F.lit(1)).alias("exact_b")))
+        .crossJoin(
+            a.join(b, "user_id", "left_semi")
+            .agg(F.count(F.lit(1)).alias("exact_intersection"))
+        )
+    )
+    return ops.crossJoin(F.broadcast(ex)).select(
+        "exact_a",
+        "exact_b",
+        "exact_intersection",
+        "n_merged",
+        F.floor("union_est").cast("long").alias("union_est_floor"),
+        F.floor("intersection_est")
+        .cast("long")
+        .alias("intersection_est_floor"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # HyperLogLog as a relational plan (functions/sketches.py:
 # hll_registers/hll_estimate): unlike approx_count_distinct (whose
 # internal sketch bytes no other engine reproduces), every step is

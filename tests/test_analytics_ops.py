@@ -371,3 +371,42 @@ def test_triangle_count_hand_graphs(spark):
     assert run(messy) == (4, 6, 4)
     # two triangles sharing an edge (bowtie-ish)
     assert run([(1, 2), (2, 3), (1, 3), (3, 4), (2, 4)]) == (4, 5, 2)
+
+
+def test_kmv_unfull_exact_full_estimates_and_mergeable(spark):
+    from cdk_dynamodb_cdc_spark.functions.sketches import (
+        kmv_cardinality,
+        kmv_hashes,
+        kmv_set_ops,
+    )
+
+    small = spark.createDataFrame(
+        [(f"s{i % 10}",) for i in range(100)], "k string"
+    )
+    # unfull sketch: estimate IS the exact distinct count
+    [r] = kmv_cardinality(kmv_hashes(small, "k", k=32), k=32).collect()
+    assert (r.n_hashes, r.estimate) == (10, 10.0)
+
+    big_rows = [(f"b{i}",) for i in range(3000)]
+    big = spark.createDataFrame(big_rows, "k string")
+    [r] = kmv_cardinality(kmv_hashes(big, "k", k=64), k=64).collect()
+    assert abs(r.estimate - 3000) / 3000 < 0.5  # ~12.7% sigma, 4x slack
+    # mergeability: k-min of concatenated sketches == sketch of union
+    h1 = kmv_hashes(
+        spark.createDataFrame(big_rows[:2000], "k string"), "k", k=64
+    )
+    h2 = kmv_hashes(
+        spark.createDataFrame(big_rows[1000:], "k string"), "k", k=64
+    )
+    merged = h1.unionByName(h2).distinct().orderBy("h").limit(64)
+    whole = kmv_hashes(big, "k", k=64)
+    assert merged.exceptAll(whole).count() == 0
+    assert whole.exceptAll(merged).count() == 0
+    # set ops on disjoint sets: intersection estimate 0
+    c = spark.createDataFrame([(f"c{i}",) for i in range(500)], "k string")
+    d = spark.createDataFrame([(f"d{i}",) for i in range(500)], "k string")
+    [r] = kmv_set_ops(
+        kmv_hashes(c, "k", k=64), kmv_hashes(d, "k", k=64), k=64
+    ).collect()
+    assert r.intersection_est == 0.0 and r.jaccard_est == 0.0
+    assert abs(r.union_est - 1000) / 1000 < 0.5
