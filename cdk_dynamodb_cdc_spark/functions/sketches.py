@@ -85,6 +85,7 @@ def hll_registers(
     *,
     m: int = HLL_REGISTERS,
     salt: str = "hll",
+    group_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """HyperLogLog (Flajolet et al. 2007) as a relational plan: the
     sketch IS the ``(reg, rho)`` register table — at most ``m`` rows
@@ -120,14 +121,24 @@ def hll_registers(
     rho = F.when(w == 0, F.lit(w_bits + 1)).otherwise(
         F.lit(w_bits + 1) - F.length(F.conv(w.cast("string"), 10, 2))
     )
+    # group_cols: one sketch PER GROUP — the sketch becomes a groupBy
+    # dimension (daily/regional cardinalities in one pass), each
+    # group's table still <= m rows
     return (
-        df.select(reg.alias("reg"), rho.cast("int").alias("rho"))
-        .groupBy("reg")
+        df.select(
+            *group_cols, reg.alias("reg"), rho.cast("int").alias("rho")
+        )
+        .groupBy(*group_cols, "reg")
         .agg(F.max("rho").alias("rho"))
     )
 
 
-def hll_estimate(registers: DataFrame, *, m: int = HLL_REGISTERS) -> DataFrame:
+def hll_estimate(
+    registers: DataFrame,
+    *,
+    m: int = HLL_REGISTERS,
+    group_cols: tuple[str, ...] = (),
+) -> DataFrame:
     """The HLL cardinality estimate from a register table: one row
     ``(n_registers_set, estimate)``.
 
@@ -140,7 +151,7 @@ def hll_estimate(registers: DataFrame, *, m: int = HLL_REGISTERS) -> DataFrame:
     identical values in identical order.
     """
     alpha = 0.7213 / (1.0 + 1.079 / m)
-    agg = registers.agg(
+    agg = registers.groupBy(*group_cols).agg(
         F.count(F.lit(1)).alias("n_set"),
         F.aggregate(
             F.sort_array(F.collect_list(F.struct("reg", "rho"))),
@@ -157,6 +168,7 @@ def hll_estimate(registers: DataFrame, *, m: int = HLL_REGISTERS) -> DataFrame:
         F.lit(float(m)) * F.log(F.lit(float(m)) / zeros),
     ).otherwise(raw)
     return agg.select(
+        *group_cols,
         F.col("n_set").alias("n_registers_set"),
         est.alias("estimate"),
     )

@@ -8697,6 +8697,78 @@ def hll_user_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Per-group HLL (the sketch as a groupBy DIMENSION): one register
+# table per day in a single pass, one estimate per day — the shape a
+# daily-uniques dashboard maintains incrementally (each day's
+# registers also MERGE with late data by max). Same bit-exact oracle
+# machinery as hll_user_cardinality, replayed per group.
+# ---------------------------------------------------------------------------
+@query(
+    "hll_daily_user_cardinality",
+    oracle=f"""
+    WITH h AS (
+      SELECT CAST(ts AS DATE) AS day,
+             ('0x' || substr(md5('hll:' || CAST(user_id AS VARCHAR)),
+              1, 15))::BIGINT AS hv
+      FROM events
+    ),
+    regs AS (
+      SELECT day, CAST(hv % {_HLL_M} AS INT) AS reg,
+             MAX(CASE WHEN hv // {_HLL_M} = 0 THEN 53
+                      ELSE 53 - length(bin(hv // {_HLL_M})) END) AS rho
+      FROM h GROUP BY day, reg
+    ),
+    agg AS (
+      SELECT day, CAST(COUNT(*) AS BIGINT) AS n_set,
+             list_sum(list(pow(2.0, -rho) ORDER BY reg)) AS s_set
+      FROM regs GROUP BY day
+    ),
+    est AS (
+      SELECT day, n_set,
+             CASE WHEN {_HLL_ALPHA_M2!r} / (s_set + ({_HLL_M} - n_set))
+                       <= {2.5 * _HLL_M!r}
+                   AND n_set < {_HLL_M}
+                  THEN {float(_HLL_M)!r} * ln({float(_HLL_M)!r}
+                       / CAST({_HLL_M} - n_set AS DOUBLE))
+                  ELSE {_HLL_ALPHA_M2!r} / (s_set + ({_HLL_M} - n_set))
+             END AS estimate
+      FROM agg
+    ),
+    exact AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact
+      FROM events GROUP BY day
+    )
+    SELECT e.day, x.n_exact, e.n_set AS n_registers_set,
+           CAST(floor(e.estimate) AS BIGINT) AS estimate_floor
+    FROM est e JOIN exact x USING (day)
+    """,
+)
+def hll_daily_user_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdk_dynamodb_cdc_spark.functions.sketches import (
+        hll_estimate,
+        hll_registers,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("ts").cast("date").alias("day"), "user_id"
+    )
+    est = hll_estimate(
+        hll_registers(ev, "user_id", group_cols=("day",)),
+        group_cols=("day",),
+    )
+    exact = ev.groupBy("day").agg(
+        F.count_distinct("user_id").alias("n_exact")
+    )
+    return est.join(exact, "day").select(
+        "day",
+        "n_exact",
+        "n_registers_set",
+        F.floor("estimate").cast("long").alias("estimate_floor"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Bloom-filter membership (functions/sketches.py:bloom_bits/probe):
 # build a 4096-bit / 4-hash filter over the custkeys that placed
 # URGENT orders (a strict subset — this corpus gives every customer
