@@ -2,6 +2,7 @@
 
 from cdk_dynamodb_cdc_spark.storage.txlog import (  # noqa: F401
     TxTable,
+    cleanup_log,
     attach_stats,
     merge_into,
     optimize,
