@@ -271,6 +271,44 @@ def weighted_sample(
     )
 
 
+def weighted_sample_per_group(
+    df: DataFrame,
+    weight_col: str,
+    n_per_group: int,
+    *,
+    group_cols: tuple[str, ...],
+    key_col: str = "doc_id",
+    salt: str = WEIGHTED_SAMPLE_SALT,
+    log_weight: bool = False,
+) -> DataFrame:
+    """Group-wise Efraimidis–Spirakis: an independent deterministic
+    weighted sample of ``n_per_group`` rows WITHIN each group — the
+    per-source / per-language data-budget draw a corpus mixer runs
+    (each domain contributes its own weighted sample, not a share of
+    one global draw). Same u / score arithmetic as
+    :func:`weighted_sample`; the global sort-limit becomes a per-group
+    rank, which Spark executes as a window-group-limit (map-side
+    partial top-n per group), never a global sort."""
+    h = F.expr(
+        f"cast(conv(substring(md5(concat('{salt}:', "
+        f"cast({key_col} as string))), 1, 12), 16, 10) as bigint)"
+    )
+    u = (h + F.lit(1)).cast("double") / F.lit(_U48)
+    if log_weight:
+        r = F.log(-F.log(u)) - F.col(weight_col).cast("double")
+    else:
+        r = -F.log(u) / F.col(weight_col).cast("double")
+    w = Window.partitionBy(*group_cols).orderBy(
+        F.col("__aes_r").asc(), F.col(key_col)
+    )
+    return (
+        df.select(*group_cols, key_col, weight_col, r.alias("__aes_r"))
+        .withColumn("__aes_rk", F.row_number().over(w))
+        .filter(F.col("__aes_rk") <= n_per_group)
+        .select(*group_cols, key_col, weight_col)
+    )
+
+
 MIX_SALT = "mix-0"
 
 

@@ -890,3 +890,52 @@ def jl_cosine_topk(
         query_ids,
         k=k,
     )
+
+
+def semantic_decontaminate(
+    corpus: DataFrame,
+    eval_set: DataFrame,
+    *,
+    threshold: float,
+) -> DataFrame:
+    """Embedding-space benchmark decontamination: flag every corpus
+    vector whose cosine to ANY eval-set vector reaches ``threshold`` —
+    the semantic twin of the n-gram `decontaminate` (paraphrased eval
+    leakage that shares no 8-gram still lands next to the benchmark in
+    embedding space). Returns ``(vec_id, n_eval_hits, contaminated)``
+    for every corpus row, zero-hit rows included.
+
+    Scale shape mirrors decontaminate's contract: the EVAL side is
+    benchmark-sized (broadcast after a one-pass norm projection); the
+    corpus streams map-side with one norm fold per row and one
+    dot-product fold per (row, eval) pair — no corpus shuffle except
+    the final per-id count. For eval sets too large to broadcast,
+    pre-bucket both sides with the sign-LSH lane
+    (:func:`lsh_near_dup_pairs`'s banding) and verify exactly within
+    buckets."""
+    base = _normed(corpus)
+    ev = _normed(eval_set).select(
+        F.col("vec_id").alias("eval_id"),
+        F.col("v").alias("ev"),
+        F.col("nrm").alias("en"),
+    )
+    cos = _dot(F.col("v"), F.col("ev")) / (F.col("nrm") * F.col("en"))
+    hits = (
+        base.crossJoin(F.broadcast(ev))
+        .filter(cos >= F.lit(threshold))
+        .groupBy("vec_id")
+        .agg(F.count(F.lit(1)).alias("n_eval_hits"))
+    )
+    return (
+        base.select("vec_id")
+        .join(hits, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.coalesce("n_eval_hits", F.lit(0)).cast("long").alias(
+                "n_eval_hits"
+            ),
+            (F.coalesce("n_eval_hits", F.lit(0)) > 0).alias(
+                "contaminated"
+            ),
+        )
+    )

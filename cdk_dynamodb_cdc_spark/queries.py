@@ -1747,6 +1747,49 @@ def near_dup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Semantic decontamination (llm/vectors.py:semantic_decontaminate):
+# the embedding-space twin of decontam_eval_overlap — corpus vectors
+# whose cosine to ANY held-out eval vector reaches 0.4 are flagged
+# (paraphrased benchmark leakage that shares no 8-gram still lands
+# next to the benchmark in embedding space). Eval side broadcast
+# (benchmark-sized by contract), corpus streams map-side; the oracle
+# is the exact cosine join.
+# ---------------------------------------------------------------------------
+@query(
+    "semantic_decontam_flags",
+    oracle="""
+    WITH ev AS (SELECT vec_id, embedding FROM embeddings
+                WHERE vec_id % 31 = 0),
+    corpus AS (SELECT vec_id, embedding FROM embeddings
+               WHERE vec_id % 31 <> 0),
+    hits AS (
+      SELECT c.vec_id, CAST(COUNT(*) AS BIGINT) AS n_eval_hits
+      FROM corpus c JOIN ev e
+        ON list_sum(list_transform(range(1, len(c.embedding) + 1),
+                    i -> c.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE))
+           / (sqrt(list_sum(list_transform(range(1, len(c.embedding) + 1),
+                    i -> c.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE)))
+              * sqrt(list_sum(list_transform(range(1, len(e.embedding) + 1),
+                    i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE))))
+           >= 0.4
+      GROUP BY c.vec_id
+    )
+    SELECT c.vec_id,
+           CAST(COALESCE(h.n_eval_hits, 0) AS BIGINT) AS n_eval_hits,
+           COALESCE(h.n_eval_hits, 0) > 0 AS contaminated
+    FROM corpus c LEFT JOIN hits h USING (vec_id)
+    """,
+)
+def semantic_decontam_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdk_dynamodb_cdc_spark.llm.vectors import semantic_decontaminate
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    eval_set = emb.filter(F.col("vec_id") % 31 == 0)
+    corpus = emb.filter(F.col("vec_id") % 31 != 0)
+    return semantic_decontaminate(corpus, eval_set, threshold=0.4)
+
+
+# ---------------------------------------------------------------------------
 # ---------------------------------------------------------------------------
 # Quarantine (A3) oracle: corrupt a deterministic slice of the stream
 # (every 10th record's old image) and verify the error lane catches
@@ -3564,6 +3607,43 @@ def weighted_sample_by_length(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return curation.weighted_sample(docs, "n_chars", 100)
+
+
+# ---------------------------------------------------------------------------
+# Group-wise A-ES (llm/curation.py:weighted_sample_per_group): an
+# INDEPENDENT deterministic weighted draw per language — the
+# per-domain data-budget shape (each domain contributes its own
+# sample, not a share of one global draw). The global TakeOrdered
+# becomes a per-group window rank, which Spark executes as
+# WindowGroupLimit (map-side partial top-n per group) — no global
+# sort at any corpus size.
+# ---------------------------------------------------------------------------
+@query(
+    "weighted_sample_per_lang",
+    oracle="""
+    WITH scored AS (
+      SELECT lang, doc_id, n_chars,
+             -ln((('0x' || substr(md5('wsample-0:' ||
+                 CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT + 1)
+               / 281474976710656.0)
+             / CAST(n_chars AS DOUBLE) AS r
+      FROM documents
+    )
+    SELECT lang, doc_id, n_chars
+    FROM (SELECT lang, doc_id, n_chars,
+                 ROW_NUMBER() OVER (PARTITION BY lang
+                                    ORDER BY r, doc_id) AS rk
+          FROM scored)
+    WHERE rk <= 20
+    """,
+)
+def weighted_sample_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdk_dynamodb_cdc_spark.llm import curation
+
+    docs = load_table(spark, sf_dir, "documents")
+    return curation.weighted_sample_per_group(
+        docs, "n_chars", 20, group_cols=("lang",)
+    )
 
 
 # ---------------------------------------------------------------------------

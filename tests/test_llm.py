@@ -1386,3 +1386,50 @@ def test_jl_projection_preserves_geometry_and_composes(spark):
     assert {r.qid for r in top} == {0, 1}
     assert all(1 <= r.rk <= 5 for r in top)
     assert math.isfinite(mean_ratio)
+
+
+def test_weighted_sample_per_group_independent_draws(spark):
+    """Each group draws independently: a group's sample is identical
+    whether other groups exist or not (the per-domain budget
+    property), and groups smaller than n contribute everything."""
+    from cdk_dynamodb_cdc_spark.llm import curation
+
+    rows = [(f"a{i}", "A", float(i + 1)) for i in range(50)] + [
+        (f"b{i}", "B", float(i + 1)) for i in range(5)
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, grp string, wt double")
+    got = curation.weighted_sample_per_group(
+        df, "wt", 10, group_cols=("grp",)
+    )
+    by_grp = {}
+    for r in got.collect():
+        by_grp.setdefault(r.grp, set()).add(r.doc_id)
+    assert len(by_grp["A"]) == 10
+    assert by_grp["B"] == {f"b{i}" for i in range(5)}  # undersized: all
+    # independence: group A alone draws the same sample
+    alone = curation.weighted_sample_per_group(
+        df.filter(F.col("grp") == "A"), "wt", 10, group_cols=("grp",)
+    )
+    assert {r.doc_id for r in alone.collect()} == by_grp["A"]
+
+
+def test_semantic_decontaminate_flags_planted_neighbor(spark):
+    from cdk_dynamodb_cdc_spark.llm.vectors import semantic_decontaminate
+
+    ev = spark.createDataFrame(
+        [(100, [1.0, 0.0, 0.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (0, [0.99, 0.1, 0.0, 0.0]),   # near the eval vector
+            (1, [0.0, 1.0, 0.0, 0.0]),    # orthogonal
+            (2, [-1.0, 0.0, 0.0, 0.0]),   # opposite
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    got = {
+        r.vec_id: (r.n_eval_hits, r.contaminated)
+        for r in semantic_decontaminate(corpus, ev, threshold=0.9).collect()
+    }
+    assert got == {0: (1, True), 1: (0, False), 2: (0, False)}
