@@ -42,7 +42,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # ordering only decides which subset the driver re-verifies
 # independently.
 _GATE_PRIORITY = [
-    # Round-7 ordering. First: the 10 queries NEW this round (BPE
+    # Round-7 ordering. First: the queries NEW this round (BPE
     # training loop, auto-typed CDC lane, DSIR resampler, Bloom
     # membership + prefiltered decontamination, JL projection, grid
     # interval join, relational HLL, seasonal decomposition, triangle
@@ -52,6 +52,11 @@ _GATE_PRIORITY = [
     # (CORRECTNESS_r06.json) did not cover, in registry order — so the
     # r7 window is disjoint from r6's except where code changed.
     'bpe_train_token_counts',
+    'kmv_audience_overlap',
+    'hll_daily_user_cardinality',
+    'weighted_sample_per_lang',
+    'semantic_decontam_flags',
+    'hll_user_cardinality',
     'cdc_change_stats_autotyped',
     'dsir_resample_topn',
     'bloom_membership_stats',
