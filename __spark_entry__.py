@@ -52,6 +52,7 @@ _GATE_PRIORITY = [
     # (CORRECTNESS_r06.json) did not cover, in registry order — so the
     # r7 window is disjoint from r6's except where code changed.
     'bpe_train_token_counts',
+    'bpe_pack_stats',
     'kmv_audience_overlap',
     'hll_daily_user_cardinality',
     'weighted_sample_per_lang',

@@ -141,6 +141,7 @@ def pack_sequences(
     id_col: str = "doc_id",
     order_col: str | None = None,
     shard_col: str | None = None,
+    n_tokens_col: str | None = None,
 ) -> DataFrame:
     """Assign each document to a training pack: documents are laid out
     in a deterministic order and concatenated; a document belongs to
@@ -155,9 +156,18 @@ def pack_sequences(
     executor-sized and embarrassingly parallel.
 
     Returns (shard?, id_col, n_tokens, start_offset, pack_id,
-    spans_packs)."""
+    spans_packs).
+
+    ``n_tokens_col`` uses a PRECOMPUTED per-document token count
+    instead of the whitespace tokenizer — the hook that makes packing
+    TOKENIZER-EXACT when composed with a trained tokenizer (e.g.
+    ``bpe_token_stats``'s per-word symbol counts joined per doc)."""
     order = F.col(order_col) if order_col else F.col(id_col)
-    n_tokens = F.size(tokens(F.col(text_col)))
+    n_tokens = (
+        F.col(n_tokens_col)
+        if n_tokens_col
+        else F.size(tokens(F.col(text_col)))
+    )
     w = (
         Window.partitionBy(shard_col).orderBy(order)
         if shard_col

@@ -543,6 +543,10 @@ def asof_latest_order_at_event(spark: SparkSession, sf_dir: str) -> DataFrame:
 # stats. The oracle re-derives the same counts relationally, which checks
 # unmarshall + diff + no-op suppression end-to-end against SQL semantics.
 # ---------------------------------------------------------------------------
+_BPE_SEP = "\x1f"
+_BPE_MERGES = 32
+
+
 def synthesize_cdc_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Turn the events table into a marshalled CDC stream: each user is an
     item whose document {event_type, value} mutates at every event."""
@@ -1744,6 +1748,108 @@ def near_dup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 500)
     return lsh_near_dup_pairs(emb, dim=64, threshold=0.4)
+
+
+# ---------------------------------------------------------------------------
+# TOKENIZER-EXACT sequence packing: the trained-BPE composition the
+# packing docstring promises — per-document token counts come from
+# the 32-merge BPE vocabulary (not the whitespace proxy), then
+# pack_sequences(n_tokens_col=...) lays docs into 512-token packs per
+# source shard. The oracle replays the identical BPE training loop
+# (the recursive CTE from bpe_train_token_counts) AND the identical
+# packing arithmetic — training, tokenization, and packing pinned as
+# one integer-exact composition.
+# ---------------------------------------------------------------------------
+@query(
+    "bpe_pack_stats",
+    oracle=f"""
+    WITH RECURSIVE vocab AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS n
+      FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      WHERE w <> '' GROUP BY w
+    ),
+    bpe(iter, w, n, s) AS (
+      SELECT 0, w, n,
+             '{_BPE_SEP}{_BPE_SEP}' ||
+             list_aggregate(string_split(w, ''), 'string_agg',
+                            '{_BPE_SEP}{_BPE_SEP}') ||
+             '{_BPE_SEP}{_BPE_SEP}'
+      FROM vocab
+      UNION ALL
+      SELECT iter + 1, w, n,
+             replace(s,
+                     '{_BPE_SEP}' || best.pa || '{_BPE_SEP}{_BPE_SEP}'
+                                  || best.pb || '{_BPE_SEP}',
+                     '{_BPE_SEP}' || best.pa || best.pb || '{_BPE_SEP}')
+      FROM bpe, (
+        SELECT pa, pb
+        FROM (
+          SELECT syms[i] AS pa, syms[i+1] AS pb, SUM(n) AS cnt
+          FROM (SELECT n, string_split(trim(s, '{_BPE_SEP}'),
+                                       '{_BPE_SEP}{_BPE_SEP}') AS syms
+                FROM bpe),
+               UNNEST(range(1, len(syms))) AS t(i)
+          GROUP BY pa, pb
+        ) ORDER BY cnt DESC, pa, pb LIMIT 1
+      ) best
+      WHERE iter < {_BPE_MERGES}
+    ),
+    tok AS (SELECT w, CAST(len(string_split(trim(s, '{_BPE_SEP}'),
+                     '{_BPE_SEP}{_BPE_SEP}')) AS BIGINT) AS n_syms
+            FROM bpe WHERE iter = {_BPE_MERGES}),
+    per_doc AS (
+      SELECT d.source, d.doc_id,
+             CAST(COALESCE(SUM(t.n_syms), 0) AS BIGINT) AS n_tokens
+      FROM (SELECT source, doc_id, unnest(string_split(text, ' ')) AS w
+            FROM documents) d
+      JOIN tok t ON t.w = d.w
+      WHERE d.w <> ''
+      GROUP BY d.source, d.doc_id
+    ),
+    placed AS (
+      SELECT source, doc_id, n_tokens,
+             CAST(SUM(n_tokens) OVER (PARTITION BY source
+                                      ORDER BY doc_id)
+                  - n_tokens AS BIGINT) AS start_offset
+      FROM per_doc
+    )
+    SELECT source,
+           CAST(FLOOR(start_offset / 512.0) AS BIGINT) AS pack_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN FLOOR((start_offset + n_tokens - 1)
+                                    / 512.0)
+                              > FLOOR(start_offset / 512.0)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_spanning
+    FROM placed GROUP BY source, pack_id
+    """,
+)
+def bpe_pack_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdk_dynamodb_cdc_spark.llm.curation import pack_sequences
+    from cdk_dynamodb_cdc_spark.llm.text import bpe_train
+
+    docs = load_table(spark, sf_dir, "documents")
+    _, vocab_tokens = bpe_train(docs, n_merges=_BPE_MERGES)
+    words = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w")
+    ).filter(F.col("w") != "")
+    per_doc = (
+        words.join(vocab_tokens, "w")
+        .groupBy("doc_id")
+        .agg(F.sum(F.size("syms")).alias("n_bpe_tokens"))
+    )
+    sized = docs.join(per_doc, "doc_id")
+    packed = pack_sequences(
+        sized,
+        budget=512,
+        shard_col="source",
+        n_tokens_col="n_bpe_tokens",
+    )
+    return packed.groupBy("source", "pack_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+        F.sum(F.col("spans_packs").cast("long")).alias("n_spanning"),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -7568,8 +7674,6 @@ def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 # non-overlapping (Java String.replace / DuckDB replace), which is
 # exactly BPE's greedy merge.
 # ---------------------------------------------------------------------------
-_BPE_SEP = "\x1f"
-_BPE_MERGES = 32
 @query(
     "bpe_train_token_counts",
     oracle=f"""
