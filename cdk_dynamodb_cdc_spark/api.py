@@ -12,6 +12,8 @@ the `functionPath` equivalent.
     pipe = CdcPipeline(
         pk_filters=["USER#*"],
         item_schema=my_struct_type,        # optional: typed (no-Python) lane
+                                           # (or "infer": drift-profile
+                                           # schema inference, then typed)
         reconstruct_missing_old=True,      # NEW_IMAGE-only sources
         transform=lambda df: df.filter(...),
         event_source="myapp",
@@ -47,7 +49,7 @@ class CdcPipeline:
         self,
         *,
         pk_filters: list[str] | None = None,
-        item_schema: T.StructType | None = None,
+        item_schema: T.StructType | str | None = None,
         reconstruct_missing_old: bool = False,
         transform: Callable[[DataFrame], DataFrame] | None = None,
         event_source: str = "cdk_dynamodb_cdc_spark",
@@ -90,12 +92,25 @@ class CdcPipeline:
         custom transform last."""
         if self.reconstruct_missing_old:
             records = reconstruct_old_images(records)
-        if self.item_schema is not None:
+        schema = self.item_schema
+        if schema == "infer":
+            # drift-profile schema inference (operators/monitor.py):
+            # one profiling pass over THIS batch, then the zero-Python
+            # typed lane — the auto-typed composition
+            # cdc_change_stats_autotyped pins against the dynamic lane.
+            # Inference is per-call; cache the result (pipe.item_schema
+            # = inferred) when processing many batches of one stream.
+            from cdk_dynamodb_cdc_spark.operators.monitor import (
+                infer_item_schema,
+            )
+
+            schema = infer_item_schema(records)
+        if schema is not None:
             from cdk_dynamodb_cdc_spark.operators.pipeline import pk_filter
 
             out = cdc_change_events_typed(
                 pk_filter(records, self.pk_filters),
-                self.item_schema,
+                schema,
                 claim_check_base=self.claim_check_base,
                 claim_check_threshold=self.claim_check_threshold,
             )

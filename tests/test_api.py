@@ -148,3 +148,30 @@ def test_source_format_round_trips(spark, tmp_path):
             for r in got.collect()
         }
         assert rows == want
+
+
+def test_pipeline_infer_schema_lane_matches_dynamic(spark):
+    """CdcPipeline(item_schema="infer"): the drift-profile inference
+    feeds the typed lane and reproduces the dynamic lane's events."""
+    import datetime
+
+    from cdk_dynamodb_cdc_spark.api import CdcPipeline
+
+    old = '{"a":{"N":"1"},"name":{"S":"x"}}'
+    new = '{"a":{"N":"2"},"name":{"S":"x"},"fresh":{"BOOL":true}}'
+    records = spark.createDataFrame(
+        [
+            ("e1", 1, datetime.datetime(2024, 1, 1), "MODIFY",
+             "PK#1", "SK", old, new, 64),
+            ("e2", 2, datetime.datetime(2024, 1, 1, 0, 1), "MODIFY",
+             "PK#1", "SK", new, new, 64),  # no-op
+        ],
+        "event_id string, seq long, ts timestamp, operation string, "
+        "pk string, sk string, old_image string, new_image string, "
+        "size_bytes long",
+    )
+    dyn = CdcPipeline().events(records)
+    inf = CdcPipeline(item_schema="infer").events(records)
+    d = {r.event_id: sorted(r.attributes_changed) for r in dyn.collect()}
+    i = {r.event_id: sorted(r.attributes_changed) for r in inf.collect()}
+    assert d == i == {"e1": ["a", "fresh"]}
