@@ -33,10 +33,20 @@ def triangle_count(edges: DataFrame, u_col: str = "u", v_col: str = "v") -> Data
     semi join probing each wedge for its closing edge. Every join is
     an equi join; nothing driver-side.
     """
-    canon = edges.select(
-        F.least(F.col(u_col), F.col(v_col)).alias("u"),
-        F.greatest(F.col(u_col), F.col(v_col)).alias("v"),
-    ).filter(F.col("u") != F.col("v")).distinct()
+    canon = (
+        edges.select(
+            F.least(F.col(u_col), F.col(v_col)).alias("u"),
+            F.greatest(F.col(u_col), F.col(v_col)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        # canon feeds FIVE consumers (degrees, both wedge sides, the
+        # closing-edge probe, the edge count): materialize it once so
+        # the upstream edge-building pipeline isn't re-executed per
+        # consumer — the same lineage-truncation discipline the
+        # iterative graph operators (CC, PageRank) use
+        .localCheckpoint()
+    )
 
     deg = (
         canon.select(F.col("u").alias("node"))
@@ -60,7 +70,7 @@ def triangle_count(edges: DataFrame, u_col: str = "u", v_col: str = "v") -> Data
     oriented = ranked.select(
         F.when(lo_first, F.col("u")).otherwise(F.col("v")).alias("a"),
         F.when(lo_first, F.col("v")).otherwise(F.col("u")).alias("b"),
-    )
+    ).localCheckpoint()  # both wedge sides read it
     e1 = oriented.select(F.col("a"), F.col("b").alias("x"))
     e2 = oriented.select(F.col("a"), F.col("b").alias("y"))
     wedges = e1.join(e2, "a").filter(F.col("x") < F.col("y"))
