@@ -999,3 +999,146 @@ def test_streaming_cms_maintenance_folds_to_batch_sketch(
     )
     assert folded.exceptAll(whole).count() == 0
     assert whole.exceptAll(folded).count() == 0
+
+
+def test_streaming_daily_hll_folds_to_batch_registers(spark, tmp_path):
+    """Daily-uniques dashboard shape: each micro-batch's per-day HLL
+    registers append to a transactional table; the max-fold of all
+    appended registers equals the one-shot batch sketch, so estimates
+    match exactly — late data for an old day merges by the same max."""
+    from cdk_dynamodb_cdc_spark.functions.sketches import (
+        hll_estimate,
+        hll_registers,
+    )
+    from cdk_dynamodb_cdc_spark.storage import TxTable
+
+    rows = fixture_rows()
+    src = tmp_path / "src"
+    src.mkdir()
+    _write_records_file(src / "b0.json", rows[:6])
+    _write_records_file(src / "b1.json", rows[6:])
+
+    table = TxTable(spark, str(tmp_path / "hll_state"))
+
+    def sink(batch_df, batch_id):
+        regs = hll_registers(
+            batch_df.select(
+                F.col("ts").cast("date").alias("day"), "pk"
+            ),
+            "pk",
+            group_cols=("day",),
+        )
+        table.commit(regs, app_id="hll", batch_id=batch_id)
+
+    stream = read_cdc_stream(
+        spark, str(src), starting_position="trim_horizon"
+    )
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert not q.isActive
+
+    folded = (
+        table.snapshot()
+        .groupBy("day", "reg")
+        .agg(F.max("rho").alias("rho"))
+    )
+    whole_input = spark.read.schema(CDC_RECORD_SCHEMA).json(str(src))
+    whole = hll_registers(
+        whole_input.select(
+            F.col("ts").cast("date").alias("day"), "pk"
+        ),
+        "pk",
+        group_cols=("day",),
+    )
+    assert folded.exceptAll(whole).count() == 0
+    assert whole.exceptAll(folded).count() == 0
+    # and the per-day estimates from the folded store match the batch
+    se = {
+        (r.day, r.estimate)
+        for r in hll_estimate(folded, group_cols=("day",)).collect()
+    }
+    be = {
+        (r.day, r.estimate)
+        for r in hll_estimate(whole, group_cols=("day",)).collect()
+    }
+    assert se == be and se
+
+
+def test_streaming_drift_profile_folds_and_alarms(spark, tmp_path):
+    """CDC-ops composition: field_drift_stats per micro-batch appends
+    to a transactional store; the fold (sum counts, min/max spans)
+    equals the batch profile, and an alarm join against a baseline
+    surfaces exactly the attributes that appeared mid-stream."""
+    import datetime as _dt
+    import json as _json
+
+    from cdk_dynamodb_cdc_spark.operators.monitor import field_drift_stats
+    from cdk_dynamodb_cdc_spark.storage import TxTable
+
+    t0 = _dt.datetime(2024, 1, 1, tzinfo=UTC)
+
+    def rec(eid, minutes, image):
+        return (
+            eid, minutes, t0 + _dt.timedelta(minutes=minutes),
+            "INSERT", f"PK#{eid}", "SK", None, _json.dumps(image), 64,
+        )
+
+    batch0 = [
+        rec("a1", 0, {"name": {"S": "x"}, "v": {"N": "1"}}),
+        rec("a2", 1, {"name": {"S": "y"}, "v": {"N": "2"}}),
+    ]
+    batch1 = [  # drift: new attribute 'flag'; 'v' re-typed N -> S
+        rec("b1", 60, {"name": {"S": "z"}, "v": {"S": "high"},
+                       "flag": {"BOOL": True}}),
+    ]
+    src = tmp_path / "src"
+    src.mkdir()
+    _write_records_file(src / "b0.json", batch0)
+    _write_records_file(src / "b1.json", batch1)
+
+    table = TxTable(spark, str(tmp_path / "drift_state"))
+
+    def sink(batch_df, batch_id):
+        table.commit(
+            field_drift_stats(batch_df), app_id="drift", batch_id=batch_id
+        )
+
+    stream = read_cdc_stream(
+        spark, str(src), starting_position="trim_horizon"
+    )
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert not q.isActive
+
+    folded = table.snapshot().groupBy("field", "wire_type").agg(
+        F.sum("n_records").alias("n_records"),
+        F.min("first_seen_us").alias("first_seen_us"),
+        F.max("last_seen_us").alias("last_seen_us"),
+    )
+    whole = field_drift_stats(
+        spark.read.schema(CDC_RECORD_SCHEMA).json(str(src))
+    )
+    assert folded.exceptAll(whole).count() == 0
+    assert whole.exceptAll(folded).count() == 0
+
+    # alarm: pairs absent from the day-one baseline
+    baseline = field_drift_stats(
+        spark.createDataFrame(batch0, CDC_RECORD_SCHEMA)
+    ).select("field", "wire_type")
+    alarms = sorted(
+        (r.field, r.wire_type)
+        for r in folded.join(
+            baseline, ["field", "wire_type"], "left_anti"
+        ).collect()
+    )
+    assert alarms == [("flag", "BOOL"), ("v", "S")]
