@@ -1044,6 +1044,11 @@ def orders_price_band_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # tests/test_llm.py.
 # ---------------------------------------------------------------------------
 _ANN_QUERY_IDS = [0, 1, 2, 3, 4]
+# Calibrated for the gate corpus (sf0.01+, measured min 0.52): on the
+# ~100-vector sf0.001 corpus sign-LSH recall can dip to 0.3 for a
+# query (too few candidates per probed bucket), which is the
+# approximate operator behaving as designed, not a regression — the
+# contract's domain is the gate SF.
 _ANN_RECALL_FLOOR = 0.4
 
 
@@ -2692,12 +2697,12 @@ def cdc_decimal_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM lineitem GROUP BY l_returnflag
     )
     SELECT l_returnflag, n,
-           CAST((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
-                 - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-                / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
-                        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-                   * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
-                          - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+           CAST((CAST(n AS DOUBLE) * (CAST(FLOOR(sxy) AS DOUBLE) + CAST((sxy) - FLOOR(sxy) AS DOUBLE))
+                 - (CAST(FLOOR(sx) AS DOUBLE) + CAST((sx) - FLOOR(sx) AS DOUBLE)) * (CAST(FLOOR(sy) AS DOUBLE) + CAST((sy) - FLOOR(sy) AS DOUBLE)))
+                / (sqrt(CAST(n AS DOUBLE) * (CAST(FLOOR(sxx) AS DOUBLE) + CAST((sxx) - FLOOR(sxx) AS DOUBLE))
+                        - (CAST(FLOOR(sx) AS DOUBLE) + CAST((sx) - FLOOR(sx) AS DOUBLE)) * (CAST(FLOOR(sx) AS DOUBLE) + CAST((sx) - FLOOR(sx) AS DOUBLE)))
+                   * sqrt(CAST(n AS DOUBLE) * (CAST(FLOOR(syy) AS DOUBLE) + CAST((syy) - FLOOR(syy) AS DOUBLE))
+                          - (CAST(FLOOR(sy) AS DOUBLE) + CAST((sy) - FLOOR(sy) AS DOUBLE)) * (CAST(FLOOR(sy) AS DOUBLE) + CAST((sy) - FLOOR(sy) AS DOUBLE))))
                 AS DOUBLE) AS corr_qty_price
     FROM m
     """,
@@ -2713,10 +2718,14 @@ def corr_qty_price_exact_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(x * x).alias("sxx"),
         F.sum(y * y).alias("syy"),
     )
+    # floor-split casts: a direct wide-decimal -> double cast is not
+    # bit-stable across engines once the unscaled value passes 2^53
+    # (_dec_double docstring); the sf0.001 robustness sweep caught the
+    # last-ulp divergence the direct casts allowed here.
     nd = F.col("n").cast("double")
-    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
-    sxy = F.col("sxy").cast("double")
-    sxx, syy = F.col("sxx").cast("double"), F.col("syy").cast("double")
+    sx, sy = _dec_double(F.col("sx")), _dec_double(F.col("sy"))
+    sxy = _dec_double(F.col("sxy"))
+    sxx, syy = _dec_double(F.col("sxx")), _dec_double(F.col("syy"))
     corr = (nd * sxy - sx * sy) / (
         F.sqrt(nd * sxx - sx * sx) * F.sqrt(nd * syy - sy * sy)
     )
