@@ -23,6 +23,8 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
+import math
+
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -168,7 +170,9 @@ def transform_media_batches(
             ns = payload.count(b" ")
             nv = sum(payload.count(bytes([v])) for v in _VOWELS)
             no = n - ns - nv
-            norm = float((ns * ns + nv * nv + no * no) ** 0.5)
+            # math.sqrt, not ** 0.5: pow(x, 0.5) is not correctly
+            # rounded and drifted 1 ulp from SQL sqrt on ~0.1% of rows
+            norm = math.sqrt(ns * ns + nv * nv + no * no)
             rows.append((doc_id, mtype, nw, nh, nw * nh, ns, nv, no, norm))
         yield pd.DataFrame(
             rows,

@@ -4943,10 +4943,15 @@ _EWMA_WEIGHTS = [
              CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS rev
       FROM events GROUP BY event_type, CAST(ts AS DATE)
     ), smoothed AS (
+      -- operands widened to DECIMAL(28,6): DuckDB's DECIMAL(18)
+      -- product overflows its 18-digit result check at sf0.1 revenue
+      -- magnitudes (values are unchanged — the products stay exact)
       SELECT event_type, day, rev,
-             rev * CAST({_EWMA_WEIGHTS[0]} AS DECIMAL(9,8))
+             CAST(rev AS DECIMAL(28,6))
+               * CAST({_EWMA_WEIGHTS[0]} AS DECIMAL(9,8))
              {" ".join(
-               f"+ COALESCE(LAG(rev, {k}) OVER w, CAST(0 AS DECIMAL(18,6)))"
+               f"+ COALESCE(CAST(LAG(rev, {k}) OVER w AS DECIMAL(28,6)),"
+               f" CAST(0 AS DECIMAL(28,6)))"
                f" * CAST({wk} AS DECIMAL(9,8))"
                for k, wk in enumerate(_EWMA_WEIGHTS) if k > 0
              )} AS ewma_dec
