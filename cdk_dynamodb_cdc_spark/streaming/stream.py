@@ -392,10 +392,20 @@ def interval_join_streams(
     (its potential partners all precede it, so once the left
     watermark passes `right_time` no match can appear). Same bounded
     state, same batch-parity contract as the other lanes.
+    `how="right_outer"` is the right-side-only restriction of that
+    emission (unmatched RIGHT rows null-pad at the `right_time`
+    horizon; unmatched left rows drop).
     """
-    if how not in ("inner", "left_outer", "left_semi", "full_outer"):
+    if how not in (
+        "inner",
+        "left_outer",
+        "left_semi",
+        "full_outer",
+        "right_outer",
+    ):
         raise ValueError(
-            f"how must be inner|left_outer|left_semi|full_outer, got {how!r}"
+            f"how must be inner|left_outer|left_semi|full_outer|"
+            f"right_outer, got {how!r}"
         )
     lw = left.withWatermark(left_time, watermark)
     rw = right.withWatermark(right_time, watermark)

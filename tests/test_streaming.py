@@ -1142,3 +1142,96 @@ def test_streaming_drift_profile_folds_and_alarms(spark, tmp_path):
         ).collect()
     )
     assert alarms == [("flag", "BOOL"), ("v", "S")]
+
+
+def test_stream_stream_right_outer_interval_join_matches_batch(
+    spark, tmp_path
+):
+    """right_outer: matches join, unmatched RIGHT rows null-pad at
+    their right_time horizon, unmatched left rows drop — equal to the
+    batch right outer join (flush rows excluded)."""
+    import datetime
+    import json as _json
+
+    from cdk_dynamodb_cdc_spark.streaming.stream import (
+        interval_join_streams,
+    )
+
+    UTC = datetime.timezone.utc
+    t0 = datetime.datetime(2024, 1, 1, tzinfo=UTC)
+
+    def rec(eid, minutes, op, pk):
+        return {
+            "event_id": eid, "seq": minutes,
+            "ts": (t0 + datetime.timedelta(minutes=minutes)).strftime(
+                "%Y-%m-%dT%H:%M:%S.%f%z"),
+            "operation": op, "pk": pk, "sk": "SK",
+            "old_image": None, "new_image": "{}", "size_bytes": 64,
+        }
+
+    rows = [
+        rec("i1", 0, "INSERT", "A"),
+        rec("m1", 5, "MODIFY", "A"),     # matches i1
+        rec("i2", 100, "INSERT", "A"),   # unmatched left -> dropped
+        rec("m2", 200, "MODIFY", "A"),   # unmatched right -> kept
+        rec("m3", 3, "MODIFY", "C"),     # unmatched right -> kept
+        rec("i_flush", 100000, "INSERT", "Z"),
+        rec("m_flush", 100000, "MODIFY", "Z"),
+    ]
+    src = tmp_path / "src"
+    src.mkdir()
+    (src / "data.json").write_text(
+        "\n".join(_json.dumps(r) for r in rows) + "\n")
+
+    def split(df):
+        ins = df.filter(F.col("operation") == "INSERT").select(
+            F.col("pk"), F.col("ts").alias("ins_ts"),
+            F.col("event_id").alias("ins_id"))
+        mods = df.filter(F.col("operation") == "MODIFY").select(
+            F.col("pk"), F.col("ts").alias("mod_ts"),
+            F.col("event_id").alias("mod_id"))
+        return ins, mods
+
+    def pairs(df):
+        return sorted(
+            (
+                (r.ins_id, r.mod_id)
+                for r in df.collect()
+                if (r.ins_id or "") != "i_flush"
+                and (r.mod_id or "") != "m_flush"
+            ),
+            key=lambda p: (p[0] or "", p[1] or ""),
+        )
+
+    batch_df = spark.read.schema(CDC_RECORD_SCHEMA).json(str(src))
+    bi, bm = split(batch_df)
+    expected = pairs(
+        bi.join(
+            bm,
+            (bi["pk"] == bm["pk"])
+            & (bm["mod_ts"] > bi["ins_ts"])
+            & (bm["mod_ts"] <= bi["ins_ts"] + F.expr("INTERVAL 30 MINUTES")),
+            "right_outer",
+        ).select("ins_id", "mod_id")
+    )
+    assert (None, "m2") in expected and (None, "m3") in expected
+    assert ("i1", "m1") in expected and ("i2", None) not in expected
+
+    stream = spark.readStream.schema(CDC_RECORD_SCHEMA).json(str(src))
+    si, sm = split(stream)
+    joined = interval_join_streams(
+        si, sm, key="pk", left_time="ins_ts", right_time="mod_ts",
+        max_delay="30 minutes", how="right_outer",
+    )
+    q = (
+        joined.select("ins_id", "mod_id")
+        .writeStream.format("memory")
+        .queryName("ssj_ro_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_ro"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = pairs(spark.sql("SELECT * FROM ssj_ro_out"))
+    assert got == expected
