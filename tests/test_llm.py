@@ -1433,3 +1433,36 @@ def test_semantic_decontaminate_flags_planted_neighbor(spark):
         for r in semantic_decontaminate(corpus, ev, threshold=0.9).collect()
     }
     assert got == {0: (1, True), 1: (0, False), 2: (0, False)}
+
+
+def test_tune_lsh_bands_s_curve_properties():
+    """Band tuning: always a valid factorization of n_perms; clears
+    the recall floor at the threshold when any factorization can;
+    higher thresholds never pick FEWER rows per band (more selective
+    banding is affordable when pairs must be more similar)."""
+    import pytest as _pytest
+
+    from cdk_dynamodb_cdc_spark.llm.dedup import (
+        MINHASH_PERMS,
+        tune_lsh_bands,
+    )
+
+    def capture(s, bands, rows):
+        return 1.0 - (1.0 - s**rows) ** bands
+
+    prev_rows = 0
+    for t in (0.3, 0.5, 0.7, 0.8, 0.9, 0.95):
+        bands, rows = tune_lsh_bands(t)
+        assert bands * rows == MINHASH_PERMS
+        assert capture(t, bands, rows) >= 0.9
+        assert rows >= prev_rows
+        prev_rows = rows
+        # clearly-similar pairs are overwhelmingly captured, clearly-
+        # dissimilar ones mostly not (the S separation)
+        assert capture(min(t + 0.15, 0.99), bands, rows) > 0.97
+    # the engine's default banding (32 x 4) is what tuning picks for a
+    # ~0.7 threshold; looser thresholds trade rows for recall
+    assert tune_lsh_bands(0.7) == (32, 4)
+    assert tune_lsh_bands(0.5) == (64, 2)
+    with _pytest.raises(ValueError, match="threshold"):
+        tune_lsh_bands(1.5)
