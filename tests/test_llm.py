@@ -1466,3 +1466,71 @@ def test_tune_lsh_bands_s_curve_properties():
     assert tune_lsh_bands(0.5) == (64, 2)
     with _pytest.raises(ValueError, match="threshold"):
         tune_lsh_bands(1.5)
+
+
+def test_bpe_merge_replace_equals_greedy_fold_random(spark):
+    """Property: the separator-string replace trick used per merge
+    iteration equals the greedy left-to-right pair fold on arbitrary
+    symbol sequences — including runs (aaa), immediately repeating
+    pairs (abab), and pairs at word boundaries. Randomized over small
+    alphabets where collisions are dense, executed as ONE Spark job."""
+    import itertools
+    import random
+
+    from pyspark.sql import functions as F
+
+    from cdk_dynamodb_cdc_spark.llm.text import BPE_SEP
+
+    rng = random.Random(11)
+    alphabet = ["a", "b", "ab", "ba", "aa"]
+    cases = []
+    for i in range(200):
+        syms = [rng.choice(alphabet) for _ in range(rng.randint(1, 8))]
+        pa, pb = rng.choice(alphabet), rng.choice(alphabet)
+        cases.append((i, syms, pa, pb))
+    # exhaustive small cases too
+    for syms in itertools.product(["a", "aa"], repeat=3):
+        cases.append((len(cases), list(syms), "a", "a"))
+
+    def greedy(syms, pa, pb):
+        out, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == pa and syms[i + 1] == pb:
+                out.append(pa + pb)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        return out
+
+    s2 = BPE_SEP + BPE_SEP
+    df = spark.createDataFrame(
+        [
+            (i, s2 + s2.join(syms) + s2, pa, pb)
+            for i, syms, pa, pb in cases
+        ],
+        "i long, s string, pa string, pb string",
+    )
+    merged = df.select(
+        "i",
+        F.split(
+            F.btrim(
+                F.replace(
+                    F.col("s"),
+                    F.concat(
+                        F.lit(BPE_SEP), F.col("pa"), F.lit(s2),
+                        F.col("pb"), F.lit(BPE_SEP),
+                    ),
+                    F.concat(
+                        F.lit(BPE_SEP), F.col("pa"), F.col("pb"),
+                        F.lit(BPE_SEP),
+                    ),
+                ),
+                F.lit(BPE_SEP),
+            ),
+            s2,
+        ).alias("syms"),
+    )
+    got = {r.i: list(r.syms) for r in merged.collect()}
+    for i, syms, pa, pb in cases:
+        assert got[i] == greedy(syms, pa, pb), (syms, pa, pb, got[i])
