@@ -42,15 +42,22 @@ def entry(spark: SparkSession) -> DataFrame:
 # ordering only decides which subset the driver re-verifies
 # independently.
 _GATE_PRIORITY = [
-    # Round-7 ordering. First: the queries NEW this round (BPE
-    # training loop, auto-typed CDC lane, DSIR resampler, Bloom
-    # membership + prefiltered decontamination, JL projection, grid
-    # interval join, relational HLL, seasonal decomposition, triangle
-    # counting) plus the 5 whose implementations CHANGED (cms_estimate
-    # probe fix, txlog incremental-manifest layout, DSIR/weighted-
-    # sample refactor). Then: every registry entry the r6 gate window
+    # Round-7 ordering. First: the queries NEW this round (BM25
+    # fixed-point ranking, LPA communities, Apriori triples, hard-
+    # negative mining, length-bucketed batching, BPE training loop,
+    # auto-typed CDC lane, DSIR resampler, Bloom membership +
+    # prefiltered decontamination, JL projection, grid interval join,
+    # relational HLL, seasonal decomposition, triangle counting) plus
+    # the 5 whose implementations CHANGED (cms_estimate probe fix,
+    # txlog incremental-manifest layout, DSIR/weighted-sample
+    # refactor). Then: every registry entry the r6 gate window
     # (CORRECTNESS_r06.json) did not cover, in registry order — so the
     # r7 window is disjoint from r6's except where code changed.
+    'bm25_search_topk',
+    'brand_community_labels',
+    'basket_brand_triples',
+    'contrastive_hard_negatives',
+    'length_bucket_batch_stats',
     'bpe_train_token_counts',
     'bpe_pack_stats',
     'kmv_audience_overlap',
@@ -64,7 +71,6 @@ _GATE_PRIORITY = [
     'embedding_jl_topk',
     'orders_price_band_stats',
     'decontam_bloom_prefilter',
-    'hll_user_cardinality',
     'daily_revenue_seasonal',
     'part_coorder_triangles',
     'cms_user_count_estimates',

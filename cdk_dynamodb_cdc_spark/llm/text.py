@@ -316,6 +316,79 @@ def search_conjunctive(
     )
 
 
+def bm25_topk(
+    docs: DataFrame, terms: list[str], top_k: int = 20
+) -> DataFrame:
+    """Disjunctive (OR) BM25 ranking over the corpus, FIXED-POINT
+    exact so both engines rank identical integers.
+
+    BM25 with k1 = 6/5 and b = 3/4 is a rational function of integer
+    corpus statistics (tf, df, dl, N = doc count, L = total tokens):
+
+        idf_lin = (2N - 2df + 1) / (2df + 1)        (rational Robertson
+                                                     idf, sans the log —
+                                                     same monotone order,
+                                                     no libm variance)
+        tf'     = 44 * tf * L / (20*tf*L + 6*L + 18*dl*N)
+                                                     (k1/b substituted and
+                                                     cleared to integers)
+
+    Each per-term score is scaled by 10^6 and floored with integer
+    division in DECIMAL(38,0) (numerator magnitude ~ N * tf * L stays
+    far inside 38 digits at any realistic corpus), so the per-document
+    score is an exact BIGINT sum — bit-stable in any aggregation order,
+    in both engines. Output: (doc_id, n_terms_matched, score_fp).
+
+    Shape: the query-term filter prunes the postings build to
+    len(terms) lists before its shuffle (term-bucketed index => a
+    bucket-pruned read); doc lengths are one map-side-combined
+    aggregation over the corpus; N/L/df are tiny broadcast aggregates;
+    the final ranking compiles to TakeOrderedAndProject.
+    """
+    words = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
+    ).filter(F.col("term") != "")
+    dl = words.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    totals = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("total_len"),
+    )
+    hits = words.filter(F.col("term").isin(terms))
+    tf = hits.groupBy("term", "doc_id").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    # every factor is cast to DECIMAL(38,0) BEFORE multiplying: the
+    # numerator reaches ~1e20 at sf0.1 and would overflow a raw int64
+    # product; in decimal the chain is exact to 38 digits
+    num = (
+        "cast(1000000 as decimal(38,0))"
+        " * (2*n_docs - 2*df + 1) * 44 * tf * total_len"
+    )
+    den = (
+        "cast(2*df + 1 as decimal(38,0))"
+        " * (cast(20 as decimal(38,0))*tf*total_len"
+        "    + cast(6 as decimal(38,0))*total_len"
+        "    + cast(18 as decimal(38,0))*dl*n_docs)"
+    )
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(totals))
+        .withColumn(
+            "score_fp",
+            F.expr(f"({num}) div ({den})").cast("long"),
+        )
+    )
+    ranked = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_terms_matched"),
+        F.sum("score_fp").cast("long").alias("score_fp"),
+    )
+    return ranked.orderBy(
+        F.col("score_fp").desc(), F.col("doc_id")
+    ).limit(top_k)
+
+
 def commonness_score(docs: DataFrame) -> DataFrame:
     """Unigram-LM quality proxy: each document's mean corpus frequency
     per token — high scores flag boilerplate-heavy documents built from

@@ -105,6 +105,58 @@ def cosine_topk(
     )
 
 
+def hard_negative_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    exclude_threshold: float = 0.4,
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each anchor,
+    the top-k most-similar corpus vectors that are NOT near-duplicates
+    of it (cosine strictly below ``exclude_threshold``, the same bound
+    the dedup lane treats as duplicate). Near-dups would act as false
+    negatives and poison a contrastive loss; the highest-similarity
+    survivors are exactly the informative "hard" negatives.
+
+    Output: (qid, rk, neighbor_id) — integers only; the float cosines
+    decide the ranking and the threshold test, both on bit-identical
+    IEEE op sequences in either engine.
+
+    Shape: identical to ``cosine_topk`` — the bounded anchor set
+    broadcasts, the corpus streams map-side, the dup exclusion is a
+    per-row filter (no extra join against a dedup table needed because
+    the cosine is already in hand), and the per-anchor top-k is a
+    window-group-limit. Composes with the ANN lanes the same way
+    ``cosine_topk`` does when the corpus outgrows brute force.
+    """
+    base = _normed(emb)
+    q = base.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("qid"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+    )
+    cand = base.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("v").alias("cv"),
+        F.col("nrm").alias("cn"),
+    )
+    cos = _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
+    scored = (
+        cand.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("qid"))
+        .select("qid", "neighbor_id", cos.alias("cos"))
+        .filter(F.col("cos") < F.lit(exclude_threshold))
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("qid", "rk", "neighbor_id")
+    )
+
+
 def _hyperplanes(dim: int, n_planes: int = ANN_PLANES) -> list[list[float]]:
     rng = np.random.default_rng(_PLANE_SEED)
     return rng.standard_normal((n_planes, dim)).tolist()

@@ -1,6 +1,7 @@
-"""Triangle counting over an undirected edge list (SURVEY.md §2B
-analytics family; the third graph primitive next to the dedup
-family's connected components and the fixed-point PageRank query).
+"""Graph primitives over undirected edge lists (SURVEY.md §2B
+analytics family; siblings of the dedup family's connected components
+and the fixed-point PageRank query): triangle counting and label-
+propagation community detection.
 
 The naive three-way self-join touches every wedge twice and every
 triangle six times; the standard distributed formulation (node-
@@ -16,7 +17,7 @@ and wedges only multiply across OUT-edges.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -86,3 +87,85 @@ def triangle_count(edges: DataFrame, u_col: str = "u", v_col: str = "v") -> Data
         tri.agg(F.count(F.lit(1)).alias("n_triangles"))
     )
     return counts.select("n_nodes", "n_edges", "n_triangles")
+
+
+def label_propagation(
+    edges: DataFrame,
+    iterations: int = 4,
+    u_col: str = "u",
+    v_col: str = "v",
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Community detection by SYNCHRONOUS weighted label propagation
+    (Raghavan et al. 2007, made deterministic): every node starts with
+    its own id as label; each iteration every node simultaneously
+    adopts the label carrying the largest total incident edge weight
+    among its neighbors' CURRENT labels, ties broken by the smallest
+    label. A fixed iteration count plus the synchronous update and the
+    total-order tiebreak make the result a pure function of the edge
+    list — no RNG, no visit-order dependence — so an oracle can replay
+    the exact schedule.
+
+    Returns ``(node, label)`` — one row per node; nodes sharing a
+    label after the final iteration are one community.
+
+    Shape per iteration: one equi join of the (symmetrized) edge list
+    against the current label assignment on the neighbor endpoint, one
+    (node, label) weight aggregation, one per-node arg-max window.
+    Label state is one row per node and the join is always
+    neighbor-keyed — the same per-round cost profile as the dedup
+    family's ``connected_components_star``, so the operator scales to
+    any graph whose edge list shuffles; ``localCheckpoint`` truncates
+    the otherwise-exponential iteration lineage.
+    """
+    w_expr = (
+        F.col(weight_col).cast("long")
+        if weight_col is not None
+        else F.lit(1).cast("long")
+    )
+    half = edges.select(
+        F.col(u_col).alias("src"),
+        F.col(v_col).alias("dst"),
+        w_expr.alias("w"),
+    ).filter(F.col("src") != F.col("dst"))
+    sym = half.unionAll(
+        half.select(
+            F.col("dst").alias("src"),
+            F.col("src").alias("dst"),
+            F.col("w"),
+        )
+    )
+    # one row per directed (src, dst): parallel edges collapse to a
+    # summed weight so each neighbor votes once per iteration
+    adj = (
+        sym.groupBy("src", "dst")
+        .agg(F.sum("w").alias("w"))
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        adj.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+        .localCheckpoint(eager=True)
+    )
+    pick = Window.partitionBy("node").orderBy(
+        F.col("vote").desc(), F.col("label")
+    )
+    for _ in range(iterations):
+        votes = (
+            adj.join(
+                labels.select(
+                    F.col("node").alias("dst"), F.col("label")
+                ),
+                "dst",
+            )
+            .groupBy(F.col("src").alias("node"), "label")
+            .agg(F.sum("w").alias("vote"))
+        )
+        labels = (
+            votes.withColumn("rk", F.row_number().over(pick))
+            .filter(F.col("rk") == 1)
+            .select("node", "label")
+            .localCheckpoint(eager=True)
+        )
+    return labels

@@ -9051,3 +9051,391 @@ def bloom_membership_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("in_build", "maybe_present")
         .agg(F.count(F.lit(1)).alias("n_customers"))
     )
+
+
+# ---------------------------------------------------------------------------
+# BM25 full-text ranking (llm/text.py:bm25_topk): disjunctive search
+# over the same three terms as the conjunctive inverted-index query,
+# ranked by a FIXED-POINT BM25 (k1=6/5, b=3/4). The score is a rational
+# function of integer corpus statistics, scaled by 1e6 and floored in
+# DECIMAL(38,0) integer division, so per-document scores are exact
+# BIGINTs — the ranking is bit-stable in any aggregation order and the
+# oracle replays the identical arithmetic in HUGEINT. The rational
+# Robertson idf (no log) keeps libm out of the plan entirely.
+# ---------------------------------------------------------------------------
+@query(
+    "bm25_search_topk",
+    oracle=f"""
+    WITH words AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      FROM documents
+    ), w2 AS (SELECT * FROM words WHERE term <> ''),
+    dl AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl
+      FROM w2 GROUP BY doc_id
+    ),
+    tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(dl) AS BIGINT) AS total_len
+      FROM dl
+    ),
+    tf AS (
+      SELECT term, doc_id, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM w2
+      WHERE term IN ({", ".join(f"'{t}'" for t in _SEARCH_TERMS)})
+      GROUP BY term, doc_id
+    ),
+    df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+           FROM tf GROUP BY term),
+    scored AS (
+      SELECT doc_id,
+             CAST((1000000::HUGEINT * (2*n_docs - 2*df + 1) * 44
+                   * tf * total_len)
+                  // ((2*df + 1)::HUGEINT
+                      * (20::HUGEINT*tf*total_len
+                         + 6::HUGEINT*total_len
+                         + 18::HUGEINT*dl*n_docs)) AS BIGINT) AS s
+      FROM tf JOIN df USING (term) JOIN dl USING (doc_id)
+      CROSS JOIN tot
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms_matched,
+           CAST(SUM(s) AS BIGINT) AS score_fp
+    FROM scored GROUP BY doc_id
+    ORDER BY score_fp DESC, doc_id LIMIT 20
+    """,
+)
+def bm25_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return llm_text.bm25_topk(
+        load_table(spark, sf_dir, "documents"), _SEARCH_TERMS, top_k=20
+    )
+
+
+# ---------------------------------------------------------------------------
+# Label-propagation community detection (operators/graph.py:
+# label_propagation): communities of part brands over the weighted
+# co-order graph (brands bought in the same order), four SYNCHRONOUS
+# iterations with a (max vote, min label) total-order update — a pure
+# function of the edge list, no RNG or visit order, so the oracle
+# replays the exact schedule as four chained CTEs. The registered
+# graph is schema-bounded (brand vocabulary); the operator itself is
+# per-iteration one neighbor-keyed equi join + one (node, label)
+# aggregation + one arg-max window, the same round shape that lets
+# connected_components_star run at any edge-list scale.
+# ---------------------------------------------------------------------------
+def _lpa_iteration_sql(prev: str, cur: str) -> str:
+    return f"""
+    v{cur} AS (
+      SELECT a.src AS node, l.label, SUM(a.w) AS vote
+      FROM adj a JOIN l{prev} l ON l.node = a.dst
+      GROUP BY a.src, l.label
+    ),
+    l{cur} AS (
+      SELECT node, label FROM (
+        SELECT node, label,
+               ROW_NUMBER() OVER (PARTITION BY node
+                                  ORDER BY vote DESC, label) AS rk
+        FROM v{cur})
+      WHERE rk = 1
+    )"""
+
+
+@query(
+    "brand_community_labels",
+    oracle=f"""
+    WITH ob AS (
+      SELECT DISTINCT l_orderkey, p_brand AS brand
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+    ),
+    e0 AS (
+      SELECT a.brand AS u, b.brand AS v, CAST(COUNT(*) AS BIGINT) AS w
+      FROM ob a JOIN ob b
+        ON a.l_orderkey = b.l_orderkey AND a.brand < b.brand
+      GROUP BY a.brand, b.brand
+    ),
+    adj AS (SELECT u AS src, v AS dst, w FROM e0
+            UNION ALL
+            SELECT v AS src, u AS dst, w FROM e0),
+    l0 AS (SELECT DISTINCT src AS node, src AS label FROM adj),
+    {_lpa_iteration_sql('0', '1')},
+    {_lpa_iteration_sql('1', '2')},
+    {_lpa_iteration_sql('2', '3')},
+    {_lpa_iteration_sql('3', '4')}
+    SELECT node AS brand, label FROM l4
+    """,
+)
+def brand_community_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdk_dynamodb_cdc_spark.operators.graph import label_propagation
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    pt = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    ob = (
+        li.join(pt, li.l_partkey == pt.p_partkey)
+        .select("l_orderkey", F.col("p_brand").alias("brand"))
+        .distinct()
+    )
+    a, b = ob.alias("a"), ob.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.brand") < F.col("b.brand")),
+        )
+        .groupBy(
+            F.col("a.brand").alias("u"), F.col("b.brand").alias("v")
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    labels = label_propagation(edges, iterations=4, weight_col="w")
+    return labels.select(F.col("node").alias("brand"), "label")
+
+
+# ---------------------------------------------------------------------------
+# Frequent itemsets, level-wise (Apriori): brand TRIPLES bought in the
+# same order with relative support >= 1/500 of all orders. The Spark
+# plan is the genuinely scalable formulation: L1/L2 pruning first
+# (frequent brands, then frequent PAIRS), and only order-rows whose
+# pair already passed expand to candidate triples — downward closure
+# (every frequent triple has all frequent sub-pairs) makes the pruned
+# computation EQUAL to the brute-force triple join the oracle runs, so
+# the green hash doubles as the Apriori-correctness theorem. Per-order
+# fan-out stays schema-bounded (brand vocabulary), and the support
+# threshold is relative, so the same query is non-vacuous at every SF.
+# ---------------------------------------------------------------------------
+@query(
+    "basket_brand_triples",
+    oracle="""
+    WITH ob AS (
+      SELECT DISTINCT l_orderkey, p_brand AS brand
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+    ),
+    minsup AS (
+      SELECT CAST(COUNT(DISTINCT l_orderkey) // 500 AS BIGINT) AS ms
+      FROM ob
+    )
+    SELECT a.brand AS brand_a, b.brand AS brand_b, c.brand AS brand_c,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM ob a
+    JOIN ob b ON a.l_orderkey = b.l_orderkey AND a.brand < b.brand
+    JOIN ob c ON b.l_orderkey = c.l_orderkey AND b.brand < c.brand
+    GROUP BY a.brand, b.brand, c.brand
+    HAVING COUNT(*) >= (SELECT ms FROM minsup)
+    ORDER BY n_orders DESC, brand_a, brand_b, brand_c
+    LIMIT 50
+    """,
+)
+def basket_brand_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    pt = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    ob = (
+        li.join(pt, li.l_partkey == pt.p_partkey)
+        .select("l_orderkey", F.col("p_brand").alias("brand"))
+        .distinct()
+        # feeds the support count, the pair expansion, the triple
+        # extension, and the frequent-pair build: materialize once
+        .localCheckpoint(eager=True)
+    )
+    minsup = ob.agg(
+        F.expr("count(distinct l_orderkey) div 500").alias("ms")
+    )
+    a, b = ob.alias("a"), ob.alias("b")
+    pair_rows = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.brand") < F.col("b.brand")),
+    ).select(
+        F.col("a.l_orderkey").alias("l_orderkey"),
+        F.col("a.brand").alias("x"),
+        F.col("b.brand").alias("y"),
+    )
+    fp = (
+        pair_rows.groupBy("x", "y")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .crossJoin(F.broadcast(minsup))
+        .filter(F.col("n") >= F.col("ms"))
+        .select("x", "y")
+        .localCheckpoint(eager=True)
+    )
+    # L2 prune: only order-rows of frequent pairs expand
+    op = pair_rows.join(fp, ["x", "y"], "left_semi").alias("op")
+    c = ob.alias("c")
+    tri_rows = (
+        op.join(
+            c,
+            (F.col("op.l_orderkey") == F.col("c.l_orderkey"))
+            & (F.col("y") < F.col("c.brand")),
+        )
+        .select(
+            F.col("op.l_orderkey").alias("l_orderkey"),
+            "x",
+            "y",
+            F.col("c.brand").alias("z"),
+        )
+        # candidate prune: (x,z) and (y,z) must also be frequent
+        .join(
+            fp.select(F.col("x").alias("x"), F.col("y").alias("z")),
+            ["x", "z"],
+            "left_semi",
+        )
+        .join(
+            fp.select(F.col("x").alias("y"), F.col("y").alias("z")),
+            ["y", "z"],
+            "left_semi",
+        )
+    )
+    return (
+        tri_rows.groupBy(
+            F.col("x").alias("brand_a"),
+            F.col("y").alias("brand_b"),
+            F.col("z").alias("brand_c"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .crossJoin(F.broadcast(minsup))
+        .filter(F.col("n_orders") >= F.col("ms"))
+        .select("brand_a", "brand_b", "brand_c", "n_orders")
+        .orderBy(
+            F.col("n_orders").desc(), "brand_a", "brand_b", "brand_c"
+        )
+        .limit(50)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hard-negative mining for contrastive training (llm/vectors.py:
+# hard_negative_topk): per anchor, the top-10 most-similar vectors
+# whose cosine is BELOW the near-duplicate bound (0.4 — the same
+# threshold the embedding dedup lane uses), i.e. the most informative
+# true negatives. Anchors 7/16/19/24/28 each HAVE at least one >= 0.4
+# neighbor in the corpus, so the exclusion provably changes the
+# result vs plain cosine top-k. Integer-only output; the cosines
+# driving the ranking and the threshold run the same IEEE op sequence
+# in both engines.
+# ---------------------------------------------------------------------------
+_HARDNEG_ANCHORS = [7, 16, 19, 24, 28]
+
+
+@query(
+    "contrastive_hard_negatives",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS qid, embedding AS qv
+               FROM embeddings
+               WHERE vec_id IN ({", ".join(str(i) for i in _HARDNEG_ANCHORS)})),
+    s AS (SELECT qid, e.vec_id AS neighbor_id,
+            list_sum(list_transform(range(1, len(qv) + 1),
+                     i -> qv[i]::DOUBLE * e.embedding[i]::DOUBLE))
+            / (sqrt(list_sum(list_transform(range(1, len(qv) + 1),
+                     i -> qv[i]::DOUBLE * qv[i]::DOUBLE)))
+               * sqrt(list_sum(list_transform(range(1, len(qv) + 1),
+                     i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE))))
+            AS cos
+          FROM q, embeddings e WHERE e.vec_id <> qid)
+    SELECT qid, CAST(rk AS INT) AS rk, neighbor_id
+    FROM (SELECT qid, neighbor_id,
+                 ROW_NUMBER() OVER (PARTITION BY qid
+                                    ORDER BY cos DESC, neighbor_id) AS rk
+          FROM s WHERE cos < 0.4)
+    WHERE rk <= 10
+    """,
+)
+def contrastive_hard_negatives(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return llm_vectors.hard_negative_topk(
+        emb, query_ids=_HARDNEG_ANCHORS, k=10, exclude_threshold=0.4
+    )
+
+
+# ---------------------------------------------------------------------------
+# Length-bucketed training batches: documents grouped into 8 fixed
+# token-length bands, deterministically shuffled (salted 60-bit hash)
+# and cut into 32-doc batches inside each band; the report is each
+# band's PADDING overhead (sum over batches of batch_size * max_len -
+# sum_len) — the quantity length bucketing exists to minimize. The
+# windows run per (bucket, shard-of-8) — the epoch_shards discipline —
+# so no window partition is corpus-sized and batch numbering stays a
+# per-shard row_number, never a global sort; padding stats aggregate
+# identically regardless of the sharding.
+# ---------------------------------------------------------------------------
+@query(
+    "length_bucket_batch_stats",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             {llm_text.duck_token_hash60(
+                 "'lenb:' || CAST(doc_id AS VARCHAR)")} AS h
+      FROM documents
+    ),
+    placed AS (
+      SELECT doc_id, n_tokens,
+             LEAST(n_tokens // 64, 7) AS bucket,
+             h % 8 AS shard, h
+      FROM d
+    ),
+    batched AS (
+      SELECT bucket, shard, n_tokens,
+             (ROW_NUMBER() OVER (PARTITION BY bucket, shard
+                                 ORDER BY h, doc_id) - 1) // 32 AS batch
+      FROM placed
+    ),
+    per_batch AS (
+      SELECT bucket, shard, batch,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(MAX(n_tokens) AS BIGINT) AS max_len,
+             CAST(SUM(n_tokens) AS BIGINT) AS sum_len
+      FROM batched GROUP BY bucket, shard, batch
+    )
+    SELECT bucket,
+           CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_batches,
+           CAST(SUM(n_docs * max_len - sum_len) AS BIGINT) AS pad_tokens,
+           CAST(SUM(n_docs * max_len) AS BIGINT) AS padded_tokens,
+           CAST(SUM(n_docs * max_len - sum_len) AS DOUBLE)
+             / CAST(SUM(n_docs * max_len) AS DOUBLE) AS pad_fraction
+    FROM per_batch GROUP BY bucket
+    """,
+)
+def length_bucket_batch_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    h = llm_text.token_hash60(
+        F.concat(F.lit("lenb:"), F.col("doc_id").cast("string"))
+    )
+    placed = docs.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
+        h.alias("h"),
+    ).select(
+        "doc_id",
+        "n_tokens",
+        F.least(F.expr("n_tokens div 64"), F.lit(7).cast("long")).alias(
+            "bucket"
+        ),
+        (F.col("h") % 8).alias("shard"),
+        "h",
+    )
+    w = Window.partitionBy("bucket", "shard").orderBy("h", "doc_id")
+    batched = placed.withColumn(
+        "rn", F.row_number().over(w).cast("long")
+    ).withColumn("batch", F.expr("(rn - 1) div 32"))
+    per_batch = batched.groupBy("bucket", "shard", "batch").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.max("n_tokens").alias("max_len"),
+        F.sum("n_tokens").alias("sum_len"),
+    )
+    pad = F.col("n_docs") * F.col("max_len") - F.col("sum_len")
+    return per_batch.groupBy("bucket").agg(
+        F.sum("n_docs").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_batches"),
+        F.sum(pad).alias("pad_tokens"),
+        F.sum(F.col("n_docs") * F.col("max_len")).alias("padded_tokens"),
+        (
+            F.sum(pad).cast("double")
+            / F.sum(F.col("n_docs") * F.col("max_len")).cast("double")
+        ).alias("pad_fraction"),
+    )

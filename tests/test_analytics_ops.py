@@ -410,3 +410,96 @@ def test_kmv_unfull_exact_full_estimates_and_mergeable(spark):
     ).collect()
     assert r.intersection_est == 0.0 and r.jaccard_est == 0.0
     assert abs(r.union_est - 1000) / 1000 < 0.5
+
+
+def test_label_propagation_two_cliques(spark):
+    from cdk_dynamodb_cdc_spark.operators.graph import label_propagation
+
+    # two weight-10 triangles bridged by one weight-1 edge: LPA must
+    # find both communities, each labeled by its min node after the
+    # synchronous schedule settles (hand-simulated: stable from iter 3)
+    edges = spark.createDataFrame(
+        [
+            ("a", "b", 10), ("a", "c", 10), ("b", "c", 10),
+            ("c", "d", 1),
+            ("d", "e", 10), ("d", "f", 10), ("e", "f", 10),
+        ],
+        "u string, v string, w long",
+    )
+    got = {
+        (r.node, r.label)
+        for r in label_propagation(edges, iterations=4, weight_col="w")
+        .collect()
+    }
+    assert got == {
+        ("a", "a"), ("b", "a"), ("c", "a"),
+        ("d", "d"), ("e", "d"), ("f", "d"),
+    }
+
+
+def test_label_propagation_handles_duplicate_and_reversed_edges(spark):
+    from cdk_dynamodb_cdc_spark.operators.graph import label_propagation
+
+    # the same clique expressed with duplicates and both orientations
+    # must collapse to one vote per neighbor pair (weights summed)
+    once = spark.createDataFrame(
+        [("a", "b", 2), ("b", "c", 2), ("a", "c", 2)],
+        "u string, v string, w long",
+    )
+    twice = spark.createDataFrame(
+        [
+            ("a", "b", 1), ("b", "a", 1),
+            ("b", "c", 1), ("c", "b", 1),
+            ("a", "c", 1), ("c", "a", 1),
+        ],
+        "u string, v string, w long",
+    )
+    lab = lambda df: sorted(  # noqa: E731
+        (r.node, r.label)
+        for r in label_propagation(df, iterations=3, weight_col="w")
+        .collect()
+    )
+    assert lab(once) == lab(twice)
+
+
+def test_apriori_triples_hand_corpus(spark, tmp_path):
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from cdk_dynamodb_cdc_spark.queries import QUERIES
+
+    # 4 orders over brands A..D; triple (A,B,C) appears in orders 1..3,
+    # (A,B,D) only in order 4 — with minsup = 4 div 500 = 0 every
+    # observed triple reports its exact support
+    baskets = {
+        1: ["A", "B", "C"],
+        2: ["A", "B", "C"],
+        3: ["A", "B", "C", "D"],
+        4: ["A", "B", "D"],
+    }
+    li_rows, pt_rows, pk = [], [], 0
+    brand_pk = {}
+    for b in "ABCD":
+        brand_pk[b] = pk
+        pt_rows.append((pk, b))
+        pk += 1
+    for ok, brands in baskets.items():
+        for b in brands:
+            li_rows.append((ok, brand_pk[b]))
+    d = str(tmp_path / "corpus")
+    spark.createDataFrame(
+        li_rows, "l_orderkey long, l_partkey long"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{d}/lineitem.parquet")
+    spark.createDataFrame(
+        pt_rows, "p_partkey long, p_brand string"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{d}/part.parquet")
+    got = {
+        (r.brand_a, r.brand_b, r.brand_c): r.n_orders
+        for r in QUERIES["basket_brand_triples"](spark, d).collect()
+    }
+    assert got == {
+        ("A", "B", "C"): 3,
+        ("A", "B", "D"): 2,
+        ("A", "C", "D"): 1,
+        ("B", "C", "D"): 1,
+    }

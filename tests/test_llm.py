@@ -1534,3 +1534,112 @@ def test_bpe_merge_replace_equals_greedy_fold_random(spark):
     got = {r.i: list(r.syms) for r in merged.collect()}
     for i, syms, pa, pb in cases:
         assert got[i] == greedy(syms, pa, pb), (syms, pa, pb, got[i])
+
+
+# --- BM25 / hard negatives / length bucketing ---------------------------
+
+def test_bm25_fixed_point_matches_fraction_reference(spark):
+    from fractions import Fraction
+
+    corpus = [
+        "spark spark merge window extra words here",
+        "spark merge",
+        "window window window filler filler filler filler filler",
+        "nothing relevant at all",
+    ]
+    docs = _docs(spark, corpus)
+    got = {
+        r.doc_id: (r.n_terms_matched, r.score_fp)
+        for r in llm_text.bm25_topk(
+            docs, ["spark", "merge", "window"], top_k=10
+        ).collect()
+    }
+
+    toks = [d.split(" ") for d in corpus]
+    n_docs = len(toks)
+    total_len = sum(len(t) for t in toks)
+    expect = {}
+    for term in ["spark", "merge", "window"]:
+        df = sum(1 for t in toks if term in t)
+        for i, t in enumerate(toks):
+            tf = t.count(term)
+            if not tf:
+                continue
+            dl = len(t)
+            s = (
+                Fraction(1_000_000)
+                * (2 * n_docs - 2 * df + 1)
+                * 44 * tf * total_len
+                // (
+                    (2 * df + 1)
+                    * (20 * tf * total_len + 6 * total_len
+                       + 18 * dl * n_docs)
+                )
+            )
+            n, fp = expect.get(i, (0, 0))
+            expect[i] = (n + 1, fp + int(s))
+    assert got == expect
+
+
+def test_hard_negative_topk_excludes_near_duplicates(spark):
+    # vec 0 = anchor; vec 1 = exact duplicate (cos 1.0, excluded);
+    # vec 2 = moderately similar (cos ~0.39, the hard negative);
+    # vec 3 = orthogonal
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0]),
+            (1, [2.0, 0.0, 0.0]),
+            (2, [0.39, 0.92, 0.0]),
+            (3, [0.0, 0.0, 1.0]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    plain = {
+        (r.qid, r.rk): r.neighbor_id
+        for r in vectors.cosine_topk(emb, [0], k=3).collect()
+    }
+    hard = {
+        (r.qid, r.rk): r.neighbor_id
+        for r in vectors.hard_negative_topk(
+            emb, [0], k=3, exclude_threshold=0.4
+        ).collect()
+    }
+    assert plain[(0, 1)] == 1          # the duplicate tops plain top-k
+    assert hard == {(0, 1): 2, (0, 2): 3}  # and is gone from hard negs
+
+
+def test_length_bucket_batch_stats_padding_arithmetic(spark, tmp_path):
+    import hashlib
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from cdk_dynamodb_cdc_spark.queries import QUERIES
+
+    lengths = [10, 20, 30, 70, 80, 200, 300, 500, 600]
+    rows = [" ".join(f"t{j}" for j in range(n)) for n in lengths]
+    docs = _docs(spark, rows)
+    d = str(tmp_path / "corpus")
+    docs.coalesce(1).write.mode("overwrite").parquet(
+        f"{d}/documents.parquet"
+    )
+    got = {
+        r.bucket: (r.n_docs, r.n_batches, r.pad_tokens, r.padded_tokens)
+        for r in QUERIES["length_bucket_batch_stats"](spark, d).collect()
+    }
+
+    # replicate: bucket = min(len div 64, 7); shard = md5-hash % 8;
+    # <32 docs per (bucket, shard) here, so each shard is one batch
+    from collections import defaultdict
+
+    shards = defaultdict(list)
+    for i, n in enumerate(lengths):
+        h = int(hashlib.md5(f"lenb:{i}".encode()).hexdigest()[:15], 16)
+        shards[(min(n // 64, 7), h % 8)].append(n)
+    expect = defaultdict(lambda: [0, 0, 0, 0])
+    for (bucket, _), ls in shards.items():
+        e = expect[bucket]
+        e[0] += len(ls)
+        e[1] += 1
+        e[2] += len(ls) * max(ls) - sum(ls)
+        e[3] += len(ls) * max(ls)
+    assert got == {b: tuple(v) for b, v in expect.items()}
