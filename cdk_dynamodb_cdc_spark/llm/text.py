@@ -316,6 +316,13 @@ def search_conjunctive(
     )
 
 
+def _eq_lit(term: str):
+    # a ONE-argument lambda per term: a two-arg lambda (even via a
+    # default) would make F.filter bind the second parameter to the
+    # array index
+    return lambda x: x == F.lit(term)
+
+
 def bm25_topk(
     docs: DataFrame, terms: list[str], top_k: int = 20
 ) -> DataFrame:
@@ -339,50 +346,70 @@ def bm25_topk(
     score is an exact BIGINT sum — bit-stable in any aggregation order,
     in both engines. Output: (doc_id, n_terms_matched, score_fp).
 
-    Shape: the query-term filter prunes the postings build to
-    len(terms) lists before its shuffle (term-bucketed index => a
-    bucket-pruned read); doc lengths are one map-side-combined
-    aggregation over the corpus; N/L/df are tiny broadcast aggregates;
-    the final ranking compiles to TakeOrderedAndProject.
+    Shape — NO corpus-sized shuffle anywhere: per-document tf/dl are
+    higher-order array expressions (size/filter over the token array,
+    never an explode), the corpus statistics (N, L, per-term df) are
+    ONE map-side-combined aggregate collapsing to a single broadcast
+    row, scoring is pure Column arithmetic over the hit-filtered scan,
+    and the ranking compiles to TakeOrderedAndProject (distributed
+    partial top-k). The corpus is read twice (stats pass + scoring
+    pass), both passes scan-speed; against a term-bucketed inverted
+    index the scoring pass becomes a bucket-pruned read instead.
     """
-    words = docs.select(
-        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
-    ).filter(F.col("term") != "")
-    dl = words.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
-    totals = dl.agg(
+    toks = F.filter(
+        F.split(F.col("text"), " "), lambda x: x != F.lit("")
+    )
+    per_doc = docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("dl"),
+        *[
+            F.size(
+                F.filter(toks, _eq_lit(t))
+            ).cast("long").alias(f"tf_{i}")
+            for i, t in enumerate(terms)
+        ],
+    )
+    stats = per_doc.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("dl").alias("total_len"),
+        *[
+            F.sum((F.col(f"tf_{i}") > 0).cast("long")).alias(f"df_{i}")
+            for i in range(len(terms))
+        ],
     )
-    hits = words.filter(F.col("term").isin(terms))
-    tf = hits.groupBy("term", "doc_id").agg(
-        F.count(F.lit(1)).alias("tf")
-    )
-    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     # every factor is cast to DECIMAL(38,0) BEFORE multiplying: the
     # numerator reaches ~1e20 at sf0.1 and would overflow a raw int64
     # product; in decimal the chain is exact to 38 digits
-    num = (
-        "cast(1000000 as decimal(38,0))"
-        " * (2*n_docs - 2*df + 1) * 44 * tf * total_len"
-    )
-    den = (
-        "cast(2*df + 1 as decimal(38,0))"
-        " * (cast(20 as decimal(38,0))*tf*total_len"
-        "    + cast(6 as decimal(38,0))*total_len"
-        "    + cast(18 as decimal(38,0))*dl*n_docs)"
-    )
-    scored = (
-        tf.join(F.broadcast(df), "term")
-        .join(dl, "doc_id")
-        .crossJoin(F.broadcast(totals))
-        .withColumn(
-            "score_fp",
-            F.expr(f"({num}) div ({den})").cast("long"),
+    def term_score(i: int):
+        num = (
+            f"cast(1000000 as decimal(38,0))"
+            f" * (2*n_docs - 2*df_{i} + 1) * 44 * tf_{i} * total_len"
         )
+        den = (
+            f"cast(2*df_{i} + 1 as decimal(38,0))"
+            f" * (cast(20 as decimal(38,0))*tf_{i}*total_len"
+            f"    + cast(6 as decimal(38,0))*total_len"
+            f"    + cast(18 as decimal(38,0))*dl*n_docs)"
+        )
+        return F.when(
+            F.col(f"tf_{i}") > 0, F.expr(f"({num}) div ({den})")
+        ).otherwise(F.lit(0)).cast("long")
+
+    any_hit = F.greatest(
+        *[F.col(f"tf_{i}") for i in range(len(terms))]
+    ) > 0 if len(terms) > 1 else F.col("tf_0") > 0
+    matched = sum(
+        (F.col(f"tf_{i}") > 0).cast("long") for i in range(len(terms))
     )
-    ranked = scored.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_terms_matched"),
-        F.sum("score_fp").cast("long").alias("score_fp"),
+    score = sum(term_score(i) for i in range(len(terms)))
+    ranked = (
+        per_doc.filter(any_hit)
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            matched.alias("n_terms_matched"),
+            score.alias("score_fp"),
+        )
     )
     return ranked.orderBy(
         F.col("score_fp").desc(), F.col("doc_id")
