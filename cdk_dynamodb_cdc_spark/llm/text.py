@@ -416,6 +416,62 @@ def bm25_topk(
     ).limit(top_k)
 
 
+def rrf_fuse(
+    rankings: list[DataFrame],
+    key_col: str = "doc_id",
+    rank_col: str = "rk",
+    k: int = 60,
+    scale: int = 1_000_000_000,
+    top_k: int = 10,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009) of N ranked lists,
+    FIXED-POINT exact: each list contributes ``scale div (k + rank)``
+    — an exact integer — so the fused score is a BIGINT sum, bit-stable
+    in both engines with no float reciprocal in sight.
+
+    Input: DataFrames each carrying ``(key_col, rank_col)`` with ranks
+    starting at 1. Output: ``(key, rank_1..rank_N, rrf_fp)`` top-k by
+    fused score (absent-from-a-list contributes 0 and reports rank 0).
+
+    Shape: the lists are top-k-bounded by construction (each produced
+    by a TakeOrderedAndProject retrieval lane), so the outer joins and
+    the final sort all run on k-sized inputs — fusion cost is
+    independent of corpus size.
+    """
+    fused = None
+    rank_cols = []
+    for i, r in enumerate(rankings):
+        contrib = r.select(
+            F.col(key_col).alias("key"),
+            F.col(rank_col).cast("int").alias(f"rank_{i + 1}"),
+            F.expr(
+                f"cast({scale} as bigint) div ({k} + {rank_col})"
+            ).alias(f"c_{i}"),
+        )
+        fused = (
+            contrib
+            if fused is None
+            else fused.join(contrib, "key", "full_outer")
+        )
+        rank_cols.append(f"rank_{i + 1}")
+    score = None
+    for i in range(len(rankings)):
+        c = F.coalesce(F.col(f"c_{i}"), F.lit(0).cast("long"))
+        score = c if score is None else score + c
+    return (
+        fused.select(
+            "key",
+            *[
+                F.coalesce(F.col(rc), F.lit(0)).alias(rc)
+                for rc in rank_cols
+            ],
+            score.alias("rrf_fp"),
+        )
+        .orderBy(F.col("rrf_fp").desc(), F.col("key"))
+        .limit(top_k)
+    )
+
+
 def commonness_score(docs: DataFrame) -> DataFrame:
     """Unigram-LM quality proxy: each document's mean corpus frequency
     per token — high scores flag boilerplate-heavy documents built from

@@ -9439,3 +9439,178 @@ def length_bucket_batch_stats(
             / F.sum(F.col("n_docs") * F.col("max_len")).cast("double")
         ).alias("pad_fraction"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval with reciprocal-rank fusion (llm/text.py:rrf_fuse):
+# the lexical lane (fixed-point BM25 top-20) and the semantic lane
+# (hashing-trick query vector vs corpus vectors, cosine top-20) fused
+# by RRF with k=60 — the standard retrieval-stack composition, and
+# every stage of it integer-exact or identical-IEEE: BM25 scores are
+# BIGINTs, the hash vectors are signed integer counts, and each RRF
+# contribution is 1e9 div (60 + rank). The oracle replays BOTH lanes
+# and the fusion — a green hash pins the whole hybrid stack. Both
+# lanes end in TakeOrderedAndProject, so the fusion joins touch only
+# k-sized lists regardless of corpus size.
+# ---------------------------------------------------------------------------
+@query(
+    "rrf_hybrid_retrieval",
+    oracle=f"""
+    WITH words AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      FROM documents
+    ), w2 AS (SELECT * FROM words WHERE term <> ''),
+    dl AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl
+      FROM w2 GROUP BY doc_id
+    ),
+    tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(dl) AS BIGINT) AS total_len
+      FROM dl
+    ),
+    tf AS (
+      SELECT term, doc_id, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM w2
+      WHERE term IN ({", ".join(f"'{t}'" for t in _SEARCH_TERMS)})
+      GROUP BY term, doc_id
+    ),
+    df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+           FROM tf GROUP BY term),
+    lexall AS (
+      SELECT doc_id,
+             CAST(SUM(CAST((1000000::HUGEINT
+                            * (2*n_docs - 2*df + 1) * 44
+                            * tf * total_len)
+                  // ((2*df + 1)::HUGEINT
+                      * (20::HUGEINT*tf*total_len
+                         + 6::HUGEINT*total_len
+                         + 18::HUGEINT*dl*n_docs)) AS BIGINT))
+               AS BIGINT) AS score_fp
+      FROM tf JOIN df USING (term) JOIN dl USING (doc_id)
+      CROSS JOIN tot
+      GROUP BY doc_id
+    ),
+    lex AS (
+      SELECT doc_id, CAST(rk AS INT) AS rk
+      FROM (SELECT doc_id,
+                   ROW_NUMBER() OVER (ORDER BY score_fp DESC, doc_id)
+                     AS rk
+            FROM lexall)
+      WHERE rk <= 20
+    ),
+    tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    pd AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(w), 1, 15))::BIGINT % 64 AS INT)
+               AS d,
+             CASE WHEN ((('0x' || substr(md5(w), 1, 15))::BIGINT >> 6)
+                        & 1) = 0 THEN 1 ELSE -1 END AS sgn
+      FROM tok
+    ),
+    v AS (SELECT doc_id, d, CAST(SUM(sgn) AS BIGINT) AS val
+          FROM pd GROUP BY doc_id, d),
+    nrm AS (SELECT doc_id, SUM(val * val) AS n2 FROM v GROUP BY doc_id),
+    qtok AS (
+      SELECT unnest(string_split('{" ".join(_SEARCH_TERMS)}', ' ')) AS w
+    ),
+    qpd AS (
+      SELECT CAST(('0x' || substr(md5(w), 1, 15))::BIGINT % 64 AS INT)
+               AS d,
+             CASE WHEN ((('0x' || substr(md5(w), 1, 15))::BIGINT >> 6)
+                        & 1) = 0 THEN 1 ELSE -1 END AS sgn
+      FROM qtok
+    ),
+    qv AS (SELECT d, CAST(SUM(sgn) AS BIGINT) AS val
+           FROM qpd GROUP BY d),
+    qn AS (SELECT SUM(val * val) AS n2 FROM qv),
+    dots AS (
+      SELECT c.doc_id, SUM(q.val * c.val) AS dot
+      FROM v c JOIN qv q USING (d)
+      GROUP BY c.doc_id
+    ),
+    semall AS (
+      SELECT n.doc_id,
+             COALESCE(dots.dot, 0)::DOUBLE
+               / (sqrt(qn.n2::DOUBLE) * sqrt(n.n2::DOUBLE)) AS cos
+      FROM nrm n CROSS JOIN qn
+      LEFT JOIN dots ON dots.doc_id = n.doc_id
+      WHERE n.n2 > 0
+    ),
+    sem AS (
+      SELECT doc_id, CAST(rk AS INT) AS rk
+      FROM (SELECT doc_id,
+                   ROW_NUMBER() OVER (ORDER BY cos DESC, doc_id) AS rk
+            FROM semall)
+      WHERE rk <= 20
+    ),
+    fused AS (
+      SELECT COALESCE(l.doc_id, s.doc_id) AS doc_id,
+             COALESCE(l.rk, 0) AS rank_1,
+             COALESCE(s.rk, 0) AS rank_2,
+             (CASE WHEN l.rk IS NULL THEN 0
+                   ELSE 1000000000 // (60 + l.rk) END
+              + CASE WHEN s.rk IS NULL THEN 0
+                     ELSE 1000000000 // (60 + s.rk) END) AS rrf
+      FROM lex l FULL JOIN sem s ON l.doc_id = s.doc_id
+    )
+    SELECT doc_id, rank_1, rank_2, CAST(rrf AS BIGINT) AS rrf_fp
+    FROM fused ORDER BY rrf_fp DESC, doc_id LIMIT 10
+    """,
+)
+def rrf_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdk_dynamodb_cdc_spark.llm.text import (
+        hashed_doc_vectors,
+        rrf_fuse,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    # lexical lane
+    lex = llm_text.bm25_topk(docs, _SEARCH_TERMS, top_k=20)
+    wl = Window.orderBy(F.col("score_fp").desc(), F.col("doc_id"))
+    lex_ranked = lex.select(
+        "doc_id", F.row_number().over(wl).alias("rk")
+    )  # 20-row window
+    # semantic lane: the query string embedded with the same hashing
+    # trick as the corpus
+    qdf = spark.createDataFrame(
+        [(0, " ".join(_SEARCH_TERMS))], "doc_id long, text string"
+    )
+    dot_ll = lambda a, b: F.aggregate(  # noqa: E731 - integer fold
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    qv = (
+        hashed_doc_vectors(qdf, dim=64)
+        .select(
+            F.col("vec").alias("qv"),
+            dot_ll(F.col("vec"), F.col("vec")).alias("qn2"),
+        )
+        .filter(F.col("qn2") > 0)
+    )
+    cvecs = hashed_doc_vectors(docs, dim=64).select(
+        F.col("key").alias("doc_id"),
+        F.col("vec").alias("cv"),
+        dot_ll(F.col("vec"), F.col("vec")).alias("cn2"),
+    ).filter(F.col("cn2") > 0)
+    cos = dot_ll(F.col("qv"), F.col("cv")).cast("double") / (
+        F.sqrt(F.col("qn2").cast("double"))
+        * F.sqrt(F.col("cn2").cast("double"))
+    )
+    sem_top = (
+        cvecs.crossJoin(F.broadcast(qv))
+        .select("doc_id", cos.alias("cos"))
+        .orderBy(F.col("cos").desc(), F.col("doc_id"))
+        .limit(20)
+    )
+    ws = Window.orderBy(F.col("cos").desc(), F.col("doc_id"))
+    sem_ranked = sem_top.select(
+        "doc_id", F.row_number().over(ws).alias("rk")
+    )  # 20-row window
+    fused = rrf_fuse([lex_ranked, sem_ranked], top_k=10)
+    return fused.select(
+        F.col("key").alias("doc_id"), "rank_1", "rank_2", "rrf_fp"
+    )

@@ -1643,3 +1643,28 @@ def test_length_bucket_batch_stats_padding_arithmetic(spark, tmp_path):
         e[2] += len(ls) * max(ls) - sum(ls)
         e[3] += len(ls) * max(ls)
     assert got == {b: tuple(v) for b, v in expect.items()}
+
+
+def test_rrf_fuse_hand_lists(spark):
+    a = spark.createDataFrame(
+        [(10, 1), (20, 2), (30, 3)], "doc_id long, rk int"
+    )
+    b = spark.createDataFrame(
+        [(20, 1), (40, 2)], "doc_id long, rk int"
+    )
+    got = {
+        r.key: (r.rank_1, r.rank_2, r.rrf_fp)
+        for r in llm_text.rrf_fuse([a, b], top_k=10).collect()
+    }
+    c = lambda rk: 1_000_000_000 // (60 + rk)  # noqa: E731
+    assert got == {
+        10: (1, 0, c(1)),
+        20: (2, 1, c(2) + c(1)),
+        30: (3, 0, c(3)),
+        40: (0, 2, c(2)),
+    }
+    # doc 20 (in both lists) must outrank every single-list doc
+    order = [
+        r.key for r in llm_text.rrf_fuse([a, b], top_k=10).collect()
+    ]
+    assert order[0] == 20
