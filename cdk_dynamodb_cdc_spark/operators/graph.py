@@ -169,3 +169,61 @@ def label_propagation(
             .localCheckpoint(eager=True)
         )
     return labels
+
+
+def bfs_layers(
+    edges: DataFrame,
+    source,
+    max_hops: int = 4,
+    u_col: str = "u",
+    v_col: str = "v",
+) -> DataFrame:
+    """Bounded-horizon breadth-first search over an undirected edge
+    list: the exact hop distance from ``source`` for every node within
+    ``max_hops``, as one ``(node, dist)`` row per reached node.
+
+    Shape: FRONTIER-based — round i joins only the nodes first reached
+    at distance i-1 against the adjacency list (never the full
+    distance table), then anti-joins the already-reached set, so total
+    work is O(sum of frontier degrees) across rounds — the standard
+    distributed BFS. Each round is one equi join + one anti join;
+    ``localCheckpoint`` truncates the per-round lineage. A bounded
+    ``max_hops`` keeps the round count fixed and plan-compile-time
+    known (full-graph BFS = raise max_hops past the diameter).
+    """
+    half = edges.select(
+        F.col(u_col).alias("src"), F.col(v_col).alias("dst")
+    ).filter(F.col("src") != F.col("dst"))
+    adj = (
+        half.unionAll(
+            half.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst")
+            )
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    # seed carries the same node type as the edge endpoints
+    reached = (
+        adj.select(F.col("src").alias("node"))
+        .filter(F.col("node") == F.lit(source))
+        .distinct()
+        .select("node", F.lit(0).alias("dist"))
+        .localCheckpoint(eager=True)
+    )
+    frontier = reached
+    for hop in range(1, max_hops + 1):
+        neighbors = (
+            adj.join(
+                frontier.select(F.col("node").alias("src")), "src"
+            )
+            .select(F.col("dst").alias("node"))
+            .distinct()
+        )
+        frontier = (
+            neighbors.join(reached.select("node"), "node", "left_anti")
+            .select("node", F.lit(hop).alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+        reached = reached.unionAll(frontier).localCheckpoint(eager=True)
+    return reached

@@ -9614,3 +9614,91 @@ def rrf_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fused.select(
         F.col("key").alias("doc_id"), "rank_1", "rank_2", "rrf_fp"
     )
+
+
+# ---------------------------------------------------------------------------
+# Bounded-horizon BFS layers (operators/graph.py:bfs_layers): hop
+# distances from part 1 over the part co-order graph, reported as the
+# layer-size histogram (bounded output: max_hops + 2 rows at any
+# corpus size). The operator is frontier-based — each round joins only
+# the newly-reached layer against the adjacency list; the oracle
+# replays the same four rounds as chained min-plus relaxation CTEs
+# (equal by construction for unit weights within the horizon).
+# ---------------------------------------------------------------------------
+def _bfs_round_sql(prev: str, cur: str) -> str:
+    return f"""
+    d{cur} AS (
+      SELECT node, MIN(dist) AS dist FROM (
+        SELECT node, dist FROM d{prev}
+        UNION ALL
+        SELECT a.dst AS node, d.dist + 1 AS dist
+        FROM adj a JOIN d{prev} d ON a.src = d.node
+      ) GROUP BY node
+    )"""
+
+
+@query(
+    "part_coorder_bfs_layers",
+    oracle=f"""
+    WITH it AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e AS (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM it a JOIN it b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    adj AS (SELECT u AS src, v AS dst FROM e
+            UNION ALL SELECT v AS src, u AS dst FROM e),
+    nodes AS (SELECT DISTINCT src AS node FROM adj),
+    d0 AS (SELECT node, 0 AS dist FROM nodes WHERE node = 1),
+    {_bfs_round_sql('0', '1')},
+    {_bfs_round_sql('1', '2')},
+    {_bfs_round_sql('2', '3')},
+    {_bfs_round_sql('3', '4')}
+    SELECT CAST(COALESCE(d.dist, -1) AS INT) AS dist,
+           CAST(COUNT(*) AS BIGINT) AS n_nodes
+    FROM nodes n LEFT JOIN d4 d USING (node)
+    GROUP BY dist
+    """,
+)
+def part_coorder_bfs_layers(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from cdk_dynamodb_cdc_spark.operators.graph import bfs_layers
+
+    it = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = it.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u")
+    )
+    b = it.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v")
+    )
+    edges = (
+        a.join(b, "ok")
+        .filter(F.col("u") < F.col("v"))
+        .select("u", "v")
+        .distinct()
+        # the expensive co-order self-join feeds BOTH the adjacency
+        # build inside bfs_layers and the node-universe scan below —
+        # materialize it once
+        .localCheckpoint(eager=True)
+    )
+    reached = bfs_layers(edges, source=1, max_hops=4)
+    nodes = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .distinct()
+    )
+    return (
+        nodes.join(reached, "node", "left")
+        .select(
+            F.coalesce(F.col("dist"), F.lit(-1)).cast("int").alias(
+                "dist"
+            )
+        )
+        .groupBy("dist")
+        .agg(F.count(F.lit(1)).alias("n_nodes"))
+    )

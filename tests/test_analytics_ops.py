@@ -503,3 +503,31 @@ def test_apriori_triples_hand_corpus(spark, tmp_path):
         ("A", "C", "D"): 1,
         ("B", "C", "D"): 1,
     }
+
+
+def test_bfs_layers_hand_graph(spark):
+    from cdk_dynamodb_cdc_spark.operators.graph import bfs_layers
+
+    # path a-b-c-d-e-f (distances 0..5) plus a disconnected edge x-y:
+    # with max_hops=4, f stays unreached and x/y never appear
+    edges = spark.createDataFrame(
+        [
+            ("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"), ("e", "f"),
+            ("x", "y"),
+        ],
+        "u string, v string",
+    )
+    got = {
+        r.node: r.dist
+        for r in bfs_layers(edges, source="a", max_hops=4).collect()
+    }
+    assert got == {"a": 0, "b": 1, "c": 2, "d": 3, "e": 4}
+    # shortest path wins when a longer route exists: a-b-c plus a-c
+    tri = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("a", "c")], "u string, v string"
+    )
+    got2 = {
+        r.node: r.dist
+        for r in bfs_layers(tri, source="a", max_hops=4).collect()
+    }
+    assert got2 == {"a": 0, "b": 1, "c": 1}
