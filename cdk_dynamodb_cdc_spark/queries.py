@@ -9702,3 +9702,232 @@ def part_coorder_bfs_layers(
         .groupBy("dist")
         .agg(F.count(F.lit(1)).alias("n_nodes"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Dead-letter REPLAY (the missing half of A3's quarantine): the raw
+# records whose parse failed are pulled back from the stream by id
+# (the DLQ-holds-raw-payloads model), repaired under an explicit
+# policy — unparseable old image => degrade to INSERT semantics — and
+# re-run through the SAME cdc_change_events pipeline. The output pins
+# losslessness (every quarantined record recovers exactly once) plus
+# the blast radius (distinct items affected). Shape: the quarantine id
+# set is failure-sized, so the semi join back against the stream is
+# the cheap side of a broadcast/AQE join and the replay touches only
+# DLQ rows — never a corpus re-read.
+# ---------------------------------------------------------------------------
+@query(
+    "quarantine_replay_stats",
+    oracle="""
+    WITH versions AS (
+      SELECT user_id, event_id,
+             LAG(event_id) OVER w AS prev_id
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    q AS (
+      SELECT user_id FROM versions
+      WHERE prev_id IS NOT NULL AND event_id % 10 = 0
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_quarantined,
+           CAST(COUNT(*) AS BIGINT) AS n_recovered,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_items_affected
+    FROM q
+    """,
+)
+def quarantine_replay_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdk_dynamodb_cdc_spark.operators.pipeline import (
+        cdc_change_events,
+        quarantine,
+    )
+
+    records = synthesize_cdc_records(spark, sf_dir).withColumn(
+        "old_image",
+        F.when(
+            F.col("old_image").isNotNull()
+            & (F.col("event_id").cast("long") % 10 == 0),
+            F.lit("{corrupted-wire-bytes"),
+        ).otherwise(F.col("old_image")),
+    )
+    bad_ids = quarantine(records).select("event_id")
+    raw_bad = records.join(bad_ids, "event_id", "left_semi")
+    repaired = raw_bad.withColumn(
+        "operation", F.lit("INSERT")
+    ).withColumn("old_image", F.lit(None).cast("string"))
+    recovered = cdc_change_events(repaired)
+    return (
+        bad_ids.agg(F.count(F.lit(1)).alias("n_quarantined"))
+        .crossJoin(
+            recovered.agg(F.count(F.lit(1)).alias("n_recovered"))
+        )
+        .crossJoin(
+            recovered.agg(
+                F.count_distinct("pk").alias("n_items_affected")
+            )
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cross-source contamination matrix: shared distinct word-3-gram
+# counts (and Jaccard, in exact permille) for every source pair — the
+# "which crawl dumps overlap" diagnostic a corpus mix is planned from.
+# Grams travel as 60-bit hashes (8 bytes, never the strings); postings
+# are DISTINCT per source, so per-gram join fan-out is bounded by the
+# source count (pairs per gram <= C(sources, 2)), and the output is
+# sources^2-bounded at any corpus size. All counts integer; Jaccard is
+# reported as 1000*ov div (union) — no float division.
+# ---------------------------------------------------------------------------
+@query(
+    "source_overlap_matrix",
+    oracle=f"""
+    WITH w AS (SELECT source, string_split(text, ' ') AS ws
+               FROM documents),
+    sh AS (SELECT source,
+                  list_distinct(list_transform(range(1, len(ws) - 1),
+                      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))
+                    AS gs
+           FROM w),
+    hp AS (SELECT DISTINCT source,
+                  {llm_text.duck_token_hash60('g')} AS h
+           FROM (SELECT source, unnest(gs) AS g FROM sh)),
+    sz AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n
+           FROM hp GROUP BY source),
+    pr AS (SELECT a.source AS source_a, b.source AS source_b,
+                  CAST(COUNT(*) AS BIGINT) AS n_shared
+           FROM hp a JOIN hp b
+             ON a.h = b.h AND a.source < b.source
+           GROUP BY a.source, b.source)
+    SELECT pr.source_a, pr.source_b, pr.n_shared,
+           na.n AS n_a, nb.n AS n_b,
+           CAST(1000 * pr.n_shared
+                // (na.n + nb.n - pr.n_shared) AS BIGINT)
+             AS jaccard_pm
+    FROM pr
+    JOIN sz na ON na.source = pr.source_a
+    JOIN sz nb ON nb.source = pr.source_b
+    """,
+)
+def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    posts = (
+        docs.select(
+            "source",
+            F.explode(
+                llm_dedup.word_shingles(F.col("text"), 3)
+            ).alias("g"),
+        )
+        .select("source", llm_text.token_hash60(F.col("g")).alias("h"))
+        .distinct()
+        # feeds the per-source sizes AND both sides of the pair join
+        .localCheckpoint(eager=True)
+    )
+    sz = posts.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    a = posts.select(F.col("source").alias("source_a"), "h")
+    b = posts.select(F.col("source").alias("source_b"), "h")
+    pr = (
+        a.join(b, "h")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return (
+        pr.join(
+            sz.select(
+                F.col("source").alias("source_a"),
+                F.col("n").alias("n_a"),
+            ),
+            "source_a",
+        )
+        .join(
+            sz.select(
+                F.col("source").alias("source_b"),
+                F.col("n").alias("n_b"),
+            ),
+            "source_b",
+        )
+        .select(
+            "source_a",
+            "source_b",
+            "n_shared",
+            "n_a",
+            "n_b",
+            F.expr(
+                "1000 * n_shared div (n_a + n_b - n_shared)"
+            ).alias("jaccard_pm"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Largest-remainder (Hamilton) quota apportionment: distribute exactly
+# K = 10,000 sampling slots across languages proportional to document
+# counts — the integer-exact allocation step a stratified sampling
+# plan needs before the per-stratum draws (stratified_sample /
+# weighted_sample_per_group take per-group targets; this computes
+# them). base_i = (K * n_i) div N, and the K - sum(base) leftover
+# slots go to the largest remainders (K*n_i mod N), ties to the
+# smaller language — every step integer, so both engines produce the
+# identical allocation and the slots provably sum to K. The group
+# table is vocabulary-sized; windows run over it, never the corpus.
+# ---------------------------------------------------------------------------
+@query(
+    "sample_quota_apportionment",
+    oracle="""
+    WITH c AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM documents GROUP BY lang
+    ),
+    t AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS total,
+                 CAST(SUM(10000 * n_docs // (SELECT SUM(n_docs) FROM c))
+                      AS BIGINT) AS base_sum
+          FROM c),
+    q AS (
+      SELECT lang, n_docs,
+             10000 * n_docs // total AS base,
+             10000 * n_docs % total AS rem,
+             ROW_NUMBER() OVER (ORDER BY 10000 * n_docs % total DESC,
+                                lang) AS rk,
+             10000 - base_sum AS leftover
+      FROM c CROSS JOIN t
+    )
+    SELECT lang, n_docs,
+           CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END
+                AS BIGINT) AS quota_slots
+    FROM q
+    """,
+)
+def sample_quota_apportionment(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    c = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    t = c.agg(
+        F.sum("n_docs").alias("total"),
+    )
+    q = (
+        c.crossJoin(F.broadcast(t))
+        .select(
+            "lang",
+            "n_docs",
+            F.expr("10000 * n_docs div total").alias("base"),
+            F.expr("10000 * n_docs % total").alias("rem"),
+        )
+    )
+    base_sum = q.agg(F.sum("base").alias("base_sum"))
+    wq = Window.orderBy(F.col("rem").desc(), F.col("lang"))
+    return (
+        q.crossJoin(F.broadcast(base_sum))
+        .withColumn("rk", F.row_number().over(wq))  # langs-sized window
+        .select(
+            "lang",
+            "n_docs",
+            (
+                F.col("base")
+                + F.when(
+                    F.col("rk") <= F.lit(10000) - F.col("base_sum"),
+                    F.lit(1),
+                ).otherwise(F.lit(0))
+            ).cast("long").alias("quota_slots"),
+        )
+    )

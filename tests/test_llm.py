@@ -1668,3 +1668,33 @@ def test_rrf_fuse_hand_lists(spark):
         r.key for r in llm_text.rrf_fuse([a, b], top_k=10).collect()
     ]
     assert order[0] == 20
+
+
+def test_sample_quota_apportionment_sums_to_k(spark, tmp_path):
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from cdk_dynamodb_cdc_spark.queries import QUERIES
+
+    # counts chosen so the proportional shares have awkward remainders:
+    # 10000 * [7, 11, 13, 2] / 33 = 2121.2, 3333.3, 3939.4, 606.1
+    rows = []
+    i = 0
+    for lang, n in [("aa", 7), ("bb", 11), ("cc", 13), ("dd", 2)]:
+        for _ in range(n):
+            rows.append((i, f"text {i}", lang, "s", 6))
+            i += 1
+    d = str(tmp_path / "corpus")
+    spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    got = {
+        r.lang: r.quota_slots
+        for r in QUERIES["sample_quota_apportionment"](spark, d).collect()
+    }
+    # floors: 2121, 3333, 3939, 606 (sum 9999); largest remainder is
+    # cc (.39... -> rem 13) > bb (.33 -> rem 10)? exact rems:
+    # 10000*7%33=4, *11%33=11, *13%33=31, *2%33=2 -> extra goes to cc
+    assert got == {"aa": 2121, "bb": 3333, "cc": 3940, "dd": 606}
+    assert sum(got.values()) == 10000
