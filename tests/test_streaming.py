@@ -1235,3 +1235,82 @@ def test_stream_stream_right_outer_interval_join_matches_batch(
     q.awaitTermination(120)
     got = pairs(spark.sql("SELECT * FROM ssj_ro_out"))
     assert got == expected
+
+
+def test_streaming_inverted_index_maintenance(spark, tmp_path):
+    """Search-index maintenance as a running pipeline: each micro-batch
+    of documents appends its posting rows (term, doc_id, tf) to a
+    transactional table; the sum-fold of all appended postings equals
+    the one-shot index of the whole corpus, and a conjunctive search
+    over the maintained index returns exactly the batch answer — the
+    index-mergeability theorem that lets a 100-TB index absorb a daily
+    crawl without a rebuild."""
+    from cdk_dynamodb_cdc_spark.llm.text import (
+        build_inverted_index,
+        search_conjunctive,
+    )
+    from cdk_dynamodb_cdc_spark.storage import TxTable
+
+    docs = [
+        (0, "spark merge window spark"),
+        (1, "merge window"),
+        (2, "spark window"),
+        (3, "unrelated words only"),
+        (4, "spark merge window extra"),
+        (5, "window window spark merge"),
+    ]
+    src = tmp_path / "docs"
+    src.mkdir()
+    for name, chunk in (("b0.json", docs[:3]), ("b1.json", docs[3:])):
+        with open(src / name, "w") as fh:
+            for doc_id, text in chunk:
+                fh.write(
+                    json.dumps({"doc_id": doc_id, "text": text}) + "\n"
+                )
+
+    table = TxTable(spark, str(tmp_path / "idx_state"))
+
+    def sink(batch_df, batch_id):
+        table.commit(
+            build_inverted_index(batch_df),
+            app_id="idx",
+            batch_id=batch_id,
+        )
+
+    stream = spark.readStream.schema("doc_id long, text string").json(
+        str(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert not q.isActive
+
+    folded = (
+        table.snapshot()
+        .groupBy("term", "doc_id")
+        .agg(F.sum("tf").alias("tf"))
+    )
+    whole = build_inverted_index(
+        spark.read.schema("doc_id long, text string").json(str(src))
+    )
+    assert folded.exceptAll(whole).count() == 0
+    assert whole.exceptAll(folded).count() == 0
+
+    got = {
+        (r.doc_id, r.n_terms_matched, r.score)
+        for r in search_conjunctive(
+            folded, ["spark", "merge", "window"], top_k=10
+        ).collect()
+    }
+    want = {
+        (r.doc_id, r.n_terms_matched, r.score)
+        for r in search_conjunctive(
+            whole, ["spark", "merge", "window"], top_k=10
+        ).collect()
+    }
+    assert got == want
+    assert {d for d, _, _ in got} == {0, 4, 5}
