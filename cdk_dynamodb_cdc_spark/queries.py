@@ -10011,3 +10011,80 @@ def embedding_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Media fingerprint dedup: the multimodal lane composed with the dedup
+# family — every payload is decoded (stubbed codec), transformed, and
+# reduced to a deterministic feature fingerprint (media type, resized
+# dims, 3-bucket byte histogram); identical fingerprints are duplicate
+# candidates, exactly the perceptual-hash dedup shape (pHash buckets
+# -> verify) with the verify stage left to the claimed-real codec. The
+# report is per-media-type redundancy: items, distinct fingerprints,
+# duplicate groups, redundant copies. Shape: one Arrow mapInPandas
+# stage (no shuffle) + one fingerprint-keyed aggregation + one
+# media_type rollup; output bounded at 3 rows.
+# ---------------------------------------------------------------------------
+@query(
+    "media_fingerprint_dedup",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id,
+             CASE WHEN source IN ('src0', 'src1') THEN 'image'
+                  WHEN source IN ('src2', 'src3') THEN 'audio'
+                  ELSE 'video' END AS media_type,
+             octet_length(encode(text)) AS n,
+             octet_length(encode(text)) % 64 + 16 AS w,
+             (octet_length(encode(text)) // 64) % 64 + 16 AS h,
+             len(text) - len(replace(text, ' ', '')) AS ns,
+             (len(text) - len(replace(text, 'a', '')))
+               + (len(text) - len(replace(text, 'e', '')))
+               + (len(text) - len(replace(text, 'i', '')))
+               + (len(text) - len(replace(text, 'o', '')))
+               + (len(text) - len(replace(text, 'u', ''))) AS nv
+      FROM documents
+    ), r AS (
+      SELECT doc_id, media_type,
+             CASE WHEN greatest(w, h) <= 32 THEN w
+                  ELSE greatest(1, w * 32 // greatest(w, h)) END AS rw,
+             CASE WHEN greatest(w, h) <= 32 THEN h
+                  ELSE greatest(1, h * 32 // greatest(w, h)) END AS rh,
+             ns, nv, n - ns - nv AS no
+      FROM m
+    ), fp AS (
+      SELECT media_type, rw, rh, ns, nv, no,
+             CAST(COUNT(*) AS BIGINT) AS n_copies
+      FROM r GROUP BY media_type, rw, rh, ns, nv, no
+    )
+    SELECT media_type,
+           CAST(SUM(n_copies) AS BIGINT) AS n_items,
+           CAST(COUNT(*) AS BIGINT) AS n_fingerprints,
+           CAST(SUM(CASE WHEN n_copies >= 2 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_dup_groups,
+           CAST(SUM(CASE WHEN n_copies >= 2 THEN n_copies - 1
+                    ELSE 0 END) AS BIGINT) AS n_redundant
+    FROM fp GROUP BY media_type
+    """,
+)
+def media_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    feats = llm_media.transform_media(
+        llm_media.attach_binary_payload(docs)
+    )
+    fp = feats.groupBy(
+        "media_type",
+        "new_width",
+        "new_height",
+        "n_space",
+        "n_vowel",
+        "n_other",
+    ).agg(F.count(F.lit(1)).alias("n_copies"))
+    dup = F.col("n_copies") >= 2
+    return fp.groupBy("media_type").agg(
+        F.sum("n_copies").alias("n_items"),
+        F.count(F.lit(1)).alias("n_fingerprints"),
+        F.sum(dup.cast("long")).alias("n_dup_groups"),
+        F.sum(
+            F.when(dup, F.col("n_copies") - 1).otherwise(F.lit(0))
+        ).alias("n_redundant"),
+    )
