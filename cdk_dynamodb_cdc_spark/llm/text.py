@@ -515,6 +515,87 @@ def commonness_score(docs: DataFrame) -> DataFrame:
     )
 
 
+def pmi_collocations(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    min_count: int = 5,
+    discount: int = 5,
+    threshold_num: int = 1,
+    threshold_den: int = 1,
+) -> DataFrame:
+    """Collocation / phrase mining (word2phrase, Mikolov et al. 2013
+    §4): adjacent token pairs whose co-occurrence beats independence —
+    ``score(a,b) = (n_ab - discount) * N / (n_a * n_b) > threshold`` —
+    are phrase candidates ("new york", "byte pair"). The discount
+    suppresses rare accidental pairs; the threshold is the PMI-style
+    independence margin. Returns ``(a, b, n_ab, n_a, n_b)`` for every
+    passing pair.
+
+    Determinism: the score compare never materializes a float — with
+    ``threshold = threshold_num / threshold_den`` the test is the
+    integer cross-multiplication ``(n_ab - discount) * N *
+    threshold_den > threshold_num * n_a * n_b``, evaluated in
+    DECIMAL(38,0) (counts cast to DECIMAL(19,0) first, so the triple
+    product stays exact up to 1e38 — comfortably above 100-TB token
+    counts squared). No log, no libm, no rounding: the selected set
+    hashes bit-identically in any engine.
+
+    Shape: two map-side-combinable aggregations (bigrams over a
+    per-document adjacent-pair explode, unigrams over the token
+    explode), then the bigram table joins the vocabulary-sized unigram
+    table twice (on each side of the pair) — vocabulary-keyed
+    shuffles, Heaps'-law small relative to the corpus; the 1-row
+    total-token count is broadcast. Pairs touching the empty token
+    (doubled separators) are dropped, not bridged, on both engines.
+    """
+    toks = F.split(F.col(text_col), " ")
+    pairs = docs.select(
+        F.explode(
+            F.filter(
+                F.transform(
+                    F.sequence(F.lit(1), F.greatest(F.size(toks) - 1, F.lit(0))),
+                    lambda i: F.struct(
+                        F.element_at(toks, i).alias("a"),
+                        F.element_at(toks, i + 1).alias("b"),
+                    ),
+                ),
+                lambda p: (p["a"] != "") & (p["b"] != ""),
+            )
+        ).alias("p")
+    )
+    bigrams = pairs.groupBy("p.a", "p.b").agg(
+        F.count(F.lit(1)).alias("n_ab")
+    )
+    uni = (
+        docs.select(F.explode(toks).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n_w"))
+    )
+    total = uni.agg(F.sum("n_w").cast("decimal(19,0)").alias("n_total"))
+    d19 = lambda c: F.col(c).cast("decimal(19,0)")  # noqa: E731
+    return (
+        bigrams.join(uni.withColumnRenamed("w", "a"), "a")
+        .withColumnRenamed("n_w", "n_a")
+        .join(uni.withColumnRenamed("w", "b"), "b")
+        .withColumnRenamed("n_w", "n_b")
+        .crossJoin(F.broadcast(total))
+        .filter(
+            (F.col("n_ab") >= min_count)
+            & (
+                (d19("n_ab") - discount)
+                * F.col("n_total")
+                * F.lit(threshold_den).cast("decimal(19,0)")
+                > F.lit(threshold_num).cast("decimal(19,0)")
+                * d19("n_a")
+                * d19("n_b")
+            )
+        )
+        .select("a", "b", "n_ab", "n_a", "n_b")
+    )
+
+
 def bpe_merge_candidates(
     docs: Column | "DataFrame",  # noqa: F821 - DataFrame at runtime
     *,

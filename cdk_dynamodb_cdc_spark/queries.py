@@ -3890,6 +3890,88 @@ def cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Temporal (point-in-interval) enrichment join (operators/asof.py:
+# temporal_join): each probe row picks up the SCD2 dimension version
+# valid AT its timestamp — FOR SYSTEM_TIME AS OF semantics, including
+# the two cases a plain as-of join gets wrong: REMOVE holes (probe
+# after a tombstone must be NULL, not the stale version) and zero-
+# width versions at timestamp collisions. The dim is the SCD2 history
+# of the synthesized CDC log with tombstones appended for user_id %
+# 17 == 0 at their final event time (so those users' last versions
+# are zero-width); the probes are the events themselves at their own
+# timestamps. The oracle rebuilds the intervals with a lead window
+# (closing removed users' last versions at their own open instant)
+# and takes the textbook key-equi + half-open-range LEFT join — which
+# at scale fans each probe over its key's whole version history; the
+# operator's union-merge form is the one-shuffle no-blowup plan the
+# green hash certifies equivalent.
+# ---------------------------------------------------------------------------
+@query(
+    "scd2_temporal_enrich",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, event_type, value, ts AS valid_from,
+             LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS next_from
+      FROM events
+    ), d AS (
+      SELECT user_id, event_type, value, valid_from,
+             COALESCE(next_from,
+                      CASE WHEN user_id % 17 = 0 THEN valid_from END)
+               AS valid_to
+      FROM v
+    )
+    SELECT 'USER#' || CAST(p.user_id AS VARCHAR) AS pk,
+           CAST(COUNT(*) AS BIGINT) AS n_probes,
+           CAST(COUNT(d.event_type) AS BIGINT) AS n_enriched,
+           CAST(COALESCE(SUM(CAST(CAST(d.value AS DECIMAL(18,2)) * 100
+                                  AS BIGINT)), 0) AS BIGINT)
+             AS sum_state_cents
+    FROM events p LEFT JOIN d
+      ON p.user_id = d.user_id
+     AND d.valid_from <= p.ts
+     AND (d.valid_to IS NULL OR p.ts < d.valid_to)
+    GROUP BY p.user_id
+    """,
+)
+def scd2_temporal_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdk_dynamodb_cdc_spark.operators.asof import temporal_join
+    from cdk_dynamodb_cdc_spark.operators.compaction import scd2_history
+
+    records = _augment_with_removes(synthesize_cdc_records(spark, sf_dir))
+    dim = scd2_history(records).select(
+        "pk",
+        F.get_json_object("image", "$.event_type.S").alias("state_type"),
+        (
+            F.get_json_object("image", "$.value.N").cast("decimal(18,2)")
+            * 100
+        )
+        .cast("long")
+        .alias("state_cents"),
+        "valid_from",
+        "valid_to",
+    )
+    probes = load_table(spark, sf_dir, "events").select(
+        F.concat(F.lit("USER#"), F.col("user_id")).alias("pk"),
+        F.col("ts"),
+    )
+    enriched = temporal_join(
+        probes,
+        dim,
+        fact_time="ts",
+        keys=("pk",),
+        value_cols=("state_type", "state_cents"),
+    )
+    return enriched.groupBy("pk").agg(
+        F.count(F.lit(1)).alias("n_probes"),
+        F.count("state_type").alias("n_enriched"),
+        F.coalesce(F.sum("state_cents"), F.lit(0))
+        .cast("long")
+        .alias("sum_state_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Incremental view maintenance (operators/ivm.py): per-group totals
 # computed by summing each change event's DELTA — the canonical CDC
 # consumer. The oracle recomputes the same totals from each user's

@@ -95,3 +95,83 @@ def test_forward_equal_timestamp_matches_and_tolerance(spark):
     # eq matches the right row AT its own timestamp; far is 18 min
     # before the only right row — outside tolerance
     assert got == {"eq": 7.0, "far": None}
+
+
+# ---------------------------------------------------------------------------
+# temporal_join: SCD2 point-in-interval enrichment
+# ---------------------------------------------------------------------------
+def _temporal(spark, fact_rows, dim_rows):
+    from cdk_dynamodb_cdc_spark.operators.asof import temporal_join
+
+    facts = spark.createDataFrame(fact_rows, "k long, t timestamp, lbl string")
+    dim = spark.createDataFrame(
+        dim_rows, "k long, valid_from timestamp, valid_to timestamp, v string"
+    )
+    out = temporal_join(
+        facts, dim, fact_time="t", keys=("k",), value_cols=("v",)
+    )
+    return {(r.k, r.lbl): r.v for r in out.collect()}
+
+
+def test_temporal_bounds_inclusive_lower_exclusive_upper(spark):
+    got = _temporal(
+        spark,
+        [(1, _ts(10), "at_open"), (1, _ts(15), "inside"),
+         (1, _ts(20), "at_close"), (1, _ts(25), "in_next")],
+        [(1, _ts(10), _ts(20), "v1"), (1, _ts(20), None, "v2")],
+    )
+    assert got == {
+        (1, "at_open"): "v1",
+        (1, "inside"): "v1",
+        (1, "at_close"): "v2",   # half-open: t == valid_to rolls forward
+        (1, "in_next"): "v2",
+    }
+
+
+def test_temporal_holes_and_before_first_are_null(spark):
+    # version closed at :20, next opens at :30 — the hole nulls out
+    got = _temporal(
+        spark,
+        [(1, _ts(5), "before"), (1, _ts(25), "hole"), (1, _ts(35), "after")],
+        [(1, _ts(10), _ts(20), "v1"), (1, _ts(30), None, "v2")],
+    )
+    assert got == {
+        (1, "before"): None,
+        (1, "hole"): None,       # NOT the stale v1
+        (1, "after"): "v2",
+    }
+
+
+def test_temporal_zero_width_tombstone(spark):
+    # tombstone closes the last version at its own open instant: a
+    # zero-width interval matches nothing, even a probe AT the instant
+    got = _temporal(
+        spark,
+        [(1, _ts(15), "live"), (1, _ts(20), "at_tomb"), (1, _ts(30), "dead")],
+        [(1, _ts(10), _ts(20), "v1"), (1, _ts(20), _ts(20), "v_tomb")],
+    )
+    assert got == {
+        (1, "live"): "v1",
+        (1, "at_tomb"): None,
+        (1, "dead"): None,
+    }
+
+
+def test_temporal_same_instant_reopen_wins(spark):
+    # a zero-width version and a surviving version open at the same
+    # instant: the probe at that instant gets the survivor
+    got = _temporal(
+        spark,
+        [(1, _ts(20), "probe")],
+        [(1, _ts(20), _ts(20), "ghost"), (1, _ts(20), None, "keeper")],
+    )
+    assert got == {(1, "probe"): "keeper"}
+
+
+def test_temporal_keys_do_not_cross(spark):
+    got = _temporal(
+        spark,
+        [(1, _ts(15), "k1"), (2, _ts(15), "k2")],
+        [(1, _ts(10), None, "only_k1")],
+    )
+    assert got == {(1, "k1"): "only_k1", (2, "k2"): None}
