@@ -54,6 +54,7 @@ _GATE_PRIORITY = [
     # (CORRECTNESS_r06.json) did not cover, in registry order — so the
     # r7 window is disjoint from r6's except where code changed.
     'scd2_temporal_enrich',
+    'pmi_collocations_top',
     'media_fingerprint_dedup',
     'embedding_sq8_topk',
     'cumulative_new_users',

@@ -6278,6 +6278,52 @@ def doc_commonness_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Collocation / phrase mining (llm/text.py:pmi_collocations —
+# word2phrase, Mikolov et al. 2013): adjacent token pairs whose
+# co-occurrence beats independence by the discounted cross-multiplied
+# margin (n_ab - 5) * N > n_a * n_b. The score compare is pure
+# DECIMAL/INT128 integer arithmetic — no log, no float — so the
+# selected set hashes bit-identically; top-50 under the total order
+# (n_ab desc, a, b) keeps the result bounded at any corpus size
+# (TakeOrderedAndProject, never a global sort).
+# ---------------------------------------------------------------------------
+@query(
+    "pmi_collocations_top",
+    oracle="""
+    WITH toks AS (SELECT string_split(text, ' ') AS t FROM documents),
+    pr AS (
+      SELECT t[i] AS a, t[i+1] AS b
+      FROM toks, UNNEST(generate_series(1, len(t) - 1)) AS g(i)
+      WHERE t[i] <> '' AND t[i+1] <> ''
+    ),
+    big AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS n_ab
+            FROM pr GROUP BY a, b),
+    uni AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS n_w
+            FROM (SELECT UNNEST(string_split(text, ' ')) AS w
+                  FROM documents)
+            WHERE w <> '' GROUP BY w),
+    tot AS (SELECT SUM(n_w) AS n FROM uni)
+    SELECT a, b, n_ab, ua.n_w AS n_a, ub.n_w AS n_b
+    FROM big
+    JOIN uni ua ON ua.w = a
+    JOIN uni ub ON ub.w = b
+    CROSS JOIN tot
+    WHERE n_ab >= 5 AND (n_ab - 5) * n > ua.n_w * ub.n_w
+    ORDER BY n_ab DESC, a, b LIMIT 50
+    """,
+)
+def pmi_collocations_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = llm_text.pmi_collocations(
+        load_table(spark, sf_dir, "documents"),
+        min_count=5,
+        discount=5,
+        threshold_num=1,
+        threshold_den=1,
+    )
+    return out.orderBy(F.col("n_ab").desc(), "a", "b").limit(50)
+
+
+# ---------------------------------------------------------------------------
 # Entity resolution end-to-end: canonicalize, fuzzy-match, cluster.
 # The match graph is built over DISTINCT names (each represented by
 # the minimum p_partkey carrying it) — never over base rows: value

@@ -1755,3 +1755,23 @@ def test_sq8_recall_floor_vs_bruteforce(spark):
         .collect()
     }
     assert all(rec.get(q, 0) >= 8 for q in ids)
+
+
+def test_pmi_collocations_discount_and_empty_tokens(spark):
+    # "a b" co-occurs 6x and only ever together -> passes with
+    # discount 5; "c d" co-occurs 5x (discounted to 0) -> fails;
+    # "e  f" (doubled space) pairs through an empty token -> dropped,
+    # never bridged into an (e, f) pair.
+    docs = spark.createDataFrame(
+        [("d%d" % i, "a b") for i in range(6)]
+        + [("c%d" % i, "c d") for i in range(5)]
+        + [("e%d" % i, "e  f") for i in range(9)],
+        "doc_id string, text string",
+    )
+    got = {
+        (r.a, r.b): (r.n_ab, r.n_a, r.n_b)
+        for r in llm_text.pmi_collocations(
+            docs, min_count=5, discount=5
+        ).collect()
+    }
+    assert got == {("a", "b"): (6, 6, 6)}
