@@ -55,6 +55,7 @@ _GATE_PRIORITY = [
     # r7 window is disjoint from r6's except where code changed.
     'scd2_temporal_enrich',
     'pmi_collocations_top',
+    'part_coorder_kcore',
     'media_fingerprint_dedup',
     'embedding_sq8_topk',
     'cumulative_new_users',

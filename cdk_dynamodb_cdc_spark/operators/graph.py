@@ -227,3 +227,66 @@ def bfs_layers(
         )
         reached = reached.unionAll(frontier).localCheckpoint(eager=True)
     return reached
+
+
+def kcore(
+    edges: DataFrame,
+    *,
+    k: int,
+    rounds: int,
+    u_col: str = "u",
+    v_col: str = "v",
+) -> DataFrame:
+    """k-core decomposition by bounded iterative peeling (Seidman
+    1983; the distributed formulation of Montresor et al. 2013): each
+    round drops every node whose degree in the CURRENT induced
+    subgraph is below ``k``, until the fixpoint — the unique maximal
+    subgraph where every node keeps >= k neighbors. Returns one
+    ``(node, deg)`` row per survivor, ``deg`` its degree inside the
+    core.
+
+    Bounded-horizon discipline (same contract as :func:`bfs_layers`):
+    exactly ``rounds`` peel passes, so the plan depth is compile-time
+    known — peeling past the fixpoint is a no-op, and an UNconverged
+    run is self-evident in the output (some ``deg < k`` survives), so
+    callers assert convergence on the result, not on trust. A
+    converged-early run exits the loop as soon as an eager checkpoint
+    reports the edge count unchanged.
+
+    Shape: per round, one map-side-combinable degree aggregation and
+    two semi joins of the edge list against the (node-sized) keep
+    set — work shrinks monotonically with the peeled graph, and
+    ``localCheckpoint`` truncates the per-round lineage. The k-core is
+    order-confluent (any peel schedule reaches the same fixpoint), so
+    whole-round peeling loses nothing vs sequential removal.
+    """
+    half = edges.select(
+        F.col(u_col).alias("src"), F.col(v_col).alias("dst")
+    ).filter(F.col("src") != F.col("dst"))
+    adj = (
+        half.unionAll(
+            half.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_prev = adj.count()
+    for _ in range(rounds):
+        keep = (
+            adj.groupBy("src")
+            .agg(F.count(F.lit(1)).alias("dg"))
+            .filter(F.col("dg") >= k)
+            .select("src")
+        )
+        adj = (
+            adj.join(keep, "src", "left_semi")
+            .join(keep.withColumnRenamed("src", "dst"), "dst", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+        n = adj.count()
+        if n == n_prev:
+            break
+        n_prev = n
+    return adj.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )

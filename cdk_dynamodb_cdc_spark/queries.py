@@ -8877,6 +8877,85 @@ def part_coorder_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# k-core decomposition (operators/graph.py:kcore) of the same
+# co-order graph: bounded whole-round peeling to the unique maximal
+# subgraph where every part keeps >= 3 co-order neighbors — the dense
+# backbone community-detection and graph-sampling pipelines start
+# from. Output is the core's degree histogram, which doubles as the
+# convergence certificate: any deg < 3 row would mean the 12 rounds
+# didn't reach the fixpoint (at sf0.01 it converges in 10). The
+# oracle replays the SAME 12 whole-round peels as unrolled CTEs —
+# peeling is order-confluent, so round-for-round equality is the
+# strongest check available, and it holds at ANY scale factor by
+# construction (both engines stop after the same round count).
+# ---------------------------------------------------------------------------
+_KCORE_K = 3
+_KCORE_ROUNDS = 12
+
+
+def _kcore_round_cte(i: int) -> str:
+    # AS MATERIALIZED stops DuckDB's CTE inlining — each round
+    # references the previous three times, so inlined expansion would
+    # be 3^rounds scans of the base table
+    return (
+        f"d{i} AS MATERIALIZED (SELECT src FROM (SELECT src, COUNT(*) "
+        f"AS dg FROM r{i - 1} GROUP BY src) WHERE dg >= {_KCORE_K}), "
+        f"r{i} AS MATERIALIZED (SELECT c.src, c.dst FROM r{i - 1} c "
+        f"JOIN d{i} k1 ON k1.src = c.src "
+        f"JOIN d{i} k2 ON k2.src = c.dst)"
+    )
+
+
+@query(
+    "part_coorder_kcore",
+    oracle=f"""
+    WITH it AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e AS (
+      SELECT a.l_partkey AS u, b.l_partkey AS v
+      FROM it a JOIN it b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY u, v HAVING COUNT(*) >= 2
+    ),
+    r0 AS (SELECT u AS src, v AS dst FROM e
+           UNION ALL SELECT v, u FROM e),
+    {",".join(_kcore_round_cte(i) for i in range(1, _KCORE_ROUNDS + 1))},
+    core AS (SELECT src AS node, COUNT(*) AS deg
+             FROM r{_KCORE_ROUNDS} GROUP BY src)
+    SELECT CAST(deg AS BIGINT) AS deg, CAST(COUNT(*) AS BIGINT) AS n_nodes
+    FROM core GROUP BY deg ORDER BY deg
+    """,
+)
+def part_coorder_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdk_dynamodb_cdc_spark.operators.graph import kcore
+
+    it = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = it.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u")
+    )
+    b = it.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v")
+    )
+    edges = (
+        a.join(b, "ok")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= 2)
+        .select("u", "v")
+    )
+    core = kcore(edges, k=_KCORE_K, rounds=_KCORE_ROUNDS)
+    return (
+        core.groupBy("deg")
+        .agg(F.count(F.lit(1)).alias("n_nodes"))
+        .orderBy("deg")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Classical seasonal decomposition of the daily revenue series:
 # trend = 7-day centered moving average (full windows only),
 # seasonal = per-ISO-weekday mean of the detrended series, residual =

@@ -531,3 +531,24 @@ def test_bfs_layers_hand_graph(spark):
         for r in bfs_layers(tri, source="a", max_hops=4).collect()
     }
     assert got2 == {"a": 0, "b": 1, "c": 1}
+
+
+def test_kcore_peels_pendants_and_reports_core_degrees(spark):
+    from cdk_dynamodb_cdc_spark.operators.graph import kcore
+
+    # triangle {1,2,3} with a pendant chain 3-4-5 and an isolated
+    # edge 6-7: the 2-core is exactly the triangle (the chain peels
+    # in two rounds, the isolated edge in one)
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5), (6, 7)],
+        "u long, v long",
+    )
+    got = {r.node: r.deg for r in kcore(edges, k=2, rounds=5).collect()}
+    assert got == {1: 2, 2: 2, 3: 2}
+    # an insufficient round budget leaves deg<k survivors visible
+    shallow = {
+        r.node: r.deg for r in kcore(edges, k=2, rounds=1).collect()
+    }
+    assert shallow[4] == 1  # pendant chain not fully peeled yet
+    # k above the max core empties the graph
+    assert kcore(edges, k=3, rounds=5).count() == 0
