@@ -56,6 +56,7 @@ _GATE_PRIORITY = [
     'scd2_temporal_enrich',
     'pmi_collocations_top',
     'part_coorder_kcore',
+    'holt_revenue_trend',
     'media_fingerprint_dedup',
     'embedding_sq8_topk',
     'cumulative_new_users',

@@ -5082,6 +5082,108 @@ def ewma_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Holt linear-trend smoothing (double exponential smoothing) of the
+# daily revenue series, in FIXED-POINT integer arithmetic: alpha=1/5,
+# beta=1/10, every recursion step a floor division implemented as
+# (n - pmod(n, d)) / d — exactly divisible, so the quotient is an
+# exact integer in both engines and the whole state trajectory
+# (level, trend, one-step-ahead fit) hashes bit-identically; a float
+# Holt would drift by summation-order ulps. Unlike the EWMA window
+# (finite truncated kernel), this is the TRUE infinite-memory
+# recursion — inexpressible as a window frame, so it runs as the
+# repo's sorted-fold pattern over the days-sized pre-aggregate (same
+# bounded-series argument as daily_revenue_acf); the oracle replays
+# the recursion as a recursive CTE over the day index.
+# ---------------------------------------------------------------------------
+@query(
+    "holt_revenue_trend",
+    oracle="""
+    WITH RECURSIVE daily AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS y
+      FROM events GROUP BY day
+    ), idx AS (
+      SELECT day, y, ROW_NUMBER() OVER (ORDER BY day) AS rn FROM daily
+    ), holt AS (
+      SELECT rn, day, y, CAST(NULL AS BIGINT) AS fit,
+             y AS lv, CAST(0 AS BIGINT) AS tr
+      FROM idx WHERE rn = 1
+      UNION ALL
+      SELECT rn, day, y, fit, lv1 AS lv,
+             (tn - ((tn % 10) + 10) % 10) // 10 AS tr
+      FROM (
+        SELECT i.rn, i.day, i.y, h.lv + h.tr AS fit, h.lv AS lv0,
+               h.tr AS tr0,
+               (ln - ((ln % 5) + 5) % 5) // 5 AS lv1
+        FROM holt h JOIN idx i ON i.rn = h.rn + 1,
+             LATERAL (SELECT i.y + 4 * (h.lv + h.tr) AS ln) c1
+      ) s, LATERAL (SELECT (lv1 - lv0) + 9 * tr0 AS tn) c2
+    )
+    SELECT day, y AS rev_cents, fit AS fit_cents,
+           lv AS level_cents, tr AS trend_cents
+    FROM holt
+    """,
+)
+def holt_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        (F.sum(F.col("value").cast("decimal(18,2)")) * 100)
+        .cast("long")
+        .alias("y")
+    )
+
+    def fd(n, d):
+        # floor division with an exactly-divisible numerator: the
+        # double intermediate is an exact integer (series magnitudes
+        # sit far below 2^53; a 100-TB deployment widens to DECIMAL)
+        return ((n - F.pmod(n, F.lit(d))) / d).cast("long")
+
+    row_t = (
+        "array<struct<day:date,y:bigint,fit:bigint,lv:bigint,tr:bigint>>"
+    )
+
+    def step(acc, x):
+        first = F.size(acc["rows"]) == 0
+        fit = acc["lv"] + acc["tr"]
+        lv1 = fd(x["y"] + 4 * (acc["lv"] + acc["tr"]), 5)
+        tr1 = fd((lv1 - acc["lv"]) + 9 * acc["tr"], 10)
+        lv_new = F.when(first, x["y"]).otherwise(lv1)
+        tr_new = F.when(first, F.lit(0).cast("long")).otherwise(tr1)
+        row = F.struct(
+            x["day"].alias("day"),
+            x["y"].alias("y"),
+            F.when(first, F.lit(None).cast("long"))
+            .otherwise(fit)
+            .alias("fit"),
+            lv_new.alias("lv"),
+            tr_new.alias("tr"),
+        )
+        return F.struct(
+            lv_new.alias("lv"),
+            tr_new.alias("tr"),
+            F.array_append(acc["rows"], row).alias("rows"),
+        )
+
+    series = daily.agg(
+        F.sort_array(F.collect_list(F.struct("day", "y"))).alias("s")
+    )
+    init = F.struct(
+        F.lit(0).cast("long").alias("lv"),
+        F.lit(0).cast("long").alias("tr"),
+        F.expr(f"CAST(array() AS {row_t})").alias("rows"),
+    )
+    return series.select(
+        F.explode(F.aggregate("s", init, step)["rows"]).alias("r")
+    ).select(
+        F.col("r.day").alias("day"),
+        F.col("r.y").alias("rev_cents"),
+        F.col("r.fit").alias("fit_cents"),
+        F.col("r.lv").alias("level_cents"),
+        F.col("r.tr").alias("trend_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Equi-width histogram of event values per type: fixed [0, 500) domain in
 # 20 buckets of width 25. Bucketing is floor(value / width) — one IEEE
 # division + floor, bit-identical across engines — clamped into range, so
