@@ -57,6 +57,7 @@ _GATE_PRIORITY = [
     'pmi_collocations_top',
     'part_coorder_kcore',
     'holt_revenue_trend',
+    'lineitem_price_quantiles_twopass',
     'media_fingerprint_dedup',
     'embedding_sq8_topk',
     'cumulative_new_users',

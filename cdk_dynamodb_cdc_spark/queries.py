@@ -2765,6 +2765,50 @@ def percentile_order_values(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# EXACT quantiles without a global sort (operators/quantiles.py:
+# exact_quantiles_two_pass): min/max/count pass -> equi-width bucket
+# histogram pass (<= 1024 rows to the driver) -> bucket-local sort of
+# only the target buckets (expected n/1024 rows each). The answer is
+# the element at rank ceil(q*n), which is exactly DuckDB's
+# quantile_disc — so the green hash certifies that the two-pass
+# refinement equals the true exact order statistic, while the plan
+# never materializes a full ORDER BY (the most expensive shuffle
+# shape at 100 TB). Complements percentile_order_values (Spark's
+# built-in, fine per-group) with the scale path for whole-table
+# quantiles on a fact column.
+# ---------------------------------------------------------------------------
+@query(
+    "lineitem_price_quantiles_twopass",
+    oracle="""
+    SELECT q, CAST(v AS DOUBLE) AS value FROM (
+      SELECT '0.25' AS q, quantile_disc(l_extendedprice, 0.25) AS v
+      FROM lineitem
+      UNION ALL
+      SELECT '0.5', quantile_disc(l_extendedprice, 0.5) FROM lineitem
+      UNION ALL
+      SELECT '0.75', quantile_disc(l_extendedprice, 0.75) FROM lineitem
+      UNION ALL
+      SELECT '0.95', quantile_disc(l_extendedprice, 0.95) FROM lineitem
+      UNION ALL
+      SELECT '0.99', quantile_disc(l_extendedprice, 0.99) FROM lineitem
+    ) ORDER BY q
+    """,
+)
+def lineitem_price_quantiles_twopass(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from cdk_dynamodb_cdc_spark.operators.quantiles import (
+        exact_quantiles_two_pass,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    out = exact_quantiles_two_pass(
+        li, "l_extendedprice", (0.25, 0.5, 0.75, 0.95, 0.99)
+    )
+    return out.orderBy("q")
+
+
+# ---------------------------------------------------------------------------
 # Forward as-of join: each order-day attaches the customer's EARLIEST
 # event at-or-after the order date (the corpus's events all postdate
 # its orders, so customers who appear in the events table match — the

@@ -552,3 +552,31 @@ def test_kcore_peels_pendants_and_reports_core_degrees(spark):
     assert shallow[4] == 1  # pendant chain not fully peeled yet
     # k above the max core empties the graph
     assert kcore(edges, k=3, rounds=5).count() == 0
+
+
+def test_two_pass_quantiles_match_disc_convention(spark):
+    from cdk_dynamodb_cdc_spark.operators.quantiles import (
+        exact_quantiles_two_pass,
+    )
+
+    df = spark.createDataFrame(
+        [(10.0,), (20.0,), (30.0,), (40.0,)], "x double"
+    )
+    got = {
+        r.q: r.value
+        for r in exact_quantiles_two_pass(
+            df, "x", (0.25, 0.5, 0.75, 0.9), n_buckets=8
+        ).collect()
+    }
+    # rank = ceil(q*n), 1-indexed (quantile_disc / PERCENTILE_DISC)
+    assert got == {"0.25": 10.0, "0.5": 20.0, "0.75": 30.0, "0.9": 40.0}
+
+    # NULLs excluded; constant column survives the zero-width fallback
+    df2 = spark.createDataFrame(
+        [(7.0,), (7.0,), (None,), (7.0,)], "x double"
+    )
+    got2 = {
+        r.q: r.value
+        for r in exact_quantiles_two_pass(df2, "x", (0.5,)).collect()
+    }
+    assert got2 == {"0.5": 7.0}
