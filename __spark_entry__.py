@@ -58,6 +58,7 @@ _GATE_PRIORITY = [
     'part_coorder_kcore',
     'holt_revenue_trend',
     'lineitem_price_quantiles_twopass',
+    'mmr_diverse_retrieval',
     'media_fingerprint_dedup',
     'embedding_sq8_topk',
     'cumulative_new_users',

@@ -1140,3 +1140,184 @@ def sq8_topk(
         .filter(F.col("rk") <= k)
         .select("qid", "rk", "neighbor_id")
     )
+
+
+def mmr_diversify(
+    vectors: DataFrame,
+    *,
+    query_ids,
+    k: int,
+    shortlist: int,
+    lam_num: int = 1,
+    lam_den: int = 2,
+    key_col: str = "key",
+    vec_col: str = "vec",
+) -> DataFrame:
+    """Maximal-marginal-relevance diversification (Carbonell &
+    Goldstein 1998) of a retrieval shortlist: greedily select ``k``
+    of the top-``shortlist`` candidates, each pick maximizing
+    ``lam * rel(c) - (1 - lam) * max_{s in selected} sim(c, s)`` —
+    relevant results that aren't near-duplicates of what's already
+    picked, the standard de-redundancy step for RAG contexts and
+    training-batch assembly.
+
+    Integer-exact contract: relevance and redundancy are INNER
+    PRODUCTS of the integer vectors (e.g. the hashing-trick BoW
+    embeddings), and ``lam = lam_num / lam_den`` enters by cross-
+    multiplication — ``score_scaled = lam_num*rel -
+    (lam_den-lam_num)*max_sim`` — so every selection compares exact
+    longs and the greedy trajectory replays bit-identically in any
+    engine (for cosine semantics, feed pre-normalized vectors: at
+    deployment scale vectors are stored unit-normalized anyway).
+    Ties break by (higher relevance, lower candidate id): the fold
+    scans candidates in exactly that order and replaces only on a
+    STRICTLY better score, so the tie-break costs nothing.
+
+    Shape: shortlist via per-query window group-limit over the
+    relevance dots (corpus streams map-side against broadcast query
+    vectors); the pairwise-similarity matrix is shortlist-local
+    (queries x shortlist^2 rows); the greedy loop folds per query
+    over arrays — k x shortlist struct comparisons per query, pure
+    Column arithmetic, no Python, no driver state.
+    """
+    qlist = list(query_ids)
+    base = vectors.select(
+        F.col(key_col).alias("key"), F.col(vec_col).alias("vec")
+    )
+    queries = base.filter(F.col("key").isin(qlist)).select(
+        F.col("key").alias("qid"), F.col("vec").alias("qv")
+    )
+    rel = (
+        base.crossJoin(F.broadcast(queries))
+        .filter(F.col("key") != F.col("qid"))
+        .select(
+            "qid",
+            F.col("key").alias("cand_id"),
+            "vec",
+            _dot(F.col("qv"), F.col("vec")).cast("long").alias("rel"),
+        )
+    )
+    wq = Window.partitionBy("qid").orderBy(
+        F.col("rel").desc(), F.col("cand_id")
+    )
+    cands = (
+        rel.withColumn("rk", F.row_number().over(wq))
+        .filter(F.col("rk") <= shortlist)
+        .drop("rk")
+    )
+    a = cands.select("qid", F.col("cand_id").alias("a"), F.col("vec").alias("va"))
+    b = cands.select("qid", F.col("cand_id").alias("b"), F.col("vec").alias("vb"))
+    sims = (
+        a.join(b, "qid")
+        .filter(F.col("a") != F.col("b"))
+        .select(
+            "qid",
+            F.concat_ws("|", "a", "b").alias("ab"),
+            _dot(F.col("va"), F.col("vb")).cast("long").alias("sim"),
+        )
+    )
+    per_q = (
+        cands.select(
+            "qid",
+            F.struct(
+                (-F.col("rel")).alias("neg_rel"),
+                F.col("cand_id").alias("id"),
+                F.col("rel").alias("rel"),
+            ).alias("c"),
+        )
+        .groupBy("qid")
+        .agg(F.sort_array(F.collect_list("c")).alias("cands"))
+        .join(
+            sims.groupBy("qid").agg(
+                F.map_from_entries(
+                    F.collect_list(F.struct("ab", "sim"))
+                ).alias("smap")
+            ),
+            "qid",
+            "left",  # a 1-candidate shortlist has no pairs at all
+        )
+        .withColumn(
+            "smap",
+            F.coalesce(
+                F.col("smap"), F.expr("CAST(map() AS map<string,bigint>)")
+            ),
+        )
+    )
+    pick_t = "struct<id:bigint,rel:bigint,mmr:bigint>"
+    sel_t = "array<struct<id:bigint,rel:bigint,mmr:bigint,rank:int>>"
+    keep = F.lit(lam_num).cast("long")
+    drop = F.lit(lam_den - lam_num).cast("long")
+
+    def pick(sel):
+        sel_ids = F.transform(sel, lambda s: s["id"])
+
+        def step(best, c):
+            pen = F.when(
+                F.size(sel) == 0, F.lit(0).cast("long")
+            ).otherwise(
+                F.coalesce(
+                    F.array_max(
+                        F.transform(
+                            sel_ids,
+                            lambda s: F.element_at(
+                                F.col("smap"),
+                                F.concat_ws(
+                                    "|",
+                                    c["id"].cast("string"),
+                                    s.cast("string"),
+                                ),
+                            ),
+                        )
+                    ),
+                    F.lit(0).cast("long"),
+                )
+            )
+            score = keep * c["rel"] - drop * pen
+            taken = F.array_contains(sel_ids, c["id"])
+            better = best["id"].isNull() | (score > best["mmr"])
+            return F.when(taken, best).otherwise(
+                F.when(
+                    better,
+                    F.struct(
+                        c["id"].alias("id"),
+                        c["rel"].alias("rel"),
+                        score.alias("mmr"),
+                    ),
+                ).otherwise(best)
+            )
+
+        return F.aggregate(
+            F.col("cands"), F.expr(f"CAST(NULL AS {pick_t})"), step
+        )
+
+    def outer(sel, _):
+        p = pick(sel)
+        return F.array_append(
+            sel,
+            F.struct(
+                p["id"].alias("id"),
+                p["rel"].alias("rel"),
+                p["mmr"].alias("mmr"),
+                (F.size(sel) + 1).alias("rank"),
+            ),
+        )
+
+    selected = per_q.select(
+        "qid",
+        F.explode(
+            F.aggregate(
+                F.sequence(F.lit(1), F.lit(k)),
+                F.expr(f"CAST(array() AS {sel_t})"),
+                outer,
+            )
+        ).alias("s"),
+    )
+    # a shortlist smaller than k exhausts: the fold appends null picks
+    # past the end, dropped here
+    return selected.filter(F.col("s.id").isNotNull()).select(
+        "qid",
+        F.col("s.rank").alias("rank"),
+        F.col("s.id").alias("doc_id"),
+        F.col("s.rel").alias("rel"),
+        F.col("s.mmr").alias("mmr_scaled"),
+    )

@@ -8495,6 +8495,118 @@ def doc_hash_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# MMR diversified retrieval (llm/vectors.py:mmr_diversify) over the
+# hashing-trick embeddings: greedy maximal-marginal-relevance with
+# lam = 1/2 on INTEGER inner products — score_scaled = rel - max sim
+# to the already-picked set, every comparison an exact long, so the
+# whole greedy trajectory (ids, ranks, scaled scores) replays
+# bit-identically. The oracle unrolls the k greedy steps as CTEs:
+# step i ranks the not-yet-picked shortlist by (score desc, rel desc,
+# cid) and takes row 1 — exactly the fold's replace-on-strictly-
+# better scan order. Shape: shortlist by window group-limit, sims
+# shortlist-local (q x 12^2), selection pure Column folds.
+# ---------------------------------------------------------------------------
+_MMR_K = 5
+_MMR_SHORTLIST = 12
+
+
+def _mmr_step_cte(i: int) -> str:
+    prev = " UNION ALL ".join(
+        f"SELECT qid, cid FROM sel{j}" for j in range(1, i)
+    )
+    return (
+        f"prev{i} AS MATERIALIZED ({prev}), "
+        f"sel{i} AS MATERIALIZED ("
+        f"SELECT qid, cid, rel, (rel - p) AS mmr, {i} AS rank FROM ("
+        f"SELECT s.qid, s.cid, s.rel, pen.p, "
+        f"ROW_NUMBER() OVER (PARTITION BY s.qid "
+        f"ORDER BY (s.rel - pen.p) DESC, s.rel DESC, s.cid) AS rk "
+        f"FROM sl s JOIN LATERAL ("
+        f"SELECT MAX(m.sim) AS p FROM sim m "
+        f"JOIN prev{i} pv ON pv.qid = m.qid AND pv.cid = m.b "
+        f"WHERE m.qid = s.qid AND m.a = s.cid) pen ON TRUE "
+        f"WHERE NOT EXISTS (SELECT 1 FROM prev{i} p2 "
+        f"WHERE p2.qid = s.qid AND p2.cid = s.cid)"
+        f") WHERE rk = 1)"
+    )
+
+
+@query(
+    "mmr_diverse_retrieval",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    pd AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(w), 1, 15))::BIGINT % 64 AS INT)
+               AS d,
+             CASE WHEN ((('0x' || substr(md5(w), 1, 15))::BIGINT >> 6)
+                        & 1) = 0 THEN 1 ELSE -1 END AS sgn
+      FROM tok
+    ),
+    v AS MATERIALIZED (
+      SELECT doc_id, d, CAST(SUM(sgn) AS BIGINT) AS val
+      FROM pd GROUP BY doc_id, d
+    ),
+    dots AS MATERIALIZED (
+      SELECT a.doc_id AS x, b.doc_id AS y, SUM(a.val * b.val) AS dot
+      FROM v a JOIN v b ON b.d = a.d
+      GROUP BY x, y
+    ),
+    grid AS (
+      SELECT q.doc_id AS qid, c.doc_id AS cid
+      FROM (SELECT doc_id FROM documents WHERE doc_id IN (0,1,2,3,4)) q,
+           (SELECT doc_id FROM documents) c
+      WHERE c.doc_id <> q.doc_id
+    ),
+    sl AS MATERIALIZED (
+      SELECT qid, cid, rel FROM (
+        SELECT g.qid, g.cid,
+               CAST(COALESCE(d.dot, 0) AS BIGINT) AS rel,
+               ROW_NUMBER() OVER (PARTITION BY g.qid
+                                  ORDER BY COALESCE(d.dot, 0) DESC,
+                                           g.cid) AS rk
+        FROM grid g LEFT JOIN dots d ON d.x = g.qid AND d.y = g.cid
+      ) WHERE rk <= {_MMR_SHORTLIST}
+    ),
+    sim AS MATERIALIZED (
+      SELECT s1.qid, s1.cid AS a, s2.cid AS b,
+             CAST(COALESCE(d.dot, 0) AS BIGINT) AS sim
+      FROM sl s1 JOIN sl s2 ON s2.qid = s1.qid AND s2.cid <> s1.cid
+      LEFT JOIN dots d ON d.x = s1.cid AND d.y = s2.cid
+    ),
+    sel1 AS MATERIALIZED (
+      SELECT qid, cid, rel, rel AS mmr, 1 AS rank FROM (
+        SELECT qid, cid, rel,
+               ROW_NUMBER() OVER (PARTITION BY qid
+                                  ORDER BY rel DESC, cid) AS rk
+        FROM sl
+      ) WHERE rk = 1
+    ),
+    {", ".join(_mmr_step_cte(i) for i in range(2, _MMR_K + 1))}
+    SELECT qid, CAST(rank AS INT) AS rank, cid AS doc_id, rel,
+           mmr AS mmr_scaled
+    FROM ({" UNION ALL ".join(f"SELECT * FROM sel{i}"
+                              for i in range(1, _MMR_K + 1))})
+    """,
+)
+def mmr_diverse_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdk_dynamodb_cdc_spark.llm.text import hashed_doc_vectors
+
+    docs = load_table(spark, sf_dir, "documents")
+    vecs = hashed_doc_vectors(docs, dim=64)
+    return llm_vectors.mmr_diversify(
+        vecs,
+        query_ids=[0, 1, 2, 3, 4],
+        k=_MMR_K,
+        shortlist=_MMR_SHORTLIST,
+        lam_num=1,
+        lam_den=2,
+    )
+
+
+# ---------------------------------------------------------------------------
 # Deterministic epoch sharding (llm/curation.py:epoch_shards): the
 # "shuffle and split for training workers" step with zero RNG state —
 # shard from a salted hash, order within shard from the remaining

@@ -1775,3 +1775,31 @@ def test_pmi_collocations_discount_and_empty_tokens(spark):
         ).collect()
     }
     assert got == {("a", "b"): (6, 6, 6)}
+
+
+def test_mmr_diversify_prefers_diverse_over_duplicate(spark):
+    # id2 is an exact duplicate of id1; with lam=1/4 the redundancy
+    # penalty (3x) pushes the diverse id3 ahead of the duplicate
+    vecs = spark.createDataFrame(
+        [
+            (100, [10, 0]),
+            (1, [10, 0]),
+            (2, [10, 0]),
+            (3, [6, 4]),
+        ],
+        "key long, vec array<long>",
+    )
+    out = vectors.mmr_diversify(
+        vecs, query_ids=[100], k=3, shortlist=3, lam_num=1, lam_den=4
+    ).collect()
+    order = [r.doc_id for r in sorted(out, key=lambda r: r.rank)]
+    assert order == [1, 3, 2]
+    by_id = {r.doc_id: r for r in out}
+    assert by_id[1].mmr_scaled == 100   # 1*rel - 3*0
+    assert by_id[3].mmr_scaled == -120  # 60 - 3*60
+    assert by_id[2].mmr_scaled == -200  # 100 - 3*100
+    # shortlist smaller than k: exhausts without null rows
+    small = vectors.mmr_diversify(
+        vecs, query_ids=[100], k=5, shortlist=2
+    )
+    assert small.count() == 2
