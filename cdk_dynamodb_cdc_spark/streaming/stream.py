@@ -349,6 +349,83 @@ def windowed_change_counts(
     )
 
 
+TEMPORAL_TAGGED_SCHEMA = (
+    "k string, t timestamp, seq long, side int, v string"
+)
+TEMPORAL_ENRICHED_SCHEMA = "k string, t timestamp, seq long, v string"
+_TEMPORAL_STATE_SCHEMA = "v string, open boolean"
+
+
+def _temporal_enrich_group(key, batches, state):
+    import pandas as pd
+
+    v, is_open = state.get if state.exists else (None, False)
+    for pdf in batches:
+        pdf = pdf.sort_values(["t", "side", "seq"])
+        out_t, out_seq, out_v = [], [], []
+        for t, seq, side, val in zip(
+            pdf["t"], pdf["seq"], pdf["side"], pdf["v"]
+        ):
+            if side == 0:
+                # dim event: a value opens a new version (replacing the
+                # current one — at equal t, log order wins, matching the
+                # batch lane's widest-valid_to rule); a null value is a
+                # tombstone closing the key
+                if isinstance(val, str):
+                    v, is_open = val, True
+                else:
+                    v, is_open = None, False
+            else:
+                out_t.append(t)
+                out_seq.append(seq)
+                out_v.append(v if is_open else None)
+        if out_t:
+            yield pd.DataFrame(
+                {
+                    "k": key[0],
+                    "t": out_t,
+                    "seq": out_seq,
+                    "v": pd.array(out_v, dtype=object),
+                }
+            )
+    state.update((v, is_open))
+
+
+def temporal_enrich_stream(tagged: DataFrame) -> DataFrame:
+    """Streaming SCD2 temporal enrichment — the continuous form of
+    :func:`~cdk_dynamodb_cdc_spark.operators.asof.temporal_join`: a
+    single keyed stream interleaves dimension-version events (side 0:
+    a value opens a version, a NULL value is a tombstone) and fact
+    probes (side 1); each fact emits with the version open AT its
+    timestamp, NULL inside tombstone holes. Input columns
+    ``TEMPORAL_TAGGED_SCHEMA``, output ``TEMPORAL_ENRICHED_SCHEMA``.
+
+    State per key is ONE (value, open) cell — not the version history
+    — because enrichment only ever needs the current version when
+    facts arrive in per-key time order, the same per-key ordering
+    guarantee the CDC source provides (SURVEY.md §4) and that
+    ``reconstruct_old_images_stream`` already leans on; each
+    micro-batch additionally sorts its own rows by (t, side, seq) so
+    intra-batch interleavings are deterministic. A batch-parity pytest
+    pins this lane to ``temporal_join`` on the same rows.
+
+    Scale: state size = live keys x one value, incrementally
+    checkpointed; each micro-batch is one shuffle on the key. This is
+    the operator a 100-TB training-data join runs continuously —
+    enriching an event firehose with slowly-changing dimensions
+    without ever re-reading the dimension history.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return tagged.groupBy("k").applyInPandasWithState(
+        _temporal_enrich_group,
+        outputStructType=TEMPORAL_ENRICHED_SCHEMA,
+        stateStructType=_TEMPORAL_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def interval_join_streams(
     left: DataFrame,
     right: DataFrame,

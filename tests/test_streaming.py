@@ -1314,3 +1314,100 @@ def test_streaming_inverted_index_maintenance(spark, tmp_path):
     }
     assert got == want
     assert {d for d, _, _ in got} == {0, 4, 5}
+
+
+def test_temporal_enrich_stream_matches_batch_temporal_join(
+    spark, tmp_path
+):
+    """Streaming SCD2 enrichment (one (value, open) state cell per
+    key) equals the batch temporal_join on the same interleaved rows,
+    including tombstone holes, a version arriving in a later
+    micro-batch, and a same-instant version replacement."""
+    import datetime
+    import json as _json
+
+    from pyspark.sql import Window
+
+    from cdk_dynamodb_cdc_spark.operators.asof import temporal_join
+    from cdk_dynamodb_cdc_spark.streaming.stream import (
+        TEMPORAL_TAGGED_SCHEMA,
+        temporal_enrich_stream,
+    )
+
+    UTC = datetime.timezone.utc
+    t0 = datetime.datetime(2024, 1, 1, tzinfo=UTC)
+
+    def rec(k, minutes, seq, side, v):
+        return {
+            "k": k, "seq": seq, "side": side, "v": v,
+            "t": (t0 + datetime.timedelta(minutes=minutes)).strftime(
+                "%Y-%m-%dT%H:%M:%S.%f%z"),
+        }
+
+    batch0 = [
+        rec("A", 0, 1, 0, "v1"),
+        rec("A", 5, 2, 1, None),     # fact -> v1
+        rec("A", 10, 3, 0, "v2"),
+        rec("A", 10, 4, 1, None),    # fact AT the open instant -> v2
+        rec("A", 15, 5, 0, None),    # tombstone
+        rec("A", 20, 6, 1, None),    # fact in the hole -> NULL
+        rec("B", 7, 12, 1, None),    # key with no dim at all -> NULL
+    ]
+    batch1 = [
+        rec("A", 25, 7, 0, "v3"),    # reopens in a LATER micro-batch
+        rec("A", 30, 8, 1, None),    # fact -> v3
+        rec("A", 40, 9, 0, "v4"),
+        rec("A", 40, 10, 0, "v5"),   # same-instant replacement
+        rec("A", 40, 11, 1, None),   # fact -> v5 (log order wins)
+    ]
+    src = tmp_path / "src"
+    src.mkdir()
+    (src / "b0.json").write_text(
+        "\n".join(_json.dumps(r) for r in batch0) + "\n")
+    (src / "b1.json").write_text(
+        "\n".join(_json.dumps(r) for r in batch1) + "\n")
+
+    # batch reference: SCD2 intervals via lead over (t, seq) incl.
+    # tombstones, then the batch temporal join
+    tagged = spark.read.schema(TEMPORAL_TAGGED_SCHEMA).json(str(src))
+    w = Window.partitionBy("k").orderBy("t", "seq")
+    dim = (
+        tagged.filter(F.col("side") == 0)
+        .withColumn("valid_to", F.lead("t").over(w))
+        .filter(F.col("v").isNotNull())
+        .select("k", F.col("v").alias("state_v"),
+                F.col("t").alias("valid_from"), "valid_to")
+    )
+    facts = tagged.filter(F.col("side") == 1).select("k", "t", "seq")
+    expected = {
+        (r.k, r.seq): r.state_v
+        for r in temporal_join(
+            facts, dim, fact_time="t", keys=("k",),
+            value_cols=("state_v",),
+        ).collect()
+    }
+    assert expected == {
+        ("A", 2): "v1", ("A", 4): "v2", ("A", 6): None,
+        ("A", 8): "v3", ("A", 11): "v5", ("B", 12): None,
+    }
+
+    stream = (
+        spark.readStream.schema(TEMPORAL_TAGGED_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    q = (
+        temporal_enrich_stream(stream)
+        .writeStream.format("memory")
+        .queryName("temporal_enrich_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.k, r.seq): r.v
+        for r in spark.sql("SELECT * FROM temporal_enrich_out").collect()
+    }
+    assert got == expected
