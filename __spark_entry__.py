@@ -59,6 +59,7 @@ _GATE_PRIORITY = [
     'holt_revenue_trend',
     'lineitem_price_quantiles_twopass',
     'mmr_diverse_retrieval',
+    'paragraph_dedup_stats',
     'media_fingerprint_dedup',
     'embedding_sq8_topk',
     'cumulative_new_users',

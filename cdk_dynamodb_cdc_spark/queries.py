@@ -2263,6 +2263,76 @@ def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Paragraph-granularity dedup (the RefinedWeb / C4 sub-document
+# step): non-overlapping 10-token windows are the "paragraphs"; a
+# paragraph is duplicated when its exact text occurs in >= 2 distinct
+# documents (within-doc repetition is the Gopher operator's job).
+# Per document: chunk counts and the integer cross-multiplied drop
+# decision (2 * n_dup > n_chunks, no float ratio). Scale shape: the
+# chunk-keyed shuffle runs on md5 digests, fixed-width keys whatever
+# the paragraph length; both aggregations are map-side combinable.
+# ---------------------------------------------------------------------------
+@query(
+    "paragraph_dedup_stats",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws
+               FROM documents),
+    c AS (
+      SELECT doc_id,
+             md5(array_to_string(ws[s : least(s + 9, len(ws))], ' '))
+               AS ckey
+      FROM t, unnest(range(1, len(ws) + 1, 10)) AS u(s)
+    ),
+    nd AS (SELECT ckey, COUNT(DISTINCT doc_id) AS nd
+           FROM c GROUP BY ckey),
+    p AS (
+      SELECT doc_id, COUNT(*) AS n_chunks,
+             SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS n_dup
+      FROM c JOIN nd USING (ckey) GROUP BY doc_id
+    )
+    SELECT doc_id, CAST(n_chunks AS BIGINT) AS n_chunks,
+           CAST(n_dup AS BIGINT) AS n_dup_chunks,
+           (2 * n_dup > n_chunks) AS drop_doc
+    FROM p
+    """,
+)
+def paragraph_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    ws = F.split(F.col("text"), " ")
+    starts = F.sequence(F.lit(1), F.size(ws), F.lit(10))
+    ch = docs.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                starts,
+                lambda s: F.md5(F.array_join(F.slice(ws, s, 10), " ")),
+            )
+        ).alias("ckey"),
+    )
+    nd = ch.groupBy("ckey").agg(
+        F.count_distinct("doc_id").alias("nd")
+    )
+    return (
+        ch.join(nd, "ckey")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(F.when(F.col("nd") >= 2, 1).otherwise(0))
+            .cast("long")
+            .alias("n_dup_chunks"),
+        )
+        .select(
+            "doc_id",
+            "n_chunks",
+            "n_dup_chunks",
+            (2 * F.col("n_dup_chunks") > F.col("n_chunks")).alias(
+                "drop_doc"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Deterministic hash splits: reproducible train/val/test assignment by
 # content-independent key hashing (the standard reproducible-sampling
 # pattern for training corpora — no RNG state, stable under reruns and
