@@ -60,6 +60,7 @@ _GATE_PRIORITY = [
     'lineitem_price_quantiles_twopass',
     'mmr_diverse_retrieval',
     'paragraph_dedup_stats',
+    'media_transcript_alignment',
     'media_fingerprint_dedup',
     'embedding_sq8_topk',
     'cumulative_new_users',

@@ -1154,6 +1154,85 @@ def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# AV-transcript alignment: every sampled video frame attached to the
+# transcript token whose start offset is nearest at-or-before the
+# frame's byte offset — the frame <-> caption pairing step of any
+# audio/video training-data pipeline, here the multimodal lane
+# (mapInPandas frame sampler) composed with the as-of join. Token
+# start offsets are an exact cumulative sum (prior token lengths plus
+# separators); the oracle aligns with the textbook max-start-<=-offset
+# QUALIFY pick, certifying the union-merge as-of plan equivalent.
+# ---------------------------------------------------------------------------
+@query(
+    "media_transcript_alignment",
+    oracle="""
+    WITH m AS (SELECT doc_id, text,
+                      octet_length(encode(text)) AS n,
+                      octet_length(encode(text)) % 7 + 1 AS nf
+               FROM documents
+               WHERE source NOT IN ('src0', 'src1', 'src2', 'src3')),
+    fr AS (SELECT doc_id, CAST(f AS INT) AS frame_idx,
+                  CAST(f * (n // nf) AS BIGINT) AS frame_offset
+           FROM (SELECT doc_id, n, nf, unnest(range(0, nf)) AS f FROM m)),
+    tk AS (
+      SELECT doc_id, CAST(i - 1 AS INT) AS token_pos, ws[i] AS tok,
+             SUM(len(ws[i]) + 1) OVER (PARTITION BY doc_id ORDER BY i)
+               - len(ws[i]) - 1 AS tstart
+      FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM m),
+           unnest(range(1, len(ws) + 1)) AS u(i)
+    )
+    SELECT f.doc_id, f.frame_idx, f.frame_offset, t.token_pos,
+           t.tok AS token
+    FROM fr f JOIN tk t
+      ON t.doc_id = f.doc_id AND t.tstart <= f.frame_offset
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY f.doc_id, f.frame_idx
+                               ORDER BY t.tstart DESC) = 1
+    """,
+)
+def media_transcript_alignment(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from cdk_dynamodb_cdc_spark.operators.asof import asof_join
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = llm_media.attach_binary_payload(docs)
+    frames = llm_media.sample_frames(media)
+    # transcripts come from the raw docs; the video subset is defined
+    # once, in attach_binary_payload's media_type rule
+    vids = docs.join(
+        media.filter(F.col("media_type") == "video").select("doc_id"),
+        "doc_id",
+        "left_semi",
+    )
+    toks = vids.select(
+        F.col("doc_id").alias("t_doc"),
+        F.posexplode(F.split(F.col("text"), " ")).alias("token_pos", "token"),
+    )
+    wt = Window.partitionBy("t_doc").orderBy("token_pos")
+    toks = toks.select(
+        "t_doc",
+        F.col("token_pos").cast("int").alias("token_pos"),
+        "token",
+        (
+            F.sum(F.length("token") + 1).over(wt)
+            - F.length("token")
+            - 1
+        )
+        .cast("long")
+        .alias("tstart"),
+    )
+    return asof_join(
+        frames,
+        toks,
+        left_on="frame_offset",
+        right_on="tstart",
+        left_by="doc_id",
+        right_by="t_doc",
+        value_cols=["token_pos", "token"],
+    ).select("doc_id", "frame_idx", "frame_offset", "token_pos", "token")
+
+
+# ---------------------------------------------------------------------------
 # Streaming-operator semantics, oracle-checked in batch mode (DuckDB
 # cannot consume streams; the same expressions run under readStream in
 # streaming/stream.py): tumbling event-time windows and session windows.
