@@ -61,6 +61,7 @@ _GATE_PRIORITY = [
     'mmr_diverse_retrieval',
     'paragraph_dedup_stats',
     'media_transcript_alignment',
+    'budget_select_docs',
     'media_fingerprint_dedup',
     'embedding_sq8_topk',
     'cumulative_new_users',

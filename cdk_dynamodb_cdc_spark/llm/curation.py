@@ -625,3 +625,58 @@ def epoch_shards(
         .withColumn("position", F.row_number().over(w))
         .select(key_col, "shard", "position")
     )
+
+
+def budget_select(
+    scored: DataFrame,
+    *,
+    budget: int,
+    key_col: str = "doc_id",
+    score_col: str = "score",
+    token_col: str = "n_tokens",
+) -> DataFrame:
+    """Budget-constrained greedy selection: take documents in
+    (score desc, key asc) order while the cumulative token count stays
+    within ``budget`` (a document is selected iff the cumulative sum
+    INCLUDING it is <= budget) — the "best data under a token budget"
+    step of corpus curation (data-selection literature's top-k-by-
+    quality at a fixed training budget).
+
+    The textbook formulation is a GLOBAL ordered cumulative sum — a
+    full-corpus sort, the shape to avoid at 100 TB. This runs it as
+    threshold refinement instead (the two-pass exact-quantile
+    discipline): one per-score aggregation (driver receives <=
+    |distinct scores| rows — scores are small-integer quality
+    composites, a bounded domain by construction) locates the boundary
+    score s* and the residual budget inside it; the second pass takes
+    every document scoring above s* with a plain filter and resolves
+    only the s* group through a key-ordered cumulative window — one
+    score group sorted, never the corpus. Output: the selected rows
+    ``(key, score, n_tokens)``, bit-identical to the global greedy.
+    """
+    per_score = (
+        scored.groupBy(score_col)
+        .agg(F.sum(token_col).alias("toks"))
+        .collect()
+    )
+    remaining = budget
+    s_star = None
+    for row in sorted(per_score, key=lambda r: r[score_col], reverse=True):
+        if row["toks"] <= remaining:
+            remaining -= row["toks"]
+        else:
+            s_star = row[score_col]
+            break
+    base = scored.select(key_col, score_col, token_col)
+    if s_star is None:
+        # every score group fits: the whole corpus is within budget
+        return base
+    above = base.filter(F.col(score_col) > s_star)
+    w = Window.partitionBy(score_col).orderBy(key_col)
+    boundary = (
+        base.filter(F.col(score_col) == s_star)
+        .withColumn("__cum", F.sum(token_col).over(w))
+        .filter(F.col("__cum") <= remaining)
+        .drop("__cum")
+    )
+    return above.unionByName(boundary)

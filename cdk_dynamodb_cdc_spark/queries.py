@@ -862,6 +862,59 @@ def text_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Budget-constrained selection (llm/curation.py:budget_select): take
+# the best-scoring documents while the cumulative token count stays
+# within a fixed training budget. The quality proxy is an integer
+# composite (n_stop * 100 + min(n_tokens, 80)) so the order is exact;
+# the oracle is the textbook global ordered cumulative sum, while the
+# engine runs threshold refinement — driver sees only the per-score
+# totals, every score group above the boundary passes by plain
+# filter, and only the one boundary group is sorted. The green hash
+# certifies the refinement equals the global greedy prefix.
+# ---------------------------------------------------------------------------
+_BUDGET_TOKENS = 12000
+
+
+@query(
+    "budget_select_docs",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             len(string_split(text, ' ')) AS n_tokens,
+             len(list_filter(string_split(text, ' '),
+                             w -> w IN ({_STOP_LIST_SQL}))) AS n_stop
+      FROM documents
+    ), s AS (
+      SELECT doc_id,
+             CAST(n_stop * 100 + least(n_tokens, 80) AS BIGINT) AS score,
+             CAST(n_tokens AS BIGINT) AS n_tokens
+      FROM t
+    ), o AS (
+      SELECT doc_id, score, n_tokens,
+             SUM(n_tokens) OVER (ORDER BY score DESC, doc_id) AS cum
+      FROM s
+    )
+    SELECT doc_id, score, n_tokens FROM o WHERE cum <= {_BUDGET_TOKENS}
+    """,
+)
+def budget_select_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdk_dynamodb_cdc_spark.llm.curation import budget_select
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n_tokens = F.size(toks)
+    n_stop = llm_text._hits(toks, llm_text.EN_STOPWORDS)
+    scored = docs.select(
+        "doc_id",
+        (n_stop * 100 + F.least(n_tokens, F.lit(80)))
+        .cast("long")
+        .alias("score"),
+        n_tokens.cast("long").alias("n_tokens"),
+    )
+    return budget_select(scored, budget=_BUDGET_TOKENS)
+
+
+# ---------------------------------------------------------------------------
 # Heuristic language ID vs the corpus label: confusion counts. (The
 # corpus text is synthetic English-ish word salad regardless of label,
 # so the interesting output is the machinery, verified exactly.)

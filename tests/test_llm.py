@@ -1803,3 +1803,23 @@ def test_mmr_diversify_prefers_diverse_over_duplicate(spark):
         vecs, query_ids=[100], k=5, shortlist=2
     )
     assert small.count() == 2
+
+
+def test_budget_select_boundary_prefix(spark):
+    from cdk_dynamodb_cdc_spark.llm.curation import budget_select
+
+    # score 9 group (10 tokens) fits whole; score 5 group is the
+    # boundary: remaining budget 7 admits d3 (4) then d4 (3) but not
+    # d5; score 1 group is past the boundary and fully excluded
+    scored = spark.createDataFrame(
+        [
+            ("d1", 9, 6), ("d2", 9, 4),
+            ("d3", 5, 4), ("d4", 5, 3), ("d5", 5, 2),
+            ("d6", 1, 1),
+        ],
+        "doc_id string, score long, n_tokens long",
+    )
+    got = {r.doc_id for r in budget_select(scored, budget=17).collect()}
+    assert got == {"d1", "d2", "d3", "d4"}
+    # whole corpus within budget -> everything selected
+    assert budget_select(scored, budget=100).count() == 6
