@@ -62,6 +62,7 @@ _GATE_PRIORITY = [
     'paragraph_dedup_stats',
     'media_transcript_alignment',
     'budget_select_docs',
+    'lineitem_weighted_price_quantiles',
     'media_fingerprint_dedup',
     'embedding_sq8_topk',
     'cumulative_new_users',

@@ -107,3 +107,86 @@ def exact_quantiles_two_pass(
         .select("q", F.col(value_col).alias("value"))
     )
     return picked
+
+
+def exact_weighted_quantiles_two_pass(
+    df: DataFrame,
+    value_col: str,
+    weight_col: str,
+    qs: tuple[tuple[str, int, int], ...],
+    *,
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """Exact WEIGHTED quantiles, same two-pass refinement as
+    :func:`exact_quantiles_two_pass` with the histogram summing
+    integer weights instead of counting rows: the answer for
+    ``q = num/den`` is the smallest value whose cumulative weight
+    reaches ``ceil(q * W)``, W the total weight — the discrete
+    weighted-quantile convention, engines replay it with a cumulative
+    window. ``qs`` entries are ``(label, num, den)`` RATIONALS so the
+    target rank is the exact integer ``(num*W + den - 1) // den`` —
+    a float ``ceil(q * W)`` flips at representation boundaries
+    (0.99 has no finite binary form), precisely the class of
+    large-scale last-ulp divergence the sf0.1 robustness sweeps exist
+    to catch. Weights must be non-negative integers (cast upstream);
+    zero-weight rows can never be picked (the cumulative sum does not
+    advance through them, and a bucket of only zero-weight rows is
+    never targeted).
+    """
+    stats = df.select(
+        F.min(value_col).alias("lo"),
+        F.max(value_col).alias("hi"),
+        F.sum(weight_col).alias("tw"),
+    ).collect()[0]
+    lo, hi, tw = stats["lo"], stats["hi"], stats["tw"]
+    spark = df.sparkSession
+    if not tw:
+        return spark.createDataFrame([], "q string, value double")
+    width = (float(hi) - float(lo)) / n_buckets or 1.0
+    bucket = F.least(
+        F.greatest(
+            F.floor((F.col(value_col) - F.lit(float(lo))) / F.lit(width)),
+            F.lit(0),
+        ),
+        F.lit(n_buckets - 1),
+    ).cast("int")
+    counted = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(bucket.alias("__b"), F.col(weight_col).alias("__w"))
+        .groupBy("__b")
+        .agg(F.sum("__w").alias("c"))
+        .collect()
+    )
+    hist = {r["__b"]: r["c"] for r in counted}
+    targets = []  # (label, bucket, residual in-bucket weight rank)
+    for label, num, den in qs:
+        rank = max(1, (num * int(tw) + den - 1) // den)
+        cum = 0
+        for b in range(n_buckets):
+            c = hist.get(b, 0)
+            if cum + c >= rank:
+                targets.append((label, b, rank - cum))
+                break
+            cum += c
+    tdf = F.broadcast(
+        spark.createDataFrame(targets, "q string, __b int, __rank long")
+    )
+    w = Window.partitionBy("__b").orderBy(value_col).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    needed = sorted({b for _, b, _ in targets})
+    slice_df = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(F.col(value_col), bucket.alias("__b"), F.col(weight_col).alias("__w"))
+        .filter(F.col("__b").isin(needed))
+        .withColumn("__cw", F.sum("__w").over(w))
+    )
+    # smallest value whose cumulative weight reaches the residual rank:
+    # min over qualifying rows (equal values share the crossing value,
+    # so the pick is deterministic whatever the tie order)
+    return (
+        slice_df.join(tdf, ["__b"])
+        .filter(F.col("__cw") >= F.col("__rank"))
+        .groupBy("q")
+        .agg(F.min(value_col).alias("value"))
+    )

@@ -3011,6 +3011,62 @@ def lineitem_price_quantiles_twopass(
 
 
 # ---------------------------------------------------------------------------
+# WEIGHTED exact quantiles (operators/quantiles.py:
+# exact_weighted_quantiles_two_pass): smallest price whose cumulative
+# quantity-weight reaches ceil(q*W) — quantity-weighted price
+# quartiles, the robust-statistics form. Same two-pass refinement (the
+# histogram sums weights), and the target rank is computed as the
+# exact rational (num*W + den - 1) // den in BOTH engines: a float
+# ceil(0.99 * W) flips at binary-representation boundaries, the
+# last-ulp class of large-SF divergence.
+# ---------------------------------------------------------------------------
+@query(
+    "lineitem_weighted_price_quantiles",
+    oracle="""
+    WITH s AS (SELECT l_extendedprice AS v,
+                      CAST(l_quantity AS BIGINT) AS wt
+               FROM lineitem),
+    tot AS (SELECT SUM(wt) AS tw FROM s),
+    c AS (SELECT v, SUM(wt) OVER (ORDER BY v
+                                  ROWS UNBOUNDED PRECEDING) AS cw
+          FROM s)
+    SELECT q, CAST(val AS DOUBLE) AS value FROM (
+      SELECT '0.25' AS q,
+             (SELECT MIN(v) FROM c, tot
+              WHERE cw >= (1 * tw + 3) // 4) AS val
+      UNION ALL
+      SELECT '0.5',
+             (SELECT MIN(v) FROM c, tot WHERE cw >= (1 * tw + 1) // 2)
+      UNION ALL
+      SELECT '0.9',
+             (SELECT MIN(v) FROM c, tot WHERE cw >= (9 * tw + 9) // 10)
+      UNION ALL
+      SELECT '0.99',
+             (SELECT MIN(v) FROM c, tot
+              WHERE cw >= (99 * tw + 99) // 100)
+    )
+    """,
+)
+def lineitem_weighted_price_quantiles(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from cdk_dynamodb_cdc_spark.operators.quantiles import (
+        exact_weighted_quantiles_two_pass,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_extendedprice",
+        F.col("l_quantity").cast("long").alias("qty_w"),
+    )
+    return exact_weighted_quantiles_two_pass(
+        li,
+        "l_extendedprice",
+        "qty_w",
+        (("0.25", 1, 4), ("0.5", 1, 2), ("0.9", 9, 10), ("0.99", 99, 100)),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Forward as-of join: each order-day attaches the customer's EARLIEST
 # event at-or-after the order date (the corpus's events all postdate
 # its orders, so customers who appear in the events table match — the
