@@ -60,15 +60,15 @@ def test_oracle_tables_are_registered_views():
         tables = set(
             m.group(2).lower()
             for m in re.finditer(r"\b(FROM|JOIN)\s+([A-Za-z_][A-Za-z0-9_]*)", scannable)
-        )
+        ) - {"lateral"}  # JOIN LATERAL (subquery) — not a table name
         # names bound by a WITH clause in the same statement are fine
-        # (WITH RECURSIVE and column-list CTEs like `reach(node, lbl) AS`
-        # included)
+        # (WITH RECURSIVE, column-list CTEs like `reach(node, lbl) AS`,
+        # and `AS MATERIALIZED` included)
         ctes = set(
             m.group(1).lower()
             for m in re.finditer(
                 r"(?:WITH(?:\s+RECURSIVE)?|,)\s*([A-Za-z_][A-Za-z0-9_]*)"
-                r"\s*(?:\([^)]*\))?\s+AS\s*\(",
+                r"\s*(?:\([^)]*\))?\s+AS\s*(?:MATERIALIZED\s*)?\(",
                 sql,
             )
         )
