@@ -63,6 +63,7 @@ _GATE_PRIORITY = [
     'media_transcript_alignment',
     'budget_select_docs',
     'lineitem_weighted_price_quantiles',
+    'hbos_event_outliers',
     'media_fingerprint_dedup',
     'embedding_sq8_topk',
     'cumulative_new_users',

@@ -5525,6 +5525,68 @@ def value_histogram_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Histogram-based outlier score (HBOS, Goldstein & Dengel 2012) over
+# events: each event's anomaly score is the PRODUCT of its per-feature
+# histogram bin counts (value band, hour of day, weekday) — rare
+# feature combinations score low. The canonical HBOS sums log inverse
+# densities; the product of integer counts is the same ORDER without
+# a single float (log is monotone), so the top-20 outlier list is
+# exact in both engines. Shape: three tiny feature histograms (20/24/7
+# rows, broadcast back), one scan, TakeOrderedAndProject for the
+# bounded output. BIGINT products hold to ~sf100; the DECIMAL(19,0)
+# widening used by the PMI operator is the 100-TB path.
+# ---------------------------------------------------------------------------
+@query(
+    "hbos_event_outliers",
+    oracle="""
+    WITH f AS (
+      SELECT event_id,
+             CAST(LEAST(FLOOR(value / 25.0), 19) AS INT) AS vb,
+             CAST(EXTRACT(hour FROM ts) AS INT) AS hr,
+             CAST(isodow(ts) - 1 AS INT) AS dw
+      FROM events
+    ),
+    cv AS (SELECT vb, COUNT(*) AS nv FROM f GROUP BY vb),
+    ch AS (SELECT hr, COUNT(*) AS nh FROM f GROUP BY hr),
+    cd AS (SELECT dw, COUNT(*) AS nd FROM f GROUP BY dw)
+    SELECT f.event_id, f.vb, f.hr, f.dw,
+           CAST(nv * nh * nd AS BIGINT) AS score
+    FROM f JOIN cv USING (vb) JOIN ch USING (hr) JOIN cd USING (dw)
+    ORDER BY score, event_id LIMIT 20
+    """,
+)
+def hbos_event_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    f = ev.select(
+        "event_id",
+        F.least(F.floor(F.col("value") / 25.0), F.lit(19))
+        .cast("int")
+        .alias("vb"),
+        F.hour("ts").cast("int").alias("hr"),
+        F.weekday("ts").cast("int").alias("dw"),
+    )
+    cv = f.groupBy("vb").agg(F.count(F.lit(1)).alias("nv"))
+    ch = f.groupBy("hr").agg(F.count(F.lit(1)).alias("nh"))
+    cd = f.groupBy("dw").agg(F.count(F.lit(1)).alias("nd"))
+    return (
+        f.join(F.broadcast(cv), "vb")
+        .join(F.broadcast(ch), "hr")
+        .join(F.broadcast(cd), "dw")
+        .select(
+            "event_id",
+            "vb",
+            "hr",
+            "dw",
+            (F.col("nv") * F.col("nh") * F.col("nd"))
+            .cast("long")
+            .alias("score"),
+        )
+        .orderBy("score", "event_id")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
 # Time-weighted average (TWAP-style): each event's value weighted by the
 # microseconds until the same user's next event, aggregated per type.
 # The weighting products run in exact decimal (value DECIMAL(18,6) x
