@@ -64,6 +64,7 @@ _GATE_PRIORITY = [
     'budget_select_docs',
     'lineitem_weighted_price_quantiles',
     'hbos_event_outliers',
+    'orders_price_date_skyline',
     'media_fingerprint_dedup',
     'embedding_sq8_topk',
     'cumulative_new_users',

@@ -3067,6 +3067,55 @@ def lineitem_weighted_price_quantiles(
 
 
 # ---------------------------------------------------------------------------
+# 2-D skyline (Pareto frontier): orders not strictly dominated on
+# (earlier date, lower price). The oracle states the definition as
+# the quadratic NOT EXISTS; the engine collapses it to a per-day
+# minimum pre-aggregate plus a running-min window over the days-sized
+# series (dominated iff some strictly earlier DAY carries a strictly
+# lower price — the per-day min is the only candidate that matters),
+# so the quadratic never materializes at any scale. The green hash is
+# the equivalence proof.
+# ---------------------------------------------------------------------------
+@query(
+    "orders_price_date_skyline",
+    oracle="""
+    SELECT a.o_orderkey, a.o_orderdate, a.o_totalprice
+    FROM orders a
+    WHERE NOT EXISTS (
+      SELECT 1 FROM orders b
+      WHERE b.o_orderdate < a.o_orderdate
+        AND b.o_totalprice < a.o_totalprice
+    )
+    """,
+)
+def orders_price_date_skyline(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    od = load_table(spark, sf_dir, "orders")
+    daily = od.groupBy("o_orderdate").agg(
+        F.min("o_totalprice").alias("day_min")
+    )
+    wd = Window.orderBy("o_orderdate").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    # running min of the per-day minima over STRICTLY earlier days —
+    # an unpartitioned window, but over the days-sized pre-aggregate
+    # (the ACF/seasonal bounded-series argument)
+    frontier_days = daily.select(
+        "o_orderdate",
+        F.min("day_min").over(wd).alias("prev_min"),
+    )
+    return (
+        od.join(F.broadcast(frontier_days), "o_orderdate")
+        .filter(
+            F.col("prev_min").isNull()
+            | (F.col("o_totalprice") <= F.col("prev_min"))
+        )
+        .select("o_orderkey", "o_orderdate", "o_totalprice")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Forward as-of join: each order-day attaches the customer's EARLIEST
 # event at-or-after the order date (the corpus's events all postdate
 # its orders, so customers who appear in the events table match — the
