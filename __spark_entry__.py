@@ -65,6 +65,7 @@ _GATE_PRIORITY = [
     'lineitem_weighted_price_quantiles',
     'hbos_event_outliers',
     'orders_price_date_skyline',
+    'attribution_linear_touch',
     'media_fingerprint_dedup',
     'embedding_sq8_topk',
     'cumulative_new_users',

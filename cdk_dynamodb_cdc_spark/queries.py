@@ -6234,6 +6234,95 @@ def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# LINEAR multi-touch attribution: every non-purchase touch in a
+# journey (the events since the user's previous purchase) shares the
+# conversion credit equally. Exact integer apportionment — each touch
+# gets floor(1e6 / n) ppm and the remainder goes to the EARLIEST
+# touches (largest-remainder discipline, one ppm each), so per-type
+# credit totals are exact BIGINTs that provably sum to
+# 1e6 x attributed conversions. Shape: two user-keyed windows
+# (journey id = running prior-purchase count; touch position within
+# journey) + one journey-keyed join + one small per-type aggregation.
+# ---------------------------------------------------------------------------
+@query(
+    "attribution_linear_touch",
+    oracle="""
+    WITH j AS (
+      SELECT user_id, event_type, event_id, ts,
+             COALESCE(SUM(CASE WHEN event_type = 'purchase'
+                               THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               0) AS journey
+      FROM events
+    ),
+    t AS (
+      SELECT user_id, journey, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id, journey
+                                ORDER BY ts, event_id) AS pos,
+             COUNT(*) OVER (PARTITION BY user_id, journey) AS n
+      FROM j WHERE event_type <> 'purchase'
+    ),
+    conv AS (
+      SELECT DISTINCT user_id, journey FROM j
+      WHERE event_type = 'purchase'
+    )
+    SELECT t.event_type AS attributed_type,
+           CAST(COUNT(*) AS BIGINT) AS n_touches,
+           CAST(SUM(1000000 // n
+                    + CASE WHEN pos <= 1000000 % n THEN 1 ELSE 0 END)
+                AS BIGINT) AS credit_ppm
+    FROM t JOIN conv USING (user_id, journey)
+    GROUP BY t.event_type
+    """,
+)
+def attribution_linear_touch(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w_prior = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    j = ev.select(
+        "user_id",
+        "event_type",
+        "event_id",
+        "ts",
+        F.coalesce(
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).over(w_prior),
+            F.lit(0),
+        ).alias("journey"),
+    )
+    wj = Window.partitionBy("user_id", "journey").orderBy("ts", "event_id")
+    wn = Window.partitionBy("user_id", "journey")
+    t = (
+        j.filter(F.col("event_type") != "purchase")
+        .withColumn("pos", F.row_number().over(wj))
+        .withColumn("n", F.count(F.lit(1)).over(wn))
+    )
+    conv = (
+        j.filter(F.col("event_type") == "purchase")
+        .select("user_id", "journey")
+        .distinct()
+    )
+    credit = F.floor(F.lit(1000000) / F.col("n")).cast("long") + F.when(
+        F.col("pos") <= F.lit(1000000) % F.col("n"), 1
+    ).otherwise(0)
+    return (
+        t.join(conv, ["user_id", "journey"])
+        .groupBy(F.col("event_type").alias("attributed_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_touches"),
+            F.sum(credit).cast("long").alias("credit_ppm"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Sequence mining: the most common 3-step event paths WITHIN a session
 # (30-minute-gap sessionization). Trigrams come from two leads inside
 # the session window — no self-joins, no explode of whole sequences —
