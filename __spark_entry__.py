@@ -66,6 +66,7 @@ _GATE_PRIORITY = [
     'hbos_event_outliers',
     'orders_price_date_skyline',
     'attribution_linear_touch',
+    'user_event_diversity',
     'media_fingerprint_dedup',
     'embedding_sq8_topk',
     'cumulative_new_users',

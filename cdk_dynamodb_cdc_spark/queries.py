@@ -6234,6 +6234,58 @@ def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Behavioral diversity per user: the Gini–Simpson index (probability
+# two random events differ in type) — the entropy-style diversity
+# feature, but exactly rational: 1 - sum(n_i (n_i - 1)) / (N (N - 1))
+# emitted as floor-scaled ppm, every step integer (Shannon entropy
+# would drag libm logs into the result). Shape: one (user, type)
+# count + one per-user fold; users with one event are excluded (the
+# index is undefined at N = 1).
+# ---------------------------------------------------------------------------
+@query(
+    "user_event_diversity",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, event_type, COUNT(*) AS n_i
+      FROM events GROUP BY user_id, event_type
+    ), u AS (
+      SELECT user_id, SUM(n_i) AS n, COUNT(*) AS n_types,
+             SUM(n_i * (n_i - 1)) AS s
+      FROM c GROUP BY user_id HAVING SUM(n_i) >= 2
+    )
+    SELECT user_id, CAST(n AS BIGINT) AS n_events,
+           CAST(n_types AS BIGINT) AS n_types,
+           CAST(1000000 * (n * (n - 1) - s) // (n * (n - 1)) AS BIGINT)
+             AS diversity_ppm
+    FROM u
+    """,
+)
+def user_event_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n_i")
+    )
+    u = (
+        c.groupBy("user_id")
+        .agg(
+            F.sum("n_i").alias("n"),
+            F.count(F.lit(1)).alias("n_types"),
+            F.sum(F.col("n_i") * (F.col("n_i") - 1)).alias("s"),
+        )
+        .filter(F.col("n") >= 2)
+    )
+    # integral div, not floor(double /): the scaled numerator passes
+    # 2^53 at large SFs and a double quotient would round differently
+    return u.selectExpr(
+        "user_id",
+        "CAST(n AS BIGINT) AS n_events",
+        "CAST(n_types AS BIGINT) AS n_types",
+        "CAST((1000000 * (n * (n - 1) - s)) DIV (n * (n - 1)) AS BIGINT)"
+        " AS diversity_ppm",
+    )
+
+
+# ---------------------------------------------------------------------------
 # LINEAR multi-touch attribution: every non-purchase touch in a
 # journey (the events since the user's previous purchase) shares the
 # conversion credit equally. Exact integer apportionment — each touch
