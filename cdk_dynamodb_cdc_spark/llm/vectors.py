@@ -1200,10 +1200,15 @@ def mmr_diversify(
     wq = Window.partitionBy("qid").orderBy(
         F.col("rel").desc(), F.col("cand_id")
     )
+    # materialize the shortlist once: three consumers (both sides of
+    # the similarity self-join and the per-query fold) would otherwise
+    # each recompute the corpus-wide relevance ranking — the
+    # checkpointed frame is queries x shortlist rows, trivially small
     cands = (
         rel.withColumn("rk", F.row_number().over(wq))
         .filter(F.col("rk") <= shortlist)
         .drop("rk")
+        .localCheckpoint(eager=True)
     )
     a = cands.select("qid", F.col("cand_id").alias("a"), F.col("vec").alias("va"))
     b = cands.select("qid", F.col("cand_id").alias("b"), F.col("vec").alias("vb"))

@@ -5614,9 +5614,25 @@ def hbos_event_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hour("ts").cast("int").alias("hr"),
         F.weekday("ts").cast("int").alias("dw"),
     )
-    cv = f.groupBy("vb").agg(F.count(F.lit(1)).alias("nv"))
-    ch = f.groupBy("hr").agg(F.count(F.lit(1)).alias("nh"))
-    cd = f.groupBy("dw").agg(F.count(F.lit(1)).alias("nd"))
+    # all three feature histograms from ONE scan: grouping sets emits
+    # the (vb), (hr), (dw) slices in a single map-side-combined pass
+    # instead of three scans of the fact table
+    # checkpointed (<= 20+24+7 rows): the three slice consumers would
+    # otherwise each re-expand the scan + grouping-sets subtree
+    hists = (
+        f.groupingSets([["vb"], ["hr"], ["dw"]], "vb", "hr", "dw")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=True)
+    )
+    cv = hists.filter(F.col("vb").isNotNull()).select(
+        "vb", F.col("n").alias("nv")
+    )
+    ch = hists.filter(F.col("hr").isNotNull()).select(
+        "hr", F.col("n").alias("nh")
+    )
+    cd = hists.filter(F.col("dw").isNotNull()).select(
+        "dw", F.col("n").alias("nd")
+    )
     return (
         f.join(F.broadcast(cv), "vb")
         .join(F.broadcast(ch), "hr")
