@@ -11090,3 +11090,182 @@ def media_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(dup, F.col("n_copies") - 1).otherwise(F.lit(0))
         ).alias("n_redundant"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Kaplan-Meier survival estimation over session durations: the
+# standard right-censored product-limit estimator. Each gap-based
+# session (the sessionize_events definition: 30-min inactivity cuts)
+# is one spell; lifetime t = floor(duration minutes); a session whose
+# last event falls in the final hour of the observed window is
+# CENSORED (it may still be running past the corpus horizon), all
+# others "died" at t. The survival curve
+# S(t) = prod_{t_i <= t} (n_i - d_i) / n_i runs in FIXED-POINT integer
+# arithmetic (scale 10^12, exact decimal floor-div — all operands
+# positive so floor == trunc) as the repo's sorted-fold, so the whole
+# trajectory hashes bit-identically; the oracle replays the recursion
+# as a recursive CTE. Scale shape: the sessionization window
+# partitions by user, the spell labels reduce per (user, session) —
+# both map-side-combinable shuffles on user — then everything
+# downstream is bounded by DISTINCT MINUTE DURATIONS (<= max session
+# length in minutes, a few hundred rows at any SF): the unpartitioned
+# at-risk window and the product fold run over that bounded series,
+# never over sessions.
+# ---------------------------------------------------------------------------
+@query(
+    "session_kaplan_meier",
+    oracle="""
+    WITH RECURSIVE horizon AS (
+      SELECT MAX(ts) AS hmax FROM events
+    ), gaps AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER w)
+                       > 1800000000
+                  OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END
+               AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id
+                 ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_id
+      FROM gaps
+    ), lab AS (
+      SELECT user_id, session_id,
+             (epoch_us(MAX(ts)) - epoch_us(MIN(ts)))
+               // 60000000 AS t,
+             CASE WHEN epoch_us(MAX(ts))
+                       >= epoch_us(MAX(hmax)) - 3600000000
+                  THEN 1 ELSE 0 END AS censored
+      FROM sess CROSS JOIN horizon
+      GROUP BY user_id, session_id
+    ), risk AS (
+      SELECT t, CAST(SUM(1 - censored) AS BIGINT) AS d,
+             CAST(SUM(censored) AS BIGINT) AS c
+      FROM lab GROUP BY t
+    ), tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM lab),
+    ordered AS (
+      SELECT t, d, c,
+             n - COALESCE(SUM(d + c) OVER (ORDER BY t
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                 0) AS n_risk,
+             ROW_NUMBER() OVER (ORDER BY t) AS rn
+      FROM risk CROSS JOIN tot
+    ), km AS (
+      SELECT rn, t, d, c, n_risk,
+             (CAST(1000000000000 AS HUGEINT) * (n_risk - d))
+               // n_risk AS s
+      FROM ordered WHERE rn = 1
+      UNION ALL
+      SELECT o.rn, o.t, o.d, o.c, o.n_risk,
+             (k.s * (o.n_risk - o.d)) // o.n_risk
+      FROM km k JOIN ordered o ON o.rn = k.rn + 1
+    )
+    SELECT CAST(t AS INT) AS duration_min,
+           n_risk AS n_at_risk, d AS n_deaths, c AS n_censored,
+           CAST(s AS BIGINT) AS surv_scaled,
+           CAST(s AS DOUBLE) / 1e12 AS surv
+    FROM km
+    """,
+)
+def session_kaplan_meier(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    horizon = ev.agg(_epoch_us(F.max("ts")).alias("hmax_us"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = _epoch_us(F.col("ts")) - _epoch_us(F.lag("ts").over(w))
+    new_session = F.when(
+        gap_us.isNull() | (gap_us > 30 * 60 * 1_000_000), 1
+    ).otherwise(0)
+    wsum = Window.partitionBy("user_id").orderBy(
+        "ts", "event_id"
+    ).rowsBetween(Window.unboundedPreceding, 0)
+    sess = ev.withColumn("new_session", new_session).withColumn(
+        "session_id", F.sum("new_session").over(wsum)
+    )
+    spells = sess.groupBy("user_id", "session_id").agg(
+        _epoch_us(F.min("ts")).alias("start_us"),
+        _epoch_us(F.max("ts")).alias("end_us"),
+    )
+    lab = spells.crossJoin(F.broadcast(horizon)).select(
+        F.expr("(end_us - start_us) div 60000000").alias("t"),
+        F.when(
+            F.col("end_us") >= F.col("hmax_us") - 3_600_000_000,
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("censored"),
+    )
+    risk = lab.groupBy("t").agg(
+        F.sum(1 - F.col("censored")).alias("d"),
+        F.sum("censored").alias("c"),
+    )
+    tot = lab.agg(F.count(F.lit(1)).alias("n"))
+    w_prev = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, -1
+    )  # lifetime-days-sized series: the unpartitioned window is bounded
+    ordered = risk.crossJoin(F.broadcast(tot)).select(
+        "t",
+        "d",
+        "c",
+        (
+            F.col("n")
+            - F.coalesce(
+                F.sum(F.col("d") + F.col("c")).over(w_prev), F.lit(0)
+            )
+        ).alias("n_risk"),
+    )
+    row_t = (
+        "array<struct<t:bigint,d:bigint,c:bigint,n_risk:bigint,"
+        "s:bigint>>"
+    )
+
+    def step(acc, x):
+        first = F.size(acc["rows"]) == 0
+        base = F.when(first, F.lit(10**12).cast("long")).otherwise(
+            acc["s"]
+        )
+        # Exact floor division in DECIMAL (not the double trick Holt
+        # uses): base * n_risk reaches 2^53 at ~9000 users, so the
+        # numerator is widened to decimal(38,0) where the product,
+        # pmod, and exactly-divisible quotient all stay exact at any
+        # population size.
+        num = base.cast("decimal(38,0)") * (
+            x["n_risk"] - x["d"]
+        ).cast("decimal(19,0)")
+        den = x["n_risk"].cast("decimal(19,0)")
+        s_new = ((num - F.pmod(num, den)) / den).cast("long")
+        row = F.struct(
+            x["t"].alias("t"),
+            x["d"].alias("d"),
+            x["c"].alias("c"),
+            x["n_risk"].alias("n_risk"),
+            s_new.alias("s"),
+        )
+        return F.struct(
+            s_new.alias("s"),
+            F.array_append(acc["rows"], row).alias("rows"),
+        )
+
+    series = ordered.agg(
+        F.sort_array(
+            F.collect_list(F.struct("t", "d", "c", "n_risk"))
+        ).alias("rs")
+    )
+    init = F.struct(
+        F.lit(0).cast("long").alias("s"),
+        F.expr(f"CAST(array() AS {row_t})").alias("rows"),
+    )
+    return series.select(
+        F.explode(F.aggregate("rs", init, step)["rows"]).alias("r")
+    ).select(
+        F.col("r.t").cast("int").alias("duration_min"),
+        F.col("r.n_risk").alias("n_at_risk"),
+        F.col("r.d").alias("n_deaths"),
+        F.col("r.c").alias("n_censored"),
+        F.col("r.s").alias("surv_scaled"),
+        (F.col("r.s").cast("double") / F.lit(1e12)).alias("surv"),
+    )
