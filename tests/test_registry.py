@@ -53,6 +53,9 @@ def test_oracle_tables_are_registered_views():
         "lineitem", "events", "documents", "embeddings",
     }
     for name, sql in ORACLES.items():
+        # -- line comments may sit between a CTE's comma and its name;
+        # strip them so the CTE regex sees contiguous SQL
+        sql = re.sub(r"--[^\n]*", "", sql)
         # EXTRACT(unit FROM col) is the one FROM that names a column
         scannable = re.sub(
             r"EXTRACT\s*\(\s*\w+\s+FROM\s+\w+\s*\)", "", sql, flags=re.I
