@@ -11269,3 +11269,151 @@ def session_kaplan_meier(
         F.col("r.s").alias("surv_scaled"),
         (F.col("r.s").cast("double") / F.lit(1e12)).alias("surv"),
     )
+
+
+# ---------------------------------------------------------------------------
+# HITS (Kleinberg hubs & authorities) over the same weighted
+# event-type transition graph PageRank uses: three synchronous
+# rounds, each an authority update (a <- sum of in-edge cnt * hub)
+# then a hub update (h <- sum of out-edge cnt * auth), with L1
+# renormalization to scale 10^9 after every half-step so the vectors
+# stay integer and bounded. All arithmetic is FIXED-POINT: raw sums
+# are exact BIGINTs (cnt * value <= 1e15 at sf1; a 100-TB deployment
+# widens the raws to DECIMAL), and the renormalizing division
+# (v * 10^9) div norm runs in DECIMAL(38,0) via the exactly-divisible
+# pmod trick so both engines truncate identically. Scale shape: the
+# graph is schema-bounded (event-type vocabulary squared) and
+# persisted once; each half-step is one broadcast join + one
+# map-side-combinable aggregate, the norm a 1-row broadcast — on a
+# big graph the identical loop runs as shuffle joins keyed on src/dst.
+# ---------------------------------------------------------------------------
+def _hits_oracle() -> str:
+    blocks = ["""
+    WITH seq AS (
+      SELECT event_type,
+             LEAD(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS nxt
+      FROM events
+    ), edges AS (
+      SELECT event_type AS src, nxt AS dst, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM seq WHERE nxt IS NOT NULL GROUP BY 1, 2
+    ), nodes AS (
+      SELECT DISTINCT event_type AS node FROM events
+    ), nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
+    h0 AS (
+      SELECT node, 1000000000 // n AS v FROM nodes CROSS JOIN nn
+    )"""]
+    prev_h = "h0"
+    for r in range(1, 4):
+        blocks.append(f""",
+    a{r}raw AS (
+      SELECT nd.node, CAST(COALESCE(s.v, 0) AS BIGINT) AS v
+      FROM nodes nd LEFT JOIN (
+        SELECT e.dst AS node, SUM(e.cnt * h.v) AS v
+        FROM edges e JOIN {prev_h} h ON h.node = e.src
+        GROUP BY e.dst) s ON s.node = nd.node
+    ),
+    a{r} AS (
+      SELECT node,
+             CAST((CAST(v AS HUGEINT) * 1000000000)
+                  // (SELECT SUM(v) FROM a{r}raw) AS BIGINT) AS v
+      FROM a{r}raw
+    ),
+    h{r}raw AS (
+      SELECT nd.node, CAST(COALESCE(s.v, 0) AS BIGINT) AS v
+      FROM nodes nd LEFT JOIN (
+        SELECT e.src AS node, SUM(e.cnt * a.v) AS v
+        FROM edges e JOIN a{r} a ON a.node = e.dst
+        GROUP BY e.src) s ON s.node = nd.node
+    ),
+    h{r} AS (
+      SELECT node,
+             CAST((CAST(v AS HUGEINT) * 1000000000)
+                  // (SELECT SUM(v) FROM h{r}raw) AS BIGINT) AS v
+      FROM h{r}raw
+    )""")
+        prev_h = f"h{r}"
+    blocks.append("""
+    SELECT a3.node AS event_type,
+           a3.v AS auth_scaled, h3.v AS hub_scaled,
+           CAST(a3.v AS DOUBLE) / 1e9 AS auth,
+           CAST(h3.v AS DOUBLE) / 1e9 AS hub
+    FROM a3 JOIN h3 ON h3.node = a3.node""")
+    return "".join(blocks)
+
+
+@query("event_type_hits", oracle=_hits_oracle())
+def event_type_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("src"),
+        F.lead("event_type").over(w).alias("dst"),
+    ).filter(F.col("dst").isNotNull())
+    edges = (
+        seq.groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=True)
+    )  # schema-bounded: event-type vocabulary squared
+    nodes = (
+        ev.select(F.col("event_type").alias("node"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nn = nodes.agg(F.count(F.lit(1)).alias("n"))
+    h = nodes.crossJoin(F.broadcast(nn)).select(
+        "node", F.expr("1000000000 div n").cast("long").alias("v")
+    )
+
+    def half_step(vec: DataFrame, join_on: str, emit: str) -> DataFrame:
+        raw = (
+            nodes.join(
+                edges.join(
+                    vec.withColumnRenamed("node", join_on), join_on
+                )
+                .select(F.col(emit).alias("node"),
+                        (F.col("cnt") * F.col("v")).alias("p"))
+                .groupBy("node")
+                .agg(F.sum("p").alias("v")),
+                "node",
+                "left",
+            )
+            .select("node", F.coalesce("v", F.lit(0)).alias("v"))
+        )
+        tot = raw.agg(F.sum("v").alias("tot"))
+        num = F.col("v").cast("decimal(38,0)") * F.lit(10**9).cast(
+            "decimal(19,0)"
+        )
+        den = F.col("tot").cast("decimal(19,0)")
+        # the normalized vector is vocabulary-sized: truncate lineage
+        # each half-step, else the norm's second read of `raw` doubles
+        # the plan every iteration
+        return (
+            raw.crossJoin(F.broadcast(tot))
+            .select(
+                "node",
+                ((num - F.pmod(num, den)) / den)
+                .cast("long")
+                .alias("v"),
+            )
+            .localCheckpoint(eager=True)
+        )
+
+    for _ in range(3):
+        a = half_step(h, "src", "dst")
+        h = half_step(a, "dst", "src")
+    return (
+        a.withColumnRenamed("v", "auth_scaled")
+        .join(h.withColumnRenamed("v", "hub_scaled"), "node")
+        .select(
+            F.col("node").alias("event_type"),
+            "auth_scaled",
+            "hub_scaled",
+            (F.col("auth_scaled").cast("double") / F.lit(1e9)).alias(
+                "auth"
+            ),
+            (F.col("hub_scaled").cast("double") / F.lit(1e9)).alias(
+                "hub"
+            ),
+        )
+    )
