@@ -11417,3 +11417,132 @@ def event_type_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Holt-Winters ADDITIVE-SEASONAL smoothing (triple exponential) of the
+# daily revenue series, weekly period 7: completes the exponential
+# family (EWMA kernel -> Holt level+trend -> Holt-Winters
+# level+trend+seasonal). alpha=1/5, beta=1/10, gamma=1/5 in
+# FIXED-POINT integer cents; every recursion step floor-divides via
+# the pmod identity (numerators go NEGATIVE here — seasonal deviations
+# — so plain truncating div would disagree between engines). The
+# seasonal state is a 7-slot rotating list: the head is always the
+# active weekday's component, each step consumes it and appends the
+# updated value, which keeps both the fold and the oracle's recursive
+# CTE free of index arithmetic. Init: level = floor-mean of the first
+# week, trend = 0, seasonal = first-week deviations; smoothing starts
+# at day 8. Scale shape identical to holt_revenue_trend: one map-side-
+# combinable daily aggregate, then a days-sized sorted fold (the
+# series is bounded by the calendar, never by row count; magnitudes
+# sit far below 2^53 — a 100-TB deployment widens to DECIMAL).
+# ---------------------------------------------------------------------------
+@query(
+    "holt_winters_revenue",
+    oracle="""
+    WITH RECURSIVE daily AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS y
+      FROM events GROUP BY day
+    ), idx AS (
+      SELECT day, y, ROW_NUMBER() OVER (ORDER BY day) AS rn FROM daily
+    ), base AS (
+      SELECT (SUM(y) - ((SUM(y) % 7) + 7) % 7) // 7 AS lv0
+      FROM idx WHERE rn <= 7
+    ), init AS (
+      SELECT 7 AS rn, CAST(NULL AS DATE) AS day,
+             CAST(NULL AS BIGINT) AS y, CAST(NULL AS BIGINT) AS fit,
+             lv0 AS lv, CAST(0 AS BIGINT) AS tr,
+             CAST(NULL AS BIGINT) AS s_new,
+             (SELECT list(y - lv0 ORDER BY rn)
+              FROM idx WHERE rn <= 7) AS seas
+      FROM base
+    ), hw AS (
+      SELECT * FROM init
+      UNION ALL
+      SELECT i.rn, i.day, i.y, fit1, lv1,
+             (tn - ((tn % 10) + 10) % 10) // 10 AS tr,
+             sn, list_append(h.seas[2:], sn) AS seas
+      FROM hw h JOIN idx i ON i.rn = h.rn + 1,
+           LATERAL (SELECT h.seas[1] AS sh) c0,
+           LATERAL (SELECT h.lv + h.tr + sh AS fit1,
+                           (i.y - sh) + 4 * (h.lv + h.tr) AS ln) c1,
+           LATERAL (SELECT (ln - ((ln % 5) + 5) % 5) // 5 AS lv1) c2,
+           LATERAL (SELECT (lv1 - h.lv) + 9 * h.tr AS tn,
+                           (i.y - lv1) + 4 * sh AS sn0) c3,
+           LATERAL (SELECT (sn0 - ((sn0 % 5) + 5) % 5) // 5 AS sn) c4
+    )
+    SELECT day, y AS rev_cents, fit AS fit_cents,
+           lv AS level_cents, tr AS trend_cents,
+           s_new AS seasonal_cents
+    FROM hw WHERE rn >= 8
+    """,
+)
+def holt_winters_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        (F.sum(F.col("value").cast("decimal(18,2)")) * 100)
+        .cast("long")
+        .alias("y")
+    )
+
+    def fd(n, d):
+        # floor division via the pmod identity; the subtraction makes
+        # the numerator exactly divisible, so the double intermediate
+        # is an exact integer (magnitudes far below 2^53)
+        return ((n - F.pmod(n, F.lit(d))) / d).cast("long")
+
+    row_t = (
+        "array<struct<day:date,y:bigint,fit:bigint,lv:bigint,"
+        "tr:bigint,sn:bigint>>"
+    )
+
+    def step(acc, x):
+        sh = F.element_at(acc["seas"], 1)
+        fit = acc["lv"] + acc["tr"] + sh
+        lv1 = fd((x["y"] - sh) + 4 * (acc["lv"] + acc["tr"]), 5)
+        tr1 = fd((lv1 - acc["lv"]) + 9 * acc["tr"], 10)
+        sn = fd((x["y"] - lv1) + 4 * sh, 5)
+        row = F.struct(
+            x["day"].alias("day"),
+            x["y"].alias("y"),
+            fit.alias("fit"),
+            lv1.alias("lv"),
+            tr1.alias("tr"),
+            sn.alias("sn"),
+        )
+        return F.struct(
+            lv1.alias("lv"),
+            tr1.alias("tr"),
+            F.concat(
+                F.slice(acc["seas"], 2, 6), F.array(sn)
+            ).alias("seas"),
+            F.array_append(acc["rows"], row).alias("rows"),
+        )
+
+    series = daily.agg(
+        F.sort_array(F.collect_list(F.struct("day", "y"))).alias("s")
+    )
+    week1 = F.slice("s", 1, 7)
+    sum7 = F.aggregate(
+        week1, F.lit(0).cast("long"), lambda acc, x: acc + x["y"]
+    )
+    lv0 = fd(sum7, 7)
+    seas0 = F.transform(week1, lambda x: x["y"] - lv0)
+    rest = F.slice(F.col("s"), 8, F.greatest(F.size("s") - 7, F.lit(0)))
+    init = F.struct(
+        lv0.alias("lv"),
+        F.lit(0).cast("long").alias("tr"),
+        seas0.alias("seas"),
+        F.expr(f"CAST(array() AS {row_t})").alias("rows"),
+    )
+    return series.select(
+        F.explode(F.aggregate(rest, init, step)["rows"]).alias("r")
+    ).select(
+        F.col("r.day").alias("day"),
+        F.col("r.y").alias("rev_cents"),
+        F.col("r.fit").alias("fit_cents"),
+        F.col("r.lv").alias("level_cents"),
+        F.col("r.tr").alias("trend_cents"),
+        F.col("r.sn").alias("seasonal_cents"),
+    )
