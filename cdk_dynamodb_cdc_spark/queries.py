@@ -11546,3 +11546,162 @@ def holt_winters_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("r.tr").alias("trend_cents"),
         F.col("r.sn").alias("seasonal_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity / l-diversity audit — the privacy-governance operator a
+# training-data pipeline runs before releasing a quasi-identified
+# extract. QI = (nation, market segment, account-balance band of
+# 1000); sensitive attribute = the customer's modal order priority
+# (min-priority tiebreak, 'NONE' for order-less customers). Every
+# equivalence class gets its size k and distinct-sensitive count l;
+# the report groups classes by (k, l) — the re-identification risk
+# histogram (k=1 rows are singletons; l=1 rows are homogeneity-attack
+# exposed). Scale shape: the modal attribute is a (cust, prio) count
+# + per-customer argmax window (customer-keyed shuffles, map-side
+# combinable), QI classes one hash aggregate; output is bounded by
+# distinct (k, l) pairs, never by rows.
+# ---------------------------------------------------------------------------
+@query(
+    "customer_k_anonymity",
+    oracle="""
+    WITH po AS (
+      SELECT o_custkey, o_orderpriority,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM orders GROUP BY o_custkey, o_orderpriority
+    ), modal AS (
+      SELECT o_custkey, o_orderpriority
+      FROM (SELECT o_custkey, o_orderpriority,
+                   ROW_NUMBER() OVER (PARTITION BY o_custkey
+                       ORDER BY n DESC, o_orderpriority) AS rk
+            FROM po) t
+      WHERE rk = 1
+    ), qi AS (
+      SELECT c.c_nationkey,
+             c.c_mktsegment,
+             CAST(FLOOR(CAST(c.c_acctbal AS DECIMAL(12,2)) / 1000)
+                  AS BIGINT) AS bal_band,
+             COALESCE(m.o_orderpriority, 'NONE') AS sens
+      FROM customer c LEFT JOIN modal m ON m.o_custkey = c.c_custkey
+    ), classes AS (
+      SELECT c_nationkey, c_mktsegment, bal_band,
+             CAST(COUNT(*) AS BIGINT) AS k_class,
+             CAST(COUNT(DISTINCT sens) AS BIGINT) AS l_class
+      FROM qi GROUP BY c_nationkey, c_mktsegment, bal_band
+    )
+    SELECT k_class, l_class,
+           CAST(COUNT(*) AS BIGINT) AS n_classes,
+           CAST(SUM(k_class) AS BIGINT) AS n_rows
+    FROM classes GROUP BY k_class, l_class
+    """,
+)
+def customer_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    po = orders.groupBy("o_custkey", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    wk = Window.partitionBy("o_custkey").orderBy(
+        F.col("n").desc(), "o_orderpriority"
+    )
+    modal = (
+        po.withColumn("rk", F.row_number().over(wk))
+        .filter(F.col("rk") == 1)
+        .select("o_custkey", "o_orderpriority")
+    )
+    qi = cust.join(
+        modal, cust["c_custkey"] == modal["o_custkey"], "left"
+    ).select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal").cast("decimal(12,2)") / 1000)
+        .cast("long")
+        .alias("bal_band"),
+        F.coalesce("o_orderpriority", F.lit("NONE")).alias("sens"),
+    )
+    classes = qi.groupBy("c_nationkey", "c_mktsegment", "bal_band").agg(
+        F.count(F.lit(1)).alias("k_class"),
+        F.countDistinct("sens").alias("l_class"),
+    )
+    return classes.groupBy("k_class", "l_class").agg(
+        F.count(F.lit(1)).alias("n_classes"),
+        F.sum("k_class").alias("n_rows"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Benford first-digit screen over order totals — the classic
+# accounting-forensics / data-quality test for fabricated or
+# truncated numeric columns. The first significant digit is taken
+# from the INTEGER cents string (decimal cast + integer-to-string is
+# bit-identical in both engines; float log10 at decade boundaries is
+# not), counted per digit, and compared against Benford's
+# log10(1+1/d) expectation carried as exact ppm literals; deviation
+# stays integer ppm. One scan + a 9-row aggregate — pure map-side
+# shape at any corpus size.
+# ---------------------------------------------------------------------------
+_BENFORD_PPM = {
+    1: 301030, 2: 176091, 3: 124939, 4: 96910, 5: 79181,
+    6: 66947, 7: 57992, 8: 51153, 9: 45757,
+}
+
+
+@query(
+    "order_total_benford",
+    oracle=f"""
+    WITH cents AS (
+      SELECT CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+               AS c
+      FROM orders
+    ), digits AS (
+      SELECT CAST(substr(CAST(c AS VARCHAR), 1, 1) AS INT) AS digit
+      FROM cents
+    ), counts AS (
+      SELECT digit, CAST(COUNT(*) AS BIGINT) AS n_orders
+      FROM digits GROUP BY digit
+    ), tot AS (SELECT CAST(SUM(n_orders) AS BIGINT) AS n FROM counts),
+    exp AS (
+      SELECT * FROM (VALUES
+        {', '.join(f'({d}, {p})' for d, p in _BENFORD_PPM.items())}
+      ) AS t(digit, expected_ppm)
+    )
+    SELECT e.digit, COALESCE(c.n_orders, 0) AS n_orders,
+           (COALESCE(c.n_orders, 0) * 1000000) // t.n AS observed_ppm,
+           CAST(e.expected_ppm AS BIGINT) AS expected_ppm,
+           (COALESCE(c.n_orders, 0) * 1000000) // t.n
+             - e.expected_ppm AS deviation_ppm
+    FROM exp e LEFT JOIN counts c ON c.digit = e.digit
+    CROSS JOIN tot t
+    """,
+)
+def order_total_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    digit = F.substring(
+        (F.col("o_totalprice").cast("decimal(12,2)") * 100)
+        .cast("long")
+        .cast("string"),
+        1,
+        1,
+    ).cast("int")
+    counts = (
+        orders.select(digit.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    tot = counts.agg(F.sum("n_orders").alias("n"))
+    exp = spark.createDataFrame(
+        [(d, p) for d, p in _BENFORD_PPM.items()],
+        "digit int, expected_ppm long",
+    )
+    obs_ppm = F.expr("(coalesce(n_orders, 0) * 1000000) div n")
+    return (
+        exp.join(counts, "digit", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+            obs_ppm.alias("observed_ppm"),
+            F.col("expected_ppm"),
+            (obs_ppm - F.col("expected_ppm")).alias("deviation_ppm"),
+        )
+    )
