@@ -290,3 +290,70 @@ def kcore(
     return adj.groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).alias("deg")
     )
+
+
+def pagerank_fixed_point(
+    edges: DataFrame,
+    iters: int = 4,
+    scale: int = 10**12,
+    damping_pct: int = 85,
+) -> DataFrame:
+    """Weighted PageRank over a directed edge list ``(src, dst, cnt)``
+    in FIXED-POINT integer arithmetic — the event_type_pagerank
+    discipline factored into an operator: ranks scaled by ``scale``,
+    every step a bigint multiply + truncating ``div``, so the result
+    is bit-identical across engines and partitionings (no float
+    summation order). Nodes = all endpoints; dangling mass
+    evaporates (renormalizes toward the base term) identically in
+    both engines.
+
+    Returns ``(node, r)`` with ``r`` the scaled rank after ``iters``
+    synchronous rounds.
+
+    Shape: edges and the node set are persisted once
+    (localCheckpoint — they are re-read every round); each round is
+    one join of the rank vector onto edges keyed on src + one
+    map-side-combinable aggregate on dst. On a schema-bounded graph
+    the rank vector broadcasts; on a big graph the same loop runs as
+    shuffle joins on src. Overflow bound: r * cnt must stay under
+    2^63 — rank mass totals ~``scale``, so max edge weight up to
+    ~2^63/``scale`` is safe; heavier graphs pre-normalize weights.
+    """
+    e = (
+        edges.select("src", "dst", "cnt")
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    deg = e.groupBy("src").agg(F.sum("cnt").alias("tot"))
+    ew = e.join(deg, "src").localCheckpoint(eager=True)
+    nn = nodes.agg(F.count(F.lit(1)).alias("n"))
+    base_pct = 100 - damping_pct
+    rank = nodes.crossJoin(F.broadcast(nn)).select(
+        "node", F.expr(f"{scale} div n").alias("r")
+    )
+    for _ in range(iters):
+        contrib = (
+            ew.join(rank.withColumnRenamed("node", "src"), "src")
+            .select("dst", F.expr("(r * cnt) div tot").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+        )
+        rank = (
+            nodes.crossJoin(F.broadcast(nn))
+            .join(
+                contrib.withColumnRenamed("dst", "node"), "node", "left"
+            )
+            .select(
+                "node",
+                F.expr(
+                    f"({base_pct} * ({scale} div n)) div 100"
+                    f" + ({damping_pct} * coalesce(s, 0)) div 100"
+                ).alias("r"),
+            )
+        )
+    return rank

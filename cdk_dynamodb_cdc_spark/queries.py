@@ -11705,3 +11705,114 @@ def order_total_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
             (obs_ppm - F.col("expected_ppm")).alias("deviation_ppm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# TextRank keyword extraction (Mihalcea & Tarau 2004): PageRank over
+# the corpus word-ADJACENCY graph — tokens are nodes, each adjacent
+# token pair contributes an edge in both directions, edge weight =
+# corpus co-occurrence count — then the top-25 tokens by rank are the
+# corpus keywords. Runs on operators/graph.py:pagerank_fixed_point
+# (the event_type_pagerank discipline factored into an operator):
+# scale 10^12, truncating div, bit-identical trajectories; the oracle
+# unrolls the same four rounds as chained CTEs. Scale shape: the
+# bigram aggregate is map-side combinable and VOCABULARY-sized (the
+# graph is bounded by distinct adjacent-token pairs, not corpus
+# rows); each round is one src-keyed join + one dst-keyed aggregate;
+# the final top-k is a TakeOrderedAndProject under a total order
+# (rank desc, token).
+# ---------------------------------------------------------------------------
+def _textrank_oracle() -> str:
+    head = """
+    WITH tok AS (
+      SELECT doc_id, ws, i
+      FROM (SELECT doc_id, string_split(text, ' ') AS ws
+            FROM documents),
+           unnest(range(1, len(ws))) AS u(i)
+    ), bi AS (
+      SELECT ws[i] AS a, ws[i + 1] AS b FROM tok
+    ), edges AS (
+      SELECT src, dst, CAST(SUM(c) AS BIGINT) AS cnt FROM (
+        SELECT a AS src, b AS dst, COUNT(*) AS c FROM bi GROUP BY 1, 2
+        UNION ALL
+        SELECT b AS src, a AS dst, COUNT(*) AS c FROM bi GROUP BY 1, 2
+      ) GROUP BY src, dst
+    ), deg AS (
+      SELECT src, CAST(SUM(cnt) AS BIGINT) AS tot FROM edges GROUP BY src
+    ), e AS (
+      SELECT edges.src, edges.dst, edges.cnt, deg.tot
+      FROM edges JOIN deg USING (src)
+    ), nodes AS (
+      SELECT DISTINCT node FROM (
+        SELECT src AS node FROM edges
+        UNION ALL SELECT dst FROM edges)
+    ), nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
+    r0 AS (
+      SELECT node, 1000000000000 // n AS r FROM nodes CROSS JOIN nn
+    )"""
+    rounds = []
+    for k in range(1, 5):
+        rounds.append(f""",
+    r{k} AS (
+      SELECT nd.node,
+             (15 * (1000000000000 // x.n)) // 100
+             + (85 * COALESCE(c.s, 0)) // 100 AS r
+      FROM nodes nd CROSS JOIN nn x
+      LEFT JOIN (SELECT e.dst AS node, SUM((r.r * e.cnt) // e.tot) AS s
+                 FROM e JOIN r{k - 1} r ON r.node = e.src
+                 GROUP BY e.dst) c
+        ON c.node = nd.node
+    )""")
+    tail = """
+    SELECT node AS keyword, CAST(r AS BIGINT) AS rank_scaled,
+           CAST(r AS DOUBLE) / 1e12 AS rank
+    FROM r4 ORDER BY r DESC, node LIMIT 25"""
+    return head + "".join(rounds) + tail
+
+
+@query("textrank_keywords", oracle=_textrank_oracle())
+def textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdk_dynamodb_cdc_spark.operators.graph import (
+        pagerank_fixed_point,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.split("text", " ").alias("ws"))
+    bi = toks.select(
+        F.explode(
+            F.zip_with(
+                F.slice(
+                    "ws", 1, F.greatest(F.size("ws") - 1, F.lit(0))
+                ),
+                F.slice(
+                    F.col("ws"), 2, F.greatest(F.size("ws") - 1, F.lit(0))
+                ),
+                lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+            )
+        ).alias("p")
+    ).select("p.a", "p.b")
+    directed = bi.groupBy(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    edges = (
+        directed.select("src", "dst", "c")
+        .unionAll(
+            directed.select(
+                F.col("dst").alias("src"),
+                F.col("src").alias("dst"),
+                "c",
+            )
+        )
+        .groupBy("src", "dst")
+        .agg(F.sum("c").alias("cnt"))
+    )
+    rank = pagerank_fixed_point(edges, iters=4)
+    return (
+        rank.orderBy(F.col("r").desc(), "node")
+        .limit(25)
+        .select(
+            F.col("node").alias("keyword"),
+            F.col("r").alias("rank_scaled"),
+            (F.col("r").cast("double") / F.lit(1e12)).alias("rank"),
+        )
+    )
