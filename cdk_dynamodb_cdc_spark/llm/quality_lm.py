@@ -154,3 +154,89 @@ def perplexity_filter(
         "n_bigrams",
         (F.col("avg_logprob") >= F.lit(min_avg_logprob)).alias("kept"),
     )
+
+
+def kn_bigram_scores(
+    docs: DataFrame,
+    *,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document INTERPOLATED KNESER-NEY bigram probability scores
+    — the smoothing real LM filters (KenLM) actually use, as exact
+    integer arithmetic end to end (unlike the add-one lane's
+    float-fold, nothing here depends on libm).
+
+    With discount d = 3/4, the KN probability of bigram (v, w) is
+
+        p(w|v) = max(c(vw) - d, 0) / c(v.)
+               + (d * N1+(v.) / c(v.)) * N1+(.w) / B
+
+    where c(v.) = bigram tokens starting with v, N1+(v.) = distinct
+    continuations of v, N1+(.w) = distinct left contexts of w, and
+    B = total distinct bigram types (so p_cont(w) = N1+(.w)/B).
+    Clearing denominators (all corpus bigrams have c >= 1):
+
+        p = ((4*c2 - 3) * B + 3 * Nv * Nw) / (4 * c1v * B)
+
+    an exact rational; each token's probability is floored to PPB
+    (scale 10^9) in DECIMAL(38,0) — numerators reach ~1e20, past
+    int64 — and summed per document as exact BIGINTs. Output:
+    ``(key, n_bigrams, sum_prob_ppb, mean_prob_ppb)``.
+
+    Scale shape: the model is four vocabulary-sized aggregates
+    (bigram counts; per-left-context totals + continuation fan-out;
+    per-right-word context fan-out; one 1-row type total, broadcast).
+    Scoring is one explode + gram-keyed joins (model sides
+    vocabulary-sized, broadcastable on real corpora) + one per-doc
+    aggregation. Nothing quadratic, no Python, no floats.
+    """
+    toks = docs.select(
+        F.col(key_col).alias("key"),
+        F.split(F.col(text_col), " ").alias("ws"),
+    )
+    pairs = toks.select(
+        "key",
+        F.explode(
+            F.expr(
+                "transform(slice(ws, 1, size(ws) - 1), "
+                "(w, i) -> struct(w as v, ws[i + 1] as w))"
+            )
+        ).alias("p"),
+    ).select("key", F.col("p.v").alias("v"), F.col("p.w").alias("w"))
+
+    bgc = pairs.groupBy("v", "w").agg(F.count(F.lit(1)).alias("c2"))
+    left = bgc.groupBy("v").agg(
+        F.sum("c2").alias("c1v"), F.count(F.lit(1)).alias("nv")
+    )
+    right = bgc.groupBy("w").agg(F.count(F.lit(1)).alias("nw"))
+    btot = bgc.agg(F.count(F.lit(1)).alias("b"))
+
+    scored = (
+        pairs.join(bgc, ["v", "w"])  # every doc bigram is in the model
+        .join(left, "v")
+        .join(right, "w")
+        .crossJoin(F.broadcast(btot))
+    )
+    num = (
+        (4 * F.col("c2") - 3).cast("decimal(38,0)") * F.col("b")
+        + (3 * F.col("nv")).cast("decimal(38,0)") * F.col("nw")
+    ) * F.lit(10**9).cast("decimal(19,0)")
+    den = (4 * F.col("c1v")).cast("decimal(38,0)") * F.col("b")
+    ppb = ((num - F.pmod(num, den)) / den).cast("long")
+    return (
+        scored.select("key", ppb.alias("ppb"))
+        .groupBy("key")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("ppb").alias("sum_prob_ppb"),
+        )
+        .select(
+            "key",
+            "n_bigrams",
+            "sum_prob_ppb",
+            F.expr("sum_prob_ppb div n_bigrams").alias(
+                "mean_prob_ppb"
+            ),
+        )
+    )

@@ -11816,3 +11816,58 @@ def textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("r").cast("double") / F.lit(1e12)).alias("rank"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Kneser-Ney smoothed bigram LM scoring (llm/quality_lm.py:
+# kn_bigram_scores): the smoothing production LM filters actually
+# use (absolute discount d=3/4 + continuation-probability backoff),
+# as EXACT INTEGER arithmetic — each token's KN probability is the
+# rational ((4*c2-3)*B + 3*Nv*Nw) / (4*c1v*B), floored to ppb in
+# DECIMAL(38,0) (numerators ~1e20), summed per doc as BIGINTs; no
+# libm anywhere, so the scores themselves hash bit-identically (the
+# add-one lane can only compare decisions). Model tables are
+# vocabulary-sized and broadcastable; scoring is gram-keyed joins.
+# ---------------------------------------------------------------------------
+@query(
+    "kn_bigram_doc_scores",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ), pairs AS (
+      SELECT doc_id, ws[i] AS v, ws[i + 1] AS w
+      FROM toks, unnest(range(1, len(ws))) AS u(i)
+    ), bgc AS (
+      SELECT v, w, CAST(COUNT(*) AS BIGINT) AS c2
+      FROM pairs GROUP BY v, w
+    ), lft AS (
+      SELECT v, CAST(SUM(c2) AS BIGINT) AS c1v,
+             CAST(COUNT(*) AS BIGINT) AS nv
+      FROM bgc GROUP BY v
+    ), rgt AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS nw FROM bgc GROUP BY w
+    ), btot AS (SELECT CAST(COUNT(*) AS BIGINT) AS b FROM bgc),
+    scored AS (
+      SELECT p.doc_id,
+             ((4 * g.c2 - 3) * CAST(t.b AS HUGEINT)
+              + 3 * CAST(l.nv AS HUGEINT) * r.nw)
+             * 1000000000
+             // (4 * CAST(l.c1v AS HUGEINT) * t.b) AS ppb
+      FROM pairs p
+      JOIN bgc g ON g.v = p.v AND g.w = p.w
+      JOIN lft l ON l.v = p.v
+      JOIN rgt r ON r.w = p.w
+      CROSS JOIN btot t
+    )
+    SELECT doc_id AS key,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(SUM(ppb) AS BIGINT) AS sum_prob_ppb,
+           CAST(SUM(ppb) AS BIGINT) // COUNT(*) AS mean_prob_ppb
+    FROM scored GROUP BY doc_id
+    """,
+)
+def kn_bigram_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdk_dynamodb_cdc_spark.llm.quality_lm import kn_bigram_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    return kn_bigram_scores(docs)
