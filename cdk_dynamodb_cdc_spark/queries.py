@@ -11871,3 +11871,97 @@ def kn_bigram_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return kn_bigram_scores(docs)
+
+
+# ---------------------------------------------------------------------------
+# Batch time-travel diff (storage/txlog.py:version_diff): row-level
+# changes between two committed versions from CHANGED FILES ONLY —
+# the batch twin of the streaming change feed, giving the CDF surface
+# driver-side oracle evidence. The sequence is append/append/
+# DELETE-overwrite/OPTIMIZE; the oracle recomputes each diff with set
+# algebra over `orders`. The (2,3) row pins the load-bearing
+# property: an OPTIMIZE rewrites every file yet diffs to EXACTLY zero
+# rows (carried-over rows cancel via multiset subtraction), so
+# downstream incremental maintenance never reprocesses a compaction.
+# ---------------------------------------------------------------------------
+@query(
+    "txlog_version_diff_stats",
+    oracle="""
+    WITH a AS (SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(12,2)) AS p
+               FROM orders WHERE o_orderkey % 10 = 0),
+    b AS (SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(12,2)) AS p
+          FROM orders WHERE o_orderkey % 10 = 1),
+    ab AS (SELECT * FROM a UNION ALL SELECT * FROM b),
+    ab_lost AS (SELECT * FROM ab WHERE p < 150000),
+    b_kept AS (SELECT * FROM b WHERE p >= 150000),
+    a_lost AS (SELECT * FROM a WHERE p < 150000)
+    SELECT * FROM (
+      SELECT 0 AS v_from, 1 AS v_to,
+             (SELECT COUNT(*) FROM b) AS n_inserted,
+             CAST(0 AS BIGINT) AS n_deleted,
+             CAST(COALESCE((SELECT SUM(p) FROM b), 0) AS DOUBLE)
+               AS ins_total,
+             CAST(0 AS DOUBLE) AS del_total
+      UNION ALL
+      SELECT 1, 2, 0, (SELECT COUNT(*) FROM ab_lost),
+             CAST(0 AS DOUBLE),
+             CAST(COALESCE((SELECT SUM(p) FROM ab_lost), 0) AS DOUBLE)
+      UNION ALL
+      SELECT 2, 3, 0, 0, CAST(0 AS DOUBLE), CAST(0 AS DOUBLE)
+      UNION ALL
+      SELECT 0, 2, (SELECT COUNT(*) FROM b_kept),
+             (SELECT COUNT(*) FROM a_lost),
+             CAST(COALESCE((SELECT SUM(p) FROM b_kept), 0) AS DOUBLE),
+             CAST(COALESCE((SELECT SUM(p) FROM a_lost), 0) AS DOUBLE)
+    )
+    """,
+)
+def txlog_version_diff_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import tempfile
+
+    from cdk_dynamodb_cdc_spark.storage.txlog import (
+        TxTable,
+        optimize,
+        version_diff,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", _dec("o_totalprice").alias("p")
+    )
+    t = TxTable(spark, tempfile.mkdtemp(prefix="txlog_d_"))
+    t.commit(orders.filter(F.col("o_orderkey") % 10 == 0))          # v0
+    t.commit(orders.filter(F.col("o_orderkey") % 10 == 1))          # v1
+    t.commit(                                                        # v2
+        t.snapshot().filter(F.col("p") >= 150000), mode="overwrite"
+    )
+    optimize(t, target_file_bytes=64 * 1024 * 1024)                  # v3
+
+    def stats(v_from: int, v_to: int) -> DataFrame:
+        ins, dels = version_diff(t, v_from, v_to)
+        i = ins.agg(
+            F.count(F.lit(1)).alias("n_inserted"),
+            F.coalesce(F.sum("p"), F.lit(0).cast("decimal(12,2)"))
+            .cast("double")
+            .alias("ins_total"),
+        )
+        d = dels.agg(
+            F.count(F.lit(1)).alias("n_deleted"),
+            F.coalesce(F.sum("p"), F.lit(0).cast("decimal(12,2)"))
+            .cast("double")
+            .alias("del_total"),
+        )
+        return i.crossJoin(d).select(
+            F.lit(v_from).alias("v_from"),
+            F.lit(v_to).alias("v_to"),
+            "n_inserted",
+            "n_deleted",
+            "ins_total",
+            "del_total",
+        )
+
+    out = stats(0, 1)
+    for pair in ((1, 2), (2, 3), (0, 2)):
+        out = out.unionByName(stats(*pair))
+    return out
