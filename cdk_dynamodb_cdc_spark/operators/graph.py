@@ -297,6 +297,7 @@ def pagerank_fixed_point(
     iters: int = 4,
     scale: int = 10**12,
     damping_pct: int = 85,
+    seed_node=None,
 ) -> DataFrame:
     """Weighted PageRank over a directed edge list ``(src, dst, cnt)``
     in FIXED-POINT integer arithmetic — the event_type_pagerank
@@ -333,9 +334,26 @@ def pagerank_fixed_point(
     ew = e.join(deg, "src").localCheckpoint(eager=True)
     nn = nodes.agg(F.count(F.lit(1)).alias("n"))
     base_pct = 100 - damping_pct
-    rank = nodes.crossJoin(F.broadcast(nn)).select(
-        "node", F.expr(f"{scale} div n").alias("r")
-    )
+    if seed_node is None:
+        # uniform teleport: base mass scale/n at every node
+        base = F.expr(f"({base_pct} * ({scale} div n)) div 100")
+        rank = nodes.crossJoin(F.broadcast(nn)).select(
+            "node", F.expr(f"{scale} div n").alias("r")
+        )
+    else:
+        # PERSONALIZED teleport (random walk with restart): the whole
+        # base mass concentrates on the seed, so ranks measure
+        # proximity to it rather than global centrality
+        seed = F.lit(seed_node)
+        base = F.when(
+            F.col("node") == seed, F.lit((base_pct * scale) // 100)
+        ).otherwise(F.lit(0))
+        rank = nodes.select(
+            "node",
+            F.when(F.col("node") == seed, F.lit(scale))
+            .otherwise(F.lit(0))
+            .alias("r"),
+        )
     for _ in range(iters):
         contrib = (
             ew.join(rank.withColumnRenamed("node", "src"), "src")
@@ -343,17 +361,20 @@ def pagerank_fixed_point(
             .groupBy("dst")
             .agg(F.sum("c").alias("s"))
         )
-        rank = (
+        ranked = (
             nodes.crossJoin(F.broadcast(nn))
             .join(
                 contrib.withColumnRenamed("dst", "node"), "node", "left"
             )
             .select(
                 "node",
-                F.expr(
-                    f"({base_pct} * ({scale} div n)) div 100"
-                    f" + ({damping_pct} * coalesce(s, 0)) div 100"
-                ).alias("r"),
+                (
+                    base
+                    + F.expr(
+                        f"({damping_pct} * coalesce(s, 0)) div 100"
+                    )
+                ).cast("long").alias("r"),
             )
         )
+        rank = ranked
     return rank

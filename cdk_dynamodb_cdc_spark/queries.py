@@ -11965,3 +11965,227 @@ def txlog_version_diff_stats(
     for pair in ((1, 2), (2, 3), (0, 2)):
         out = out.unionByName(stats(*pair))
     return out
+
+
+# ---------------------------------------------------------------------------
+# Personalized PageRank / random-walk-with-restart (operators/
+# graph.py:pagerank_fixed_point(seed_node=...)): the recommender-
+# system proximity measure — the ENTIRE teleport mass restarts at one
+# seed node (the lexicographically-least event type, a deterministic
+# choice), so ranks measure closeness to the seed in the behavioral
+# transition graph rather than global centrality. Same fixed-point
+# discipline and plan shape as event_type_pagerank (schema-bounded
+# graph persisted once; src-keyed join + dst-keyed aggregate per
+# round); the oracle unrolls the seeded recursion.
+# ---------------------------------------------------------------------------
+def _ppr_oracle() -> str:
+    head = """
+    WITH seq AS (
+      SELECT event_type,
+             LEAD(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS nxt
+      FROM events
+    ), edges AS (
+      SELECT event_type AS src, nxt AS dst, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM seq WHERE nxt IS NOT NULL GROUP BY 1, 2
+    ), deg AS (
+      SELECT src, CAST(SUM(cnt) AS BIGINT) AS tot FROM edges GROUP BY src
+    ), e AS (
+      SELECT edges.src, edges.dst, edges.cnt, deg.tot
+      FROM edges JOIN deg USING (src)
+    ), nodes AS (
+      SELECT DISTINCT event_type AS node FROM events
+    ), sd AS (SELECT MIN(event_type) AS seed FROM events),
+    r0 AS (
+      SELECT node,
+             CASE WHEN node = (SELECT seed FROM sd)
+                  THEN 1000000000000 ELSE 0 END AS r
+      FROM nodes
+    )"""
+    rounds = []
+    for k in range(1, 5):
+        rounds.append(f""",
+    r{k} AS (
+      SELECT nd.node,
+             CASE WHEN nd.node = (SELECT seed FROM sd)
+                  THEN 150000000000 ELSE 0 END
+             + (85 * COALESCE(c.s, 0)) // 100 AS r
+      FROM nodes nd
+      LEFT JOIN (SELECT e.dst AS node, SUM((r.r * e.cnt) // e.tot) AS s
+                 FROM e JOIN r{k - 1} r ON r.node = e.src
+                 GROUP BY e.dst) c
+        ON c.node = nd.node
+    )""")
+    tail = """
+    SELECT node AS event_type, CAST(r AS BIGINT) AS rank_scaled,
+           CAST(r AS DOUBLE) / 1e12 AS rank
+    FROM r4"""
+    return head + "".join(rounds) + tail
+
+
+@query("event_type_ppr", oracle=_ppr_oracle())
+def event_type_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdk_dynamodb_cdc_spark.operators.graph import (
+        pagerank_fixed_point,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    seed = ev.agg(F.min("event_type")).collect()[0][0]  # 1-value action
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("src"),
+        F.lead("event_type").over(w).alias("dst"),
+    ).filter(F.col("dst").isNotNull())
+    edges = seq.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("cnt"))
+    rank = pagerank_fixed_point(edges, iters=4, seed_node=seed)
+    return rank.select(
+        F.col("node").alias("event_type"),
+        F.col("r").alias("rank_scaled"),
+        (F.col("r").cast("double") / F.lit(1e12)).alias("rank"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Two-sample Kolmogorov-Smirnov test between the value distributions
+# of the two (lexicographically) first event types — the
+# distribution-shift / drift detector run between snapshots of a
+# feature. Values are binned onto the fixed 100-bin grid over
+# [0, 500) (the value_histogram domain; binned ECDFs make the
+# statistic's support schema-bounded instead of corpus-sized — the
+# same reason the histogram family bins), and D = max |ECDF_a -
+# ECDF_b| is computed EXACTLY by cross-multiplication:
+# D_num = max |cum_a * n_b - cum_b * n_a| over the grid, an integer;
+# the alpha=0.05 decision is the integer comparison
+# 1e6 * D_num^2 >= 1844164 * (n_a + n_b) * n_a * n_b (c = 1.358),
+# evaluated in DECIMAL(38,0)/HUGEINT — no float enters the verdict.
+# Scale shape: one (type, bin) aggregate (map-side combinable,
+# 200-row output), cumulative windows over the bounded grid, one
+# 1-row reduce.
+# ---------------------------------------------------------------------------
+@query(
+    "ks_value_distribution_shift",
+    oracle="""
+    WITH picks AS (
+      SELECT event_type,
+             ROW_NUMBER() OVER (ORDER BY event_type) AS rk
+      FROM (SELECT DISTINCT event_type FROM events)
+      ORDER BY event_type LIMIT 2
+    ), binned AS (
+      SELECT p.rk,
+             LEAST(CAST(FLOOR(e.value / 5.0) AS BIGINT), 99) AS bin
+      FROM events e JOIN picks p ON p.event_type = e.event_type
+    ), cnt AS (
+      SELECT rk, bin, CAST(COUNT(*) AS BIGINT) AS n
+      FROM binned GROUP BY rk, bin
+    ), grid AS (
+      SELECT r.rk, g.bin, COALESCE(c.n, 0) AS n
+      FROM (SELECT unnest(range(0, 100)) AS bin) g
+      CROSS JOIN (SELECT 1 AS rk UNION ALL SELECT 2) r
+      LEFT JOIN cnt c ON c.rk = r.rk AND c.bin = g.bin
+    ), cum AS (
+      SELECT rk, bin,
+             SUM(n) OVER (PARTITION BY rk ORDER BY bin
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum,
+             SUM(n) OVER (PARTITION BY rk) AS tot
+      FROM grid
+    ), joined AS (
+      SELECT a.bin, a.cum AS ca, b.cum AS cb, a.tot AS na, b.tot AS nb
+      FROM cum a JOIN cum b ON b.bin = a.bin AND a.rk = 1 AND b.rk = 2
+    ), d AS (
+      SELECT MAX(ABS(ca * nb - cb * na)) AS d_num,
+             MAX(na) AS na, MAX(nb) AS nb
+      FROM joined
+    )
+    SELECT (SELECT event_type FROM picks WHERE rk = 1) AS type_a,
+           (SELECT event_type FROM picks WHERE rk = 2) AS type_b,
+           CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+           CAST(d_num AS BIGINT) AS d_num,
+           CAST((d_num * 1000000) // (na * nb) AS BIGINT) AS d_ppm,
+           CAST(d_num AS DOUBLE) / (CAST(na AS DOUBLE)
+                                    * CAST(nb AS DOUBLE)) AS ks_stat,
+           1000000 * CAST(d_num AS HUGEINT) * d_num
+             >= 1844164 * CAST(na + nb AS HUGEINT) * na * nb
+             AS reject_05
+    FROM d
+    """,
+)
+def ks_value_distribution_shift(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    wrk = Window.orderBy("event_type")
+    picks = (
+        ev.select("event_type")
+        .distinct()
+        .orderBy("event_type")
+        .limit(2)
+        .select("event_type", F.row_number().over(wrk).alias("rk"))
+    )
+    binned = ev.join(F.broadcast(picks), "event_type").select(
+        "rk",
+        F.least(
+            F.floor(F.col("value") / 5.0).cast("long"), F.lit(99)
+        ).alias("bin"),
+    )
+    cnt = binned.groupBy("rk", "bin").agg(F.count(F.lit(1)).alias("n"))
+    grid = (
+        spark.range(100)
+        .select(F.col("id").alias("bin"))
+        .crossJoin(spark.range(1, 3).select(F.col("id").alias("rk")))
+        .join(cnt, ["rk", "bin"], "left")
+        .select("rk", "bin", F.coalesce("n", F.lit(0)).alias("n"))
+    )
+    wcum = (
+        Window.partitionBy("rk")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wtot = Window.partitionBy("rk")
+    cum = grid.select(
+        "rk",
+        "bin",
+        F.sum("n").over(wcum).alias("cum"),
+        F.sum("n").over(wtot).alias("tot"),
+    )
+    a = cum.filter(F.col("rk") == 1).select(
+        "bin", F.col("cum").alias("ca"), F.col("tot").alias("na")
+    )
+    b = cum.filter(F.col("rk") == 2).select(
+        "bin", F.col("cum").alias("cb"), F.col("tot").alias("nb")
+    )
+    d = (
+        a.join(b, "bin")
+        .agg(
+            F.max(F.abs(F.col("ca") * F.col("nb") - F.col("cb") * F.col("na"))).alias("d_num"),
+            F.max("na").alias("na"),
+            F.max("nb").alias("nb"),
+        )
+    )
+    names = picks.groupBy().pivot("rk", [1, 2]).agg(
+        F.first("event_type")
+    ).select(F.col("1").alias("type_a"), F.col("2").alias("type_b"))
+    lhs = (
+        F.lit(1000000).cast("decimal(38,0)")
+        * F.col("d_num")
+        * F.col("d_num")
+    )
+    rhs = (
+        F.lit(1844164).cast("decimal(38,0)")
+        * (F.col("na") + F.col("nb"))
+        * F.col("na")
+        * F.col("nb")
+    )
+    return d.crossJoin(F.broadcast(names)).select(
+        "type_a",
+        "type_b",
+        F.col("na").alias("n_a"),
+        F.col("nb").alias("n_b"),
+        "d_num",
+        F.expr("(d_num * 1000000) div (na * nb)").alias("d_ppm"),
+        (
+            F.col("d_num").cast("double")
+            / (F.col("na").cast("double") * F.col("nb").cast("double"))
+        ).alias("ks_stat"),
+        (lhs >= rhs).alias("reject_05"),
+    )
