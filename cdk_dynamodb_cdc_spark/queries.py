@@ -12189,3 +12189,209 @@ def ks_value_distribution_shift(
         ).alias("ks_stat"),
         (lhs >= rhs).alias("reject_05"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Theil-Sen robust trend estimation of daily revenue: the median of
+# all pairwise slopes — the standard outlier-resistant alternative to
+# OLS (ols_price_on_quantity's sibling). Slopes are EXACT RATIONALS
+# (num = cents difference, den = day difference); the median is
+# selected under the total order (double value, num, den) — the
+# double is one correctly-rounded division of two exact integers, so
+# both engines order identically, and the integer tiebreak settles
+# equal-double neighbors. Scale shape: the pair join is DAYS-squared
+# (a calendar-bounded ~30x30, never corpus-sized — same argument as
+# daily_revenue_acf); the corpus-scale work is one map-side-
+# combinable daily aggregate.
+# ---------------------------------------------------------------------------
+@query(
+    "theil_sen_revenue_trend",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT)
+               AS y
+      FROM events GROUP BY day
+    ), slopes AS (
+      SELECT b.y - a.y AS num,
+             date_diff('day', a.day, b.day) AS den
+      FROM daily a JOIN daily b ON b.day > a.day
+    ), ranked AS (
+      SELECT num, den,
+             ROW_NUMBER() OVER (
+               ORDER BY CAST(num AS DOUBLE) / den, num, den) AS rn,
+             COUNT(*) OVER () AS np
+      FROM slopes
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM daily) AS n_days,
+           CAST(np AS BIGINT) AS n_pairs,
+           CAST(num AS BIGINT) AS slope_num,
+           CAST(den AS BIGINT) AS slope_den,
+           CAST(num AS DOUBLE) / den AS slope_cents_per_day
+    FROM ranked WHERE rn = (np + 1) // 2
+    """,
+)
+def theil_sen_revenue_trend(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        (F.sum(F.col("value").cast("decimal(18,2)")) * 100)
+        .cast("long")
+        .alias("y")
+    )
+    a = daily.select(
+        F.col("day").alias("da"), F.col("y").alias("ya")
+    )
+    b = daily.select(
+        F.col("day").alias("db"), F.col("y").alias("yb")
+    )
+    slopes = a.join(b, F.col("db") > F.col("da")).select(
+        (F.col("yb") - F.col("ya")).alias("num"),
+        F.datediff("db", "da").cast("long").alias("den"),
+    )
+    wr = Window.orderBy(
+        F.col("num").cast("double") / F.col("den"), "num", "den"
+    )  # days^2-sized series: the unpartitioned window is bounded
+    ranked = slopes.select(
+        "num",
+        "den",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(
+            Window.partitionBy()
+        ).alias("np"),
+    )
+    nd = daily.agg(F.count(F.lit(1)).alias("n_days"))
+    return (
+        ranked.filter(F.col("rn") == F.expr("(np + 1) div 2"))
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "n_days",
+            F.col("np").alias("n_pairs"),
+            F.col("num").alias("slope_num"),
+            F.col("den").alias("slope_den"),
+            (F.col("num").cast("double") / F.col("den")).alias(
+                "slope_cents_per_day"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sequence-pattern matching over sessions — the MATCH_RECOGNIZE /
+# funnel-regex analogue: each gap-based session (sessionize_events
+# cuts) is rendered as its ordered event-initial string ('vvcp' =
+# view view click purchase; the five event types have distinct
+# initials) and matched against a fixed pattern table of behavioral
+# regexes. Determinism: the per-session string is built by
+# sort_array over (ts, event_id) — never collect_list order — and
+# regex semantics are unanchored-search in both engines. Scale shape:
+# sessionization windows partition by user; per-session strings are
+# session-bounded; the pattern table is a constant broadcast, so
+# matching is a linear scan x 4 regexes; output is pattern-sized.
+# ---------------------------------------------------------------------------
+_SESSION_PATTERNS = [
+    ("direct_purchase", "^v+p"),
+    ("click_funnel", "v+c+[a-z]*p"),
+    ("error_retry", "e[a-z]*e"),
+    ("bounce", "^v$"),
+]
+
+
+@query(
+    "session_pattern_match_counts",
+    oracle=f"""
+    WITH gaps AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER w)
+                       > 1800000000
+                  OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END
+               AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT user_id, ts, event_id, event_type,
+             SUM(new_session) OVER (PARTITION BY user_id
+                 ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_id
+      FROM gaps
+    ), strs AS (
+      SELECT user_id, session_id,
+             string_agg(substr(event_type, 1, 1), ''
+                        ORDER BY ts, event_id) AS s
+      FROM sess GROUP BY user_id, session_id
+    ), pats AS (
+      SELECT * FROM (VALUES
+        {', '.join(f"('{n}', '{p}')" for n, p in _SESSION_PATTERNS)}
+      ) AS t(pattern_name, pat)
+    ), tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM strs)
+    SELECT p.pattern_name,
+           CAST(COALESCE(m.c, 0) AS BIGINT) AS n_sessions,
+           CAST((COALESCE(m.c, 0) * 1000000) // t.n AS BIGINT)
+             AS share_ppm
+    FROM pats p
+    LEFT JOIN (SELECT pattern_name, COUNT(*) AS c
+               FROM strs JOIN pats ON regexp_matches(s, pat)
+               GROUP BY pattern_name) m
+      ON m.pattern_name = p.pattern_name
+    CROSS JOIN tot t
+    """,
+)
+def session_pattern_match_counts(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = _epoch_us(F.col("ts")) - _epoch_us(F.lag("ts").over(w))
+    new_session = F.when(
+        gap_us.isNull() | (gap_us > 30 * 60 * 1_000_000), 1
+    ).otherwise(0)
+    wsum = Window.partitionBy("user_id").orderBy(
+        "ts", "event_id"
+    ).rowsBetween(Window.unboundedPreceding, 0)
+    sess = ev.withColumn("new_session", new_session).withColumn(
+        "session_id", F.sum("new_session").over(wsum)
+    )
+    strs = (
+        sess.groupBy("user_id", "session_id")
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        "ts",
+                        "event_id",
+                        F.substring("event_type", 1, 1).alias("ch"),
+                    )
+                )
+            ).alias("evs")
+        )
+        .select(
+            F.aggregate(
+                "evs",
+                F.lit(""),
+                lambda acc, x: F.concat(acc, x["ch"]),
+            ).alias("s")
+        )
+    )
+    pats = spark.createDataFrame(
+        _SESSION_PATTERNS, "pattern_name string, pat string"
+    )
+    matched = (
+        strs.crossJoin(F.broadcast(pats))
+        .filter(F.expr("s rlike pat"))
+        .groupBy("pattern_name")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tot = strs.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        pats.join(matched, "pattern_name", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "pattern_name",
+            F.coalesce("c", F.lit(0)).alias("n_sessions"),
+            F.expr("(coalesce(c, 0) * 1000000) div n").alias(
+                "share_ppm"
+            ),
+        )
+    )
