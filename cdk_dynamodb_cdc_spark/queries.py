@@ -12395,3 +12395,72 @@ def session_pattern_match_counts(
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Multi-format source/sink roundtrip: the same orders slice is
+# written to CSV (header), JSON-lines, and parquet with Spark's
+# writers, read back through the corresponding READERS under an
+# explicit schema, and aggregated — all three rows must carry
+# identical counts and decimal totals, which pins the text-format
+# type paths (timestamp <-> ISO string, DECIMAL <-> quoted number)
+# that silently corrupt when a reader infers doubles. The oracle is
+# the same slice straight from `orders`, three times. Scale shape:
+# writes/reads are whole-stage parallel per format; aggregation is
+# map-side-partial decimal sums; nothing driver-side but the tmp dir
+# name.
+# ---------------------------------------------------------------------------
+@query(
+    "source_format_roundtrip",
+    oracle="""
+    WITH s AS (
+      SELECT o_orderkey, o_orderdate,
+             CAST(o_totalprice AS DECIMAL(12,2)) AS p
+      FROM orders WHERE o_orderkey % 7 = 0
+    ), agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(SUM(p) AS DOUBLE) AS total_price,
+             CAST(COUNT(DISTINCT o_orderdate) AS BIGINT) AS n_dates
+      FROM s
+    )
+    SELECT fmt, n_rows, total_price, n_dates
+    FROM (VALUES ('csv'), ('json'), ('parquet')) AS f(fmt)
+    CROSS JOIN agg
+    """,
+)
+def source_format_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import tempfile
+
+    s = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 7 == 0)
+        .select(
+            "o_orderkey",
+            "o_orderdate",
+            _dec("o_totalprice").alias("p"),
+        )
+    )
+    base = tempfile.mkdtemp(prefix="fmt_rt_")
+    schema = "o_orderkey bigint, o_orderdate timestamp, p decimal(12,2)"
+    s.write.mode("overwrite").option("header", True).csv(f"{base}/csv")
+    s.write.mode("overwrite").json(f"{base}/json")
+    s.write.mode("overwrite").parquet(f"{base}/parquet")
+    readers = {
+        "csv": spark.read.schema(schema).option("header", True).csv(
+            f"{base}/csv"
+        ),
+        "json": spark.read.schema(schema).json(f"{base}/json"),
+        "parquet": spark.read.schema(schema).parquet(f"{base}/parquet"),
+    }
+    out = None
+    for fmt, df in readers.items():
+        row = df.agg(
+            F.lit(fmt).alias("fmt"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("p").cast("double").alias("total_price"),
+            F.countDistinct("o_orderdate").alias("n_dates"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
