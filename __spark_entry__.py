@@ -53,6 +53,8 @@ _GATE_PRIORITY = [
     # refactor). Then: every registry entry the r6 gate window
     # (CORRECTNESS_r06.json) did not cover, in registry order — so the
     # r7 window is disjoint from r6's except where code changed.
+    'attribution_time_decay',
+    'part_item_cf_topk',
     'source_format_roundtrip',
     'theil_sen_revenue_trend',
     'session_pattern_match_counts',

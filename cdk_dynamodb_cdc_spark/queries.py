@@ -12464,3 +12464,249 @@ def source_format_roundtrip(
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+# ---------------------------------------------------------------------------
+# TIME-DECAY multi-touch attribution — the third member of the
+# attribution family (last-touch, linear, now exponential decay):
+# each non-purchase touch in a converting journey earns weight
+# 2^(20 - age_days) (1-day half-life, age capped at 20 days so
+# weights stay integer powers of two), and the journey's 1e6 ppm of
+# credit is apportioned proportionally with EXACT integer arithmetic:
+# floor(1e6 * w / W) per touch plus largest-remainder distribution
+# (remainders ranked (frac desc, pos desc) — recency wins ties), so
+# per-type credit provably sums to 1e6 x conversions. Shape: the
+# linear lane's two user-keyed windows + one journey-keyed join,
+# plus one remainder-ranking window per journey; all shuffles are
+# user/journey-keyed and map-side combinable.
+# ---------------------------------------------------------------------------
+@query(
+    "attribution_time_decay",
+    oracle="""
+    WITH j AS (
+      SELECT user_id, event_type, event_id, ts,
+             COALESCE(SUM(CASE WHEN event_type = 'purchase'
+                               THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               0) AS journey
+      FROM events
+    ),
+    conv AS (
+      SELECT user_id, journey, MIN(CAST(ts AS DATE)) AS conv_day
+      FROM j WHERE event_type = 'purchase'
+      GROUP BY user_id, journey
+    ),
+    t AS (
+      SELECT x.user_id, x.journey, x.event_type,
+             ROW_NUMBER() OVER (PARTITION BY x.user_id, x.journey
+                                ORDER BY x.ts, x.event_id) AS pos,
+             CAST(POWER(2, 20 - LEAST(
+               date_diff('day', CAST(x.ts AS DATE), c.conv_day), 20))
+               AS BIGINT) AS w
+      FROM j x JOIN conv c
+        ON c.user_id = x.user_id AND c.journey = x.journey
+      WHERE x.event_type <> 'purchase'
+    ),
+    ww AS (
+      SELECT user_id, journey, event_type, pos, w,
+             SUM(w) OVER (PARTITION BY user_id, journey) AS tw
+      FROM t
+    ),
+    shares AS (
+      SELECT user_id, journey, event_type, pos,
+             (1000000 * w) // tw AS base,
+             (1000000 * w) % tw AS frac
+      FROM ww
+    ),
+    topped AS (
+      SELECT event_type, base,
+             CASE WHEN ROW_NUMBER() OVER (
+                    PARTITION BY user_id, journey
+                    ORDER BY frac DESC, pos DESC)
+                  <= 1000000 - SUM(base) OVER (
+                    PARTITION BY user_id, journey)
+                  THEN 1 ELSE 0 END AS extra
+      FROM shares
+    )
+    SELECT event_type AS attributed_type,
+           CAST(COUNT(*) AS BIGINT) AS n_touches,
+           CAST(SUM(base + extra) AS BIGINT) AS credit_ppm
+    FROM topped GROUP BY event_type
+    """,
+)
+def attribution_time_decay(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w_prior = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    j = ev.select(
+        "user_id",
+        "event_type",
+        "event_id",
+        "ts",
+        F.coalesce(
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).over(w_prior),
+            F.lit(0),
+        ).alias("journey"),
+    )
+    conv = (
+        j.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "journey")
+        .agg(F.min(F.col("ts").cast("date")).alias("conv_day"))
+    )
+    wj = Window.partitionBy("user_id", "journey").orderBy(
+        "ts", "event_id"
+    )
+    age = F.least(
+        F.datediff("conv_day", F.col("ts").cast("date")), F.lit(20)
+    )
+    t = (
+        j.filter(F.col("event_type") != "purchase")
+        .join(conv, ["user_id", "journey"])
+        .select(
+            "user_id",
+            "journey",
+            "event_type",
+            F.row_number().over(wj).alias("pos"),
+            age.alias("age"),
+        )
+        .withColumn(
+            "w", F.expr("shiftleft(cast(1 as bigint), 20 - age)")
+        )
+        .drop("age")
+    )
+    wn = Window.partitionBy("user_id", "journey")
+    ww = t.withColumn("tw", F.sum("w").over(wn))
+    shares = ww.select(
+        "user_id",
+        "journey",
+        "event_type",
+        "pos",
+        F.expr("(1000000 * w) div tw").alias("base"),
+        F.pmod(F.lit(1000000) * F.col("w"), F.col("tw")).alias("frac"),
+    )
+    wrem = Window.partitionBy("user_id", "journey").orderBy(
+        F.col("frac").desc(), F.col("pos").desc()
+    )
+    topped = shares.select(
+        "event_type",
+        "base",
+        F.when(
+            F.row_number().over(wrem)
+            <= F.lit(1000000) - F.sum("base").over(wn),
+            1,
+        )
+        .otherwise(0)
+        .alias("extra"),
+    )
+    return topped.groupBy(
+        F.col("event_type").alias("attributed_type")
+    ).agg(
+        F.count(F.lit(1)).alias("n_touches"),
+        F.sum(F.col("base") + F.col("extra")).alias("credit_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Item-item collaborative filtering ("customers who bought X also
+# bought Y"): cosine similarity on order co-occurrence —
+# sim(a,b) = co(a,b) / sqrt(n_a * n_b) — with the per-probe top-5
+# ranked EXACTLY by the integer key (co^2 * 1e12) div (n_a * n_b)
+# (squaring removes the sqrt; cross-multiplied division keeps the
+# order engine-exact), partkey tiebreak. Probes are a deterministic
+# 1/199 sample of parts so the OUTPUT stays bounded while the
+# similarity model is computed over the full corpus. Shape: the
+# co-order pair aggregate is the basket_brand_pairs shape (per-order
+# fan-out bounded by basket size squared); the per-probe top-5 is a
+# rank-filter window that Spark executes as WindowGroupLimit (partial
+# per-partition top-k before the shuffle).
+# ---------------------------------------------------------------------------
+@query(
+    "part_item_cf_topk",
+    oracle="""
+    WITH it AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    deg AS (
+      SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n
+      FROM it GROUP BY l_partkey
+    ), co AS (
+      SELECT a.l_partkey AS pa, b.l_partkey AS pb,
+             CAST(COUNT(*) AS BIGINT) AS co
+      FROM it a JOIN it b
+        ON a.l_orderkey = b.l_orderkey
+       AND a.l_partkey <> b.l_partkey
+      GROUP BY pa, pb
+    ), scored AS (
+      SELECT co.pa, co.pb, co.co,
+             (co.co * co.co * 1000000000000)
+               // (da.n * db.n) AS score_scaled
+      FROM co
+      JOIN deg da ON da.l_partkey = co.pa
+      JOIN deg db ON db.l_partkey = co.pb
+      WHERE co.pa % 199 = 0
+    )
+    SELECT pa AS part, pb AS neighbor, co AS n_coorders,
+           CAST(score_scaled AS BIGINT) AS score_scaled
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY pa
+              ORDER BY score_scaled DESC, pb) AS rk
+          FROM scored) t
+    WHERE rk <= 5
+    """,
+)
+def part_item_cf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    it = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    deg = it.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n"))
+    a = it.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa")
+    )
+    b = it.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb")
+    )
+    co = (
+        a.join(b, "ok")
+        .filter(F.col("pa") != F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("co"))
+        .filter(F.col("pa") % 199 == 0)
+    )
+    scored = (
+        co.join(
+            deg.select(
+                F.col("l_partkey").alias("pa"), F.col("n").alias("na")
+            ),
+            "pa",
+        )
+        .join(
+            deg.select(
+                F.col("l_partkey").alias("pb"), F.col("n").alias("nb")
+            ),
+            "pb",
+        )
+        .withColumn(
+            "score_scaled",
+            F.expr("(co * co * 1000000000000) div (na * nb)"),
+        )
+    )
+    wr = Window.partitionBy("pa").orderBy(
+        F.col("score_scaled").desc(), "pb"
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(wr))
+        .filter(F.col("rk") <= 5)
+        .select(
+            F.col("pa").alias("part"),
+            F.col("pb").alias("neighbor"),
+            F.col("co").alias("n_coorders"),
+            "score_scaled",
+        )
+    )
