@@ -12710,3 +12710,138 @@ def part_item_cf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "score_scaled",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Hierarchical change-point detection by BINARY SEGMENTATION over the
+# daily revenue series — the multi-change-point extension of the
+# CUSUM single-shift test: level 1 finds the split t* maximizing the
+# scaled CUSUM deviation |n*S_t - t*S_n| (all integer cents — the
+# cross-multiplied form of |S_t/t-ish drift|, min-t tiebreak), then
+# recurses once into each half, yielding up to three change points.
+# Everything is exact integer arithmetic over the days-sized series
+# (the corpus-scale work is one map-side-combinable daily aggregate);
+# the oracle replays both levels with QUALIFY argmax selections.
+# ---------------------------------------------------------------------------
+@query(
+    "revenue_binary_segmentation",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT)
+               AS y
+      FROM events GROUP BY day
+    ), idx AS (
+      SELECT day, y, ROW_NUMBER() OVER (ORDER BY day) AS t,
+             SUM(y) OVER (ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s,
+             COUNT(*) OVER () AS n,
+             SUM(y) OVER () AS stot
+      FROM daily
+    ), l1 AS (
+      SELECT t AS cp1, day AS cp1_day,
+             ABS(n * s - t * stot) AS d1
+      FROM idx WHERE t < n
+      QUALIFY ROW_NUMBER() OVER (
+        ORDER BY ABS(n * s - t * stot) DESC, t) = 1
+    ), seg AS (
+      SELECT i.t, i.day, i.s, i.y,
+             CASE WHEN i.t <= l.cp1 THEN 0 ELSE 1 END AS side,
+             l.cp1
+      FROM idx i CROSS JOIN l1 l
+    ), segstat AS (
+      SELECT t, day, side,
+             SUM(y) OVER (PARTITION BY side ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ss,
+             ROW_NUMBER() OVER (PARTITION BY side ORDER BY t) AS tt,
+             COUNT(*) OVER (PARTITION BY side) AS nn,
+             SUM(y) OVER (PARTITION BY side) AS sstot
+      FROM seg
+    ), l2 AS (
+      SELECT side, tt, day,
+             ABS(nn * ss - tt * sstot) AS d
+      FROM segstat WHERE tt < nn
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY side
+        ORDER BY ABS(nn * ss - tt * sstot) DESC, tt) = 1
+    )
+    SELECT * FROM (
+      SELECT 1 AS level, 0 AS side, cp1_day AS change_day,
+             CAST(d1 AS BIGINT) AS deviation
+      FROM l1
+      UNION ALL
+      SELECT 2, side, day, CAST(d AS BIGINT) FROM l2
+    )
+    """,
+)
+def revenue_binary_segmentation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        (F.sum(F.col("value").cast("decimal(18,2)")) * 100)
+        .cast("long")
+        .alias("y")
+    )
+    # days-sized series: the unpartitioned windows are bounded
+    wo = Window.orderBy("day")
+    wcum = wo.rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.partitionBy()
+    idx = daily.select(
+        "day",
+        "y",
+        F.row_number().over(wo).alias("t"),
+        F.sum("y").over(wcum).alias("s"),
+        F.count(F.lit(1)).over(wall).alias("n"),
+        F.sum("y").over(wall).alias("stot"),
+    )
+    dev = F.abs(F.col("n") * F.col("s") - F.col("t") * F.col("stot"))
+    wd1 = Window.orderBy(dev.desc(), "t")
+    l1 = (
+        idx.filter(F.col("t") < F.col("n"))
+        .withColumn("rk", F.row_number().over(wd1))
+        .filter(F.col("rk") == 1)
+        .select(
+            F.col("t").alias("cp1"),
+            F.col("day").alias("cp1_day"),
+            dev.alias("d1"),
+        )
+    )
+    seg = idx.crossJoin(F.broadcast(l1)).select(
+        "t",
+        "day",
+        "y",
+        F.when(F.col("t") <= F.col("cp1"), 0).otherwise(1).alias("side"),
+    )
+    ws = Window.partitionBy("side").orderBy("t")
+    wscum = ws.rowsBetween(Window.unboundedPreceding, 0)
+    wsall = Window.partitionBy("side")
+    segstat = seg.select(
+        "day",
+        "side",
+        F.sum("y").over(wscum).alias("ss"),
+        F.row_number().over(ws).alias("tt"),
+        F.count(F.lit(1)).over(wsall).alias("nn"),
+        F.sum("y").over(wsall).alias("sstot"),
+    )
+    dev2 = F.abs(
+        F.col("nn") * F.col("ss") - F.col("tt") * F.col("sstot")
+    )
+    wd2 = Window.partitionBy("side").orderBy(dev2.desc(), "tt")
+    l2 = (
+        segstat.filter(F.col("tt") < F.col("nn"))
+        .withColumn("rk", F.row_number().over(wd2))
+        .filter(F.col("rk") == 1)
+        .select(
+            F.lit(2).alias("level"),
+            "side",
+            F.col("day").alias("change_day"),
+            dev2.alias("deviation"),
+        )
+    )
+    top = l1.select(
+        F.lit(1).alias("level"),
+        F.lit(0).alias("side"),
+        F.col("cp1_day").alias("change_day"),
+        F.col("d1").alias("deviation"),
+    )
+    return top.unionByName(l2)
