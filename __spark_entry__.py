@@ -53,6 +53,12 @@ _GATE_PRIORITY = [
     # refactor). Then: every registry entry the r6 gate window
     # (CORRECTNESS_r06.json) did not cover, in registry order — so the
     # r7 window is disjoint from r6's except where code changed.
+    'sampled_quantile_contract',
+    'session_sequence_pairs',
+    'kmeans_doc_clusters',
+    'fd_discovery_profile',
+    'ind_discovery_profile',
+    'cf_holdout_hit_rate',
     'revenue_binary_segmentation',
     'attribution_time_decay',
     'part_item_cf_topk',

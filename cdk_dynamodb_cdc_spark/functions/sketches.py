@@ -28,7 +28,7 @@ performs for its other mergeable aggregates.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from cdk_dynamodb_cdc_spark.llm.text import token_hash60
@@ -456,4 +456,98 @@ def cms_estimate(
         .groupBy("__cms_rid", *out_cols)
         .agg(F.min(F.coalesce(F.col("__cms_c"), F.lit(0))).alias("est_n"))
         .drop("__cms_rid")
+    )
+
+
+SAMPLE_K = 2048
+
+
+def sample_sketch(
+    df: DataFrame,
+    value_col: str,
+    key_cols: list[str],
+    *,
+    k: int = SAMPLE_K,
+    salt: str = "qsk",
+) -> DataFrame:
+    """Bottom-k-by-hash row sample — the DISTRIBUTION sketch that
+    completes the family (CMS counts, HLL/KMV cardinality, Bloom
+    membership): ``k`` rows drawn uniformly without replacement by
+    keeping the rows whose salted 60-bit md5 of the unique row key
+    hashes smallest. Deterministic (the hash is the randomness), so a
+    DuckDB oracle replays the exact sample; mergeable exactly like KMV
+    (concatenate sketches, re-limit to the k smallest hashes), so
+    partitions/micro-batches fold without ever shipping the stream.
+
+    Rank estimation: for a sample of size ``m`` out of ``n`` rows, the
+    value at sample-rank ``ceil(q*m)`` estimates the q-quantile with
+    rank error O(sqrt(q(1-q)/m)) (DKW); ``m = min(k, n)`` and an
+    unfull sketch is EXACT. Unlike
+    :func:`~cdk_dynamodb_cdc_spark.operators.quantiles.exact_quantiles_two_pass`
+    (two scans, exact), this is ONE scan-shaped pass whose per-partition
+    partial keeps <= k rows (TakeOrderedAndProject) — the lane for
+    streaming accumulation and for profiling many columns in one job.
+
+    Output: ``(h, v)`` rows, ``h`` the sample hash (merge key), ``v``
+    the sampled value. Rows with NULL values are excluded upstream of
+    sampling so m counts real observations.
+    """
+    h = token_hash60(
+        F.concat(
+            F.lit(f"{salt}:"),
+            *sum(
+                (
+                    [F.col(c).cast("string"), F.lit("|")]
+                    for c in key_cols
+                ),
+                [],
+            ),
+        )
+    )
+    return (
+        df.filter(F.col(value_col).isNotNull())
+        .select(h.alias("h"), F.col(value_col).alias("v"))
+        .orderBy("h", "v")
+        .limit(k)
+    )
+
+
+def sample_quantile_targets(
+    sketch: DataFrame,
+    qs: list[tuple[str, int, int]],
+) -> DataFrame:
+    """Quantile estimates from a :func:`sample_sketch`: one row
+    ``(q, est_value, est_rank_ppm)`` per requested quantile.
+
+    ``qs`` entries are ``(label, num, den)`` RATIONALS; the pick is the
+    sample value at value-rank ``max(1, ceil(num*m/den))`` — exact
+    integer arithmetic on ``m``, the float q never touches a decision
+    (same discipline as the exact weighted-quantile operator). The
+    ranking window runs over the <= k sampled rows (bounded, single
+    partition by construction — this is driver-scale data kept
+    distributed only to stay in the plan).
+    """
+    spark = sketch.sparkSession
+    tq = F.broadcast(
+        spark.createDataFrame(qs, "q string, num long, den long")
+    )
+    m = sketch.agg(F.count(F.lit(1)).alias("m"))
+    ranked = sketch.withColumn(
+        "rn", F.row_number().over(Window.orderBy("v", "h"))
+    )
+    pos = F.greatest(
+        F.lit(1).cast("long"),
+        F.expr("(num * m + den - 1) DIV den"),
+    )
+    return (
+        tq.crossJoin(F.broadcast(m))
+        .withColumn("pos", pos)
+        .join(ranked, F.col("rn") == F.col("pos"))
+        .select(
+            "q",
+            F.col("v").alias("est_value"),
+            F.expr("(rn * CAST(1000000 AS BIGINT)) DIV m")
+            .cast("long")
+            .alias("est_rank_ppm"),
+        )
     )

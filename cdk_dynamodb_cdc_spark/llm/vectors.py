@@ -1326,3 +1326,129 @@ def mmr_diversify(
         F.col("s.rel").alias("rel"),
         F.col("s.mmr").alias("mmr_scaled"),
     )
+
+
+def kmeans_int(
+    emb: DataFrame,
+    *,
+    k: int = 8,
+    iters: int = 3,
+    dim: int = 64,
+    scale: int = 1_000_000,
+    salt: str = "km",
+) -> DataFrame:
+    """Lloyd's k-means as an EXACTLY replayable relational plan — the
+    clustering loop the IVF codebook trains driver-side
+    (:func:`_ivf_codebook`), promoted to a fully-distributed,
+    oracle-verifiable operator. Every decision is integer arithmetic:
+
+    * vectors quantize to ``floor(x * scale)`` longs (deterministic
+      in any engine: float->double widening is exact, floor is
+      unambiguous);
+    * init = the vectors of the ``k`` smallest salted 60-bit md5
+      hashes of vec_id (the hash is the randomness — replayable);
+    * assignment = argmin of EXACT integer squared L2 (zip_with
+      diff-square, long fold; |x| <= scale * few and dim = 64 keep
+      the fold < 2^53 under long arithmetic), ties to the smaller
+      cluster index;
+    * update = per-dim long sums floored-div by the member count
+      (floor semantics in BOTH engines: floor(s/n) on exact doubles
+      — a true-integer quotient divides exactly, a non-integer one
+      sits >= 1/n from the boundary); an emptied cluster keeps its
+      previous centroid.
+
+    Returns one row per cluster: ``(cluster, n_docs, wss, checksum)``
+    — member count, within-cluster sum of squared distances (exact,
+    summed in DECIMAL(38,0), cast DOUBLE in the final projection),
+    and the centroid component sum (long). The fixed ``iters`` keeps
+    the plan statically unrollable — the same bounded-rounds
+    discipline as the fixed-point PageRank/HITS operators; each
+    iteration is one scan-shaped assignment (k-way broadcast fan-out)
+    plus one k x dim-sized aggregate, so the loop is linear in the
+    corpus per iteration at any SF.
+    """
+    xq = F.transform(
+        F.col("embedding"),
+        lambda v: F.floor(v.cast("double") * F.lit(scale)).cast(
+            "long"
+        ),
+    )
+    vecs = emb.select("vec_id", xq.alias("x"))
+    from cdk_dynamodb_cdc_spark.llm.text import token_hash60
+
+    h = token_hash60(
+        F.concat(F.lit(f"{salt}:"), F.col("vec_id").cast("string"))
+    )
+    # bounded: k rows; the global window runs over the k-row limit
+    init = (
+        vecs.withColumn("h", h)
+        .orderBy("h", "vec_id")
+        .limit(k)
+        .withColumn(
+            "cluster",
+            F.row_number().over(Window.orderBy("h", "vec_id")),
+        )
+        .select("cluster", F.col("x").alias("c"))
+    )
+    d2 = F.aggregate(
+        F.zip_with("x", "c", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, y: acc + y,
+    )
+    wpick = Window.partitionBy("vec_id").orderBy("d2", "cluster")
+    cent = init
+    best = None
+    for it in range(iters):
+        best = (
+            vecs.crossJoin(F.broadcast(cent))
+            .select("vec_id", "x", "cluster", d2.alias("d2"))
+            .withColumn("rk", F.row_number().over(wpick))
+            .filter(F.col("rk") == 1)
+            .drop("rk")
+        )
+        if it < iters - 1:
+            sums = best.groupBy("cluster").agg(
+                F.count(F.lit(1)).alias("n"),
+                *[
+                    F.sum(F.col("x")[i]).alias(f"s{i}")
+                    for i in range(dim)
+                ],
+            )
+            newc = sums.select(
+                "cluster",
+                "n",
+                F.array(
+                    *[
+                        F.floor(F.col(f"s{i}") / F.col("n")).cast(
+                            "long"
+                        )
+                        for i in range(dim)
+                    ]
+                ).alias("cnew"),
+            )
+            cent = (
+                cent.join(newc, "cluster", "left")
+                .select(
+                    "cluster",
+                    F.coalesce("cnew", "c").alias("c"),
+                )
+            )
+    report = best.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("d2").cast("decimal(38,0)")).alias("wss_dec"),
+    )
+    checksum = F.aggregate(
+        "c", F.lit(0).cast("long"), lambda acc, y: acc + y
+    )
+    return (
+        cent.select("cluster", checksum.alias("checksum"))
+        .join(report, "cluster", "left")
+        .select(
+            "cluster",
+            F.coalesce("n_docs", F.lit(0)).alias("n_docs"),
+            F.coalesce(F.col("wss_dec"), F.lit(0))
+            .cast("double")
+            .alias("wss"),
+            "checksum",
+        )
+    )

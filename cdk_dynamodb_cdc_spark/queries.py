@@ -12845,3 +12845,611 @@ def revenue_binary_segmentation(
         F.col("d1").alias("deviation"),
     )
     return top.unionByName(l2)
+
+
+# ---------------------------------------------------------------------------
+# Distribution sketch (functions/sketches.py: sample_sketch /
+# sample_quantile_targets): bottom-k-by-hash uniform row sample over
+# lineitem prices, quantile picks by exact integer rank arithmetic on
+# the sample, then the CONTRACT — one full-scan conditional count pins
+# each estimate's TRUE rank within 5% of the target q (DKW at k=2048
+# puts the per-quantile failure probability below 1e-4, and the hash
+# sample is fixed, so the booleans are stable facts of the corpus).
+# The oracle replays the sample (same md5 bottom-k), the picks, and
+# the true ranks — estimates AND contract hash-identically. The
+# reference has no aggregation surface at all; this is the one-pass
+# mergeable lane beside the exact two-pass operator
+# (operators/quantiles.py).
+# ---------------------------------------------------------------------------
+@query(
+    "sampled_quantile_contract",
+    oracle="""
+    WITH smp AS (
+      SELECT ('0x' || substr(md5('qsk:' || CAST(l_orderkey AS VARCHAR)
+               || '|' || CAST(l_linenumber AS VARCHAR) || '|'),
+               1, 15))::BIGINT AS h,
+             l_extendedprice AS v
+      FROM lineitem WHERE l_extendedprice IS NOT NULL
+      ORDER BY h, v LIMIT 2048
+    ),
+    m AS (SELECT COUNT(*) AS m FROM smp),
+    ranked AS (SELECT v, ROW_NUMBER() OVER (ORDER BY v, h) AS rn
+               FROM smp),
+    tq AS (SELECT * FROM (VALUES
+             ('p25', 1, 4, 250000), ('p50', 1, 2, 500000),
+             ('p90', 9, 10, 900000), ('p99', 99, 100, 990000))
+           AS t(q, num, den, q_ppm)),
+    pick AS (
+      SELECT tq.q, tq.q_ppm, r.v AS est_value,
+             CAST((r.rn * 1000000) // m.m AS BIGINT) AS est_rank_ppm
+      FROM tq, m, ranked r
+      WHERE r.rn = GREATEST(1, (tq.num * m.m + tq.den - 1) // tq.den)
+    ),
+    n AS (SELECT COUNT(l_extendedprice) AS n FROM lineitem),
+    tr AS (
+      SELECT p.q, p.q_ppm, p.est_value, p.est_rank_ppm,
+             SUM(CASE WHEN l.l_extendedprice <= p.est_value
+                      THEN 1 ELSE 0 END) AS trk
+      FROM lineitem l CROSS JOIN pick p
+      GROUP BY p.q, p.q_ppm, p.est_value, p.est_rank_ppm
+    )
+    SELECT tr.q,
+           CAST(tr.est_value AS DOUBLE) AS est_value,
+           tr.est_rank_ppm,
+           CAST((tr.trk * 1000000) // n.n AS BIGINT) AS true_rank_ppm,
+           (abs(CAST((tr.trk * 1000000) // n.n AS BIGINT) - tr.q_ppm)
+              <= 50000) AS within_5pct
+    FROM tr, n
+    """,
+)
+def sampled_quantile_contract(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from cdk_dynamodb_cdc_spark.functions.sketches import (
+        sample_quantile_targets,
+        sample_sketch,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    sk = sample_sketch(
+        li, "l_extendedprice", ["l_orderkey", "l_linenumber"]
+    )
+    qdf = F.broadcast(
+        spark.createDataFrame(
+            [
+                ("p25", 250000),
+                ("p50", 500000),
+                ("p90", 900000),
+                ("p99", 990000),
+            ],
+            "q string, q_ppm long",
+        )
+    )
+    est = sample_quantile_targets(
+        sk,
+        [("p25", 1, 4), ("p50", 1, 2), ("p90", 9, 10), ("p99", 99, 100)],
+    )
+    n = li.agg(F.count("l_extendedprice").alias("n"))
+    truth = (
+        li.select("l_extendedprice")
+        .crossJoin(F.broadcast(est))
+        .groupBy("q", "est_value", "est_rank_ppm")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("l_extendedprice") <= F.col("est_value"), 1
+                ).otherwise(0)
+            ).alias("trk")
+        )
+    )
+    return (
+        truth.crossJoin(F.broadcast(n))
+        .join(qdf, "q")
+        .select(
+            "q",
+            F.col("est_value").cast("double").alias("est_value"),
+            "est_rank_ppm",
+            F.expr("(trk * CAST(1000000 AS BIGINT)) DIV n")
+            .cast("long")
+            .alias("true_rank_ppm"),
+            (
+                F.abs(
+                    F.expr("(trk * CAST(1000000 AS BIGINT)) DIV n")
+                    - F.col("q_ppm")
+                )
+                <= F.lit(50000)
+            ).alias("within_5pct"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sequential pattern mining (ordered event pairs WITH GAPS): which
+# event type is followed — anywhere later in the same session, not
+# just adjacently — by which. The gap semantics distinguish this from
+# session_path_trigrams (contiguous n-grams) and from the Apriori
+# itemsets (unordered): it is the support count of the length-2
+# sequential patterns of GSP/PrefixSpan. Per session only the first
+# 12 events contribute (bounded prefix => <= 66 pairs per session,
+# generated JVM-side from the sorted struct array — no join, no
+# Python); support is counted once per session (array_distinct). The
+# oracle states the quadratic definition as a rn<rn self-join; the
+# Spark plan never runs that join — the green hash certifies the
+# array-fold equivalent. Reference: forwards events unexamined
+# (dynamo-stream-handler.ts:168-177); pattern semantics are the §2C
+# analytics extension.
+# ---------------------------------------------------------------------------
+@query(
+    "session_sequence_pairs",
+    oracle="""
+    WITH gaps AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER w)
+                       > 1800000000
+                  OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END
+               AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT user_id, ts, event_id, event_type,
+             SUM(new_session) OVER (PARTITION BY user_id
+                 ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_id
+      FROM gaps
+    ), pref AS (
+      SELECT * FROM (
+        SELECT user_id, session_id, event_type,
+               ROW_NUMBER() OVER (PARTITION BY user_id, session_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM sess)
+      WHERE rn <= 12
+    ),
+    tot AS (SELECT COUNT(*) AS n FROM
+            (SELECT DISTINCT user_id, session_id FROM pref)),
+    pairs AS (
+      SELECT DISTINCT e1.user_id, e1.session_id,
+             e1.event_type AS a, e2.event_type AS b
+      FROM pref e1 JOIN pref e2
+        ON e1.user_id = e2.user_id
+       AND e1.session_id = e2.session_id
+       AND e1.rn < e2.rn
+    ),
+    sup AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS support
+            FROM pairs GROUP BY a, b)
+    SELECT a, b, support,
+           CAST((support * 1000000) // t.n AS BIGINT) AS share_ppm
+    FROM sup, tot t
+    ORDER BY support DESC, a, b LIMIT 15
+    """,
+)
+def session_sequence_pairs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = _epoch_us(F.col("ts")) - _epoch_us(F.lag("ts").over(w))
+    new_session = F.when(
+        gap_us.isNull() | (gap_us > 30 * 60 * 1_000_000), 1
+    ).otherwise(0)
+    wsum = w.rowsBetween(Window.unboundedPreceding, 0)
+    sess = ev.withColumn(
+        "session_id", F.sum(new_session).over(wsum)
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("user_id", "session_id").orderBy(
+            "ts", "event_id"
+        )
+    )
+    pref = sess.withColumn("rn", rn).filter(F.col("rn") <= 12)
+    arr = pref.groupBy("user_id", "session_id").agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct("rn", F.col("event_type").alias("t"))
+            )
+        ).alias("evs")
+    )
+    pairs = F.expr(
+        "array_distinct(flatten(transform(evs, (x, i) -> "
+        "transform(slice(evs, i + 2, size(evs)), y -> "
+        "struct(x.t AS a, y.t AS b)))))"
+    )
+    sup = (
+        arr.select(F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .agg(F.count(F.lit(1)).alias("support"))
+    )
+    tot = arr.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        sup.crossJoin(F.broadcast(tot))
+        .select(
+            "a",
+            "b",
+            "support",
+            F.expr("(support * CAST(1000000 AS BIGINT)) DIV n")
+            .cast("long")
+            .alias("share_ppm"),
+        )
+        .orderBy(F.desc("support"), "a", "b")
+        .limit(15)
+    )
+
+
+# ---------------------------------------------------------------------------
+# k-means (llm/vectors.py:kmeans_int): Lloyd's loop as a registered,
+# driver-verified operator — 3 fixed iterations, md5-seeded init,
+# exact integer assignment and floor-div centroid updates, so the
+# oracle can replay the ENTIRE training trajectory as unrolled CTEs
+# (same discipline as the fixed-point PageRank/HITS/k-core oracles:
+# equality holds at any SF by construction, not by float luck). The
+# output pins cluster memberships (sizes), the exact within-cluster
+# squared-distance objective, and a centroid checksum — i.e. the
+# loop's full state, not just a summary.
+# ---------------------------------------------------------------------------
+def _kmeans_oracle(k: int, iters: int, dim: int, scale: int) -> str:
+    rng = f"range(1, {dim + 1})"
+    ctes = [
+        f"""xq AS (
+      SELECT vec_id, list_transform(embedding,
+               v -> CAST(floor(v::DOUBLE * {scale}) AS BIGINT)) AS x
+      FROM embeddings)""",
+        f"""init AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY h, vec_id) AS cluster, x AS c
+      FROM (SELECT vec_id, x,
+                   ('0x' || substr(md5('km:' ||
+                      CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT AS h
+            FROM xq ORDER BY h, vec_id LIMIT {k}))""",
+    ]
+    cent = "init"
+    for t in range(iters):
+        ctes.append(
+            f"""asg{t} AS (
+      SELECT vec_id, x, cluster, d2 FROM (
+        SELECT vec_id, x, cluster, d2,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY d2, cluster) AS rk
+        FROM (SELECT q.vec_id, q.x, c.cluster,
+                     list_sum(list_transform({rng},
+                       i -> (q.x[i] - c.c[i]) * (q.x[i] - c.c[i])))
+                       AS d2
+              FROM xq q, {cent} c))
+      WHERE rk = 1)"""
+        )
+        if t < iters - 1:
+            ctes.append(
+                f"""u{t} AS (
+      SELECT cluster, MAX(cnt) AS n, list(sd ORDER BY i) AS sx
+      FROM (SELECT cluster, i, SUM(x[i]) AS sd, COUNT(*) AS cnt
+            FROM asg{t}, {rng} AS t(i) GROUP BY cluster, i)
+      GROUP BY cluster)"""
+            )
+            ctes.append(
+                f"""cent{t + 1} AS (
+      SELECT p.cluster,
+             CASE WHEN u.n IS NULL THEN p.c
+                  ELSE list_transform({rng},
+                    i -> CAST(floor(u.sx[i]::DOUBLE / u.n) AS BIGINT))
+             END AS c
+      FROM {cent} p LEFT JOIN u{t} u USING (cluster))"""
+            )
+            cent = f"cent{t + 1}"
+    return f"""
+    WITH {", ".join(ctes)}
+    SELECT c.cluster,
+           CAST(COALESCE(r.n_docs, 0) AS BIGINT) AS n_docs,
+           CAST(COALESCE(r.wss, 0) AS DOUBLE) AS wss,
+           CAST(list_sum(c.c) AS BIGINT) AS checksum
+    FROM {cent} c LEFT JOIN (
+      SELECT cluster, COUNT(*) AS n_docs,
+             SUM(CAST(d2 AS DECIMAL(38,0))) AS wss
+      FROM asg{iters - 1} GROUP BY cluster) r USING (cluster)
+    """
+
+
+@query("kmeans_doc_clusters", oracle=_kmeans_oracle(8, 3, 64, 1_000_000))
+def kmeans_doc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return llm_vectors.kmeans_int(emb, k=8, iters=3, dim=64)
+
+
+# ---------------------------------------------------------------------------
+# Functional-dependency discovery (data profiling, TANE/Metanome
+# family): for each candidate X -> Y over orders, the exact g3 error —
+# the minimum number of rows to delete for the FD to hold, i.e.
+# n - sum_x max_y |rows with X=x, Y=y|. One (X, Y) count aggregate and
+# one per-X argmax per candidate, both map-side combinable; candidates
+# are schema-bounded (a profiler enumerates column pairs, never data).
+# Exact integers end-to-end; `holds` is g3 = 0. The discovered set on
+# this corpus is non-vacuous in both directions: o_orderkey -> others
+# hold (it is the key), the reverses fail.
+# ---------------------------------------------------------------------------
+_FD_CANDIDATES = [
+    ("o_orderkey", "o_custkey"),
+    ("o_orderkey", "o_orderstatus"),
+    ("o_custkey", "o_orderpriority"),
+    ("o_custkey", "o_orderstatus"),
+    ("o_orderpriority", "o_orderstatus"),
+    ("o_totalprice", "o_custkey"),
+]
+
+
+def _fd_oracle() -> str:
+    parts = []
+    for x, y in _FD_CANDIDATES:
+        parts.append(f"""
+    SELECT '{x}' AS lhs, '{y}' AS rhs,
+           CAST((SELECT COUNT(*) FROM orders) -
+                (SELECT SUM(mx) FROM (
+                   SELECT MAX(c) AS mx FROM (
+                     SELECT {x}, {y}, COUNT(*) AS c FROM orders
+                     GROUP BY {x}, {y})
+                   GROUP BY {x})) AS BIGINT) AS g3_error""")
+    return (
+        "SELECT lhs, rhs, g3_error, (g3_error = 0) AS holds FROM ("
+        + " UNION ALL ".join(parts)
+        + ")"
+    )
+
+
+@query("fd_discovery_profile", oracle=_fd_oracle())
+def fd_discovery_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    outs = []
+    for x, y in _FD_CANDIDATES:
+        pairc = orders.groupBy(x, y).agg(F.count(F.lit(1)).alias("c"))
+        kept = pairc.groupBy(x).agg(F.max("c").alias("mx")).agg(
+            F.sum("mx").alias("kept")
+        )
+        n = orders.agg(F.count(F.lit(1)).alias("n"))
+        outs.append(
+            n.crossJoin(kept).select(
+                F.lit(x).alias("lhs"),
+                F.lit(y).alias("rhs"),
+                (F.col("n") - F.col("kept")).alias("g3_error"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.select(
+        "lhs",
+        "rhs",
+        "g3_error",
+        (F.col("g3_error") == 0).alias("holds"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Inclusion-dependency discovery (the cross-table half of profiling,
+# next to the FD operator): for candidate column pairs A.x ⊆ B.y,
+# the exact number of DISTINCT values of A.x absent from B.y (0 =
+# the IND holds — a foreign-key candidate). Each candidate is one
+# distinct-project per side plus a left-anti join on the value — at
+# scale the distinct sides are NDV-sized, and the anti join is the
+# canonical "referential integrity scan" shape. Both verdicts are
+# non-vacuous on this corpus: the FK directions hold, and
+# orders.o_orderkey ⊆ lineitem.l_orderkey fails (orders with no
+# lineitems exist at every SF).
+# ---------------------------------------------------------------------------
+_IND_CANDIDATES = [
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("customer", "c_custkey", "orders", "o_custkey"),
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("orders", "o_orderkey", "lineitem", "l_orderkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("nation", "n_regionkey", "region", "r_regionkey"),
+]
+
+
+def _ind_oracle() -> str:
+    parts = []
+    for ta, ca, tb, cb in _IND_CANDIDATES:
+        parts.append(f"""
+    SELECT '{ta}.{ca}' AS lhs, '{tb}.{cb}' AS rhs,
+           CAST((SELECT COUNT(*) FROM
+                  (SELECT DISTINCT {ca} AS v FROM {ta}
+                   WHERE {ca} IS NOT NULL)
+                 WHERE v NOT IN (SELECT {cb} FROM {tb}
+                                 WHERE {cb} IS NOT NULL))
+                AS BIGINT) AS n_unmatched""")
+    return (
+        "SELECT lhs, rhs, n_unmatched, (n_unmatched = 0) AS holds"
+        " FROM (" + " UNION ALL ".join(parts) + ")"
+    )
+
+
+@query("ind_discovery_profile", oracle=_ind_oracle())
+def ind_discovery_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    outs = []
+    for ta, ca, tb, cb in _IND_CANDIDATES:
+        a = (
+            load_table(spark, sf_dir, ta)
+            .filter(F.col(ca).isNotNull())
+            .select(F.col(ca).alias("v"))
+            .distinct()
+        )
+        b = (
+            load_table(spark, sf_dir, tb)
+            .filter(F.col(cb).isNotNull())
+            .select(F.col(cb).alias("v"))
+        )
+        unmatched = a.join(b, "v", "left_anti").agg(
+            F.count(F.lit(1)).alias("n_unmatched")
+        )
+        outs.append(
+            unmatched.select(
+                F.lit(f"{ta}.{ca}").alias("lhs"),
+                F.lit(f"{tb}.{cb}").alias("rhs"),
+                F.col("n_unmatched"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.select(
+        "lhs",
+        "rhs",
+        "n_unmatched",
+        (F.col("n_unmatched") == 0).alias("holds"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Recommender EVALUATION harness (the missing half of part_item_cf_topk):
+# temporal holdout — train the item-item CF on orders BEFORE 1997,
+# recommend top-5 neighbors per probe part, then score each
+# recommendation against the HELD-OUT year: a hit is a recommended
+# pair bought by the same CUSTOMER in 1997+ (user-basket validation
+# — order-level co-occurrence is too sparse to be a signal). Exact integers
+# end-to-end (hit_ppm by integer division); the oracle replays split,
+# training arithmetic, ranking, and validation. The train/test join
+# keys are the same co-order lanes as the CF itself — evaluation
+# costs one extra distinct-pair semi join, probe-bounded output.
+# ---------------------------------------------------------------------------
+@query(
+    "cf_holdout_hit_rate",
+    oracle="""
+    WITH lo AS (
+      SELECT l.l_orderkey, l.l_partkey, o.o_orderdate, o.o_custkey
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ),
+    train AS (SELECT DISTINCT l_orderkey, l_partkey FROM lo
+              WHERE o_orderdate < TIMESTAMP '1997-01-01 00:00:00'),
+    test AS (SELECT DISTINCT o_custkey, l_partkey FROM lo
+             WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'),
+    deg AS (SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n
+            FROM train GROUP BY l_partkey),
+    co AS (
+      SELECT a.l_partkey AS pa, b.l_partkey AS pb,
+             CAST(COUNT(*) AS BIGINT) AS co
+      FROM train a JOIN train b
+        ON a.l_orderkey = b.l_orderkey
+       AND a.l_partkey <> b.l_partkey
+      GROUP BY pa, pb
+    ),
+    recs AS (
+      SELECT pa, pb FROM (
+        SELECT co.pa, co.pb,
+               ROW_NUMBER() OVER (PARTITION BY co.pa
+                 ORDER BY (co.co * co.co * 1000000000000)
+                          // (da.n * db.n) DESC, co.pb) AS rk
+        FROM co
+        JOIN deg da ON da.l_partkey = co.pa
+        JOIN deg db ON db.l_partkey = co.pb
+        WHERE co.pa % 199 = 0) t
+      WHERE rk <= 5
+    ),
+    test_pairs AS (
+      SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+      FROM test a JOIN test b
+        ON a.o_custkey = b.o_custkey
+       AND a.l_partkey <> b.l_partkey
+    ),
+    hits AS (
+      SELECT r.pa, CAST(COUNT(*) AS BIGINT) AS n_hits
+      FROM recs r JOIN test_pairs t
+        ON r.pa = t.pa AND r.pb = t.pb
+      GROUP BY r.pa
+    )
+    SELECT r.pa AS part,
+           CAST(COUNT(*) AS BIGINT) AS n_recs,
+           CAST(COALESCE(MAX(h.n_hits), 0) AS BIGINT) AS n_hits,
+           CAST((COALESCE(MAX(h.n_hits), 0) * 1000000) // COUNT(*)
+                AS BIGINT) AS hit_ppm
+    FROM recs r LEFT JOIN hits h ON h.pa = r.pa
+    GROUP BY r.pa
+    """,
+)
+def cf_holdout_hit_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cut = "1997-01-01 00:00:00"
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    ords = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_custkey"
+    )
+    lo = li.join(
+        ords, li["l_orderkey"] == ords["o_orderkey"]
+    ).select("l_orderkey", "l_partkey", "o_orderdate", "o_custkey")
+    train = (
+        lo.filter(F.col("o_orderdate") < F.lit(cut).cast("timestamp"))
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    test = (
+        lo.filter(F.col("o_orderdate") >= F.lit(cut).cast("timestamp"))
+        .select("o_custkey", "l_partkey")
+        .distinct()
+    )
+
+    def pairs(it):
+        a = it.select(
+            F.col("l_orderkey").alias("ok"),
+            F.col("l_partkey").alias("pa"),
+        )
+        b = it.select(
+            F.col("l_orderkey").alias("ok"),
+            F.col("l_partkey").alias("pb"),
+        )
+        return a.join(b, "ok").filter(F.col("pa") != F.col("pb"))
+
+    deg = train.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n"))
+    co = (
+        pairs(train)
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("co"))
+        .filter(F.col("pa") % 199 == 0)
+    )
+    scored = (
+        co.join(
+            deg.select(F.col("l_partkey").alias("pa"), F.col("n").alias("na")),
+            "pa",
+        )
+        .join(
+            deg.select(F.col("l_partkey").alias("pb"), F.col("n").alias("nb")),
+            "pb",
+        )
+        .withColumn(
+            "score_scaled",
+            F.expr("(co * co * 1000000000000) div (na * nb)"),
+        )
+    )
+    wr = Window.partitionBy("pa").orderBy(
+        F.col("score_scaled").desc(), "pb"
+    )
+    recs = (
+        scored.withColumn("rk", F.row_number().over(wr))
+        .filter(F.col("rk") <= 5)
+        .select("pa", "pb")
+    )
+    ta = test.select(
+        F.col("o_custkey").alias("ck"), F.col("l_partkey").alias("pa")
+    )
+    tb = test.select(
+        F.col("o_custkey").alias("ck"), F.col("l_partkey").alias("pb")
+    )
+    test_pairs = (
+        ta.join(tb, "ck")
+        .filter(F.col("pa") != F.col("pb"))
+        .select("pa", "pb")
+        .distinct()
+    )
+    hits = (
+        recs.join(test_pairs, ["pa", "pb"], "left_semi")
+        .groupBy("pa")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        recs.groupBy("pa")
+        .agg(F.count(F.lit(1)).alias("n_recs"))
+        .join(hits, "pa", "left")
+        .select(
+            F.col("pa").alias("part"),
+            "n_recs",
+            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+            F.expr(
+                "(coalesce(n_hits, 0) * CAST(1000000 AS BIGINT))"
+                " DIV n_recs"
+            ).alias("hit_ppm"),
+        )
+    )

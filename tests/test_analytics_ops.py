@@ -580,3 +580,81 @@ def test_two_pass_quantiles_match_disc_convention(spark):
         for r in exact_quantiles_two_pass(df2, "x", (0.5,)).collect()
     }
     assert got2 == {"0.5": 7.0}
+
+
+def test_sample_sketch_unfull_exact_and_mergeable(spark):
+    from cdk_dynamodb_cdc_spark.functions.sketches import (
+        sample_quantile_targets,
+        sample_sketch,
+    )
+
+    rows = [(i, float(i)) for i in range(1, 101)]
+    df = spark.createDataFrame(rows, "id long, v double")
+    # unfull sketch (n <= k): sample IS the data, picks are exact
+    sk = sample_sketch(df, "v", ["id"], k=2048)
+    got = {
+        r.q: (r.est_value, r.est_rank_ppm)
+        for r in sample_quantile_targets(
+            sk, [("p25", 1, 4), ("p50", 1, 2), ("p99", 99, 100)]
+        ).collect()
+    }
+    assert got["p25"] == (25.0, 250000)
+    assert got["p50"] == (50.0, 500000)
+    assert got["p99"] == (99.0, 990000)
+
+    # full sketch: estimate within the DKW band (5% at k=2048)
+    big = spark.createDataFrame(
+        [(i, float(i)) for i in range(1, 10001)], "id long, v double"
+    )
+    skb = sample_sketch(big, "v", ["id"], k=2048)
+    assert skb.count() == 2048
+    [p50] = (
+        sample_quantile_targets(skb, [("p50", 1, 2)])
+        .collect()
+    )
+    assert 4500.0 <= p50.est_value <= 5500.0
+
+    # mergeability: k smallest of concatenated partial sketches ==
+    # sketch of the whole (the KMV fold)
+    h1 = sample_sketch(big.filter("id <= 6000"), "v", ["id"], k=2048)
+    h2 = sample_sketch(big.filter("id > 4000"), "v", ["id"], k=2048)
+    merged = (
+        h1.unionByName(h2).distinct().orderBy("h", "v").limit(2048)
+    )
+    assert merged.exceptAll(skb).count() == 0
+    assert skb.exceptAll(merged).count() == 0
+
+    # NULL values never sampled
+    withnull = spark.createDataFrame(
+        [(1, None), (2, 7.0)], "id long, v double"
+    )
+    assert sample_sketch(withnull, "v", ["id"], k=8).count() == 1
+
+
+def test_ordered_pair_mining_gap_semantics(spark):
+    from pyspark.sql import functions as F
+
+    # session A,B,A,C: ordered pairs WITH GAPS, distinct per session
+    df = spark.createDataFrame(
+        [([("A", 1), ("B", 2), ("A", 3), ("C", 4)],)],
+        "evs array<struct<t string, rn int>>",
+    )
+    pairs = F.expr(
+        "array_distinct(flatten(transform(evs, (x, i) -> "
+        "transform(slice(evs, i + 2, size(evs)), y -> "
+        "struct(x.t AS a, y.t AS b)))))"
+    )
+    got = {
+        (p.a, p.b)
+        for p in df.select(F.explode(pairs).alias("p"))
+        .select("p.*")
+        .collect()
+    }
+    assert got == {
+        ("A", "B"), ("A", "A"), ("A", "C"), ("B", "A"), ("B", "C")
+    }
+    # single-event session: no pairs
+    one = spark.createDataFrame(
+        [([("A", 1)],)], "evs array<struct<t string, rn int>>"
+    )
+    assert one.select(F.explode(pairs)).count() == 0
