@@ -177,6 +177,7 @@ def bfs_layers(
     max_hops: int = 4,
     u_col: str = "u",
     v_col: str = "v",
+    edges_distinct: bool = False,
 ) -> DataFrame:
     """Bounded-horizon breadth-first search over an undirected edge
     list: the exact hop distance from ``source`` for every node within
@@ -190,19 +191,32 @@ def bfs_layers(
     ``localCheckpoint`` truncates the per-round lineage. A bounded
     ``max_hops`` keeps the round count fixed and plan-compile-time
     known (full-graph BFS = raise max_hops past the diameter).
+
+    ``edges_distinct=True`` asserts the input is already a distinct
+    canonical (u < v) edge set, so doubling it with the reversed
+    copy cannot create duplicates — the adjacency-wide dedup shuffle
+    (the single largest exchange in this operator) is skipped.
     """
     half = edges.select(
         F.col(u_col).alias("src"), F.col(v_col).alias("dst")
     ).filter(F.col("src") != F.col("dst"))
-    adj = (
-        half.unionAll(
-            half.select(
-                F.col("dst").alias("src"), F.col("src").alias("dst")
+    # double in ONE pass (explode of the two orientations) — a
+    # unionAll of half with its own reversal would execute the
+    # upstream edge-building plan twice
+    doubled = half.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("src"), F.col("dst")),
+                F.struct(
+                    F.col("dst").alias("src"),
+                    F.col("src").alias("dst"),
+                ),
             )
-        )
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+        ).alias("e")
+    ).select("e.src", "e.dst")
+    if not edges_distinct:
+        doubled = doubled.distinct()
+    adj = doubled.localCheckpoint(eager=True)
     # seed carries the same node type as the edge endpoints
     reached = (
         adj.select(F.col("src").alias("node"))
@@ -225,7 +239,10 @@ def bfs_layers(
             .select("node", F.lit(hop).alias("dist"))
             .localCheckpoint(eager=True)
         )
-        reached = reached.unionAll(frontier).localCheckpoint(eager=True)
+        # reached is a union of eager checkpoints — its lineage is
+        # already shallow; checkpointing it again would cost one more
+        # materialization job per round for nothing
+        reached = reached.unionAll(frontier)
     return reached
 
 

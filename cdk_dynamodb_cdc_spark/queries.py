@@ -10667,32 +10667,36 @@ def part_coorder_bfs_layers(
 ) -> DataFrame:
     from cdk_dynamodb_cdc_spark.operators.graph import bfs_layers
 
-    it = (
+    # co-order pairs WITHOUT the quadratic self-join: one scan
+    # groups each order's distinct parts into a sorted array (orders
+    # carry a handful of parts, so arrays are tiny), pairs explode
+    # JVM-side already canonical (sorted => u < v), and the one
+    # checkpoint of the order-sized grouped table feeds both the
+    # edge build and the node universe
+    grouped = (
         load_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    a = it.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u")
-    )
-    b = it.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v")
-    )
-    edges = (
-        a.join(b, "ok")
-        .filter(F.col("u") < F.col("v"))
-        .select("u", "v")
-        .distinct()
-        # the expensive co-order self-join feeds BOTH the adjacency
-        # build inside bfs_layers and the node-universe scan below —
-        # materialize it once
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("ps"))
+        .filter(F.size("ps") >= 2)
         .localCheckpoint(eager=True)
     )
-    reached = bfs_layers(edges, source=1, max_hops=4)
-    nodes = (
-        edges.select(F.col("u").alias("node"))
-        .unionAll(edges.select(F.col("v").alias("node")))
+    pairs = F.expr(
+        "flatten(transform(ps, (x, i) -> "
+        "transform(slice(ps, i + 2, size(ps)), y -> "
+        "struct(x AS u, y AS v))))"
+    )
+    edges = (
+        grouped.select(F.explode(pairs).alias("e"))
+        .select("e.u", "e.v")
         .distinct()
+    )
+    # the canonical distinct edge set lets bfs_layers skip the
+    # adjacency-wide dedup
+    reached = bfs_layers(
+        edges, source=1, max_hops=4, edges_distinct=True
+    )
+    nodes = (
+        grouped.select(F.explode("ps").alias("node")).distinct()
     )
     return (
         nodes.join(reached, "node", "left")
