@@ -13198,13 +13198,41 @@ def _fd_oracle() -> str:
 @query("fd_discovery_profile", oracle=_fd_oracle())
 def fd_discovery_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
+    cols = sorted({c for pair in _FD_CANDIDATES for c in pair})
+    # ALL candidate pair-counts plus the grand total from ONE scan:
+    # grouping sets emits every (X, Y) slice and () in a single
+    # map-side-combined pass (the HBOS histogram trick, here over
+    # profiling candidates); grouping_id tags which candidate each
+    # row belongs to. Checkpointed because six per-candidate argmax
+    # consumers would otherwise each re-expand the scan subtree.
+    sets = [[x, y] for x, y in _FD_CANDIDATES] + [[]]
+    pairc = (
+        orders.groupingSets(sets, *cols)
+        .agg(
+            F.count(F.lit(1)).alias("c"),
+            F.grouping_id().alias("gid"),
+        )
+        .localCheckpoint(eager=True)
+    )
+
+    def gid_of(keep: set[str]) -> int:
+        g = 0
+        for c in cols:
+            g = (g << 1) | (0 if c in keep else 1)
+        return g
+
+    n = (
+        pairc.filter(F.col("gid") == gid_of(set()))
+        .select(F.col("c").alias("n"))
+    )
     outs = []
     for x, y in _FD_CANDIDATES:
-        pairc = orders.groupBy(x, y).agg(F.count(F.lit(1)).alias("c"))
-        kept = pairc.groupBy(x).agg(F.max("c").alias("mx")).agg(
-            F.sum("mx").alias("kept")
+        kept = (
+            pairc.filter(F.col("gid") == gid_of({x, y}))
+            .groupBy(x)
+            .agg(F.max("c").alias("mx"))
+            .agg(F.sum("mx").alias("kept"))
         )
-        n = orders.agg(F.count(F.lit(1)).alias("n"))
         outs.append(
             n.crossJoin(kept).select(
                 F.lit(x).alias("lhs"),
