@@ -59,6 +59,8 @@ _GATE_PRIORITY = [
     'fd_discovery_profile',
     'ind_discovery_profile',
     'cf_holdout_hit_rate',
+    'salted_join_hot_keys',
+    'event_key_skew_profile',
     'revenue_binary_segmentation',
     'attribution_time_decay',
     'part_item_cf_topk',

@@ -13485,3 +13485,83 @@ def cf_holdout_hit_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("hit_ppm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Skew toolkit, driver-verified (operators/colocate.py): event_type is
+# the corpus's pathological hot key (a handful of values over the
+# whole fact table — the shape that makes one shuffle partition a
+# straggler at 1000 executors). `salted_join` spreads each hot key
+# over n_salt deterministic shards (xxhash64 of the row, never
+# rand(): stage retries must re-produce the partitioning) while the
+# small side replicates n_salt times; the salt column never escapes,
+# so the ORACLE is the plain equi join — the green hash certifies the
+# rewrite is semantics-preserving on real data, which is the whole
+# point of a skew mitigation.
+# ---------------------------------------------------------------------------
+@query(
+    "salted_join_hot_keys",
+    oracle="""
+    WITH dim AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS type_total
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(MAX(d.type_total) AS BIGINT) AS type_total,
+           CAST(SUM(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE)
+             AS sum_value
+    FROM events e JOIN dim d ON e.event_type = d.event_type
+    GROUP BY e.event_type
+    """,
+)
+def salted_join_hot_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdk_dynamodb_cdc_spark.operators.colocate import salted_join
+
+    ev = load_table(spark, sf_dir, "events")
+    dim = ev.groupBy(F.col("event_type").alias("et")).agg(
+        F.count(F.lit(1)).alias("type_total")
+    )
+    joined = salted_join(
+        ev,
+        dim,
+        skewed_key="event_type",
+        other_key="et",
+        n_salt=8,
+    )
+    return joined.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.max("type_total").alias("type_total"),
+        F.sum(F.col("value").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("sum_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Skew diagnostic (operators/colocate.py:key_skew_profile): per-key
+# row counts and table share for the join-strategy decision
+# (broadcast vs AQE vs salted_join). One map-side-combinable
+# aggregation; share is a final-projection double over two exact
+# integers. Registered so the diagnostic itself is driver-verified.
+# ---------------------------------------------------------------------------
+@query(
+    "event_key_skew_profile",
+    oracle="""
+    SELECT event_type, CAST(n_rows AS BIGINT) AS n_rows,
+           CAST(n_rows AS DOUBLE) /
+             (SELECT COUNT(*) FROM events) AS share
+    FROM (SELECT event_type, COUNT(*) AS n_rows
+          FROM events GROUP BY event_type)
+    ORDER BY n_rows DESC, event_type LIMIT 10
+    """,
+)
+def event_key_skew_profile(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from cdk_dynamodb_cdc_spark.operators.colocate import (
+        key_skew_profile,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return key_skew_profile(ev, "event_type", top=10)
