@@ -61,6 +61,7 @@ _GATE_PRIORITY = [
     'cf_holdout_hit_rate',
     'salted_join_hot_keys',
     'event_key_skew_profile',
+    'returnflag_sample_quantiles',
     'revenue_binary_segmentation',
     'attribution_time_decay',
     'part_item_cf_topk',

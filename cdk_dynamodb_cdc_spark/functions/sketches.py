@@ -551,3 +551,85 @@ def sample_quantile_targets(
             .alias("est_rank_ppm"),
         )
     )
+
+
+def sample_sketch_grouped(
+    df: DataFrame,
+    value_col: str,
+    key_cols: list[str],
+    group_cols: list[str],
+    *,
+    k: int = SAMPLE_K,
+    salt: str = "qsk",
+) -> DataFrame:
+    """Per-group :func:`sample_sketch`: the k smallest-by-hash rows
+    WITHIN each group — one (h, v) row set per group key, same
+    mergeability. The rank filter over the per-group hash order is
+    the WindowGroupLimit shape (Spark 3.5+ rewrites rank <= k into a
+    per-partition partial limit before the shuffle), so no group ever
+    materializes beyond k rows per partition — the same plan
+    discipline as every top-k lane in this engine. Use it to profile
+    a measure across partitions/dates/tenants in one pass.
+    """
+    h = token_hash60(
+        F.concat(
+            F.lit(f"{salt}:"),
+            *sum(
+                (
+                    [F.col(c).cast("string"), F.lit("|")]
+                    for c in key_cols
+                ),
+                [],
+            ),
+        )
+    )
+    w = Window.partitionBy(*group_cols).orderBy("h", "v")
+    return (
+        df.filter(F.col(value_col).isNotNull())
+        .select(
+            *group_cols,
+            h.alias("h"),
+            F.col(value_col).alias("v"),
+        )
+        .withColumn("__sk_rn", F.row_number().over(w))
+        .filter(F.col("__sk_rn") <= k)
+        .drop("__sk_rn")
+    )
+
+
+def sample_quantile_targets_grouped(
+    sketch: DataFrame,
+    group_cols: list[str],
+    qs: list[tuple[str, int, int]],
+) -> DataFrame:
+    """Per-group quantile estimates from
+    :func:`sample_sketch_grouped`: one row
+    ``(*group_cols, q, est_value, est_rank_ppm)`` per (group,
+    quantile). Identical integer rank arithmetic to the global
+    variant; the value-ranking window runs over <= k rows per group.
+    """
+    spark = sketch.sparkSession
+    tq = F.broadcast(
+        spark.createDataFrame(qs, "q string, num long, den long")
+    )
+    m = sketch.groupBy(*group_cols).agg(F.count(F.lit(1)).alias("m"))
+    wv = Window.partitionBy(*group_cols).orderBy("v", "h")
+    ranked = sketch.withColumn("rn", F.row_number().over(wv))
+    pos = F.greatest(
+        F.lit(1).cast("long"),
+        F.expr("(num * m + den - 1) DIV den"),
+    )
+    return (
+        m.crossJoin(tq)
+        .withColumn("pos", pos)
+        .join(ranked, group_cols)
+        .filter(F.col("rn") == F.col("pos"))
+        .select(
+            *group_cols,
+            "q",
+            F.col("v").alias("est_value"),
+            F.expr("(rn * CAST(1000000 AS BIGINT)) DIV m")
+            .cast("long")
+            .alias("est_rank_ppm"),
+        )
+    )

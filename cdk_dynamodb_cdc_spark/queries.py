@@ -13565,3 +13565,134 @@ def event_key_skew_profile(
 
     ev = load_table(spark, sf_dir, "events")
     return key_skew_profile(ev, "event_type", top=10)
+
+
+# ---------------------------------------------------------------------------
+# Per-group distribution sketch (functions/sketches.py:
+# sample_sketch_grouped): the bottom-k-by-hash sample built WITHIN
+# each l_returnflag group by one WindowGroupLimit pass (rank <= k
+# becomes a per-partition partial limit — no group ever materializes
+# past k rows per partition), per-group quantile picks by exact
+# integer rank, and the same 5% true-rank contract per (group,
+# quantile). This is the one-pass profile-a-measure-by-tenant lane;
+# the oracle replays sample, picks, and true ranks per group.
+# ---------------------------------------------------------------------------
+@query(
+    "returnflag_sample_quantiles",
+    oracle="""
+    WITH base AS (
+      SELECT l_returnflag AS flag, l_extendedprice AS v,
+             ('0x' || substr(md5('qsg:' || CAST(l_orderkey AS VARCHAR)
+               || '|' || CAST(l_linenumber AS VARCHAR) || '|'),
+               1, 15))::BIGINT AS h
+      FROM lineitem WHERE l_extendedprice IS NOT NULL
+    ),
+    smp AS (
+      SELECT flag, v, h FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY flag
+                                     ORDER BY h, v) AS rn
+        FROM base) WHERE rn <= 2048
+    ),
+    m AS (SELECT flag, COUNT(*) AS m FROM smp GROUP BY flag),
+    ranked AS (
+      SELECT flag, v,
+             ROW_NUMBER() OVER (PARTITION BY flag
+                                ORDER BY v, h) AS rn
+      FROM smp
+    ),
+    tq AS (SELECT * FROM (VALUES
+             ('p50', 1, 2, 500000), ('p90', 9, 10, 900000))
+           AS t(q, num, den, q_ppm)),
+    pick AS (
+      SELECT m.flag, tq.q, tq.q_ppm, r.v AS est_value,
+             CAST((r.rn * 1000000) // m.m AS BIGINT) AS est_rank_ppm
+      FROM m CROSS JOIN tq
+      JOIN ranked r
+        ON r.flag = m.flag
+       AND r.rn = GREATEST(1, (tq.num * m.m + tq.den - 1) // tq.den)
+    ),
+    n AS (SELECT l_returnflag AS flag, COUNT(l_extendedprice) AS n
+          FROM lineitem GROUP BY l_returnflag),
+    tr AS (
+      SELECT p.flag, p.q, p.q_ppm, p.est_value, p.est_rank_ppm,
+             SUM(CASE WHEN l.l_extendedprice <= p.est_value
+                      THEN 1 ELSE 0 END) AS trk
+      FROM lineitem l JOIN pick p ON l.l_returnflag = p.flag
+      GROUP BY p.flag, p.q, p.q_ppm, p.est_value, p.est_rank_ppm
+    )
+    SELECT tr.flag, tr.q,
+           CAST(tr.est_value AS DOUBLE) AS est_value,
+           tr.est_rank_ppm,
+           CAST((tr.trk * 1000000) // n.n AS BIGINT) AS true_rank_ppm,
+           (abs(CAST((tr.trk * 1000000) // n.n AS BIGINT) - tr.q_ppm)
+              <= 50000) AS within_5pct
+    FROM tr JOIN n ON n.flag = tr.flag
+    """,
+)
+def returnflag_sample_quantiles(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from cdk_dynamodb_cdc_spark.functions.sketches import (
+        sample_quantile_targets_grouped,
+        sample_sketch_grouped,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    sk = sample_sketch_grouped(
+        li.select(
+            F.col("l_returnflag").alias("flag"),
+            "l_orderkey",
+            "l_linenumber",
+            "l_extendedprice",
+        ),
+        "l_extendedprice",
+        ["l_orderkey", "l_linenumber"],
+        ["flag"],
+        salt="qsg",
+    )
+    est = sample_quantile_targets_grouped(
+        sk, ["flag"], [("p50", 1, 2), ("p90", 9, 10)]
+    )
+    qdf = F.broadcast(
+        spark.createDataFrame(
+            [("p50", 500000), ("p90", 900000)], "q string, q_ppm long"
+        )
+    )
+    n = li.groupBy(F.col("l_returnflag").alias("flag")).agg(
+        F.count("l_extendedprice").alias("n")
+    )
+    truth = (
+        li.select("l_returnflag", "l_extendedprice")
+        .join(
+            F.broadcast(est),
+            F.col("l_returnflag") == F.col("flag"),
+        )
+        .groupBy("flag", "q", "est_value", "est_rank_ppm")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("l_extendedprice") <= F.col("est_value"), 1
+                ).otherwise(0)
+            ).alias("trk")
+        )
+    )
+    return (
+        truth.join(F.broadcast(n), "flag")
+        .join(qdf, "q")
+        .select(
+            "flag",
+            "q",
+            F.col("est_value").cast("double").alias("est_value"),
+            "est_rank_ppm",
+            F.expr("(trk * CAST(1000000 AS BIGINT)) DIV n")
+            .cast("long")
+            .alias("true_rank_ppm"),
+            (
+                F.abs(
+                    F.expr("(trk * CAST(1000000 AS BIGINT)) DIV n")
+                    - F.col("q_ppm")
+                )
+                <= F.lit(50000)
+            ).alias("within_5pct"),
+        )
+    )
