@@ -395,3 +395,109 @@ def pagerank_fixed_point(
         )
         rank = ranked
     return rank
+
+
+def sssp_bounded(
+    edges: DataFrame,
+    source,
+    rounds: int = 4,
+    u_col: str = "u",
+    v_col: str = "v",
+    w_col: str = "w",
+    directed: bool = False,
+) -> DataFrame:
+    """Bounded-round single-source shortest paths over a weighted
+    edge list (non-negative integer weights): ``rounds``
+    synchronous min-plus relaxations — Bellman–Ford restricted to
+    paths of <= ``rounds`` edges — returning one ``(node, dist)`` row
+    per reached node with the exact minimum path weight.
+
+    Delta-frontier discipline: each round relaxes ONLY the nodes
+    whose distance improved in the previous round (an unchanged
+    node's offers were already folded in an earlier round, so the
+    result is identical to full Bellman–Ford at every round — that
+    equivalence is what the unrolled full-relaxation oracle checks).
+    Total work is O(sum of improved-frontier degrees), the weighted
+    analogue of :func:`bfs_layers`' frontier join; one eager
+    checkpoint per round truncates lineage exactly like the other
+    fixed-round graph operators.
+
+    ``directed=True`` treats the input as an already-directed
+    adjacency (per-node out-edges — e.g. a kNN graph, where
+    neighborhoods are asymmetric) and skips the doubling.
+    """
+    half = edges.select(
+        F.col(u_col).alias("src"),
+        F.col(v_col).alias("dst"),
+        F.col(w_col).cast("long").alias("w"),
+    ).filter(F.col("src") != F.col("dst"))
+    if directed:
+        adj = half.localCheckpoint(eager=True)
+    else:
+        # one-pass doubling (see bfs_layers): a unionAll of half with
+        # its reversal would run the upstream edge build twice
+        adj = (
+            half.select(
+                F.explode(
+                    F.array(
+                        F.struct(
+                            F.col("src"), F.col("dst"), F.col("w")
+                        ),
+                        F.struct(
+                            F.col("dst").alias("src"),
+                            F.col("src").alias("dst"),
+                            F.col("w"),
+                        ),
+                    )
+                ).alias("e")
+            )
+            .select("e.src", "e.dst", "e.w")
+            .localCheckpoint(eager=True)
+        )
+    dist = (
+        adj.select(F.col("src").alias("node"))
+        .filter(F.col("node") == F.lit(source))
+        .distinct()
+        .select("node", F.lit(0).cast("long").alias("dist"))
+        .localCheckpoint(eager=True)
+    )
+    frontier = dist
+    for _ in range(rounds):
+        offers = (
+            adj.join(
+                frontier.select(
+                    F.col("node").alias("src"),
+                    F.col("dist").alias("fd"),
+                ),
+                "src",
+            )
+            .select(
+                F.col("dst").alias("node"),
+                (F.col("fd") + F.col("w")).alias("dist"),
+            )
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+        )
+        merged = (
+            dist.unionByName(offers)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+        frontier = (
+            merged.join(
+                dist.select(
+                    "node", F.col("dist").alias("old_dist")
+                ),
+                "node",
+                "left",
+            )
+            .filter(
+                F.col("old_dist").isNull()
+                | (F.col("dist") < F.col("old_dist"))
+            )
+            .select("node", "dist")
+            .localCheckpoint(eager=True)
+        )
+        dist = merged
+    return dist

@@ -13696,3 +13696,132 @@ def returnflag_sample_quantiles(
             ).alias("within_5pct"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Weighted shortest paths (operators/graph.py:sssp_bounded): the
+# weighted companion of the BFS operator — min-plus Bellman–Ford
+# bounded to 4 relaxation rounds over the co-order 10-NN graph (each
+# node keeps its 10 cheapest out-edges, weight 1000000 DIV co-order
+# count, so strong ties = short edges; kNN neighborhoods are
+# asymmetric, hence the directed lane) from part 1. The kNN prune
+# bounds every relaxation round to 10x the frontier — the raw
+# co-order graph relaxes millions of offers per round, the kNN graph
+# thousands; the WindowGroupLimit rank filter is the only extra pass.
+# The Spark side runs the DELTA frontier (each round relaxes only
+# nodes whose distance improved); the oracle unrolls FULL Bellman–
+# Ford rounds — the green hash is the proof the delta optimization is
+# result-invariant. Exact integer path weights; output is the top-15
+# nearest parts plus the reached count.
+# ---------------------------------------------------------------------------
+@query(
+    "part_coorder_sssp",
+    oracle="""
+    WITH it AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    co AS (
+      SELECT a.l_partkey AS u, b.l_partkey AS v,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM it a JOIN it b
+        ON a.l_orderkey = b.l_orderkey
+       AND a.l_partkey < b.l_partkey
+      GROUP BY u, v
+    ),
+    dadj AS (
+      SELECT u AS src, v AS dst, 1000000 // c AS w FROM co
+      UNION ALL
+      SELECT v AS src, u AS dst, 1000000 // c AS w FROM co
+    ),
+    adj AS (
+      SELECT src, dst, w FROM (
+        SELECT src, dst, w,
+               ROW_NUMBER() OVER (PARTITION BY src
+                                  ORDER BY w, dst) AS rk
+        FROM dadj) WHERE rk <= 10
+    ),
+    d0 AS (SELECT DISTINCT src AS node, CAST(0 AS BIGINT) AS dist
+           FROM adj WHERE src = 1),
+    d1 AS (SELECT node, MIN(dist) AS dist FROM (
+             SELECT node, dist FROM d0
+             UNION ALL
+             SELECT e.dst AS node, d.dist + e.w AS dist
+             FROM d0 d JOIN adj e ON e.src = d.node) GROUP BY node),
+    d2 AS (SELECT node, MIN(dist) AS dist FROM (
+             SELECT node, dist FROM d1
+             UNION ALL
+             SELECT e.dst AS node, d.dist + e.w AS dist
+             FROM d1 d JOIN adj e ON e.src = d.node) GROUP BY node),
+    d3 AS (SELECT node, MIN(dist) AS dist FROM (
+             SELECT node, dist FROM d2
+             UNION ALL
+             SELECT e.dst AS node, d.dist + e.w AS dist
+             FROM d2 d JOIN adj e ON e.src = d.node) GROUP BY node),
+    d4 AS (SELECT node, MIN(dist) AS dist FROM (
+             SELECT node, dist FROM d3
+             UNION ALL
+             SELECT e.dst AS node, d.dist + e.w AS dist
+             FROM d3 d JOIN adj e ON e.src = d.node) GROUP BY node),
+    nr AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_reached FROM d4)
+    SELECT node, dist, nr.n_reached
+    FROM (SELECT node, dist,
+                 ROW_NUMBER() OVER (ORDER BY dist, node) AS rk
+          FROM d4) t, nr
+    WHERE rk <= 15
+    """,
+)
+def part_coorder_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdk_dynamodb_cdc_spark.operators.graph import sssp_bounded
+
+    grouped = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("ps"))
+        .filter(F.size("ps") >= 2)
+    )
+    pairs = F.expr(
+        "flatten(transform(ps, (x, i) -> "
+        "transform(slice(ps, i + 2, size(ps)), y -> "
+        "struct(x AS u, y AS v))))"
+    )
+    edges = (
+        grouped.select(F.explode(pairs).alias("e"))
+        .groupBy(F.col("e.u").alias("u"), F.col("e.v").alias("v"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .select("u", "v", F.expr("1000000 DIV c").alias("w"))
+    )
+    dadj = edges.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("u").alias("src"),
+                    F.col("v").alias("dst"),
+                    F.col("w"),
+                ),
+                F.struct(
+                    F.col("v").alias("src"),
+                    F.col("u").alias("dst"),
+                    F.col("w"),
+                ),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst", "e.w")
+    wk = Window.partitionBy("src").orderBy("w", "dst")
+    knn = (
+        dadj.withColumn("rk", F.row_number().over(wk))
+        .filter(F.col("rk") <= 10)
+        .select("src", "dst", "w")
+    )
+    dist = sssp_bounded(
+        knn,
+        source=1,
+        rounds=4,
+        u_col="src",
+        v_col="dst",
+        directed=True,
+    )
+    nr = dist.agg(F.count(F.lit(1)).alias("n_reached"))
+    return (
+        dist.orderBy("dist", "node")
+        .limit(15)
+        .crossJoin(F.broadcast(nr))
+        .select("node", "dist", "n_reached")
+    )

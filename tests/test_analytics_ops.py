@@ -658,3 +658,33 @@ def test_ordered_pair_mining_gap_semantics(spark):
         [([("A", 1)],)], "evs array<struct<t string, rn int>>"
     )
     assert one.select(F.explode(pairs)).count() == 0
+
+
+def test_sssp_bounded_hand_graph(spark):
+    from cdk_dynamodb_cdc_spark.operators.graph import sssp_bounded
+
+    # a-b costs 10, but the detour a-c-b costs 6: more rounds must
+    # refine b's distance through the cheaper 2-edge path
+    edges = spark.createDataFrame(
+        [("a", "b", 10), ("b", "c", 1), ("a", "c", 5)],
+        "u string, v string, w long",
+    )
+    one = {
+        (r.node, r.dist)
+        for r in sssp_bounded(edges, source="a", rounds=1).collect()
+    }
+    assert one == {("a", 0), ("b", 10), ("c", 5)}
+    full = {
+        (r.node, r.dist)
+        for r in sssp_bounded(edges, source="a", rounds=3).collect()
+    }
+    assert full == {("a", 0), ("b", 6), ("c", 5)}
+    # disconnected node never appears; zero-weight edges are fine
+    edges2 = spark.createDataFrame(
+        [("a", "b", 0), ("c", "d", 1)], "u string, v string, w long"
+    )
+    got = {
+        (r.node, r.dist)
+        for r in sssp_bounded(edges2, source="a", rounds=2).collect()
+    }
+    assert got == {("a", 0), ("b", 0)}
