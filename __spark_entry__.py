@@ -53,6 +53,7 @@ _GATE_PRIORITY = [
     # refactor). Then: every registry entry the r6 gate window
     # (CORRECTNESS_r06.json) did not cover, in registry order — so the
     # r7 window is disjoint from r6's except where code changed.
+    'part_coorder_sssp',
     'sampled_quantile_contract',
     'session_sequence_pairs',
     'kmeans_doc_clusters',
