@@ -463,41 +463,36 @@ def sssp_bounded(
     )
     frontier = dist
     for _ in range(rounds):
-        offers = (
-            adj.join(
-                frontier.select(
-                    F.col("node").alias("src"),
-                    F.col("dist").alias("fd"),
-                ),
-                "src",
-            )
-            .select(
-                F.col("dst").alias("node"),
-                (F.col("fd") + F.col("w")).alias("dist"),
-            )
-            .groupBy("node")
-            .agg(F.min("dist").alias("dist"))
+        # raw (un-aggregated) offers union the settled distances, then
+        # ONE min-agg computes the new distance AND the old distance
+        # side by side — merged/frontier fall out of a single shuffle
+        # and a single checkpoint per round instead of three
+        offers = adj.join(
+            frontier.select(
+                F.col("node").alias("src"),
+                F.col("dist").alias("fd"),
+            ),
+            "src",
+        ).select(
+            F.col("dst").alias("node"),
+            (F.col("fd") + F.col("w")).alias("dist"),
+            F.lit(0).alias("is_old"),
         )
         merged = (
-            dist.unionByName(offers)
+            dist.select("node", "dist", F.lit(1).alias("is_old"))
+            .unionByName(offers)
             .groupBy("node")
-            .agg(F.min("dist").alias("dist"))
+            .agg(
+                F.min("dist").alias("dist"),
+                F.min(
+                    F.when(F.col("is_old") == 1, F.col("dist"))
+                ).alias("old_dist"),
+            )
             .localCheckpoint(eager=True)
         )
-        frontier = (
-            merged.join(
-                dist.select(
-                    "node", F.col("dist").alias("old_dist")
-                ),
-                "node",
-                "left",
-            )
-            .filter(
-                F.col("old_dist").isNull()
-                | (F.col("dist") < F.col("old_dist"))
-            )
-            .select("node", "dist")
-            .localCheckpoint(eager=True)
-        )
-        dist = merged
+        frontier = merged.filter(
+            F.col("old_dist").isNull()
+            | (F.col("dist") < F.col("old_dist"))
+        ).select("node", "dist")
+        dist = merged.select("node", "dist")
     return dist
