@@ -54,6 +54,8 @@ _GATE_PRIORITY = [
     # (CORRECTNESS_r06.json) did not cover, in registry order — so the
     # r7 window is disjoint from r6's except where code changed.
     'part_coorder_sssp',
+    'quality_score_auc',
+    'lang_id_eval_metrics',
     'sampled_quantile_contract',
     'session_sequence_pairs',
     'kmeans_doc_clusters',

@@ -13825,3 +13825,142 @@ def part_coorder_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(nr))
         .select("node", "dist", "n_reached")
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact ROC-AUC (llm/evaluate.py:auc_exact): how well the integer
+# quality composite (n_stop*100 + capped token count — the
+# budget_select score) discriminates labeled-English documents,
+# computed by the tie-corrected Mann-Whitney rank-sum identity. The
+# corpus collapses to one row per distinct score in a single
+# map-side-combinable agg; the ordering window runs over that
+# values-sized frame, never over documents. Output is the exact
+# rational (auc_num/auc_den) plus truncated ppm, so the driver's hash
+# verifies every tie group's mid-rank.
+# ---------------------------------------------------------------------------
+@query(
+    "quality_score_auc",
+    oracle=f"""
+    WITH t AS (
+      SELECT CAST(len(list_filter(string_split(text, ' '),
+                                  w -> w IN ({_STOP_LIST_SQL}))) * 100
+                  + least(len(string_split(text, ' ')), 80)
+                  AS BIGINT) AS s,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+      FROM documents
+    ),
+    byv AS (
+      SELECT s, CAST(COUNT(*) AS BIGINT) AS cnt,
+             CAST(SUM(pos) AS BIGINT) AS pos_cnt
+      FROM t GROUP BY s
+    ),
+    cum AS (
+      SELECT s, cnt, pos_cnt,
+             COALESCE(SUM(cnt) OVER (ORDER BY s
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               0) AS before
+      FROM byv
+    ),
+    a AS (
+      SELECT CAST(SUM(pos_cnt) AS BIGINT) AS n_pos,
+             CAST(SUM(cnt - pos_cnt) AS BIGINT) AS n_neg,
+             CAST(SUM(pos_cnt * (2 * before + cnt + 1)) AS BIGINT) AS r2
+      FROM cum
+    )
+    SELECT n_pos, n_neg,
+           CAST(r2 - n_pos * (n_pos + 1) AS BIGINT) AS auc_num,
+           CAST(2 * n_pos * n_neg AS BIGINT) AS auc_den,
+           CASE WHEN n_pos * n_neg = 0 THEN NULL
+                ELSE CAST((1000000 * (r2 - n_pos * (n_pos + 1)))
+                          // (2 * n_pos * n_neg) AS BIGINT)
+           END AS auc_ppm
+    FROM a
+    """,
+)
+def quality_score_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdk_dynamodb_cdc_spark.llm.evaluate import auc_exact
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n_tokens = F.size(toks)
+    n_stop = llm_text._hits(toks, llm_text.EN_STOPWORDS)
+    scored = docs.select(
+        (n_stop * 100 + F.least(n_tokens, F.lit(80)))
+        .cast("long")
+        .alias("score"),
+        (F.col("lang") == "en").cast("int").alias("pos"),
+    )
+    return auc_exact(scored)
+
+
+# ---------------------------------------------------------------------------
+# Classifier evaluation (llm/evaluate.py:confusion_metrics): per-class
+# precision/recall/F1 plus overall accuracy and Cohen's kappa for the
+# heuristic language labeler against the corpus labels, every metric
+# an exact integer rational in truncated ppm (kappa, which can be
+# negative, ships as its exact num/den pair). One corpus scan builds
+# the k x k confusion matrix; every join after that is over the class
+# set, and the overall row is broadcast onto the per-class rows.
+# ---------------------------------------------------------------------------
+@query(
+    "lang_id_eval_metrics",
+    oracle=f"""
+    WITH conf AS (
+      SELECT lang AS actual, {llm_text.duck_lang_id('text')} AS predicted,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM documents GROUP BY actual, predicted
+    ),
+    rows_ AS (SELECT actual AS cls, SUM(n) AS row_n FROM conf GROUP BY cls),
+    cols_ AS (SELECT predicted AS cls, SUM(n) AS col_n FROM conf GROUP BY cls),
+    tps AS (SELECT actual AS cls, SUM(n) AS tp FROM conf
+            WHERE actual = predicted GROUP BY cls),
+    pc AS (
+      SELECT COALESCE(r.cls, c.cls) AS cls,
+             COALESCE(r.row_n, 0) AS row_n,
+             COALESCE(c.col_n, 0) AS col_n,
+             COALESCE(t.tp, 0) AS tp
+      FROM rows_ r
+      FULL OUTER JOIN cols_ c ON r.cls = c.cls
+      LEFT JOIN tps t ON COALESCE(r.cls, c.cls) = t.cls
+    ),
+    tot AS (
+      SELECT SUM(row_n) AS n_total, SUM(tp) AS trace,
+             SUM(row_n * col_n) AS pe
+      FROM pc
+    )
+    SELECT pc.cls,
+           CAST(pc.tp AS BIGINT) AS tp,
+           CAST(col_n - tp AS BIGINT) AS fp,
+           CAST(row_n - tp AS BIGINT) AS fn,
+           CASE WHEN col_n = 0 THEN NULL
+                ELSE CAST((1000000 * tp) // col_n AS BIGINT)
+           END AS precision_ppm,
+           CASE WHEN row_n = 0 THEN NULL
+                ELSE CAST((1000000 * tp) // row_n AS BIGINT)
+           END AS recall_ppm,
+           CASE WHEN col_n + row_n = 0 THEN NULL
+                ELSE CAST((2000000 * tp) // (col_n + row_n) AS BIGINT)
+           END AS f1_ppm,
+           CAST(tot.n_total AS BIGINT) AS n_total,
+           CAST(tot.trace AS BIGINT) AS trace,
+           CAST(tot.n_total * tot.trace - tot.pe AS BIGINT) AS kappa_num,
+           CAST(tot.n_total * tot.n_total - tot.pe AS BIGINT) AS kappa_den,
+           CASE WHEN tot.n_total = 0 THEN NULL
+                ELSE CAST((1000000 * tot.trace) // tot.n_total AS BIGINT)
+           END AS accuracy_ppm
+    FROM pc, tot
+    """,
+)
+def lang_id_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdk_dynamodb_cdc_spark.llm.evaluate import confusion_metrics
+
+    docs = load_table(spark, sf_dir, "documents")
+    conf = (
+        docs.select(
+            F.col("lang").alias("actual"),
+            llm_text.lang_id(F.col("text")).alias("predicted"),
+        )
+        .groupBy("actual", "predicted")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return confusion_metrics(conf)

@@ -688,3 +688,48 @@ def test_sssp_bounded_hand_graph(spark):
         for r in sssp_bounded(edges2, source="a", rounds=2).collect()
     }
     assert got == {("a", 0), ("b", 0)}
+
+
+def test_auc_exact_hand_values(spark):
+    from cdk_dynamodb_cdc_spark.llm.evaluate import auc_exact
+
+    # scores [1,1,2,3] / pos [0,1,1,1]: the positive tied at 1 counts
+    # half against the lone negative -> AUC = (2 + 0.5)/3 = 5/6
+    df = spark.createDataFrame(
+        [(1, 0), (1, 1), (2, 1), (3, 1)], "score long, pos int"
+    )
+    row = auc_exact(df).collect()[0]
+    assert (row.n_pos, row.n_neg) == (3, 1)
+    assert (row.auc_num, row.auc_den) == (5, 6)
+    assert row.auc_ppm == 833333
+    # degenerate: single class -> auc_den 0, ppm NULL
+    row = auc_exact(
+        spark.createDataFrame([(1, 1), (2, 1)], "score long, pos int")
+    ).collect()[0]
+    assert row.auc_den == 0 and row.auc_ppm is None
+
+
+def test_confusion_metrics_hand_values(spark):
+    from cdk_dynamodb_cdc_spark.llm.evaluate import confusion_metrics
+
+    # textbook 2x2 kappa = 0.4: trace 35/50, pe = (25*30 + 25*20)/2500
+    conf = spark.createDataFrame(
+        [("a", "a", 20), ("a", "b", 5), ("b", "a", 10), ("b", "b", 15)],
+        "actual string, predicted string, n long",
+    )
+    rows = {r.cls: r for r in confusion_metrics(conf).collect()}
+    a = rows["a"]
+    assert (a.tp, a.fp, a.fn) == (20, 10, 5)
+    assert a.precision_ppm == 666666
+    assert a.recall_ppm == 800000
+    assert a.f1_ppm == 727272
+    assert (a.kappa_num, a.kappa_den) == (500, 1250)
+    assert a.accuracy_ppm == 700000
+    # class never predicted ('c' actual-only): precision NULL, recall 0
+    conf2 = spark.createDataFrame(
+        [("a", "a", 3), ("c", "a", 2)],
+        "actual string, predicted string, n long",
+    )
+    rows2 = {r.cls: r for r in confusion_metrics(conf2).collect()}
+    assert rows2["c"].precision_ppm is None
+    assert rows2["c"].recall_ppm == 0
