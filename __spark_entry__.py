@@ -56,6 +56,8 @@ _GATE_PRIORITY = [
     'part_coorder_sssp',
     'quality_score_auc',
     'lang_id_eval_metrics',
+    'brand_rule_lift',
+    'embedding_dbscan_2d',
     'sampled_quantile_contract',
     'session_sequence_pairs',
     'kmeans_doc_clusters',

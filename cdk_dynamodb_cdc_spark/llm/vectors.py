@@ -1452,3 +1452,142 @@ def kmeans_int(
             "checksum",
         )
     )
+
+
+def dbscan_2d(
+    points: DataFrame,
+    id_col: str = "id",
+    x_col: str = "x",
+    y_col: str = "y",
+    eps: int = 30,
+    min_pts: int = 5,
+) -> DataFrame:
+    """Exact DBSCAN over integer 2-d coordinates via grid blocking
+    (Ester et al., KDD'96 semantics; deterministic border rule).
+
+    Candidate generation is the classic cell trick: with cell side
+    ``eps``, any two points within ``eps`` sit in the same or adjacent
+    cells, so each point probes its 3x3 cell block and exact integer
+    squared distance filters the candidates — the all-pairs square
+    never materializes, and per-cell population bounds the join
+    fan-out (the 100-TB shape: one shuffle on cell id, work
+    proportional to points x local density). Core points have >=
+    ``min_pts`` points in their closed eps-ball (self included, the
+    textbook count); clusters are connected components of the
+    core-core eps-graph (O(log n) star rounds), labeled by minimum
+    core id. Border points (non-core with a core neighbor) join the
+    MINIMUM adjacent core cluster — DBSCAN leaves border ties
+    scan-order-dependent, so this pins the deterministic variant the
+    oracle can replay. Everything else is noise (NULL cluster).
+
+    Returns ``(id, n_nbrs, role, cluster)`` — one row per input point.
+    Cell assignment uses pmod-based floor division so negative
+    coordinates grid correctly.
+    """
+    from cdk_dynamodb_cdc_spark.llm.dedup import connected_components_star
+
+    e = F.lit(int(eps))
+    base = points.select(
+        F.col(id_col).alias("pid"),
+        F.col(x_col).cast("long").alias("px"),
+        F.col(y_col).cast("long").alias("py"),
+        ((F.col(x_col) - F.pmod(F.col(x_col), e)) / e)
+        .cast("long")
+        .alias("cx"),
+        ((F.col(y_col) - F.pmod(F.col(y_col), e)) / e)
+        .cast("long")
+        .alias("cy"),
+    )
+    offsets = F.array(
+        *[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+        ]
+    )
+    probes = base.select(
+        F.col("pid").alias("a"),
+        F.col("px").alias("ax"),
+        F.col("py").alias("ay"),
+        F.explode(offsets).alias("o"),
+        "cx",
+        "cy",
+    ).select(
+        "a",
+        "ax",
+        "ay",
+        (F.col("cx") + F.col("o.dx")).alias("cx"),
+        (F.col("cy") + F.col("o.dy")).alias("cy"),
+    )
+    # each unordered pair yields exactly two ordered rows (a's probe
+    # into b's cell and vice versa); one eager checkpoint because the
+    # pair list feeds the counts, the core-core edges, AND the border
+    # assignment
+    nbrs = (
+        probes.join(base, ["cx", "cy"])
+        .filter(F.col("a") != F.col("pid"))
+        .filter(
+            (F.col("ax") - F.col("px")) * (F.col("ax") - F.col("px"))
+            + (F.col("ay") - F.col("py")) * (F.col("ay") - F.col("py"))
+            <= F.lit(int(eps) * int(eps))
+        )
+        .select("a", F.col("pid").alias("b"))
+        .localCheckpoint(eager=True)
+    )
+    counts = base.select("pid").join(
+        nbrs.groupBy("a").agg(F.count(F.lit(1)).alias("n_nbrs")),
+        base.pid == F.col("a"),
+        "left",
+    ).select(
+        "pid", F.coalesce(F.col("n_nbrs"), F.lit(0)).alias("n_nbrs")
+    )
+    cores = counts.filter(F.col("n_nbrs") >= min_pts - 1).select("pid")
+    core_edges = (
+        nbrs.join(cores.select(F.col("pid").alias("a")), "a")
+        .join(cores.select(F.col("pid").alias("b")), "b")
+        .select("a", "b")
+    )
+    cc = connected_components_star(core_edges, id_a="a", id_b="b")
+    core_cluster = cores.join(
+        cc, cores.pid == cc.node, "left"
+    ).select(
+        "pid", F.coalesce(F.col("cluster_id"), F.col("pid")).alias("cluster")
+    )
+    border_cluster = (
+        nbrs.join(
+            core_cluster.select(
+                F.col("pid").alias("b"), F.col("cluster").alias("bcl")
+            ),
+            "b",
+        )
+        .join(cores.select(F.col("pid").alias("a")), "a", "left_anti")
+        .groupBy(F.col("a").alias("pid"))
+        .agg(F.min("bcl").alias("cluster"))
+    )
+    return (
+        counts.join(
+            core_cluster.select(
+                "pid", F.col("cluster").alias("core_cl")
+            ),
+            "pid",
+            "left",
+        )
+        .join(
+            border_cluster.select(
+                "pid", F.col("cluster").alias("border_cl")
+            ),
+            "pid",
+            "left",
+        )
+        .select(
+            F.col("pid").alias(id_col),
+            "n_nbrs",
+            F.when(F.col("core_cl").isNotNull(), F.lit("core"))
+            .when(F.col("border_cl").isNotNull(), F.lit("border"))
+            .otherwise(F.lit("noise"))
+            .alias("role"),
+            F.coalesce(F.col("core_cl"), F.col("border_cl")).alias(
+                "cluster"
+            ),
+        )
+    )

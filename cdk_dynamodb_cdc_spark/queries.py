@@ -13964,3 +13964,208 @@ def lang_id_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
     )
     return confusion_metrics(conf)
+
+
+# ---------------------------------------------------------------------------
+# Association rules over the brand baskets: every directed rule
+# A -> B with its support, confidence = n_ab/n_a and lift =
+# N*n_ab/(n_a*n_b), both as exact truncated-ppm integers (64-bit DIV;
+# 1e6*N*n_ab fits long through sf1000). The (order, brand) projection
+# bounds fan-out exactly like basket_brand_pairs; the per-brand counts
+# and the basket total are brand-cardinality-sized broadcasts onto the
+# pair counts, so the only corpus-sized shuffles are the two
+# distinct/count aggregations. Top 20 by lift with full tiebreak.
+# ---------------------------------------------------------------------------
+@query(
+    "brand_rule_lift",
+    oracle="""
+    WITH ob AS (
+      SELECT DISTINCT l_orderkey, p_brand AS brand
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+    ),
+    tot AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n FROM ob),
+    bc AS (SELECT brand, CAST(COUNT(*) AS BIGINT) AS n_b FROM ob GROUP BY brand),
+    pr AS (
+      SELECT a.brand AS x, b.brand AS y, CAST(COUNT(*) AS BIGINT) AS n_xy
+      FROM ob a JOIN ob b
+        ON a.l_orderkey = b.l_orderkey AND a.brand < b.brand
+      GROUP BY x, y
+    ),
+    dir_ AS (
+      SELECT x AS antecedent, y AS consequent, n_xy FROM pr
+      UNION ALL
+      SELECT y AS antecedent, x AS consequent, n_xy FROM pr
+    ),
+    r AS (
+      SELECT d.antecedent, d.consequent, d.n_xy AS n_both,
+             ba.n_b AS n_ante, bb.n_b AS n_cons,
+             CAST((1000000 * d.n_xy) // ba.n_b AS BIGINT) AS conf_ppm,
+             CAST((1000000 * tot.n * d.n_xy) // (ba.n_b * bb.n_b)
+                  AS BIGINT) AS lift_ppm
+      FROM dir_ d
+      JOIN bc ba ON ba.brand = d.antecedent
+      JOIN bc bb ON bb.brand = d.consequent
+      CROSS JOIN tot
+      WHERE d.n_xy >= 2
+    )
+    SELECT * FROM r
+    ORDER BY lift_ppm DESC, antecedent, consequent
+    LIMIT 20
+    """,
+)
+def brand_rule_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    pt = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    ob = (
+        li.join(pt, li.l_partkey == pt.p_partkey)
+        .select("l_orderkey", F.col("p_brand").alias("brand"))
+        .distinct()
+    )
+    tot = ob.agg(
+        F.countDistinct("l_orderkey").cast("long").alias("n")
+    )
+    bc = ob.groupBy("brand").agg(
+        F.count(F.lit(1)).cast("long").alias("n_b")
+    )
+    a, b = ob.alias("a"), ob.alias("b")
+    pr = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.brand") < F.col("b.brand")),
+        )
+        .groupBy(
+            F.col("a.brand").alias("x"), F.col("b.brand").alias("y")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_xy"))
+    )
+    directed = pr.select(
+        F.col("x").alias("antecedent"),
+        F.col("y").alias("consequent"),
+        "n_xy",
+    ).unionByName(
+        pr.select(
+            F.col("y").alias("antecedent"),
+            F.col("x").alias("consequent"),
+            "n_xy",
+        )
+    )
+    rules = (
+        directed.filter(F.col("n_xy") >= 2)
+        .join(
+            F.broadcast(
+                bc.select(
+                    F.col("brand").alias("antecedent"),
+                    F.col("n_b").alias("n_ante"),
+                )
+            ),
+            "antecedent",
+        )
+        .join(
+            F.broadcast(
+                bc.select(
+                    F.col("brand").alias("consequent"),
+                    F.col("n_b").alias("n_cons"),
+                )
+            ),
+            "consequent",
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "antecedent",
+            "consequent",
+            F.col("n_xy").alias("n_both"),
+            "n_ante",
+            "n_cons",
+            F.expr("(1000000 * n_xy) DIV n_ante").alias("conf_ppm"),
+            F.expr(
+                "(1000000 * n * n_xy) DIV (n_ante * n_cons)"
+            ).alias("lift_ppm"),
+        )
+    )
+    return rules.orderBy(
+        F.col("lift_ppm").desc(), "antecedent", "consequent"
+    ).limit(20)
+
+
+# ---------------------------------------------------------------------------
+# Exact DBSCAN (llm/vectors.py:dbscan_2d) on the integer-quantized 2-d
+# embedding projection (floor(dim*1000) — float->double cast then
+# exact IEEE scale, so both engines derive identical integer coords).
+# The engine runs grid-blocked candidate generation + star-CC cluster
+# labeling + the deterministic min-cluster border rule; the oracle is
+# textbook brute force — the all-pairs eps-join plus a RECURSIVE
+# transitive closure over core-core edges — so the green hash proves
+# the 3x3 cell block finds every eps-pair and the O(log n) CC equals
+# full closure. eps=30 milliunits, minPts=5 (core = 4 other points in
+# the closed ball): at sf0.01 that yields a core/border/noise mix, not
+# one blob.
+# ---------------------------------------------------------------------------
+@query(
+    "embedding_dbscan_2d",
+    oracle="""
+    WITH RECURSIVE c AS (
+      SELECT vec_id,
+             CAST(floor(CAST(embedding[1] AS DOUBLE) * 1000) AS BIGINT) AS x,
+             CAST(floor(CAST(embedding[2] AS DOUBLE) * 1000) AS BIGINT) AS y
+      FROM embeddings
+    ),
+    nb AS (
+      SELECT a.vec_id AS a, b.vec_id AS b
+      FROM c a JOIN c b
+        ON a.vec_id != b.vec_id
+       AND (a.x - b.x) * (a.x - b.x)
+           + (a.y - b.y) * (a.y - b.y) <= 900
+    ),
+    cnt AS (
+      SELECT c.vec_id,
+             COALESCE(t.n, 0) AS n_nbrs
+      FROM c LEFT JOIN (
+        SELECT a, CAST(COUNT(*) AS BIGINT) AS n FROM nb GROUP BY a
+      ) t ON t.a = c.vec_id
+    ),
+    core AS (SELECT vec_id FROM cnt WHERE n_nbrs >= 4),
+    ce AS (
+      SELECT nb.a, nb.b FROM nb
+      JOIN core ca ON ca.vec_id = nb.a
+      JOIN core cb ON cb.vec_id = nb.b
+    ),
+    reach(a, b) AS (
+      SELECT vec_id, vec_id FROM core
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN ce e ON e.a = r.b
+    ),
+    cl AS (SELECT a AS vec_id, MIN(b) AS cluster FROM reach GROUP BY a),
+    border AS (
+      SELECT nb.a AS vec_id, MIN(cl.cluster) AS cluster
+      FROM nb
+      JOIN cl ON cl.vec_id = nb.b
+      WHERE nb.a NOT IN (SELECT vec_id FROM core)
+      GROUP BY nb.a
+    )
+    SELECT cnt.vec_id, cnt.n_nbrs,
+           CASE WHEN cl.vec_id IS NOT NULL THEN 'core'
+                WHEN border.vec_id IS NOT NULL THEN 'border'
+                ELSE 'noise' END AS role,
+           CAST(COALESCE(cl.cluster, border.cluster) AS BIGINT) AS cluster
+    FROM cnt
+    LEFT JOIN cl ON cl.vec_id = cnt.vec_id
+    LEFT JOIN border ON border.vec_id = cnt.vec_id
+    """,
+)
+def embedding_dbscan_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdk_dynamodb_cdc_spark.llm.vectors import dbscan_2d
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pts = emb.select(
+        F.col("vec_id"),
+        F.floor(
+            F.element_at("embedding", 1).cast("double") * 1000
+        ).alias("x"),
+        F.floor(
+            F.element_at("embedding", 2).cast("double") * 1000
+        ).alias("y"),
+    )
+    return dbscan_2d(pts, id_col="vec_id", eps=30, min_pts=5)

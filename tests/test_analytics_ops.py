@@ -733,3 +733,30 @@ def test_confusion_metrics_hand_values(spark):
     rows2 = {r.cls: r for r in confusion_metrics(conf2).collect()}
     assert rows2["c"].precision_ppm is None
     assert rows2["c"].recall_ppm == 0
+
+
+def test_dbscan_2d_hand_points(spark):
+    from cdk_dynamodb_cdc_spark.llm.vectors import dbscan_2d
+
+    # cluster at the origin, a border hanging off it, one noise point,
+    # and a second cluster at NEGATIVE coords (pins the pmod floor
+    # gridding: truncating division would split cells around 0)
+    pts = spark.createDataFrame(
+        [
+            (1, 0, 0), (2, 1, 0), (3, 0, 1), (4, 3, 0), (5, 10, 10),
+            (6, -20, -20), (7, -21, -20), (8, -20, -21),
+        ],
+        "id long, x long, y long",
+    )
+    got = {
+        r.id: (r.n_nbrs, r.role, r.cluster)
+        for r in dbscan_2d(pts, eps=2, min_pts=3).collect()
+    }
+    assert got[1] == (2, "core", 1)
+    assert got[2] == (3, "core", 1)
+    assert got[3] == (2, "core", 1)
+    assert got[4] == (1, "border", 1)
+    assert got[5] == (0, "noise", None)
+    assert got[6] == (2, "core", 6)
+    assert got[7] == (2, "core", 6)
+    assert got[8] == (2, "core", 6)
