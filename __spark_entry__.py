@@ -58,6 +58,7 @@ _GATE_PRIORITY = [
     'lang_id_eval_metrics',
     'brand_rule_lift',
     'embedding_dbscan_2d',
+    'cms_selfjoin_size',
     'sampled_quantile_contract',
     'session_sequence_pairs',
     'kmeans_doc_clusters',

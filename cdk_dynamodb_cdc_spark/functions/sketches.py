@@ -633,3 +633,33 @@ def sample_quantile_targets_grouped(
             .alias("est_rank_ppm"),
         )
     )
+
+
+def cms_join_size(cells_a: DataFrame, cells_b: DataFrame) -> DataFrame:
+    """Join-size estimation from two count-min sketches (Cormode &
+    Muthukrishnan 2005, §4.2): est = min over hash rows of the cell
+    inner product Σ_bucket cA·cB, which estimates |A ⋈ B| =
+    Σ_key fA(key)·fB(key). Both sketches must share depth/width/salt.
+
+    Deterministic no-underestimate contract: within one row every true
+    key pair lands in SOME common bucket, so each row's inner product
+    >= the true join size and therefore so does the min — the
+    bound the registered query checks. The sketches are depth×width
+    rows regardless of input size, so the estimate costs a
+    sketch-sized join — the point: size a shuffle join (or a self-join
+    skew blowup) BEFORE paying for it. Missing cells are zero and
+    contribute nothing, so the inner join over present cells is exact.
+
+    Returns one row: ``est_join_size``.
+    """
+    j = cells_a.alias("a").join(
+        cells_b.alias("b"),
+        (F.col("a.seed") == F.col("b.seed"))
+        & (F.col("a.bucket") == F.col("b.bucket")),
+    )
+    per_seed = j.groupBy(F.col("a.seed").alias("seed")).agg(
+        F.sum(F.col("a.c") * F.col("b.c")).alias("ip")
+    )
+    return per_seed.agg(
+        F.min("ip").cast("long").alias("est_join_size")
+    )

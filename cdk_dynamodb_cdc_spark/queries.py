@@ -14169,3 +14169,69 @@ def embedding_dbscan_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("y"),
     )
     return dbscan_2d(pts, id_col="vec_id", eps=30, min_pts=5)
+
+
+# ---------------------------------------------------------------------------
+# Join-size estimation (functions/sketches.py:cms_join_size): predict
+# the l_partkey SELF-join size (= Σ_key cnt², the F2 skew diagnostic
+# you want BEFORE submitting a quadratic-per-key join) from a 4x256
+# CMS, next to the exact answer and the deterministic no-underestimate
+# contract. The sketch build is the corpus's only full pass (map-side
+# combinable); the estimate itself is a 1024-cell inner product. The
+# oracle rebuilds the identical md5 cells, so the estimate matches
+# bit-exactly, and overest_ppm pins how loose the bound actually is.
+# ---------------------------------------------------------------------------
+@query(
+    "cms_selfjoin_size",
+    oracle="""
+    WITH keys AS (SELECT CAST(l_partkey AS VARCHAR) AS k FROM lineitem),
+    seeds AS (SELECT unnest(range(4)) AS seed),
+    cells AS (
+      SELECT seed,
+             ('0x' || substr(md5('cms-' || CAST(seed AS VARCHAR)
+                                 || ':' || k), 1, 15))::BIGINT % 256
+               AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM keys, seeds GROUP BY seed, bucket
+    ),
+    ip AS (SELECT seed, SUM(c * c) AS ip FROM cells GROUP BY seed),
+    est AS (SELECT CAST(MIN(ip) AS BIGINT) AS est_join_size FROM ip),
+    tru AS (
+      SELECT CAST(SUM(n * n) AS BIGINT) AS true_join_size
+      FROM (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM keys GROUP BY k)
+    )
+    SELECT tru.true_join_size, est.est_join_size,
+           est.est_join_size >= tru.true_join_size AS no_underestimate,
+           CAST((1000000 * (est.est_join_size - tru.true_join_size))
+                // tru.true_join_size AS BIGINT) AS overest_ppm
+    FROM tru, est
+    """,
+)
+def cms_selfjoin_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdk_dynamodb_cdc_spark.functions.sketches import (
+        cms_cells,
+        cms_join_size,
+    )
+
+    keys = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").cast("string").alias("k")
+    )
+    cells = cms_cells(keys, "k").localCheckpoint(eager=True)
+    est = cms_join_size(cells, cells)
+    true = keys.groupBy("k").agg(F.count(F.lit(1)).alias("n")).agg(
+        F.sum(F.col("n") * F.col("n")).cast("long").alias("true_join_size")
+    )
+    return (
+        true.crossJoin(F.broadcast(est))
+        .withColumn(
+            "no_underestimate",
+            F.col("est_join_size") >= F.col("true_join_size"),
+        )
+        .withColumn(
+            "overest_ppm",
+            F.expr(
+                "(1000000 * (est_join_size - true_join_size))"
+                " DIV true_join_size"
+            ),
+        )
+    )

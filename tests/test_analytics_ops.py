@@ -760,3 +760,22 @@ def test_dbscan_2d_hand_points(spark):
     assert got[6] == (2, "core", 6)
     assert got[7] == (2, "core", 6)
     assert got[8] == (2, "core", 6)
+
+
+def test_cms_join_size_contract(spark):
+    from cdk_dynamodb_cdc_spark.functions.sketches import (
+        cms_cells,
+        cms_join_size,
+    )
+
+    # single-key streams: no other key can collide, so every row's
+    # inner product is exactly fA(k)*fB(k) and the estimate is exact
+    a = spark.createDataFrame([("k",)] * 4, "k string")
+    b = spark.createDataFrame([("k",)] * 3, "k string")
+    est = cms_join_size(cms_cells(a, "k"), cms_cells(b, "k")).collect()[0]
+    assert est.est_join_size == 12
+    # multi-key: the no-underestimate bound (true = 2*1 here)
+    a2 = spark.createDataFrame([("a",), ("a",), ("b",)], "k string")
+    b2 = spark.createDataFrame([("a",), ("c",)], "k string")
+    est2 = cms_join_size(cms_cells(a2, "k"), cms_cells(b2, "k")).collect()[0]
+    assert est2.est_join_size >= 2
