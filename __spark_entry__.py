@@ -59,6 +59,7 @@ _GATE_PRIORITY = [
     'brand_rule_lift',
     'embedding_dbscan_2d',
     'cms_selfjoin_size',
+    'sql_surface_recursive_cte',
     'sampled_quantile_contract',
     'session_sequence_pairs',
     'kmeans_doc_clusters',

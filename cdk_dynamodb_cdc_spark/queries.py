@@ -14235,3 +14235,48 @@ def cms_selfjoin_size(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# SQL surface: RECURSIVE CTE (Spark 4's WITH RECURSIVE) — the SAME
+# text runs verbatim on spark.sql and DuckDB. Bounded path counting
+# from 'signup' over the session transition graph (edges = adjacent
+# event pairs per user with support >= 25, fully tiebroken LEAD):
+# UNION ALL recursion with an explicit depth guard, the terminating
+# form that's safe on a cyclic graph. The recursion runs over the
+# EDGE LIST (event-type-cardinality-sized, broadcastable), never the
+# corpus — events are touched exactly once to build the edges.
+# ---------------------------------------------------------------------------
+_RECURSIVE_CTE_TEXT = """
+    WITH RECURSIVE nxt AS (
+      SELECT event_type AS src,
+             LEAD(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS dst
+      FROM events
+    ),
+    edges AS (
+      SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS n
+      FROM nxt
+      WHERE dst IS NOT NULL AND src <> dst
+      GROUP BY src, dst
+      HAVING COUNT(*) >= 25
+    ),
+    paths(node, depth) AS (
+      SELECT 'signup', 0
+      UNION ALL
+      SELECT e.dst, p.depth + 1
+      FROM paths p JOIN edges e ON e.src = p.node
+      WHERE p.depth < 3
+    )
+    SELECT depth, CAST(COUNT(*) AS BIGINT) AS n_paths,
+           CAST(COUNT(DISTINCT node) AS BIGINT) AS n_nodes
+    FROM paths GROUP BY depth
+"""
+
+
+@query("sql_surface_recursive_cte", oracle=_RECURSIVE_CTE_TEXT)
+def sql_surface_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdk_dynamodb_cdc_spark.sources.tables import register_tables
+
+    register_tables(spark, sf_dir, ["events"])
+    return spark.sql(_RECURSIVE_CTE_TEXT)
