@@ -60,6 +60,8 @@ _GATE_PRIORITY = [
     'embedding_dbscan_2d',
     'cms_selfjoin_size',
     'sql_surface_recursive_cte',
+    'did_value_contrast',
+    'forecast_backtest_mape',
     'sampled_quantile_contract',
     'session_sequence_pairs',
     'kmeans_doc_clusters',

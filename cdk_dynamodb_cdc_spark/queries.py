@@ -14280,3 +14280,154 @@ def sql_surface_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_tables(spark, sf_dir, ["events"])
     return spark.sql(_RECURSIVE_CTE_TEXT)
+
+
+# ---------------------------------------------------------------------------
+# Difference-in-differences: the classic 2x2 causal contrast (hashed
+# treatment arm x before/after the Jan-16 cutoff) on event value, all
+# in exact integer cents — cell means are truncated micro-cent
+# integers ((1e6*sum_cents) DIV n), and the DiD estimate composes the
+# four truncated means identically in both engines. One scan, one
+# 4-cell aggregate, the contrast broadcast back onto the cells.
+# ---------------------------------------------------------------------------
+@query(
+    "did_value_contrast",
+    oracle="""
+    WITH cells AS (
+      SELECT CASE WHEN user_id % 2 = 1 THEN 'treat' ELSE 'control' END AS grp,
+             CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+                  THEN 'pre' ELSE 'post' END AS period,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT)
+               AS sum_cents
+      FROM events GROUP BY grp, period
+    ),
+    m AS (
+      SELECT grp, period, n, sum_cents,
+             (1000000 * sum_cents) // n AS mean_microcents
+      FROM cells
+    ),
+    d AS (
+      SELECT CAST(
+               SUM(CASE WHEN grp = 'treat' AND period = 'post'
+                        THEN mean_microcents ELSE 0 END)
+             - SUM(CASE WHEN grp = 'treat' AND period = 'pre'
+                        THEN mean_microcents ELSE 0 END)
+             - SUM(CASE WHEN grp = 'control' AND period = 'post'
+                        THEN mean_microcents ELSE 0 END)
+             + SUM(CASE WHEN grp = 'control' AND period = 'pre'
+                        THEN mean_microcents ELSE 0 END)
+             AS BIGINT) AS did_microcents
+      FROM m
+    )
+    SELECT m.grp, m.period, m.n, m.sum_cents,
+           CAST(m.mean_microcents AS BIGINT) AS mean_microcents,
+           d.did_microcents
+    FROM m, d
+    """,
+)
+def did_value_contrast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    cells = (
+        ev.select(
+            F.when(F.col("user_id") % 2 == 1, "treat")
+            .otherwise("control")
+            .alias("grp"),
+            F.when(
+                F.col("ts") < F.lit("2024-01-16 00:00:00").cast("timestamp_ntz"),
+                "pre",
+            )
+            .otherwise("post")
+            .alias("period"),
+            (F.col("value").cast("decimal(18,2)") * 100).alias("cents"),
+        )
+        .groupBy("grp", "period")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("cents").cast("long").alias("sum_cents"),
+        )
+        .withColumn(
+            "mean_microcents",
+            F.expr("(1000000 * sum_cents) DIV n"),
+        )
+    )
+    sign = F.when(
+        (F.col("grp") == "treat") & (F.col("period") == "post"), 1
+    ).when(
+        (F.col("grp") == "treat") & (F.col("period") == "pre"), -1
+    ).when(
+        (F.col("grp") == "control") & (F.col("period") == "post"), -1
+    ).otherwise(1)
+    did = cells.agg(
+        F.sum(sign * F.col("mean_microcents"))
+        .cast("long")
+        .alias("did_microcents")
+    )
+    return cells.crossJoin(F.broadcast(did))
+
+
+# ---------------------------------------------------------------------------
+# Forecast backtesting: seasonal-naive (same weekday last week)
+# day-ahead revenue forecasts over the held-out back half of the
+# window, scored by per-day absolute-percentage error and the overall
+# MAPE — every number an exact integer (cents, truncated ppm), so the
+# whole backtest harness is hash-verified. The corpus collapses to
+# the days-sized series in one aggregation; the lag-7 join and the
+# MAPE fold run on days.
+# ---------------------------------------------------------------------------
+@query(
+    "forecast_backtest_mape",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(SUM(CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT)
+               AS rev_cents
+      FROM events GROUP BY day
+    ),
+    j AS (
+      SELECT a.day, a.rev_cents, f.rev_cents AS forecast_cents
+      FROM daily a JOIN daily f ON f.day = a.day - 7
+      WHERE a.day >= DATE '2024-01-16'
+    ),
+    e AS (
+      SELECT day, rev_cents, forecast_cents,
+             (1000000 * abs(rev_cents - forecast_cents)) // rev_cents
+               AS ape_ppm
+      FROM j
+    ),
+    o AS (
+      SELECT CAST(SUM(ape_ppm) // COUNT(*) AS BIGINT) AS mape_ppm FROM e
+    )
+    SELECT e.day, e.rev_cents, e.forecast_cents,
+           CAST(e.ape_ppm AS BIGINT) AS ape_ppm, o.mape_ppm
+    FROM e, o
+    """,
+)
+def forecast_backtest_mape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.sum(F.col("value").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("rev_cents")
+    )
+    fc = daily.select(
+        F.date_add(F.col("day"), 7).alias("day"),
+        F.col("rev_cents").alias("forecast_cents"),
+    )
+    scored = (
+        daily.join(fc, "day")
+        .filter(F.col("day") >= F.lit("2024-01-16").cast("date"))
+        .withColumn(
+            "ape_ppm",
+            F.expr(
+                "(1000000 * abs(rev_cents - forecast_cents))"
+                " DIV rev_cents"
+            ),
+        )
+    )
+    mape = scored.agg(
+        F.expr("sum(ape_ppm) DIV count(*)").cast("long").alias("mape_ppm")
+    )
+    return scored.crossJoin(F.broadcast(mape)).select(
+        "day", "rev_cents", "forecast_cents", "ape_ppm", "mape_ppm"
+    )
