@@ -109,6 +109,10 @@ def confusion_metrics(
     per-class rows.
     """
     n = F.col(n_col).cast("long")
+    # the matrix is k² cells however big the corpus was, but its
+    # lineage is a corpus scan — checkpoint once so the three
+    # marginalizations below don't re-run it (plan-audit finding)
+    conf = conf.localCheckpoint(eager=True)
     rows = conf.groupBy(F.col(actual_col).alias("cls")).agg(
         F.sum(n).alias("row_n")
     )
@@ -129,6 +133,7 @@ def confusion_metrics(
             F.coalesce(F.col("col_n"), F.lit(0)).alias("col_n"),
             F.coalesce(F.col("tp"), F.lit(0)).alias("tp"),
         )
+        .localCheckpoint(eager=True)  # k rows; feeds totals AND output
     )
     totals = (
         per_class.agg(

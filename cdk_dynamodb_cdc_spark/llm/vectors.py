@@ -1497,7 +1497,8 @@ def dbscan_2d(
         ((F.col(y_col) - F.pmod(F.col(y_col), e)) / e)
         .cast("long")
         .alias("cy"),
-    )
+    ).localCheckpoint(eager=True)  # narrow projection; probes, the
+    # cell join, and the count base all reuse it (plan-audit finding)
     offsets = F.array(
         *[
             F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))

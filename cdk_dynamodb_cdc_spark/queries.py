@@ -14018,10 +14018,14 @@ def brand_rule_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey", "l_partkey"
     )
     pt = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    # ob feeds the basket total, the per-brand counts, AND both sides
+    # of the pair self-join — one eager checkpoint instead of five
+    # scan+join recomputations (plan-audit finding)
     ob = (
         li.join(pt, li.l_partkey == pt.p_partkey)
         .select("l_orderkey", F.col("p_brand").alias("brand"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     tot = ob.agg(
         F.countDistinct("l_orderkey").cast("long").alias("n")
@@ -14040,6 +14044,7 @@ def brand_rule_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.brand").alias("x"), F.col("b.brand").alias("y")
         )
         .agg(F.count(F.lit(1)).cast("long").alias("n_xy"))
+        .localCheckpoint(eager=True)  # read twice by the two rule directions
     )
     directed = pr.select(
         F.col("x").alias("antecedent"),
@@ -14350,6 +14355,7 @@ def did_value_contrast(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mean_microcents",
             F.expr("(1000000 * sum_cents) DIV n"),
         )
+        .localCheckpoint(eager=True)  # 4 rows; feeds the contrast AND output
     )
     sign = F.when(
         (F.col("grp") == "treat") & (F.col("period") == "post"), 1
@@ -14409,7 +14415,7 @@ def forecast_backtest_mape(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("value").cast("decimal(18,2)") * 100)
         .cast("long")
         .alias("rev_cents")
-    )
+    ).localCheckpoint(eager=True)  # days-sized; both join sides reuse it
     fc = daily.select(
         F.date_add(F.col("day"), 7).alias("day"),
         F.col("rev_cents").alias("forecast_cents"),
@@ -14424,6 +14430,7 @@ def forecast_backtest_mape(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " DIV rev_cents"
             ),
         )
+        .localCheckpoint(eager=True)  # test-days-sized; MAPE + output
     )
     mape = scored.agg(
         F.expr("sum(ape_ppm) DIV count(*)").cast("long").alias("mape_ppm")
