@@ -1373,7 +1373,13 @@ def kmeans_int(
             "long"
         ),
     )
-    vecs = emb.select("vec_id", xq.alias("x"))
+    # One materialization of the quantized vectors: every iteration's
+    # assignment (and the init pick) re-reads THIS frame, not the
+    # source scan — without it the centroid lineage replays the scan
+    # once per iteration (plan audit: 15 scans -> 1).
+    vecs = emb.select("vec_id", xq.alias("x")).localCheckpoint(
+        eager=True
+    )
     from cdk_dynamodb_cdc_spark.llm.text import token_hash60
 
     h = token_hash60(
@@ -1426,12 +1432,16 @@ def kmeans_int(
                     ]
                 ).alias("cnew"),
             )
+            # k rows — checkpoint truncates the per-iteration lineage
+            # chain (cent_i otherwise drags every prior assignment
+            # plan into iteration i+1's broadcast).
             cent = (
                 cent.join(newc, "cluster", "left")
                 .select(
                     "cluster",
                     F.coalesce("cnew", "c").alias("c"),
                 )
+                .localCheckpoint(eager=True)
             )
     report = best.groupBy("cluster").agg(
         F.count(F.lit(1)).alias("n_docs"),

@@ -13403,34 +13403,43 @@ def cf_holdout_hit_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     lo = li.join(
         ords, li["l_orderkey"] == ords["o_orderkey"]
     ).select("l_orderkey", "l_partkey", "o_orderdate", "o_custkey")
+    # train feeds the degree table AND both pair sides; test feeds
+    # both validation-pair sides — materialize each once so the
+    # lineitem⋈orders join runs once, not five times.
     train = (
         lo.filter(F.col("o_orderdate") < F.lit(cut).cast("timestamp"))
         .select("l_orderkey", "l_partkey")
         .distinct()
+        .localCheckpoint(eager=True)
     )
     test = (
         lo.filter(F.col("o_orderdate") >= F.lit(cut).cast("timestamp"))
         .select("o_custkey", "l_partkey")
         .distinct()
+        .localCheckpoint(eager=True)
     )
 
-    def pairs(it):
+    # The probe set is pa % 199 == 0 — pushing that predicate onto
+    # the LEFT side of both pair joins prunes ~99.5% of pair rows
+    # BEFORE the shuffle instead of after the co-occurrence agg
+    # (identical result: pa is a join-side column, the filter
+    # commutes with the join and the groupBy).
+    probe = F.col("pa") % 199 == 0
+
+    def pairs(it, key):
         a = it.select(
-            F.col("l_orderkey").alias("ok"),
-            F.col("l_partkey").alias("pa"),
-        )
+            F.col(key).alias("k"), F.col("l_partkey").alias("pa")
+        ).filter(probe)
         b = it.select(
-            F.col("l_orderkey").alias("ok"),
-            F.col("l_partkey").alias("pb"),
+            F.col(key).alias("k"), F.col("l_partkey").alias("pb")
         )
-        return a.join(b, "ok").filter(F.col("pa") != F.col("pb"))
+        return a.join(b, "k").filter(F.col("pa") != F.col("pb"))
 
     deg = train.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n"))
     co = (
-        pairs(train)
+        pairs(train, "l_orderkey")
         .groupBy("pa", "pb")
         .agg(F.count(F.lit(1)).alias("co"))
-        .filter(F.col("pa") % 199 == 0)
     )
     scored = (
         co.join(
@@ -13453,19 +13462,12 @@ def cf_holdout_hit_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rk", F.row_number().over(wr))
         .filter(F.col("rk") <= 5)
         .select("pa", "pb")
+        .localCheckpoint(eager=True)  # read by hits AND the report
     )
-    ta = test.select(
-        F.col("o_custkey").alias("ck"), F.col("l_partkey").alias("pa")
-    )
-    tb = test.select(
-        F.col("o_custkey").alias("ck"), F.col("l_partkey").alias("pb")
-    )
-    test_pairs = (
-        ta.join(tb, "ck")
-        .filter(F.col("pa") != F.col("pb"))
-        .select("pa", "pb")
-        .distinct()
-    )
+    # Validation pairs are only consumed by the semi join against
+    # recs, whose pa is always a probe part — the same % 199 pushdown
+    # applies to the held-out side.
+    test_pairs = pairs(test, "o_custkey").select("pa", "pb").distinct()
     hits = (
         recs.join(test_pairs, ["pa", "pb"], "left_semi")
         .groupBy("pa")
