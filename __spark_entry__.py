@@ -53,6 +53,8 @@ _GATE_PRIORITY = [
     # refactor). Then: every registry entry the r6 gate window
     # (CORRECTNESS_r06.json) did not cover, in registry order — so the
     # r7 window is disjoint from r6's except where code changed.
+    'poisson_bootstrap_ci',
+    'sparse_cosine_pairs',
     'part_coorder_sssp',
     'quality_score_auc',
     'lang_id_eval_metrics',

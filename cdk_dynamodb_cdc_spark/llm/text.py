@@ -316,6 +316,93 @@ def search_conjunctive(
     )
 
 
+def sparse_cosine_topk(
+    docs: DataFrame,
+    *,
+    max_df: int = 50,
+    top_k: int = 20,
+) -> DataFrame:
+    """All-pairs sparse cosine similarity over term-frequency vectors,
+    served from the inverted index — the classic bag-of-words twin of
+    the embedding-cosine lane (`llm/vectors.py`), and the similarity
+    the AllPairs/PPJoin literature (Bayardo et al. 2007) prices by
+    posting-list length, not by corpus size.
+
+    Semantics: cosine over the PRUNED term space — terms with
+    document frequency > ``max_df`` are dropped from vectors AND
+    norms before any pair forms. That is the operator's contract, not
+    an approximation of something else: high-df (stopword-ish) terms
+    are exactly the ones whose posting lists explode the self-join
+    quadratically while contributing near-constant mass to every
+    pair. With the cap, pair candidates per term are <= max_df^2 and
+    the whole join is sum-of-squared-df bounded — corpus growth adds
+    terms (Heaps' law), not posting length, so the plan survives
+    100 TB.
+
+    Exactness: tf and norms are integers; the score is
+    ``cos^2 x 10^12 = (dot^2 * 10^12) div (norm_a * norm_b)`` in
+    DECIMAL(38,0) integer division — monotone in cosine for
+    non-negative tf, bit-identical in any engine. Ties break on the
+    pair ids. Output: (doc_a, doc_b, dot, cos2_ppt), overall top-k by
+    score via TakeOrderedAndProject (distributed partial top-k).
+    """
+    postings = build_inverted_index(docs)
+    df = postings.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    kept = (
+        postings.join(df.filter(F.col("df") <= max_df), "term")
+        .select("term", "doc_id", "tf")
+        # read by the norm aggregate AND both self-join sides
+        .localCheckpoint(eager=True)
+    )
+    norms = kept.groupBy("doc_id").agg(
+        F.sum(F.col("tf") * F.col("tf")).cast("long").alias("norm2")
+    )
+    a = kept.select(
+        "term", F.col("doc_id").alias("doc_a"), F.col("tf").alias("tf_a")
+    )
+    b = kept.select(
+        "term", F.col("doc_id").alias("doc_b"), F.col("tf").alias("tf_b")
+    )
+    dots = (
+        a.join(b, "term")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum(F.col("tf_a") * F.col("tf_b")).cast("long").alias("dot"))
+    )
+    scored = (
+        dots.join(
+            norms.select(
+                F.col("doc_id").alias("doc_a"),
+                F.col("norm2").alias("na"),
+            ),
+            "doc_a",
+        )
+        .join(
+            norms.select(
+                F.col("doc_id").alias("doc_b"),
+                F.col("norm2").alias("nb"),
+            ),
+            "doc_b",
+        )
+        .withColumn(
+            "cos2_ppt",
+            F.expr(
+                "CAST((CAST(dot AS DECIMAL(38,0)) * dot * 1000000000000)"
+                " DIV (CAST(na AS DECIMAL(38,0)) * nb) AS BIGINT)"
+            ),
+        )
+    )
+    return (
+        scored.orderBy(
+            F.col("cos2_ppt").desc(), "doc_a", "doc_b"
+        )
+        .limit(top_k)
+        .select("doc_a", "doc_b", "dot", "cos2_ppt")
+    )
+
+
 def _eq_lit(term: str):
     # a ONE-argument lambda per term: a two-arg lambda (even via a
     # default) would make F.filter bind the second parameter to the

@@ -14440,3 +14440,189 @@ def forecast_backtest_mape(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.crossJoin(F.broadcast(mape)).select(
         "day", "rev_cents", "forecast_cents", "ape_ppm", "mape_ppm"
     )
+
+
+# ---------------------------------------------------------------------------
+# Uncertainty at scale: the Poisson bootstrap (the one-pass bootstrap
+# for massive data — each row contributes an independent Poisson(1)
+# weight per replicate, so resampling never materializes a resample).
+# 64 replicates of the mean order total, every weight derived from a
+# 60-bit md5 of (replicate, orderkey) mapped through the Poisson(1)
+# CDF quantized to 2^-20 (the integer thresholds below are the same
+# literals in both engines — the randomness IS the hash, replayable
+# anywhere). Replicate means are exact integer microcents; the 95%
+# interval is the 2nd/63rd order statistic of the 64 replicate means.
+# Shape: ONE corpus scan; the 64-way explode partial-aggregates
+# map-side down to 64 rows before the only shuffle, the order
+# statistics run over those 64 rows. At 100 TB this is exactly the
+# production recipe for "mean with error bars" — no second pass, no
+# resample materialization, no RNG state.
+# ---------------------------------------------------------------------------
+_BOOT_T = [385749, 771499, 964373, 1028665, 1044738, 1047952, 1048488]
+_BOOT_B = 64
+
+
+def _boot_w_sql(u: str) -> str:
+    cases = " ".join(
+        f"WHEN {u} < {t} THEN {k}" for k, t in enumerate(_BOOT_T)
+    )
+    return f"(CASE {cases} ELSE 7 END)"
+
+
+@query(
+    "poisson_bootstrap_ci",
+    oracle=f"""
+    WITH x AS (
+      SELECT o_orderkey,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS cents
+      FROM orders
+    ),
+    reps AS (
+      SELECT b.b,
+             CAST((1000000::HUGEINT * SUM(w.w * x.cents))
+                  // NULLIF(SUM(w.w), 0) AS BIGINT) AS rep_x1e6
+      FROM x
+      CROSS JOIN (SELECT UNNEST(range({_BOOT_B})) AS b) b,
+      LATERAL (SELECT {_boot_w_sql(
+          "(('0x' || substr(md5('boot-' || CAST(b.b AS VARCHAR) || ':' "
+          "|| CAST(x.o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 1048576)"
+      )} AS w) w
+      GROUP BY b.b
+    ),
+    ranked AS (
+      SELECT rep_x1e6,
+             ROW_NUMBER() OVER (ORDER BY rep_x1e6, b) AS rn
+      FROM reps
+    ),
+    pt AS (
+      SELECT CAST((1000000::HUGEINT * SUM(cents)) // COUNT(*) AS BIGINT)
+               AS point_x1e6
+      FROM x
+    )
+    SELECT CAST({_BOOT_B} AS BIGINT) AS n_boot,
+           pt.point_x1e6,
+           (SELECT rep_x1e6 FROM ranked WHERE rn = 2)  AS lo_x1e6,
+           (SELECT rep_x1e6 FROM ranked WHERE rn = {_BOOT_B - 1})
+             AS hi_x1e6
+    FROM pt
+    """,
+)
+def poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdk_dynamodb_cdc_spark.llm.text import token_hash60
+
+    x = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    u = token_hash60(
+        F.concat(
+            F.lit("boot-"),
+            F.col("b").cast("string"),
+            F.lit(":"),
+            F.col("o_orderkey").cast("string"),
+        )
+    ) % 1048576
+    w = F.when(u < _BOOT_T[0], 0)
+    for k, t in enumerate(_BOOT_T[1:], start=1):
+        w = w.when(u < t, k)
+    w = w.otherwise(7)
+    reps = (
+        x.select(
+            "o_orderkey",
+            "cents",
+            F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1))).alias(
+                "b"
+            ),
+        )
+        .select("b", (w.cast("long") * F.col("cents")).alias("wx"), w.alias("w"))
+        .groupBy("b")
+        .agg(
+            F.sum("wx").alias("sum_wx"),
+            F.sum("w").alias("sum_w"),
+        )
+        .withColumn(
+            "rep_x1e6",
+            F.expr(
+                "CAST((CAST(1000000 AS DECIMAL(38,0)) * sum_wx)"
+                " DIV nullif(sum_w, 0) AS BIGINT)"
+            ),
+        )
+    )
+    # 64 rows — the unpartitioned window is replicate-sized, never
+    # corpus-sized
+    ranked = reps.withColumn(
+        "rn", F.row_number().over(Window.orderBy("rep_x1e6", "b"))
+    ).localCheckpoint(eager=True)
+    lo = ranked.filter(F.col("rn") == 2).select(
+        F.col("rep_x1e6").alias("lo_x1e6")
+    )
+    hi = ranked.filter(F.col("rn") == _BOOT_B - 1).select(
+        F.col("rep_x1e6").alias("hi_x1e6")
+    )
+    pt = x.agg(
+        F.expr(
+            "CAST((CAST(1000000 AS DECIMAL(38,0)) * sum(cents))"
+            " DIV count(*) AS BIGINT)"
+        ).alias("point_x1e6")
+    )
+    return (
+        pt.crossJoin(F.broadcast(lo))
+        .crossJoin(F.broadcast(hi))
+        .select(
+            F.lit(_BOOT_B).cast("long").alias("n_boot"),
+            "point_x1e6",
+            "lo_x1e6",
+            "hi_x1e6",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bag-of-words all-pairs cosine (llm/text.py:sparse_cosine_topk): the
+# inverted-index twin of the embedding-cosine lane — postings for
+# terms with df <= 50 self-join term-wise (pair work bounded by
+# sum(df^2), never corpus^2), integer dot products and norms, score =
+# floor(cos^2 x 10^12) in DECIMAL division. Top-20 pairs overall.
+# ---------------------------------------------------------------------------
+@query(
+    "sparse_cosine_pairs",
+    oracle="""
+    WITH postings AS (
+      SELECT term, doc_id, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS term
+            FROM documents)
+      GROUP BY term, doc_id
+    ),
+    kept AS (
+      SELECT p.term, p.doc_id, p.tf
+      FROM postings p
+      JOIN (SELECT term FROM postings GROUP BY term
+            HAVING COUNT(*) <= 50) d USING (term)
+    ),
+    norms AS (
+      SELECT doc_id, CAST(SUM(tf * tf) AS BIGINT) AS norm2
+      FROM kept GROUP BY doc_id
+    ),
+    dots AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(SUM(a.tf * b.tf) AS BIGINT) AS dot
+      FROM kept a JOIN kept b
+        ON a.term = b.term AND a.doc_id < b.doc_id
+      GROUP BY doc_a, doc_b
+    )
+    SELECT d.doc_a, d.doc_b, d.dot,
+           CAST((d.dot::HUGEINT * d.dot * 1000000000000)
+                // (na.norm2::HUGEINT * nb.norm2) AS BIGINT) AS cos2_ppt
+    FROM dots d
+    JOIN norms na ON na.doc_id = d.doc_a
+    JOIN norms nb ON nb.doc_id = d.doc_b
+    ORDER BY cos2_ppt DESC, d.doc_a, d.doc_b
+    LIMIT 20
+    """,
+)
+def sparse_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return llm_text.sparse_cosine_topk(docs, max_df=50, top_k=20)

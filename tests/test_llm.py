@@ -1823,3 +1823,58 @@ def test_budget_select_boundary_prefix(spark):
     assert got == {"d1", "d2", "d3", "d4"}
     # whole corpus within budget -> everything selected
     assert budget_select(scored, budget=100).count() == 6
+
+
+def test_sparse_cosine_topk_exact_small(spark):
+    from cdk_dynamodb_cdc_spark.llm.text import sparse_cosine_topk
+
+    # d1 = {a:2, b:1}, d2 = {a:1, b:1}, d3 = {c:1}; "z" appears in
+    # all four docs and max_df=3 prunes it from vectors AND norms
+    docs = spark.createDataFrame(
+        [
+            ("d1", "a a b z"),
+            ("d2", "a b z"),
+            ("d3", "c z"),
+            ("d4", "z z z"),
+        ],
+        "doc_id string, text string",
+    )
+    out = {
+        (r.doc_a, r.doc_b): r
+        for r in sparse_cosine_topk(docs, max_df=3, top_k=10).collect()
+    }
+    # only (d1,d2) share a surviving term: dot = 2*1 + 1*1 = 3,
+    # norms 5 and 2 -> floor(9e12 / 10)
+    assert set(out) == {("d1", "d2")}
+    r = out[("d1", "d2")]
+    assert r.dot == 3
+    assert r.cos2_ppt == (3 * 3 * 10**12) // (5 * 2)
+    # d4 lost every term to the df cap: no pair, and no norm row
+    # behind the scenes breaks the join
+
+
+def test_poisson_bootstrap_weights_are_poisson_ish(spark):
+    # The threshold table must reproduce Poisson(1): weight 0 and 1
+    # each ~ e^-1 of rows, mean weight ~ 1. Checked over 40k hashes.
+    import math
+
+    from pyspark.sql import functions as F
+
+    from cdk_dynamodb_cdc_spark.queries import _BOOT_T
+    from cdk_dynamodb_cdc_spark.llm.text import token_hash60
+
+    n = 40_000
+    df = spark.range(n).select(
+        (token_hash60(F.col("id").cast("string")) % 1048576).alias("u")
+    )
+    w = F.when(F.col("u") < _BOOT_T[0], 0)
+    for k, t in enumerate(_BOOT_T[1:], start=1):
+        w = w.when(F.col("u") < t, k)
+    w = w.otherwise(7)
+    agg = df.select(w.alias("w")).groupBy("w").count().collect()
+    by_w = {r.w: r["count"] for r in agg}
+    e1 = math.exp(-1)
+    assert abs(by_w[0] / n - e1) < 0.01
+    assert abs(by_w[1] / n - e1) < 0.01
+    mean_w = sum(k * c for k, c in by_w.items()) / n
+    assert abs(mean_w - 1.0) < 0.02
