@@ -55,6 +55,7 @@ _GATE_PRIORITY = [
     # r7 window is disjoint from r6's except where code changed.
     'poisson_bootstrap_ci',
     'sparse_cosine_pairs',
+    'txlog_bloom_lookup',
     'part_coorder_sssp',
     'quality_score_auc',
     'lang_id_eval_metrics',

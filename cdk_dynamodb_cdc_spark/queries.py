@@ -14626,3 +14626,52 @@ def poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sparse_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return llm_text.sparse_cosine_topk(docs, max_df=50, top_k=20)
+
+
+# ---------------------------------------------------------------------------
+# Bloom file skipping on the transactional table
+# (storage/txlog.py:scan_point): four arrival-ordered commits whose
+# files each span the whole key space — range stats prune NOTHING on
+# a point lookup there — then attach_blooms + a bloom-pruned IN scan.
+# The oracle pins the row contract (pruning may only cut files, never
+# rows — same contract as scan()); the files-read bound is pinned by
+# tests/test_txlog.py::test_bloom_point_lookup_prunes_files.
+# ---------------------------------------------------------------------------
+@query(
+    "txlog_bloom_lookup",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+             AS cents
+    FROM orders
+    WHERE o_orderkey IN (1, 2, 3, 4, 5, 6, 7, 32, 999999999)
+    ORDER BY o_orderkey
+    """,
+)
+def txlog_bloom_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from cdk_dynamodb_cdc_spark.storage.txlog import (
+        TxTable,
+        attach_blooms,
+        scan_point,
+    )
+
+    probes = [1, 2, 3, 4, 5, 6, 7, 32, 999999999]
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    t = TxTable(spark, tempfile.mkdtemp(prefix="txlog_bloom_"))
+    for r in range(4):
+        t.commit(
+            orders.filter(F.col("o_orderkey") % 4 == r).coalesce(1)
+        )
+    attach_blooms(t, ["o_orderkey"])
+    df, files_read, files_total = scan_point(
+        t, "o_orderkey", probes
+    )
+    assert files_total == 4 and files_read <= files_total
+    return df.select("o_orderkey", "cents").orderBy("o_orderkey")

@@ -1008,6 +1008,168 @@ def scan(
 
 
 # ---------------------------------------------------------------------------
+# Bloom file skipping: per-file Bloom filters in the manifest for
+# EQUALITY predicates — the pruning min/max stats cannot do. A
+# CDC-materialized table keyed by a high-cardinality pk has every
+# file's [min, max] spanning the whole key space (writes arrive in
+# arrival order, not key order), so range stats prune nothing; a
+# per-file Bloom answers "might file F contain pk = X" in O(k) bit
+# probes and prunes a point lookup to the files that can match —
+# Delta's bloom-filter-index / Parquet bloom lane, kept engine-side
+# so the planner (not the format) owns the decision. Filters are
+# md5-positioned bitsets serialized base64 into the same stats
+# channel the range lane uses ("__bloom__" per-file key — range
+# pruning never reads it), sized ~10 bits per distinct key (<~1%
+# false positives, so a miss-probe reads ~1% of files instead of
+# all). Build cost mirrors collect_stats: file-local distinct-value
+# reads, the work a distributed writer's tasks produce for free.
+# ---------------------------------------------------------------------------
+
+
+def _bloom_positions(value, m_bits: int, k: int) -> list[int]:
+    """k bit positions for ``value`` in an m-bit filter. Each probe
+    hashes the canonical string rendering with a per-probe salt —
+    deterministic across build and lookup, no RNG state."""
+    import hashlib
+
+    s = str(value)
+    return [
+        int.from_bytes(
+            hashlib.md5(f"bloom{j}:{s}".encode()).digest()[:8], "big"
+        )
+        % m_bits
+        for j in range(k)
+    ]
+
+
+def _bloom_build(values, *, bits_per_key: int = 10, k: int = 5):
+    """``(m_bits, k, base64-bitset)`` for a file's distinct values."""
+    import base64
+
+    vals = list(values)
+    m_bits = max(1024, bits_per_key * len(vals))
+    m_bits += (-m_bits) % 8
+    bits = bytearray(m_bits // 8)
+    for v in vals:
+        if v is None:
+            continue
+        for p in _bloom_positions(v, m_bits, k):
+            bits[p // 8] |= 1 << (p % 8)
+    return m_bits, k, base64.b64encode(bytes(bits)).decode()
+
+
+def _bloom_maybe_contains(meta: dict, value) -> bool:
+    import base64
+
+    bits = base64.b64decode(meta["b64"])
+    for p in _bloom_positions(value, meta["m"], meta["k"]):
+        if not (bits[p // 8] >> (p % 8)) & 1:
+            return False
+    return True
+
+
+def collect_blooms(
+    files: list[str], cols: list[str], *, bits_per_key: int = 10, k: int = 5
+) -> dict:
+    """``{file: {col: {m, k, b64}}}`` from per-file distinct values
+    (int/string columns; others are skipped — scan() then never
+    bloom-prunes on them, which is always correct)."""
+    import pyarrow.parquet as pq
+
+    out: dict = {}
+    for f in files:
+        pf = pq.ParquetFile(_local(f))
+        per_col: dict = {}
+        for c in cols:
+            if pf.schema_arrow.get_field_index(c) < 0:
+                continue
+            col = pf.read(columns=[c]).column(0)
+            vals = {v for v in col.to_pylist() if v is not None}
+            if not all(isinstance(v, (int, str)) for v in vals):
+                continue
+            m_bits, kk, b64 = _bloom_build(
+                vals, bits_per_key=bits_per_key, k=k
+            )
+            per_col[c] = {"m": m_bits, "k": kk, "b64": b64}
+        out[f] = per_col
+    return out
+
+
+def attach_blooms(
+    table: TxTable,
+    cols: list[str],
+    *,
+    bits_per_key: int = 10,
+    k: int = 5,
+) -> int:
+    """Republish the current manifest with per-file Bloom filters for
+    ``cols`` merged into the stats channel (existing range stats for
+    the same files are preserved). Returns the new version."""
+    base = table.latest_version()
+    m = table.manifest(base)
+    stats = {f: dict(per) for f, per in m.get("stats", {}).items()}
+    blooms = collect_blooms(
+        m["live"], cols, bits_per_key=bits_per_key, k=k
+    )
+    for f, per_col in blooms.items():
+        entry = stats.setdefault(f, {})
+        merged = dict(entry.get("__bloom__", {}))
+        merged.update(per_col)
+        entry["__bloom__"] = merged
+    action = {
+        "version": base + 1,
+        "mode": "stats",
+        "add": [],
+        "remove": [],
+        "schema": m["schema"],
+        "app_id": None,
+        "batch_id": None,
+        "txn": table._action(base).get("txn", {}),
+        "stats": stats,
+    }
+    if not table._create_exclusive(
+        table._manifest_path(base + 1), json.dumps(action)
+    ):
+        raise RuntimeError(
+            f"attach_blooms based on v{base} lost the race; re-run"
+        )
+    table._maybe_checkpoint(base + 1)
+    return base + 1
+
+
+def scan_point(
+    table: TxTable,
+    col: str,
+    values: list,
+    *,
+    version: int | None = None,
+) -> tuple[DataFrame, int, int]:
+    """Bloom-pruned point lookup: rows where ``col`` IN ``values``,
+    reading only files whose Bloom filter says some probe value might
+    be present. Same contract as :func:`scan`: the returned frame
+    still carries the IN filter, so correctness never depends on
+    pruning — a false positive only costs one extra file read.
+    Returns ``(df, files_read, files_total)``."""
+    v = table.latest_version() if version is None else version
+    m = table.manifest(v)
+    stats = m.get("stats", {})
+    keep = []
+    for f in m["live"]:
+        meta = stats.get(f, {}).get("__bloom__", {}).get(col)
+        if meta is None or any(
+            _bloom_maybe_contains(meta, val) for val in values
+        ):
+            keep.append(f)
+    schema = StructType.fromJson(json.loads(m["schema"]))
+    if not keep:
+        df = table.spark.createDataFrame([], schema)
+    else:
+        df = table.spark.read.schema(schema).parquet(*keep)
+    df = df.filter(F.col(col).isin(values))
+    return df, len(keep), len(m["live"])
+
+
+# ---------------------------------------------------------------------------
 # Bulk change feed: the partition-planned evolution of the simple
 # feed. Offsets are still table versions, but each poll plans ONE
 # INPUT PARTITION PER ADDED FILE and executors read their file

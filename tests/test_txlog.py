@@ -834,3 +834,53 @@ def test_cleanup_log_bounds_log_size(spark, tmp_path):
     # commits continue normally after cleanup
     assert t.commit(_df(spark, [99])) == 23
     assert 99 in {r["id"] for r in t.snapshot().collect()}
+
+
+def test_bloom_point_lookup_prunes_files(spark, tmp_path):
+    """Bloom skipping: on a table whose files all span the full key
+    range (arrival-ordered writes — min/max stats prune nothing), a
+    bloom point lookup reads a strict subset of files and returns
+    exactly the rows a full-scan IN filter would; an absent key reads
+    (almost) nothing."""
+    from cdk_dynamodb_cdc_spark.storage.txlog import (
+        TxTable,
+        attach_blooms,
+        attach_stats,
+        scan,
+        scan_point,
+    )
+
+    t = TxTable(spark, str(tmp_path / "tbl"))
+    # 4 commits = 4 files, each covering the WHOLE key space modulo 4
+    # (interleaved keys: range stats are useless, blooms are not)
+    for r in range(4):
+        rows = [(k, f"v{k}") for k in range(r, 4000, 4)]
+        t.commit(
+            spark.createDataFrame(
+                rows, "pk long, payload string"
+            ).coalesce(1)
+        )
+    attach_stats(t, ["pk"])
+    attach_blooms(t, ["pk"])
+
+    # range stats cannot prune interleaved files
+    _, range_read, total = scan(t, where=[("pk", 17, 17)])
+    assert total == 4 and range_read == 4
+
+    # bloom prunes the point lookup to the one file holding pk=17
+    df, files_read, files_total = scan_point(t, "pk", [17])
+    assert files_total == 4
+    assert files_read == 1
+    assert [(r.pk, r.payload) for r in df.collect()] == [(17, "v17")]
+
+    # multi-probe: keys living in two distinct files read two files
+    df2, read2, _ = scan_point(t, "pk", [17, 18])
+    assert read2 == 2 and df2.count() == 2
+
+    # absent key: every bloom says no (modulo ~1% FP per file)
+    df0, read0, _ = scan_point(t, "pk", [10**9])
+    assert read0 <= 1 and df0.count() == 0
+
+    # attach_blooms preserved the range-stats channel
+    _, r2, _ = scan(t, where=[("pk", 10**7, 10**7 + 1)])
+    assert r2 == 0
