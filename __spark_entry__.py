@@ -56,6 +56,8 @@ _GATE_PRIORITY = [
     'poisson_bootstrap_ci',
     'sparse_cosine_pairs',
     'txlog_bloom_lookup',
+    'cramers_v_matrix',
+    'trimmed_mean_order_total',
     'part_coorder_sssp',
     'quality_score_auc',
     'lang_id_eval_metrics',

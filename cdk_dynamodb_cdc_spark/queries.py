@@ -14675,3 +14675,237 @@ def txlog_bloom_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     assert files_total == 4 and files_read <= files_total
     return df.select("o_orderkey", "cents").orderBy("o_orderkey")
+
+
+# ---------------------------------------------------------------------------
+# Categorical association profiling: Cramér's V for every pair of
+# lineitem's categorical columns, ALL from one grouping-sets scan
+# (pair cells + single-column margins + the grand total in a single
+# map-side-combined pass — the fd_discovery trick applied to
+# chi-square). Empty cells contribute their expected mass (rt*ct/n),
+# so the statistic is the full chi-square, not an observed-cells
+# approximation. Integer contract: per-cell term =
+# floor((o*n - rt*ct)^2 * 1e6 / (n*rt*ct)) summed in DECIMAL(38,0);
+# V^2 in ppm = chi2_ppm div (min(k_a,k_b) - 1). Everything after the
+# scan is category-cardinality-sized.
+# ---------------------------------------------------------------------------
+_CRAMER_COLS = ["l_linenumber", "l_linestatus", "l_returnflag"]
+_CRAMER_PAIRS = [
+    ("l_linenumber", "l_linestatus"),
+    ("l_linenumber", "l_returnflag"),
+    ("l_linestatus", "l_returnflag"),
+]
+
+
+def _cramer_oracle() -> str:
+    ctes, selects = [], []
+    for a, b in _CRAMER_PAIRS:
+        s = f"{a[2:]}_{b[2:]}"
+        ctes.append(f"""
+    cells_{s} AS (SELECT {a} AS va, {b} AS vb,
+                         CAST(COUNT(*) AS BIGINT) AS o
+                  FROM lineitem GROUP BY va, vb),
+    ma_{s} AS (SELECT {a} AS va, CAST(COUNT(*) AS BIGINT) AS rt
+               FROM lineitem GROUP BY va),
+    mb_{s} AS (SELECT {b} AS vb, CAST(COUNT(*) AS BIGINT) AS ct
+               FROM lineitem GROUP BY vb),
+    t_{s} AS (
+      SELECT SUM(((COALESCE(c.o, 0)::HUGEINT * nn.n - m.rt::HUGEINT * x.ct)
+                  * (COALESCE(c.o, 0)::HUGEINT * nn.n - m.rt::HUGEINT * x.ct)
+                  * 1000000)
+                 // (nn.n::HUGEINT * m.rt * x.ct)) AS chi2_ppm
+      FROM ma_{s} m CROSS JOIN mb_{s} x CROSS JOIN nn
+      LEFT JOIN cells_{s} c ON c.va = m.va AND c.vb = x.vb
+    ),
+    k_{s} AS (SELECT (SELECT COUNT(*) FROM ma_{s}) AS ka,
+                     (SELECT COUNT(*) FROM mb_{s}) AS kb)""")
+        selects.append(f"""
+    SELECT '{a}' AS col_a, '{b}' AS col_b, nn.n,
+           CAST(t.chi2_ppm AS BIGINT) AS chi2_ppm,
+           CAST(t.chi2_ppm // (LEAST(k.ka, k.kb) - 1) AS BIGINT)
+             AS v2_ppm
+    FROM nn, t_{s} t, k_{s} k""")
+    return (
+        "WITH nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM lineitem),"
+        + ",".join(ctes)
+        + " SELECT * FROM ("
+        + " UNION ALL ".join(selects)
+        + ") ORDER BY col_a, col_b"
+    )
+
+
+@query("cramers_v_matrix", oracle=_cramer_oracle())
+def cramers_v_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    cols = _CRAMER_COLS
+    sets = (
+        [[a, b] for a, b in _CRAMER_PAIRS]
+        + [[c] for c in cols]
+        + [[]]
+    )
+    g = (
+        li.groupingSets(sets, *cols)
+        .agg(F.count(F.lit(1)).alias("c"), F.grouping_id().alias("gid"))
+        .localCheckpoint(eager=True)  # category-cardinality-sized
+    )
+
+    def gid_of(keep: set[str]) -> int:
+        gg = 0
+        for c in cols:
+            gg = (gg << 1) | (0 if c in keep else 1)
+        return gg
+
+    n = g.filter(F.col("gid") == gid_of(set())).select(
+        F.col("c").alias("n")
+    )
+    outs = []
+    for a, b in _CRAMER_PAIRS:
+        cells = g.filter(F.col("gid") == gid_of({a, b})).select(
+            F.col(a).alias("va"), F.col(b).alias("vb"),
+            F.col("c").alias("o"),
+        )
+        ma = g.filter(F.col("gid") == gid_of({a})).select(
+            F.col(a).alias("va"), F.col("c").alias("rt")
+        )
+        mb = g.filter(F.col("gid") == gid_of({b})).select(
+            F.col(b).alias("vb"), F.col("c").alias("ct")
+        )
+        full = (
+            ma.crossJoin(mb)
+            .join(cells, ["va", "vb"], "left")
+            .withColumn("o", F.coalesce("o", F.lit(0)))
+            .crossJoin(F.broadcast(n))
+        )
+        chi2 = full.agg(
+            F.sum(
+                F.expr(
+                    "CAST(((CAST(o AS DECIMAL(38,0)) * n - CAST(rt AS"
+                    " DECIMAL(38,0)) * ct) * (CAST(o AS DECIMAL(38,0))"
+                    " * n - CAST(rt AS DECIMAL(38,0)) * ct) * 1000000)"
+                    " DIV (CAST(n AS DECIMAL(38,0)) * rt * ct)"
+                    " AS BIGINT)"
+                )
+            ).alias("chi2_ppm")
+        )
+        ka = ma.agg(F.count(F.lit(1)).alias("ka"))
+        kb = mb.agg(F.count(F.lit(1)).alias("kb"))
+        outs.append(
+            n.crossJoin(F.broadcast(chi2))
+            .crossJoin(F.broadcast(ka))
+            .crossJoin(F.broadcast(kb))
+            .select(
+                F.lit(a).alias("col_a"),
+                F.lit(b).alias("col_b"),
+                "n",
+                "chi2_ppm",
+                F.expr(
+                    "CAST(chi2_ppm DIV (least(ka, kb) - 1) AS BIGINT)"
+                ).alias("v2_ppm"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.orderBy("col_a", "col_b")
+
+
+# ---------------------------------------------------------------------------
+# Robust location estimation: exact 5%-trimmed mean of the order
+# total, two-pass value-distribution discipline (the same shape as
+# lineitem_price_quantiles_twopass): the corpus collapses to the
+# distinct-value distribution in one map-side-combined aggregation;
+# the cumulative window and the trim arithmetic run over VALUES, not
+# rows. Boundary values are partially included with exact integer
+# clamps, so the result is the true order-statistics trimmed mean —
+# no interpolation, no float rank arithmetic.
+# ---------------------------------------------------------------------------
+@query(
+    "trimmed_mean_order_total",
+    oracle="""
+    WITH v AS (
+      SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS cents,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM orders GROUP BY cents
+    ),
+    c AS (
+      SELECT cents, cnt,
+             SUM(cnt) OVER (ORDER BY cents
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS cum
+      FROM v
+    ),
+    nn AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n,
+                  CAST(SUM(cnt) * 5 // 100 AS BIGINT) AS k
+           FROM v),
+    inc AS (
+      SELECT c.cents,
+             GREATEST(0::BIGINT,
+                      LEAST(c.cum, nn.n - nn.k)
+                      - GREATEST(c.cum - c.cnt, nn.k)) AS take
+      FROM c, nn
+    )
+    SELECT nn.n, nn.k AS k_cut,
+           CAST(nn.n - 2 * nn.k AS BIGINT) AS trimmed_n,
+           CAST((1000000::HUGEINT * (SELECT SUM(take * cents) FROM inc))
+                // (nn.n - 2 * nn.k) AS BIGINT) AS trimmed_x1e6,
+           (SELECT CAST((1000000::HUGEINT * SUM(cnt * cents))
+                        // SUM(cnt) AS BIGINT) FROM v) AS mean_x1e6
+    FROM nn
+    """,
+)
+def trimmed_mean_order_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(
+            (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+            .cast("long")
+            .alias("cents")
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=True)  # values-sized; 3 consumers
+    )
+    # unpartitioned window over DISTINCT VALUES — the documented
+    # values-sized fold, never corpus-sized
+    c = v.withColumn(
+        "cum",
+        F.sum("cnt").over(
+            Window.orderBy("cents").rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        ),
+    )
+    nn = v.agg(
+        F.sum("cnt").cast("long").alias("n"),
+        F.expr("CAST(sum(cnt) * 5 DIV 100 AS BIGINT)").alias("k"),
+    )
+    inc = c.crossJoin(F.broadcast(nn)).select(
+        "cents",
+        F.expr(
+            "GREATEST(CAST(0 AS BIGINT),"
+            " LEAST(cum, n - k) - GREATEST(cum - cnt, k))"
+        ).alias("take"),
+    )
+    tsum = inc.agg(
+        F.sum(F.col("take") * F.col("cents")).alias("tsum")
+    )
+    msum = v.agg(
+        F.expr(
+            "CAST((CAST(1000000 AS DECIMAL(38,0)) * sum(cnt * cents))"
+            " DIV sum(cnt) AS BIGINT)"
+        ).alias("mean_x1e6")
+    )
+    return (
+        nn.crossJoin(F.broadcast(tsum))
+        .crossJoin(F.broadcast(msum))
+        .select(
+            "n",
+            F.col("k").alias("k_cut"),
+            F.expr("CAST(n - 2 * k AS BIGINT)").alias("trimmed_n"),
+            F.expr(
+                "CAST((CAST(1000000 AS DECIMAL(38,0)) * tsum)"
+                " DIV (n - 2 * k) AS BIGINT)"
+            ).alias("trimmed_x1e6"),
+            "mean_x1e6",
+        )
+    )
