@@ -56,6 +56,7 @@ _GATE_PRIORITY = [
     'poisson_bootstrap_ci',
     'sparse_cosine_pairs',
     'txlog_bloom_lookup',
+    'txlog_delete_vector_state',
     'cramers_v_matrix',
     'trimmed_mean_order_total',
     'part_coorder_sssp',

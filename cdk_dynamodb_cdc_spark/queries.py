@@ -14909,3 +14909,62 @@ def trimmed_mean_order_total(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mean_x1e6",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Merge-on-read DELETE (storage/txlog.py:delete_where): two appends,
+# then two deletion-vector deletes — no data file is rewritten; the
+# reader subtracts row positions via the parquet _metadata anti-join.
+# Output: per-bucket surviving totals read through snapshot(), which
+# the oracle reproduces with the equivalent plain-SQL predicate —
+# pinning that the DV read path equals filter semantics exactly.
+# tests/test_txlog.py::test_deletion_vectors_merge_on_read pins the
+# storage contract (files untouched, consolidation, restore/optimize
+# /vacuum interplay).
+# ---------------------------------------------------------------------------
+@query(
+    "txlog_delete_vector_state",
+    oracle="""
+    SELECT o_orderkey % 8 AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * 100)
+                AS BIGINT) AS cents
+    FROM orders
+    WHERE NOT (o_orderkey % 8 = 5)
+      AND NOT (o_orderkey % 100 < 7 AND o_orderkey % 8 <> 5)
+    GROUP BY bucket ORDER BY bucket
+    """,
+)
+def txlog_delete_vector_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from cdk_dynamodb_cdc_spark.storage.txlog import (
+        TxTable,
+        delete_where,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        (F.col("o_orderkey") % 8).alias("bucket"),
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    t = TxTable(spark, tempfile.mkdtemp(prefix="txlog_dv_"))
+    t.commit(orders.filter(F.col("o_orderkey") % 2 == 0).coalesce(2))
+    t.commit(orders.filter(F.col("o_orderkey") % 2 == 1).coalesce(2))
+    v1 = delete_where(t, "bucket = 5")
+    v2 = delete_where(t, "o_orderkey % 100 < 7")
+    assert v1 is not None and v2 is not None
+    # merge-on-read: both deletes left the live set untouched
+    m = t.manifest(t.latest_version())
+    assert sorted(m["live"]) == sorted(t.manifest(1)["live"])
+    return (
+        t.snapshot()
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("cents").cast("long").alias("cents"),
+        )
+        .orderBy("bucket")
+    )

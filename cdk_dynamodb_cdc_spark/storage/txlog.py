@@ -61,6 +61,7 @@ from pyspark.sql.types import StructType
 
 _LOG_DIR = "_txlog"
 _DATA_DIR = "data"
+_DV_DIR = "_dv"
 
 
 def _evolve_schema(prev_json: str, new_json: str) -> str:
@@ -90,26 +91,38 @@ def _evolve_schema(prev_json: str, new_json: str) -> str:
 
 def _apply_action(state: dict, action: dict) -> None:
     """Fold one version's action file into the running state (mutates
-    ``state`` = {"live": [...], "stats": {...}}).
+    ``state`` = {"live": [...], "stats": {...}, "dv": {...}}).
 
     * legacy full-list manifest (``live`` key): full-state reset;
     * ``mode == "stats"``: stats attached, live set untouched;
-    * anything else: ``live := (live - remove) ++ add``, and any
-      previously attached stats are dropped — mirroring the original
-      layout, where only the ``stats`` version itself carried stats.
+    * ``mode == "delete_dv"``: deletion-vector pointers merged, live
+      set and stats untouched (a merge-on-read delete moves no data);
+    * anything else: ``live := (live - remove) ++ add``, previously
+      attached stats are dropped (mirroring the original layout), and
+      retired files drop their deletion vectors; an explicit
+      ``dv_set`` (restore) then reinstates pointers.
     """
     if "live" in action:
         state["live"] = list(action["live"])
         state["stats"] = dict(action.get("stats", {}))
+        state["dv"] = dict(action.get("dv", {}))
         return
     if action.get("mode") == "stats":
         state["stats"] = dict(action.get("stats", {}))
+        return
+    if action.get("mode") == "delete_dv":
+        state.setdefault("dv", {}).update(action.get("dv_set", {}))
         return
     removed = set(action.get("remove", []))
     state["live"] = [
         f for f in state["live"] if f not in removed
     ] + list(action.get("add", []))
     state["stats"] = {}
+    dv = state.setdefault("dv", {})
+    for f in removed:
+        dv.pop(f, None)
+    if action.get("dv_set"):
+        dv.update(action["dv_set"])
 
 
 class TxTable:
@@ -213,7 +226,7 @@ class TxTable:
         action = self._action(version)
         if "live" in action:  # legacy full-list manifest: complete as-is
             return action
-        state = {"live": [], "stats": {}}
+        state = {"live": [], "stats": {}, "dv": {}}
         start = 0
         for cp_v in reversed(self.checkpoints()):
             if cp_v <= version:
@@ -222,6 +235,7 @@ class TxTable:
                 )
                 state["live"] = list(cp["live"])
                 state["stats"] = dict(cp.get("stats", {}))
+                state["dv"] = dict(cp.get("dv", {}))
                 start = cp_v + 1
                 break
         for v in range(start, version + 1):
@@ -229,11 +243,13 @@ class TxTable:
         out = {
             k: v
             for k, v in action.items()
-            if k not in ("add", "remove", "stats")
+            if k not in ("add", "remove", "stats", "dv_set")
         }
         out["live"] = state["live"]
         if state["stats"]:
             out["stats"] = state["stats"]
+        if state["dv"]:
+            out["dv"] = state["dv"]
         return out
 
     def history(self) -> list[dict]:
@@ -254,6 +270,7 @@ class TxTable:
             "schema": m["schema"],
             "txn": m.get("txn", {}),
             "stats": m.get("stats", {}),
+            "dv": m.get("dv", {}),
         }
         self._create_exclusive(
             self._checkpoint_path(version), json.dumps(cp)
@@ -389,7 +406,8 @@ class TxTable:
         schema = StructType.fromJson(json.loads(m["schema"]))
         if not m["live"]:
             return self.spark.createDataFrame([], schema)
-        return self.spark.read.schema(schema).parquet(*m["live"])
+        df = self.spark.read.schema(schema).parquet(*m["live"])
+        return _subtract_dv(self, m, df)
 
     # -- maintenance ---------------------------------------------------
 
@@ -420,15 +438,19 @@ class TxTable:
         import time
 
         candidates = []
-        for commit_dir in self._ls(f"{self.path}/{_DATA_DIR}"):
-            for f in self._ls(commit_dir):
-                if f.rsplit("/", 1)[-1].startswith("part-"):
-                    candidates.append(f)
+        for parent in (_DATA_DIR, _DV_DIR):
+            for commit_dir in self._ls(f"{self.path}/{parent}"):
+                for f in self._ls(commit_dir):
+                    if f.rsplit("/", 1)[-1].startswith("part-"):
+                        candidates.append(f)
         # manifests are read AFTER the listing (see docstring)
         vs = self.versions()
         keep = set()
         for v in vs[-retain_last:] if retain_last else []:
-            keep.update(self.manifest(v)["live"])
+            m = self.manifest(v)
+            keep.update(m["live"])
+            for dv_files in m.get("dv", {}).values():
+                keep.update(dv_files)
         cutoff_ms = (time.time() - retention_seconds) * 1000.0
         deleted = []
         for f in candidates:
@@ -1001,10 +1023,156 @@ def scan(
     if not keep:
         df = table.spark.createDataFrame([], schema)
     else:
-        df = table.spark.read.schema(schema).parquet(*keep)
+        df = _subtract_dv(
+            table, m, table.spark.read.schema(schema).parquet(*keep)
+        )
     for c, lo, hi in where or []:
         df = df.filter((F.col(c) >= lo) & (F.col(c) <= hi))
     return df, len(keep), len(m["live"])
+
+
+# ---------------------------------------------------------------------------
+# Deletion vectors: merge-on-read DELETE. A delete writes NO data
+# file — it records the (file, row position) of every matched row in
+# a deletion-vector parquet and publishes a metadata-only
+# ``delete_dv`` version; readers subtract the vector with an
+# anti-join on Spark's parquet ``_metadata.file_path`` /
+# ``_metadata.row_index`` columns (positions are stable per file).
+# This is the Delta deletion-vector / Iceberg positional-delete
+# design: a delete touching 0.1% of rows costs writing 0.1% of
+# positions instead of rewriting every touched file; OPTIMIZE (which
+# reads through snapshot() and overwrites) materializes the deletes
+# and drops the vectors. Each delete CONSOLIDATES: the new vector
+# set is (old positions ∪ new matches), so reads always subtract one
+# dv generation, and vacuum reclaims superseded dv files with the
+# same retained-manifest rule as data files.
+# ---------------------------------------------------------------------------
+
+
+def _dv_frame(table: TxTable, m: dict):
+    """All deletion-vector rows for manifest ``m`` as a DataFrame
+    ``(file, pos)``, or None when the version carries no vectors."""
+    paths = sorted(
+        {p for lst in m.get("dv", {}).values() for p in lst}
+    )
+    if not paths:
+        return None
+    return table.spark.read.schema("file string, pos long").parquet(
+        *paths
+    )
+
+
+def _subtract_dv(table: TxTable, m: dict, df: DataFrame) -> DataFrame:
+    """Apply ``m``'s deletion vectors to a frame freshly scanned from
+    (a subset of) its live files. No vectors -> the frame passes
+    through untouched with no metadata columns added."""
+    dv = _dv_frame(table, m)
+    if dv is None:
+        return df
+    tagged = df.select(
+        "*",
+        F.col("_metadata.file_path").alias("__dv_fp"),
+        F.col("_metadata.row_index").alias("__dv_ri"),
+    )
+    return (
+        tagged.join(
+            dv,
+            (tagged["__dv_fp"] == dv["file"])
+            & (tagged["__dv_ri"] == dv["pos"]),
+            "left_anti",
+        )
+        .drop("__dv_fp", "__dv_ri")
+    )
+
+
+def delete_where(table: TxTable, condition) -> tuple[int, int] | None:
+    """DELETE WHERE as a merge-on-read operation: record matched row
+    positions in a deletion vector and publish a metadata-only
+    version — no data file is read back, rewritten, or moved.
+    ``condition`` is a Column or SQL string over the table's columns.
+    Returns ``(version, n_deleted)``, or None when nothing matched
+    (no version is published for an empty delete).
+
+    The driver holds only the affected FILE LIST (bounded by live-set
+    size, same as the manifest itself); matched positions stream
+    executor-side into the dv parquet."""
+    latest = table.latest_version()
+    if latest is None:
+        raise ValueError(f"{table.path} has no commits")
+    m = table.manifest(latest)
+    if not m["live"]:
+        return None
+    schema = StructType.fromJson(json.loads(m["schema"]))
+    cond = F.expr(condition) if isinstance(condition, str) else condition
+    base = table.spark.read.schema(schema).parquet(*m["live"])
+    tagged = base.select(
+        "*",
+        F.col("_metadata.file_path").alias("__fp"),
+        F.col("_metadata.row_index").alias("__ri"),
+    )
+    old = _dv_frame(table, m)
+    if old is not None:
+        # rows a previous vector already deleted are not visible and
+        # must not count as deleted again
+        tagged = tagged.join(
+            old,
+            (tagged["__fp"] == old["file"])
+            & (tagged["__ri"] == old["pos"]),
+            "left_anti",
+        )
+    hits = (
+        tagged.filter(cond)
+        .select(
+            F.col("__fp").alias("file"), F.col("__ri").alias("pos")
+        )
+        # one corpus scan: materialized, then reused by the count,
+        # the consolidation write, and nothing else
+        .localCheckpoint(eager=True)
+    )
+    n_deleted = hits.count()
+    if n_deleted == 0:
+        return None
+    new_dv = hits if old is None else hits.unionByName(old).distinct()
+    dv_dir = f"{table.path}/{_DV_DIR}/d-{uuid.uuid4().hex[:12]}"
+    new_dv.write.parquet(dv_dir)
+    dv_files = sorted(
+        f
+        for f in table._ls(dv_dir)
+        if f.rsplit("/", 1)[-1].startswith("part-")
+    )
+    # affected data files (normalized: _metadata paths are URIs, the
+    # manifest stores Hadoop-FS forms)
+    touched = {
+        _local(r["file"])
+        for r in table.spark.read.schema("file string, pos long")
+        .parquet(*dv_files)
+        .select("file")
+        .distinct()
+        .collect()
+    }
+    dv_set = {
+        f: dv_files for f in m["live"] if _local(f) in touched
+    }
+    version = latest + 1
+    action = {
+        "version": version,
+        "mode": "delete_dv",
+        "add": [],
+        "remove": [],
+        "dv_set": dv_set,
+        "schema": m["schema"],
+        "app_id": None,
+        "batch_id": None,
+        "txn": table._action(latest).get("txn", {}),
+    }
+    if not table._create_exclusive(
+        table._manifest_path(version), json.dumps(action)
+    ):
+        raise RuntimeError(
+            f"delete_where based on v{latest} lost the race; re-run"
+        )
+    table._maybe_checkpoint(version)
+    return version, n_deleted
 
 
 # ---------------------------------------------------------------------------
@@ -1164,7 +1332,9 @@ def scan_point(
     if not keep:
         df = table.spark.createDataFrame([], schema)
     else:
-        df = table.spark.read.schema(schema).parquet(*keep)
+        df = _subtract_dv(
+            table, m, table.spark.read.schema(schema).parquet(*keep)
+        )
     df = df.filter(F.col(col).isin(values))
     return df, len(keep), len(m["live"])
 
@@ -1301,6 +1471,10 @@ def restore(table: TxTable, version: int) -> int:
             # replay never needs the restored-from version's state)
             "add": m["live"],
             "remove": table.manifest(latest)["live"],
+            # the restored version's deletion vectors come back with
+            # it (fold order: retired files drop vectors, then
+            # dv_set reinstates the restored pointers)
+            "dv_set": m.get("dv", {}),
             "schema": m["schema"],
             "app_id": None,
             "batch_id": None,

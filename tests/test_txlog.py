@@ -884,3 +884,74 @@ def test_bloom_point_lookup_prunes_files(spark, tmp_path):
     # attach_blooms preserved the range-stats channel
     _, r2, _ = scan(t, where=[("pk", 10**7, 10**7 + 1)])
     assert r2 == 0
+
+
+def test_deletion_vectors_merge_on_read(spark, tmp_path):
+    """delete_where publishes a metadata-only version: live files are
+    untouched, readers subtract positions, time travel still sees the
+    pre-delete rows, a second delete consolidates, OPTIMIZE
+    materializes, RESTORE reinstates vectors, vacuum reclaims
+    superseded dv files."""
+    from cdk_dynamodb_cdc_spark.storage.txlog import (
+        TxTable,
+        delete_where,
+        optimize,
+        restore,
+    )
+
+    t = TxTable(spark, str(tmp_path / "tbl"))
+    rows = [(k, k % 7, f"v{k}") for k in range(1000)]
+    t.commit(
+        spark.createDataFrame(
+            rows, "pk long, bucket long, payload string"
+        ).coalesce(2)
+    )  # v0
+    files_v0 = sorted(t.manifest(0)["live"])
+
+    got = delete_where(t, "bucket = 3")
+    assert got is not None
+    v1, n1 = got
+    assert v1 == 1 and n1 == len([r for r in rows if r[1] == 3])
+    m1 = t.manifest(1)
+    # merge-on-read: SAME live files, vectors attached
+    assert sorted(m1["live"]) == files_v0
+    assert m1["dv"]
+    assert t.snapshot().count() == 1000 - n1
+    assert t.snapshot().filter("bucket = 3").count() == 0
+    # time travel: the pre-delete version still sees every row
+    assert t.snapshot(0).count() == 1000
+
+    # idempotent: nothing newly visible matches -> no new version
+    assert delete_where(t, "bucket = 3") is None
+    assert t.latest_version() == 1
+
+    # consolidation: second predicate unions into one dv generation
+    v2, n2 = delete_where(t, "pk < 10 AND bucket <> 3")
+    assert v2 == 2 and n2 == len(
+        [r for r in rows if r[0] < 10 and r[1] != 3]
+    )
+    assert t.snapshot().count() == 1000 - n1 - n2
+    gen2 = {p for lst in t.manifest(2)["dv"].values() for p in lst}
+
+    # restore to v0: vectors gone, all rows back
+    restore(t, 0)  # v3
+    assert "dv" not in t.manifest(3) or not t.manifest(3)["dv"]
+    assert t.snapshot().count() == 1000
+
+    # restore to v2: vectors come back with the restored state
+    restore(t, 2)  # v4
+    assert t.snapshot().count() == 1000 - n1 - n2
+
+    # OPTIMIZE materializes the deletes: new files, no vectors
+    optimize(t, target_file_bytes=1 << 20)  # v5
+    m5 = t.manifest(5)
+    assert not m5.get("dv", {})
+    assert t.snapshot().count() == 1000 - n1 - n2
+    assert sorted(m5["live"]) != files_v0
+
+    # vacuum keeps only the latest version's files: v0 data files and
+    # both dv generations are reclaimable, current files survive
+    deleted = t.vacuum(retain_last=1, retention_seconds=0)
+    assert set(files_v0) <= set(deleted)
+    assert gen2 <= set(deleted)
+    assert t.snapshot().count() == 1000 - n1 - n2
