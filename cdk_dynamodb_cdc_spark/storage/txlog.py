@@ -615,7 +615,10 @@ def merge_into(
     the live set. Delta/Iceberg cut this with file-level change
     tracking (rewrite only files holding matched keys); with the
     bucket-partitioned snapshot store (`maintain_snapshot_stream`) the
-    engine offers the same mitigation outside the txlog. For
+    engine offers the same mitigation outside the txlog, and
+    :func:`delete_where` / :func:`update_where` offer the
+    deletion-vector (merge-on-read) lane inside it — O(matched rows)
+    instead of O(live set) for predicate-shaped DML. For
     moderate-cadence maintenance windows the atomic boundary is worth
     the rewrite.
     """
@@ -1173,6 +1176,106 @@ def delete_where(table: TxTable, condition) -> tuple[int, int] | None:
         )
     table._maybe_checkpoint(version)
     return version, n_deleted
+
+
+def update_where(
+    table: TxTable,
+    condition,
+    set_exprs: dict[str, str],
+) -> tuple[int, int] | None:
+    """UPDATE WHERE as one atomic version: matched rows are shadowed
+    by a deletion vector and their updated copies are appended — the
+    single published action carries BOTH (``add`` + ``dv_set``), so
+    readers see pre-update or post-update state, never a mixture, and
+    unmatched files are never rewritten (write cost is O(matched
+    rows), not O(touched files) — the deletion-vector analogue of
+    Delta's UPDATE). ``set_exprs`` maps column name -> SQL expression
+    over the pre-update row. Returns ``(version, n_updated)`` or None
+    when nothing matched."""
+    latest = table.latest_version()
+    if latest is None:
+        raise ValueError(f"{table.path} has no commits")
+    m = table.manifest(latest)
+    if not m["live"]:
+        return None
+    schema = StructType.fromJson(json.loads(m["schema"]))
+    cond = F.expr(condition) if isinstance(condition, str) else condition
+    base = table.spark.read.schema(schema).parquet(*m["live"])
+    tagged = base.select(
+        "*",
+        F.col("_metadata.file_path").alias("__fp"),
+        F.col("_metadata.row_index").alias("__ri"),
+    )
+    old = _dv_frame(table, m)
+    if old is not None:
+        tagged = tagged.join(
+            old,
+            (tagged["__fp"] == old["file"])
+            & (tagged["__ri"] == old["pos"]),
+            "left_anti",
+        )
+    matched = tagged.filter(cond).localCheckpoint(eager=True)
+    n_updated = matched.count()
+    if n_updated == 0:
+        return None
+    # the updated copies, in manifest-schema column order
+    updated = matched.select(
+        *[
+            F.expr(set_exprs[c]).cast(f.dataType).alias(c)
+            if c in set_exprs
+            else F.col(c)
+            for c, f in zip(schema.fieldNames(), schema.fields)
+        ]
+    )
+    commit_dir = f"{table.path}/{_DATA_DIR}/c-{uuid.uuid4().hex[:12]}"
+    updated.write.parquet(commit_dir)
+    new_files = sorted(
+        f
+        for f in table._ls(commit_dir)
+        if f.rsplit("/", 1)[-1].startswith("part-")
+    )
+    hits = matched.select(
+        F.col("__fp").alias("file"), F.col("__ri").alias("pos")
+    )
+    new_dv = hits if old is None else hits.unionByName(old).distinct()
+    dv_dir = f"{table.path}/{_DV_DIR}/d-{uuid.uuid4().hex[:12]}"
+    new_dv.write.parquet(dv_dir)
+    dv_files = sorted(
+        f
+        for f in table._ls(dv_dir)
+        if f.rsplit("/", 1)[-1].startswith("part-")
+    )
+    touched = {
+        _local(r["file"])
+        for r in table.spark.read.schema("file string, pos long")
+        .parquet(*dv_files)
+        .select("file")
+        .distinct()
+        .collect()
+    }
+    dv_set = {
+        f: dv_files for f in m["live"] if _local(f) in touched
+    }
+    version = latest + 1
+    action = {
+        "version": version,
+        "mode": "append",
+        "add": new_files,
+        "remove": [],
+        "dv_set": dv_set,
+        "schema": m["schema"],
+        "app_id": None,
+        "batch_id": None,
+        "txn": table._action(latest).get("txn", {}),
+    }
+    if not table._create_exclusive(
+        table._manifest_path(version), json.dumps(action)
+    ):
+        raise RuntimeError(
+            f"update_where based on v{latest} lost the race; re-run"
+        )
+    table._maybe_checkpoint(version)
+    return version, n_updated
 
 
 # ---------------------------------------------------------------------------

@@ -955,3 +955,51 @@ def test_deletion_vectors_merge_on_read(spark, tmp_path):
     assert set(files_v0) <= set(deleted)
     assert gen2 <= set(deleted)
     assert t.snapshot().count() == 1000 - n1 - n2
+
+
+def test_update_where_atomic_dv_plus_append(spark, tmp_path):
+    """UPDATE WHERE: one version carries both the deletion vector for
+    the old rows and the appended updated copies; row count is
+    conserved, unmatched files are untouched, pre-update state stays
+    time-travelable, and a later delete consolidates on top."""
+    from cdk_dynamodb_cdc_spark.storage.txlog import (
+        TxTable,
+        delete_where,
+        update_where,
+    )
+
+    t = TxTable(spark, str(tmp_path / "tbl"))
+    rows = [(k, k % 5, 100) for k in range(500)]
+    t.commit(
+        spark.createDataFrame(
+            rows, "pk long, bucket long, val long"
+        ).coalesce(2)
+    )  # v0
+    files_v0 = sorted(t.manifest(0)["live"])
+
+    got = update_where(t, "bucket = 2", {"val": "val * 10"})
+    assert got is not None
+    v1, n1 = got
+    assert v1 == 1 and n1 == 100
+    snap = t.snapshot()
+    assert snap.count() == 500  # conserved
+    assert snap.filter("bucket = 2 AND val = 1000").count() == 100
+    assert snap.filter("bucket = 2 AND val = 100").count() == 0
+    assert snap.filter("bucket <> 2 AND val = 100").count() == 400
+    m1 = t.manifest(1)
+    # original files still live (plus the appended copies), DV attached
+    assert set(files_v0) <= set(m1["live"])
+    assert len(m1["live"]) > len(files_v0)
+    assert m1["dv"]
+    # time travel: pre-update values intact
+    assert t.snapshot(0).filter("val = 1000").count() == 0
+
+    # no-match update publishes nothing
+    assert update_where(t, "bucket = 99", {"val": "0"}) is None
+    assert t.latest_version() == 1
+
+    # delete after update consolidates: updated copies are deletable
+    v2, n2 = delete_where(t, "val = 1000")
+    assert v2 == 2 and n2 == 100
+    assert t.snapshot().count() == 400
+    assert t.snapshot().filter("bucket = 2").count() == 0
