@@ -175,3 +175,34 @@ def test_pipeline_infer_schema_lane_matches_dynamic(spark):
     d = {r.event_id: sorted(r.attributes_changed) for r in dyn.collect()}
     i = {r.event_id: sorted(r.attributes_changed) for r in inf.collect()}
     assert d == i == {"e1": ["a", "fresh"]}
+
+
+def test_observation_metrics_piggyback_single_pass(spark):
+    """Pipeline observability via DataFrame.observe(): acceptance
+    counters ride the SAME job as the filter — no second scan, no
+    extra action — and report exact integers. The 100-TB shape for
+    'how many rows did this quality gate drop': a counter on the one
+    pass you were already running."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [(i, "x" * (10 + i % 50), i % 3) for i in range(300)],
+        "doc_id long, text string, src long",
+    )
+    obs = Observation("gate")
+    gated = docs.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_in"),
+        F.sum(
+            (F.length("text") >= 30).cast("long")
+        ).alias("n_pass"),
+        F.sum(F.length("text")).alias("chars_in"),
+    ).filter(F.length("text") >= 30)
+    survivors = gated.count()  # the ONE action; metrics ride along
+    got = obs.get
+    assert got["n_in"] == 300
+    assert got["n_pass"] == survivors
+    expected_pass = sum(1 for i in range(300) if 10 + i % 50 >= 30)
+    assert survivors == expected_pass
+    assert got["chars_in"] == sum(10 + i % 50 for i in range(300))
