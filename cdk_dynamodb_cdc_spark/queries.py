@@ -9569,17 +9569,29 @@ def kmv_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     ev = load_table(spark, sf_dir, "events")
-
-    def audience(et):
-        return ev.filter(
-            (F.col("event_type") == et) & (F.col("value") > 150)
-        ).select("user_id")
-
-    ska = kmv_hashes(audience("click"), "user_id")
-    skb = kmv_hashes(audience("purchase"), "user_id")
+    # ONE corpus scan: both audiences' distinct member sets come out
+    # of a single filtered distinct, checkpointed — the sketch builds,
+    # the exact counters, and the semi join all reuse it (plan audit:
+    # 10 scans -> 1). KMV over the distinct set equals KMV over the
+    # multiset (k smallest hashes ignore multiplicity).
+    base = (
+        ev.filter(
+            F.col("event_type").isin("click", "purchase")
+            & (F.col("value") > 150)
+        )
+        .select("event_type", "user_id")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    a = base.filter(F.col("event_type") == "click").select("user_id")
+    b = base.filter(F.col("event_type") == "purchase").select(
+        "user_id"
+    )
+    # k-row sketches: checkpointed so set_ops' multiple semi joins
+    # replay k rows, not the scan
+    ska = kmv_hashes(a, "user_id").localCheckpoint(eager=True)
+    skb = kmv_hashes(b, "user_id").localCheckpoint(eager=True)
     ops = kmv_set_ops(ska, skb)
-    a = audience("click").distinct()
-    b = audience("purchase").distinct()
     ex = (
         a.agg(F.count(F.lit(1)).alias("exact_a"))
         .crossJoin(b.agg(F.count(F.lit(1)).alias("exact_b")))
