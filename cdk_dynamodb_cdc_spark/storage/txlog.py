@@ -1178,6 +1178,55 @@ def delete_where(table: TxTable, condition) -> tuple[int, int] | None:
     return version, n_deleted
 
 
+def clone(
+    src: TxTable,
+    dest_path: str,
+    *,
+    version: int | None = None,
+) -> TxTable:
+    """SHALLOW CLONE: a new independent table whose version 0 manifest
+    REFERENCES the source's data files (and deletion vectors) at
+    ``version`` — zero data copied, so cloning a 100-TB table costs
+    one metadata write. Commits to the clone never touch the source
+    (appends add clone-local files; OPTIMIZE/overwrite on the clone
+    rewrites into the clone's own directory, which fully detaches it).
+
+    The Delta SHALLOW CLONE hazard applies verbatim: ``vacuum`` on the
+    SOURCE can delete shared files the clone still references. Detach
+    (OPTIMIZE the clone) before vacuuming the source, or vacuum with a
+    retention that keeps the cloned version."""
+    if src.latest_version() is None:
+        raise ValueError(f"{src.path} has no commits; nothing to clone")
+    v = src.latest_version() if version is None else version
+    m = src.manifest(v)
+    dest = TxTable(
+        src.spark,
+        dest_path,
+        checkpoint_interval=src.checkpoint_interval,
+    )
+    if dest.latest_version() is not None:
+        raise ValueError(f"{dest_path} already has commits")
+    manifest0 = {
+        "version": 0,
+        "mode": "clone",
+        "cloned_from": f"{src.path}@v{v}",
+        # full-list form: the fold treats this as a complete state
+        # reset, so the clone's log never depends on the source's
+        "live": list(m["live"]),
+        "stats": dict(m.get("stats", {})),
+        "dv": dict(m.get("dv", {})),
+        "schema": m["schema"],
+        "app_id": None,
+        "batch_id": None,
+        "txn": {},
+    }
+    if not dest._create_exclusive(
+        dest._manifest_path(0), json.dumps(manifest0)
+    ):
+        raise RuntimeError(f"clone lost the race creating {dest_path}")
+    return dest
+
+
 def update_where(
     table: TxTable,
     condition,

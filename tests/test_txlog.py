@@ -1003,3 +1003,54 @@ def test_update_where_atomic_dv_plus_append(spark, tmp_path):
     assert v2 == 2 and n2 == 100
     assert t.snapshot().count() == 400
     assert t.snapshot().filter("bucket = 2").count() == 0
+
+
+def test_shallow_clone_zero_copy_independent(spark, tmp_path):
+    """SHALLOW CLONE references the source's files at v0 (zero data
+    copied), evolves independently, carries deletion vectors, and
+    detaches fully once OPTIMIZE rewrites it into its own directory."""
+    from cdk_dynamodb_cdc_spark.storage.txlog import (
+        TxTable,
+        clone,
+        delete_where,
+        optimize,
+    )
+
+    src = TxTable(spark, str(tmp_path / "src"))
+    src.commit(_df(spark, [1, 2, 3, 4]))
+    delete_where(src, "id = 4")
+
+    c = clone(src, str(tmp_path / "clone"))
+    # v0 references the SOURCE's files — nothing copied
+    assert sorted(c.manifest(0)["live"]) == sorted(
+        src.manifest(src.latest_version())["live"]
+    )
+    assert c.manifest(0)["dv"]  # deletion vector came along
+    assert sorted(r["id"] for r in c.snapshot().collect()) == [1, 2, 3]
+
+    # clone-local append: source unchanged
+    c.commit(_df(spark, [9]))
+    assert sorted(r["id"] for r in c.snapshot().collect()) == [1, 2, 3, 9]
+    assert sorted(r["id"] for r in src.snapshot().collect()) == [1, 2, 3]
+
+    # source append: clone unchanged
+    src.commit(_df(spark, [7]))
+    assert sorted(r["id"] for r in c.snapshot().collect()) == [1, 2, 3, 9]
+
+    # detach: OPTIMIZE rewrites the clone into its own directory ...
+    optimize(c, target_file_bytes=1 << 20)
+    assert all(
+        f.startswith(
+            c.path if not f.startswith("file:") else ""
+        ) or "/clone/" in f
+        for f in c.manifest(c.latest_version())["live"]
+    )
+    # ... after which vacuuming the source cannot break the clone
+    src.vacuum(retain_last=1, retention_seconds=0)
+    assert sorted(r["id"] for r in c.snapshot().collect()) == [1, 2, 3, 9]
+
+    # cloning over an existing table refuses
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        clone(src, str(tmp_path / "clone"))
