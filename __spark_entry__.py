@@ -42,17 +42,49 @@ def entry(spark: SparkSession) -> DataFrame:
 # ordering only decides which subset the driver re-verifies
 # independently.
 _GATE_PRIORITY = [
-    # Round-7 ordering. First: the queries NEW this round (BM25
-    # fixed-point ranking, LPA communities, Apriori triples, hard-
-    # negative mining, length-bucketed batching, BPE training loop,
-    # auto-typed CDC lane, DSIR resampler, Bloom membership +
-    # prefiltered decontamination, JL projection, grid interval join,
-    # relational HLL, seasonal decomposition, triangle counting) plus
-    # the 5 whose implementations CHANGED (cms_estimate probe fix,
-    # txlog incremental-manifest layout, DSIR/weighted-sample
-    # refactor). Then: every registry entry the r6 gate window
-    # (CORRECTNESS_r06.json) did not cover, in registry order — so the
-    # r7 window is disjoint from r6's except where code changed.
+    # Round-8 ordering. Positions 1-2: the two r7 driver-gate failures,
+    # rewritten this round in the conservative version-stable SQL
+    # dialect (scalar seasonal slots instead of LIST-state recursion;
+    # BIGINT exactly-divisible division instead of HUGEINT floor-div)
+    # so the gate can confirm them green. Then: the 32 registry
+    # entries no driver gate (r1-r7) ever verified, per the r7 audit.
+    # New/changed r8 queries are inserted right after those, so the
+    # ~50-query driver window covers fixes, never-verified, and new
+    # work before anything already gate-green.
+    'holt_winters_revenue',
+    'session_kaplan_meier',
+    'attribution_linear_touch',
+    'basket_brand_triples',
+    'bloom_membership_stats',
+    'bm25_search_topk',
+    'bpe_pack_stats',
+    'bpe_train_token_counts',
+    'brand_community_labels',
+    'cdc_change_stats_autotyped',
+    'contrastive_hard_negatives',
+    'cumulative_new_users',
+    'daily_revenue_seasonal',
+    'decontam_bloom_prefilter',
+    'dsir_resample_topn',
+    'embedding_jl_topk',
+    'embedding_sq8_topk',
+    'hbos_event_outliers',
+    'hll_daily_user_cardinality',
+    'hll_user_cardinality',
+    'kmv_audience_overlap',
+    'length_bucket_batch_stats',
+    'media_fingerprint_dedup',
+    'orders_price_band_stats',
+    'orders_price_date_skyline',
+    'part_coorder_bfs_layers',
+    'part_coorder_triangles',
+    'quarantine_replay_stats',
+    'rrf_hybrid_retrieval',
+    'sample_quota_apportionment',
+    'semantic_decontam_flags',
+    'source_overlap_matrix',
+    'user_event_diversity',
+    'weighted_sample_per_lang',
     'poisson_bootstrap_ci',
     'sparse_cosine_pairs',
     'txlog_bloom_lookup',
@@ -90,9 +122,7 @@ _GATE_PRIORITY = [
     'textrank_keywords',
     'customer_k_anonymity',
     'order_total_benford',
-    'holt_winters_revenue',
     'event_type_hits',
-    'session_kaplan_meier',
     'scd2_temporal_enrich',
     'pmi_collocations_top',
     'part_coorder_kcore',
@@ -103,38 +133,6 @@ _GATE_PRIORITY = [
     'media_transcript_alignment',
     'budget_select_docs',
     'lineitem_weighted_price_quantiles',
-    'hbos_event_outliers',
-    'orders_price_date_skyline',
-    'attribution_linear_touch',
-    'user_event_diversity',
-    'media_fingerprint_dedup',
-    'embedding_sq8_topk',
-    'cumulative_new_users',
-    'quarantine_replay_stats',
-    'source_overlap_matrix',
-    'sample_quota_apportionment',
-    'part_coorder_bfs_layers',
-    'rrf_hybrid_retrieval',
-    'bm25_search_topk',
-    'brand_community_labels',
-    'basket_brand_triples',
-    'contrastive_hard_negatives',
-    'length_bucket_batch_stats',
-    'bpe_train_token_counts',
-    'bpe_pack_stats',
-    'kmv_audience_overlap',
-    'hll_daily_user_cardinality',
-    'weighted_sample_per_lang',
-    'semantic_decontam_flags',
-    'hll_user_cardinality',
-    'cdc_change_stats_autotyped',
-    'dsir_resample_topn',
-    'bloom_membership_stats',
-    'embedding_jl_topk',
-    'orders_price_band_stats',
-    'decontam_bloom_prefilter',
-    'daily_revenue_seasonal',
-    'part_coorder_triangles',
     'cms_user_count_estimates',
     'txlog_history_stats',
     'txlog_merge_into_state',
@@ -304,6 +302,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             # Older corpora store events.ts as parquet TIMESTAMP(NANOS),
             # which Spark rejects without this; see sources/tables.py.
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            # Correctness invariant, not a preference: every
+            # `cast("date")` / date_trunc over the LTZ events.ts column
+            # resolves against the SESSION time zone, so a driver
+            # session left on its JVM default would shift day
+            # boundaries relative to the UTC-pinned oracle. get_spark
+            # (cdk_dynamodb_cdc_spark/session.py) pins this for our own
+            # sessions; pin it here too for driver-supplied ones.
+            spark.conf.set("spark.sql.session.timeZone", "UTC")
             return fn(spark, sf_dir)
 
         return wrapped

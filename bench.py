@@ -29,7 +29,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import __spark_entry__ as entrymod  # noqa: E402
-from cdk_dynamodb_cdc_spark.session import get_spark  # noqa: E402
+from cdk_dynamodb_cdc_spark.session import engine_env, get_spark  # noqa: E402
 
 
 def main() -> int:
@@ -81,6 +81,7 @@ def main() -> int:
         "queries_registered": len(entrymod.queries()),
         "runs_per_query": runs_per_query,
         "sf": sf,
+        "env": engine_env(spark),
     }
     if errors:
         # A broken query contributes NO time, so `value` is not

@@ -11170,14 +11170,24 @@ def media_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
              ROW_NUMBER() OVER (ORDER BY t) AS rn
       FROM risk CROSS JOIN tot
     ), km AS (
+      -- BIGINT-only recursion with exactly-divisible numerators: the
+      -- ((n % d) + d) % d subtraction makes n0/n1 multiples of n_risk,
+      -- so `//` yields the same exact integer under floor OR truncate
+      -- semantics in any engine version (the r7 driver gate showed
+      -- HUGEINT `//` inside recursion is version-sensitive; s <= 1e12
+      -- and n_risk < 9.2e6 keep n1 inside int64 — the Spark side's
+      -- decimal(38,0) path is the one that scales past that).
       SELECT rn, t, d, c, n_risk,
-             (CAST(1000000000000 AS HUGEINT) * (n_risk - d))
-               // n_risk AS s
-      FROM ordered WHERE rn = 1
+             (n0 - ((n0 % n_risk) + n_risk) % n_risk) // n_risk AS s
+      FROM (SELECT rn, t, d, c, n_risk,
+                   1000000000000 * (n_risk - d) AS n0
+            FROM ordered WHERE rn = 1) a
       UNION ALL
-      SELECT o.rn, o.t, o.d, o.c, o.n_risk,
-             (k.s * (o.n_risk - o.d)) // o.n_risk
-      FROM km k JOIN ordered o ON o.rn = k.rn + 1
+      SELECT rn, t, d, c, n_risk,
+             (n1 - ((n1 % n_risk) + n_risk) % n_risk) // n_risk
+      FROM (SELECT o.rn, o.t, o.d, o.c, o.n_risk,
+                   k.s * (o.n_risk - o.d) AS n1
+            FROM km k JOIN ordered o ON o.rn = k.rn + 1) b
     )
     SELECT CAST(t AS INT) AS duration_min,
            n_risk AS n_at_risk, d AS n_deaths, c AS n_censored,
@@ -11466,27 +11476,48 @@ def event_type_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT (SUM(y) - ((SUM(y) % 7) + 7) % 7) // 7 AS lv0
       FROM idx WHERE rn <= 7
     ), init AS (
+      -- Seven scalar seasonal slots instead of LIST state: the r7
+      -- driver gate showed list_append/slice inside a recursive CTE
+      -- is version-sensitive; scalar columns rotated positionally are
+      -- the conservative dialect holt_revenue_trend passes with.
       SELECT 7 AS rn, CAST(NULL AS DATE) AS day,
              CAST(NULL AS BIGINT) AS y, CAST(NULL AS BIGINT) AS fit,
              lv0 AS lv, CAST(0 AS BIGINT) AS tr,
              CAST(NULL AS BIGINT) AS s_new,
-             (SELECT list(y - lv0 ORDER BY rn)
-              FROM idx WHERE rn <= 7) AS seas
+             (SELECT y FROM idx WHERE rn = 1) - lv0 AS s1,
+             (SELECT y FROM idx WHERE rn = 2) - lv0 AS s2,
+             (SELECT y FROM idx WHERE rn = 3) - lv0 AS s3,
+             (SELECT y FROM idx WHERE rn = 4) - lv0 AS s4,
+             (SELECT y FROM idx WHERE rn = 5) - lv0 AS s5,
+             (SELECT y FROM idx WHERE rn = 6) - lv0 AS s6,
+             (SELECT y FROM idx WHERE rn = 7) - lv0 AS s7
       FROM base
     ), hw AS (
       SELECT * FROM init
       UNION ALL
-      SELECT i.rn, i.day, i.y, fit1, lv1,
+      SELECT rn, day, y, fit, lv1 AS lv,
              (tn - ((tn % 10) + 10) % 10) // 10 AS tr,
-             sn, list_append(h.seas[2:], sn) AS seas
-      FROM hw h JOIN idx i ON i.rn = h.rn + 1,
-           LATERAL (SELECT h.seas[1] AS sh) c0,
-           LATERAL (SELECT h.lv + h.tr + sh AS fit1,
-                           (i.y - sh) + 4 * (h.lv + h.tr) AS ln) c1,
-           LATERAL (SELECT (ln - ((ln % 5) + 5) % 5) // 5 AS lv1) c2,
-           LATERAL (SELECT (lv1 - h.lv) + 9 * h.tr AS tn,
-                           (i.y - lv1) + 4 * sh AS sn0) c3,
-           LATERAL (SELECT (sn0 - ((sn0 % 5) + 5) % 5) // 5 AS sn) c4
+             (sn0 - ((sn0 % 5) + 5) % 5) // 5 AS s_new,
+             s2 AS s1, s3 AS s2, s4 AS s3, s5 AS s4, s6 AS s5,
+             s7 AS s6,
+             (sn0 - ((sn0 % 5) + 5) % 5) // 5 AS s7
+      FROM (
+        SELECT rn, day, y, fit, lv0, tr0, lv1,
+               (lv1 - lv0) + 9 * tr0 AS tn,
+               (y - lv1) + 4 * sh AS sn0,
+               s2, s3, s4, s5, s6, s7
+        FROM (
+          SELECT i.rn, i.day, i.y, h.s1 AS sh,
+                 h.lv + h.tr + h.s1 AS fit,
+                 h.lv AS lv0, h.tr AS tr0,
+                 (ln - ((ln % 5) + 5) % 5) // 5 AS lv1,
+                 h.s2 AS s2, h.s3 AS s3, h.s4 AS s4, h.s5 AS s5,
+                 h.s6 AS s6, h.s7 AS s7
+          FROM hw h JOIN idx i ON i.rn = h.rn + 1,
+               LATERAL (SELECT (i.y - h.s1)
+                               + 4 * (h.lv + h.tr) AS ln) c1
+        ) inner1
+      ) inner2
     )
     SELECT day, y AS rev_cents, fit AS fit_cents,
            lv AS level_cents, tr AS trend_cents,

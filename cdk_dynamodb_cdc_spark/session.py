@@ -13,6 +13,33 @@ import os
 from pyspark.sql import SparkSession
 
 
+def engine_env(spark: SparkSession | None = None) -> dict[str, str]:
+    """Version/config fingerprint stamped into every committed artifact.
+
+    The r7 driver gate disagreed with two locally-green oracles purely
+    on engine-version surface (DuckDB recursive-CTE dialect); without a
+    recorded fingerprint the mismatch was undiagnosable from the
+    committed artifacts alone. Cheap to collect, so every correctness/
+    bench/plan-audit JSON now carries it.
+    """
+    import platform
+
+    import duckdb
+    import pyspark
+
+    env: dict[str, str] = {
+        "pyspark": pyspark.__version__,
+        "duckdb": duckdb.__version__,
+        "python": platform.python_version(),
+        "cpus": str(os.cpu_count()),
+        "java": os.environ.get("JAVA_HOME", ""),
+    }
+    if spark is not None:
+        env["session_tz"] = spark.conf.get("spark.sql.session.timeZone")
+        env["ansi"] = spark.conf.get("spark.sql.ansi.enabled")
+    return env
+
+
 def get_spark(
     app_name: str = "cdk_dynamodb_cdc_spark",
     master: str | None = None,

@@ -31,7 +31,7 @@ REPO = "/root/repo"
 sys.path.insert(0, REPO)
 
 import __spark_entry__ as entrymod  # noqa: E402
-from cdk_dynamodb_cdc_spark.session import get_spark  # noqa: E402
+from cdk_dynamodb_cdc_spark.session import engine_env, get_spark  # noqa: E402
 
 
 def audit(plan: str) -> dict[str, object]:
@@ -70,6 +70,7 @@ def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
     spark = get_spark("plan-audit")
+    print(f"Environment: {engine_env(spark)}\n")
     rows = []
     for name, fn in entrymod.queries().items():
         if only and name not in only:

@@ -31,7 +31,7 @@ REPO = "/root/repo"
 sys.path.insert(0, REPO)
 
 import __spark_entry__ as entrymod  # noqa: E402
-from cdk_dynamodb_cdc_spark.session import get_spark  # noqa: E402
+from cdk_dynamodb_cdc_spark.session import engine_env, get_spark  # noqa: E402
 from cdk_dynamodb_cdc_spark.sources.tables import TABLE_NAMES  # noqa: E402
 
 
@@ -144,6 +144,11 @@ def main() -> int:
 
     out = os.environ.get("CHECK_CORRECTNESS_JSON")
     if out:
+        # Environment fingerprint: the r7 driver gate failed two
+        # queries that pass bit-exactly here — and nothing in the
+        # committed record could say which engine versions disagreed.
+        # Every artifact now carries the versions it was produced with.
+        report["__env__"] = engine_env(spark)
         with open(out, "w") as fh:
             json.dump(report, fh, indent=2)
         print(f"wrote {out} ({len(report)} queries)")
