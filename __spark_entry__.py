@@ -85,6 +85,8 @@ _GATE_PRIORITY = [
     'source_overlap_matrix',
     'user_event_diversity',
     'weighted_sample_per_lang',
+    # -- new in round 8 (never gate-verified) --------------------------
+    'txlog_clone_stats',
     'poisson_bootstrap_ci',
     'sparse_cosine_pairs',
     'txlog_bloom_lookup',

@@ -12015,6 +12015,90 @@ def txlog_version_diff_stats(
 
 
 # ---------------------------------------------------------------------------
+# Zero-copy SHALLOW CLONE audit (storage/txlog.py:clone): clone the
+# source at v1, then commit DIVERGENT appends to both sides. The
+# output pins the three clone laws driver-side: (1) the clone reads
+# source@v1 ∪ clone-local rows, (2) the source never sees the clone's
+# append, (3) the clone's live set still REFERENCES the source's v1
+# files (shared_files — zero bytes copied at clone time) plus only
+# its own commit's files (clone_local_files). File counts are pinned
+# by repartition(k) before each commit, so the layout is
+# deterministic in any environment; the oracle recomputes rows/sums
+# with set algebra over `orders` and carries the file counts as the
+# construction constants 2+3 shared / 2 local. Scale shape: cloning
+# costs ONE metadata write regardless of table size (a 100-TB source
+# clones in milliseconds); both snapshot aggregates are single-pass
+# map-side-combinable scans.
+# ---------------------------------------------------------------------------
+@query(
+    "txlog_clone_stats",
+    oracle="""
+    WITH a AS (SELECT CAST(o_totalprice AS DECIMAL(12,2)) AS p
+               FROM orders WHERE o_orderkey % 10 = 0),
+    b AS (SELECT CAST(o_totalprice AS DECIMAL(12,2)) AS p
+          FROM orders WHERE o_orderkey % 10 = 1),
+    c AS (SELECT CAST(o_totalprice AS DECIMAL(12,2)) AS p
+          FROM orders WHERE o_orderkey % 10 = 2),
+    d AS (SELECT CAST(o_totalprice AS DECIMAL(12,2)) AS p
+          FROM orders WHERE o_orderkey % 10 = 3)
+    SELECT
+      (SELECT COUNT(*) FROM a) + (SELECT COUNT(*) FROM b)
+        + (SELECT COUNT(*) FROM c) AS src_rows,
+      (SELECT COUNT(*) FROM a) + (SELECT COUNT(*) FROM b)
+        + (SELECT COUNT(*) FROM d) AS clone_rows,
+      CAST((SELECT SUM(p) FROM a) + (SELECT SUM(p) FROM b)
+        + (SELECT SUM(p) FROM c) AS DOUBLE) AS src_total,
+      CAST((SELECT SUM(p) FROM a) + (SELECT SUM(p) FROM b)
+        + (SELECT SUM(p) FROM d) AS DOUBLE) AS clone_total,
+      CAST(5 AS BIGINT) AS shared_files,
+      CAST(2 AS BIGINT) AS clone_local_files
+    """,
+)
+def txlog_clone_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from cdk_dynamodb_cdc_spark.storage.txlog import TxTable, clone
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", _dec("o_totalprice").alias("p")
+    )
+
+    def part(k: int, n_files: int) -> DataFrame:
+        return (
+            orders.filter(F.col("o_orderkey") % 10 == k)
+            .select("p")
+            .repartition(n_files)
+        )
+
+    src = TxTable(spark, tempfile.mkdtemp(prefix="txlog_src_"))
+    src.commit(part(0, 2))                 # v0: 2 files
+    src.commit(part(1, 3))                 # v1: +3 files
+    dst = clone(src, tempfile.mkdtemp(prefix="txlog_cl_"))
+    src.commit(part(2, 1))                 # src v2 — clone must NOT see
+    dst.commit(part(3, 2))                 # clone v1 — src must NOT see
+    live = dst.manifest(dst.latest_version())["live"]
+    # manifest paths may carry a filesystem scheme (file:/...) — match
+    # on the unique source directory substring, not a raw prefix
+    shared = sum(1 for f in live if src.path in f)
+    s = src.snapshot().agg(
+        F.count(F.lit(1)).alias("src_rows"),
+        F.sum("p").cast("double").alias("src_total"),
+    )
+    c = dst.snapshot().agg(
+        F.count(F.lit(1)).alias("clone_rows"),
+        F.sum("p").cast("double").alias("clone_total"),
+    )
+    return s.crossJoin(c).select(
+        "src_rows",
+        "clone_rows",
+        "src_total",
+        "clone_total",
+        F.lit(shared).cast("long").alias("shared_files"),
+        F.lit(len(live) - shared).cast("long").alias("clone_local_files"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Personalized PageRank / random-walk-with-restart (operators/
 # graph.py:pagerank_fixed_point(seed_node=...)): the recommender-
 # system proximity measure — the ENTIRE teleport mass restarts at one
@@ -13335,37 +13419,65 @@ def _ind_oracle() -> str:
 
 @query("ind_discovery_profile", oracle=_ind_oracle())
 def ind_discovery_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    outs = []
+    # One melted scan per table instead of one distinct-project + anti
+    # join per candidate (the r7 plan audit counted 12 scans / 24
+    # shuffles for the per-candidate shape): each table's candidate
+    # columns stack into a ('table.col', v) frame in a single pass,
+    # the union dedups once, and ALL six containment checks run as ONE
+    # grouped anti join keyed on (candidate id, value). Scale shape:
+    # the deduped frame is NDV-sized per column; the anti join
+    # hash-partitions on (cid, v) so no candidate's values ever
+    # colocate with another's.
+    by_table: dict[str, list[str]] = {}
     for ta, ca, tb, cb in _IND_CANDIDATES:
-        a = (
-            load_table(spark, sf_dir, ta)
-            .filter(F.col(ca).isNotNull())
-            .select(F.col(ca).alias("v"))
-            .distinct()
-        )
-        b = (
-            load_table(spark, sf_dir, tb)
-            .filter(F.col(cb).isNotNull())
-            .select(F.col(cb).alias("v"))
-        )
-        unmatched = a.join(b, "v", "left_anti").agg(
-            F.count(F.lit(1)).alias("n_unmatched")
-        )
-        outs.append(
-            unmatched.select(
-                F.lit(f"{ta}.{ca}").alias("lhs"),
-                F.lit(f"{tb}.{cb}").alias("rhs"),
-                F.col("n_unmatched"),
+        by_table.setdefault(ta, []).append(ca)
+        by_table.setdefault(tb, []).append(cb)
+    melted = []
+    for t, tcols in sorted(by_table.items()):
+        cs = sorted(set(tcols))
+        stack_args = ", ".join(f"'{t}.{c}', CAST({c} AS BIGINT)" for c in cs)
+        melted.append(
+            load_table(spark, sf_dir, t).selectExpr(
+                f"stack({len(cs)}, {stack_args}) AS (k, v)"
             )
         )
-    out = outs[0]
-    for o in outs[1:]:
-        out = out.unionByName(o)
-    return out.select(
-        "lhs",
-        "rhs",
-        "n_unmatched",
-        (F.col("n_unmatched") == 0).alias("holds"),
+    vals = melted[0]
+    for m in melted[1:]:
+        vals = vals.unionByName(m)
+    vals = (
+        vals.filter(F.col("v").isNotNull())
+        .distinct()
+        .localCheckpoint(eager=True)  # L and R below each reuse it
+    )
+    cands = spark.createDataFrame(
+        [
+            (i, f"{ta}.{ca}", f"{tb}.{cb}")
+            for i, (ta, ca, tb, cb) in enumerate(_IND_CANDIDATES)
+        ],
+        "cid int, lhs string, rhs string",
+    )
+    lhs_vals = vals.join(
+        F.broadcast(cands), vals["k"] == cands["lhs"]
+    ).select("cid", "v")
+    rhs_vals = vals.join(
+        F.broadcast(cands), vals["k"] == cands["rhs"]
+    ).select("cid", "v")
+    unmatched = (
+        lhs_vals.join(rhs_vals, ["cid", "v"], "left_anti")
+        .groupBy("cid")
+        .agg(F.count(F.lit(1)).alias("n_unmatched"))
+    )
+    return (
+        F.broadcast(cands)
+        .join(unmatched, "cid", "left")
+        .select(
+            "lhs",
+            "rhs",
+            F.coalesce("n_unmatched", F.lit(0).cast("long")).alias(
+                "n_unmatched"
+            ),
+            (F.coalesce("n_unmatched", F.lit(0)) == 0).alias("holds"),
+        )
     )
 
 
