@@ -87,6 +87,11 @@ _GATE_PRIORITY = [
     'weighted_sample_per_lang',
     # -- new in round 8 (never gate-verified) --------------------------
     'txlog_clone_stats',
+    'embedding_hamming_topk',
+    'ols_daily_revenue',
+    'customer_spend_gini',
+    'mann_whitney_value_shift',
+    'part_name_blocked_matches',
     'poisson_bootstrap_ci',
     'sparse_cosine_pairs',
     'txlog_bloom_lookup',

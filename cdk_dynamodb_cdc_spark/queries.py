@@ -15123,3 +15123,436 @@ def txlog_delete_vector_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# Binary-signature ANN (llm/vectors.py:sign_hamming_topk): 32-bit
+# SimHash sign signatures + popcount(XOR) ranking — the cheapest
+# member of the quantization family (SQ8 -> PQ -> sign bits). The
+# oracle recomputes the signatures from the SAME hyperplane literals
+# (repr round-trip, the near_dup_embedding_pairs discipline) and
+# replays the ranking with bit_count(xor(...)), so bits, distances,
+# and the (hamming, cand_id) tiebreak all pin bit-exactly. Scale
+# shape: signatures are 8 bytes/vector (the 100-TB corpus compresses
+# ~256x), probes broadcast, and scoring is one whole-stage-codegen
+# XOR+POPCOUNT scan — no shuffle.
+# ---------------------------------------------------------------------------
+def _hamming_oracle(n_planes: int = 32, n_probes: int = 8,
+                    k: int = 5) -> str:
+    from cdk_dynamodb_cdc_spark.llm.vectors import _hyperplanes
+
+    terms = []
+    for p, plane in enumerate(_hyperplanes(64, n_planes)):
+        lits = ", ".join(repr(float(x)) for x in plane)
+        terms.append(
+            f"(CASE WHEN list_sum(list_transform(range(1, "
+            f"len(embedding) + 1),"
+            f" i -> embedding[i]::DOUBLE * ([{lits}])[i])) >= 0"
+            f" THEN CAST({1 << p} AS BIGINT) ELSE 0 END)"
+        )
+    sig = " + ".join(terms)
+    return f"""
+    WITH s AS (
+      SELECT vec_id, {sig} AS sig FROM embeddings
+    ), p AS (SELECT * FROM s WHERE vec_id < {n_probes})
+    SELECT probe_id, cand_id, hamming, rk FROM (
+      SELECT p.vec_id AS probe_id, s.vec_id AS cand_id,
+             CAST(bit_count(xor(p.sig, s.sig)) AS INT) AS hamming,
+             ROW_NUMBER() OVER (PARTITION BY p.vec_id
+               ORDER BY bit_count(xor(p.sig, s.sig)), s.vec_id) AS rk
+      FROM p JOIN s ON s.vec_id <> p.vec_id) t
+    WHERE rk <= {k}
+    """
+
+
+@query("embedding_hamming_topk", oracle=_hamming_oracle())
+def embedding_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return llm_vectors.sign_hamming_topk(
+        emb, list(range(8)), dim=64, n_planes=32, k=5
+    ).withColumn("hamming", F.col("hamming").cast("int"))
+
+
+# ---------------------------------------------------------------------------
+# Exact multiple linear regression (OLS, closed form): daily revenue
+# (cents) on (day index, weekend flag) via the normal equations
+# solved with Cramer's rule — ALL determinant arithmetic is exact
+# integer (Spark DECIMAL(38,0) / DuckDB HUGEINT evaluating the SAME
+# expression text), coefficients floored to ppm by the exactly-
+# divisible identity, and R^2 composed from the exact integers by an
+# identical IEEE double expression — so a 3-parameter regression
+# hashes bit-identically with no iterative solver and no libm in the
+# fitted path. Completes the trend family: Theil-Sen (robust slope),
+# Holt/Holt-Winters (recursive smoothing), and now the textbook
+# closed-form fit. Scale shape: ONE map-side-combinable daily
+# aggregate, then a calendar-bounded window; the normal-equation
+# solve is O(1) regardless of corpus size (this is why closed-form
+# OLS on low-dim features is the 100-TB regression tool of choice —
+# sums are the only thing that touches the data).
+# ---------------------------------------------------------------------------
+_OLS_DET_SQL = {
+    "det": "(nn*(s11*s22 - s12*s12) - sx1*(sx1*s22 - s12*sx2)"
+           " + sx2*(sx1*s12 - s11*sx2))",
+    "det0": "(sy*(s11*s22 - s12*s12) - sx1*(s1y*s22 - s12*s2y)"
+            " + sx2*(s1y*s12 - s11*s2y))",
+    "det1": "(nn*(s1y*s22 - s12*s2y) - sy*(sx1*s22 - s12*sx2)"
+            " + sx2*(sx1*s2y - s1y*sx2))",
+    "det2": "(nn*(s11*s2y - s12*s1y) - sx1*(sx1*s2y - s1y*sx2)"
+            " + sy*(sx1*s12 - s11*sx2))",
+}
+
+
+def _ols_oracle() -> str:
+    d = _OLS_DET_SQL
+    ppm = {
+        c: f"(1000000 * {c} * sg)" for c in ("det0", "det1", "det2")
+    }
+    fdiv = {
+        c: f"CAST(({n} - ((({n}) % den) + den) % den) // den AS BIGINT)"
+        for c, n in ppm.items()
+    }
+    return f"""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS y
+      FROM events GROUP BY day
+    ), idx AS (
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY day) AS HUGEINT) AS x1,
+             CAST(CASE WHEN isodow(day) >= 6 THEN 1 ELSE 0 END
+                  AS HUGEINT) AS x2,
+             CAST(y AS HUGEINT) AS y
+      FROM daily
+    ), sums AS (
+      SELECT CAST(COUNT(*) AS HUGEINT) AS nn,
+             SUM(x1) AS sx1, SUM(x2) AS sx2,
+             SUM(x1*x1) AS s11, SUM(x1*x2) AS s12, SUM(x2*x2) AS s22,
+             SUM(y) AS sy, SUM(x1*y) AS s1y, SUM(x2*y) AS s2y,
+             SUM(y*y) AS syy
+      FROM idx
+    ), dets AS (
+      SELECT nn, sy, s1y, s2y, syy,
+             {d['det']} AS det, {d['det0']} AS det0,
+             {d['det1']} AS det1, {d['det2']} AS det2
+      FROM sums
+    ), nrm AS (
+      SELECT *, CASE WHEN det < 0 THEN -1 ELSE 1 END AS sg,
+             det * (CASE WHEN det < 0 THEN -1 ELSE 1 END) AS den
+      FROM dets
+    )
+    SELECT CAST(nn AS INT) AS n_days,
+           {fdiv['det0']} AS b0_ppm,
+           {fdiv['det1']} AS b1_ppm,
+           {fdiv['det2']} AS b2_ppm,
+           1.0 - (CAST(syy*det - (det0*sy + det1*s1y + det2*s2y)
+                       AS DOUBLE)
+                  / CAST(det AS DOUBLE))
+                 * (CAST(nn AS DOUBLE)
+                    / CAST(nn*syy - sy*sy AS DOUBLE)) AS r2
+    FROM nrm
+    """
+
+
+@query("ols_daily_revenue", oracle=_ols_oracle())
+def ols_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        (F.sum(F.col("value").cast("decimal(18,2)")) * 100)
+        .cast("long")
+        .alias("y")
+    )
+    wd = Window.orderBy("day")  # calendar-bounded series
+    d38 = "decimal(38,0)"
+    idx = daily.select(
+        F.row_number().over(wd).cast(d38).alias("x1"),
+        F.when(F.weekday("day") >= 5, F.lit(1))
+        .otherwise(F.lit(0))
+        .cast(d38)
+        .alias("x2"),
+        F.col("y").cast(d38).alias("y"),
+    )
+    sums = idx.agg(
+        F.count(F.lit(1)).cast(d38).alias("nn"),
+        F.sum("x1").cast(d38).alias("sx1"),
+        F.sum("x2").cast(d38).alias("sx2"),
+        F.sum(F.col("x1") * F.col("x1")).cast(d38).alias("s11"),
+        F.sum(F.col("x1") * F.col("x2")).cast(d38).alias("s12"),
+        F.sum(F.col("x2") * F.col("x2")).cast(d38).alias("s22"),
+        F.sum("y").cast(d38).alias("sy"),
+        F.sum(F.col("x1") * F.col("y")).cast(d38).alias("s1y"),
+        F.sum(F.col("x2") * F.col("y")).cast(d38).alias("s2y"),
+        F.sum(F.col("y") * F.col("y")).cast(d38).alias("syy"),
+    )
+    d = _OLS_DET_SQL
+    dets = sums.select(
+        "nn", "sy", "s1y", "s2y", "syy",
+        *[F.expr(d[c]).alias(c) for c in ("det", "det0", "det1", "det2")],
+    )
+    nrm = dets.select(
+        "*",
+        F.when(F.col("det") < 0, F.lit(-1))
+        .otherwise(F.lit(1))
+        .cast(d38)
+        .alias("sg"),
+    ).withColumn("den", F.col("det") * F.col("sg"))
+
+    def fdiv_ppm(c: str):
+        n = f"(1000000 * {c} * sg)"
+        # `div` truncates; the pmod subtraction makes the (positive-
+        # denominator) numerator exactly divisible, so trunc == floor
+        return F.expr(
+            f"CAST(({n} - ((({n}) % den) + den) % den) div den"
+            f" AS BIGINT)"
+        )
+
+    return nrm.select(
+        F.col("nn").cast("int").alias("n_days"),
+        fdiv_ppm("det0").alias("b0_ppm"),
+        fdiv_ppm("det1").alias("b1_ppm"),
+        fdiv_ppm("det2").alias("b2_ppm"),
+        F.expr(
+            "1.0 - (CAST(syy*det - (det0*sy + det1*s1y + det2*s2y)"
+            " AS DOUBLE)"
+            " / CAST(det AS DOUBLE))"
+            " * (CAST(nn AS DOUBLE)"
+            " / CAST(nn*syy - sy*sy AS DOUBLE))"
+        ).alias("r2"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gini coefficient of per-customer order spend — the inequality /
+# concentration statistic next to the spend-decile profile. Exact
+# integer contract: G_ppm = floor(1e6 * (2*S1 - (n+1)*Sx) / (n*Sx))
+# with S1 = sum(rank * spend) computed over DISTINCT SPEND VALUES
+# (for a run of c equal values x starting after cumulative position
+# P, sum(rank*x) = x*(c*P + c*(c+1)/2) — rank-sum is permutation-
+# invariant within ties, so no row-level ordering is ever needed).
+# Scale shape: one customer-keyed aggregate, then everything runs on
+# the values-sized distinct frame (the two-pass quantile discipline);
+# S1 reaches ~1e19 at sf1 so the sum runs in DECIMAL(38,0)/HUGEINT.
+# ---------------------------------------------------------------------------
+@query(
+    "customer_spend_gini",
+    oracle="""
+    WITH spend AS (
+      SELECT o_custkey,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) * 100
+                  AS BIGINT) AS x
+      FROM orders GROUP BY o_custkey
+    ), vals AS (
+      SELECT x, CAST(COUNT(*) AS HUGEINT) AS c FROM spend GROUP BY x
+    ), cum AS (
+      SELECT x, c,
+             COALESCE(SUM(c) OVER (ORDER BY x
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               0) AS p
+      FROM vals
+    ), agg AS (
+      SELECT SUM(c) AS nn, SUM(CAST(x AS HUGEINT) * c) AS sx,
+             SUM(CAST(x AS HUGEINT) * (2*c*p + c*(c+1))) AS two_s1
+      FROM cum
+    )
+    SELECT CAST(nn AS BIGINT) AS n_customers,
+           CAST(sx AS BIGINT) AS total_cents,
+           CAST((num - ((num % den) + den) % den) // den AS BIGINT)
+             AS gini_ppm
+    FROM (SELECT nn, sx,
+                 1000000 * (two_s1 - (nn + 1) * sx) AS num,
+                 nn * sx AS den
+          FROM agg) t
+    """,
+)
+def customer_spend_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    spend = orders.groupBy("o_custkey").agg(
+        (F.sum(_dec("o_totalprice")) * 100).cast("long").alias("x")
+    )
+    d38 = "decimal(38,0)"
+    vals = spend.groupBy("x").agg(
+        F.count(F.lit(1)).cast(d38).alias("c")
+    )
+    wv = Window.orderBy("x").rowsBetween(
+        Window.unboundedPreceding, -1
+    )  # values-sized frame: the global window is NDV-bounded
+    cum = vals.withColumn(
+        "p", F.coalesce(F.sum("c").over(wv), F.lit(0).cast(d38))
+    )
+    agg = cum.agg(
+        F.sum("c").cast(d38).alias("nn"),
+        F.sum(F.col("x").cast(d38) * F.col("c")).cast(d38).alias("sx"),
+        F.sum(
+            F.col("x").cast(d38)
+            * (2 * F.col("c") * F.col("p") + F.col("c") * (F.col("c") + 1))
+        )
+        .cast(d38)
+        .alias("two_s1"),
+    )
+    return agg.select(
+        "nn", "sx",
+        (F.lit(1000000).cast(d38)
+         * (F.col("two_s1") - (F.col("nn") + 1) * F.col("sx")))
+        .alias("num"),
+        (F.col("nn") * F.col("sx")).alias("den"),
+    ).select(
+        F.col("nn").cast("long").alias("n_customers"),
+        F.col("sx").cast("long").alias("total_cents"),
+        F.expr(
+            "CAST((num - ((num % den) + den) % den) div den AS BIGINT)"
+        ).alias("gini_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Mann-Whitney U (Wilcoxon rank-sum) test — the nonparametric
+# two-sample shift test beside the KS statistic: are 'purchase'
+# values stochastically larger than 'click' values? U is EXACT
+# INTEGER: cents-quantized values group into a distinct-value frame
+# with per-group counts, and 2*U1 = sum over values of
+# c1*(2*C2_less + c2) (doubling clears the half-credit ties term).
+# The tie-corrected normal approximation's z composes from the exact
+# integers with an identical IEEE double expression in both engines.
+# Scale shape: one (type, cents) aggregate, then everything is
+# values-sized (same discipline as ks_value_distribution_shift);
+# no row-level ranking is ever materialized.
+# ---------------------------------------------------------------------------
+@query(
+    "mann_whitney_value_shift",
+    oracle="""
+    WITH g AS (
+      SELECT CAST(CAST(value AS DECIMAL(9,2)) * 100 AS BIGINT) AS v,
+             CAST(COUNT(*) FILTER (event_type = 'purchase')
+                  AS BIGINT) AS c1,
+             CAST(COUNT(*) FILTER (event_type = 'click')
+                  AS BIGINT) AS c2
+      FROM events WHERE event_type IN ('purchase', 'click')
+      GROUP BY v
+    ), cum AS (
+      SELECT v, c1, c2,
+             COALESCE(SUM(c2) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               0) AS c2_less
+      FROM g
+    ), agg AS (
+      SELECT SUM(c1) AS n1, SUM(c2) AS n2,
+             SUM(c1 * (2 * c2_less + c2)) AS u1_x2,
+             SUM((c1+c2)*(c1+c2)*(c1+c2) - (c1+c2)) AS tie_sum
+      FROM cum
+    )
+    SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+           CAST(u1_x2 AS BIGINT) AS u1_x2,
+           CAST(tie_sum AS BIGINT) AS tie_sum,
+           CAST(u1_x2 - n1 * n2 AS DOUBLE)
+             / (2.0 * SQRT((CAST(n1 * n2 AS DOUBLE)
+                  * (CAST(n1 + n2 + 1 AS DOUBLE)
+                     - CAST(tie_sum AS DOUBLE)
+                       / CAST((n1 + n2) * (n1 + n2 - 1) AS DOUBLE)))
+                 / 12.0)) AS z
+    FROM agg
+    """,
+)
+def mann_whitney_value_shift(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "click")
+    )
+    g = ev.groupBy(
+        (F.col("value").cast("decimal(9,2)") * 100)
+        .cast("long")
+        .alias("v")
+    ).agg(
+        F.count(F.when(F.col("event_type") == "purchase", 1)).alias("c1"),
+        F.count(F.when(F.col("event_type") == "click", 1)).alias("c2"),
+    )
+    wv = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, -1
+    )  # values-sized frame (distinct cents), never row-sized
+    cum = g.withColumn(
+        "c2_less", F.coalesce(F.sum("c2").over(wv), F.lit(0))
+    )
+    t = F.col("c1") + F.col("c2")
+    agg = cum.agg(
+        F.sum("c1").alias("n1"),
+        F.sum("c2").alias("n2"),
+        F.sum(F.col("c1") * (2 * F.col("c2_less") + F.col("c2"))).alias(
+            "u1_x2"
+        ),
+        F.sum(t * t * t - t).alias("tie_sum"),
+    )
+    return agg.select(
+        "n1",
+        "n2",
+        "u1_x2",
+        "tie_sum",
+        F.expr(
+            "CAST(u1_x2 - n1 * n2 AS DOUBLE)"
+            " / (2.0 * SQRT((CAST(n1 * n2 AS DOUBLE)"
+            " * (CAST(n1 + n2 + 1 AS DOUBLE)"
+            " - CAST(tie_sum AS DOUBLE)"
+            " / CAST((n1 + n2) * (n1 + n2 - 1) AS DOUBLE)))"
+            " / 12.0)) "
+        ).alias("z"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Blocked entity resolution / fuzzy record linkage: candidate pairs
+# from an equi-join on a BLOCKING KEY (first two tokens of p_name),
+# scored with exact Levenshtein edit distance — the classic
+# record-linkage shape (block -> compare -> rank) that every
+# training-data pipeline runs to reconcile near-identical records
+# across sources. Both engines implement the same Wagner-Fischer DP,
+# so distances are integers that hash bit-exactly. Scale shape: the
+# cross product only ever forms WITHIN blocks (pair work is
+# sum(block^2), tunable by extending the key — token 3, soundex,
+# length band — exactly like the MinHash band dial); the quadratic
+# all-pairs join never appears. Top-20 closest pairs overall via
+# TakeOrderedAndProject.
+# ---------------------------------------------------------------------------
+@query(
+    "part_name_blocked_matches",
+    oracle="""
+    WITH keyed AS (
+      SELECT p_partkey, p_name,
+             string_split(p_name, ' ')[1] || ' ' ||
+             string_split(p_name, ' ')[2] AS blk
+      FROM part
+    )
+    SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS INT) AS edit_dist
+    FROM keyed a JOIN keyed b
+      ON a.blk = b.blk AND a.p_partkey < b.p_partkey
+    ORDER BY edit_dist, key_a, key_b
+    LIMIT 20
+    """,
+)
+def part_name_blocked_matches(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    toks = F.split(F.col("p_name"), " ")
+    keyed = part.select(
+        "p_partkey",
+        "p_name",
+        F.concat_ws(
+            " ", F.element_at(toks, 1), F.element_at(toks, 2)
+        ).alias("blk"),
+    )
+    a = keyed.alias("a")
+    b = keyed.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.p_partkey") < F.col("b.p_partkey")),
+        )
+        .select(
+            F.col("a.p_partkey").alias("key_a"),
+            F.col("b.p_partkey").alias("key_b"),
+            F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
+            .cast("int")
+            .alias("edit_dist"),
+        )
+        .orderBy("edit_dist", "key_a", "key_b")
+        .limit(20)
+    )
