@@ -15556,3 +15556,162 @@ def part_name_blocked_matches(
         .orderBy("edit_dist", "key_a", "key_b")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Period-over-period reporting: monthly revenue with month-over-month
+# and year-over-year deltas in exact signed ppm — the BI staple
+# missing between the window (lag) and gap-fill lanes. YoY aligns by
+# CALENDAR join (month = month - 12), not row offset, so missing
+# months can never silently shift the comparison; deltas floor-divide
+# via the signed pmod identity (numerators go negative on down
+# months). Scale shape: one map-side-combinable monthly aggregate;
+# everything after runs on the calendar-bounded months frame.
+# ---------------------------------------------------------------------------
+@query(
+    "period_over_period_revenue",
+    oracle="""
+    WITH monthly AS (
+      SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) * 100
+                  AS BIGINT) AS rev
+      FROM orders GROUP BY month
+    ), j AS (
+      SELECT m.month, m.rev, pm.rev AS prev_rev, py.rev AS yoy_rev
+      FROM monthly m
+      LEFT JOIN monthly pm ON pm.month = m.month - INTERVAL 1 MONTH
+      LEFT JOIN monthly py ON py.month = m.month - INTERVAL 12 MONTH
+    )
+    SELECT month, rev AS rev_cents,
+           prev_rev AS prev_cents, yoy_rev AS yoy_cents,
+           CASE WHEN prev_rev IS NULL THEN NULL ELSE
+             (nm - ((nm % prev_rev) + prev_rev) % prev_rev) // prev_rev
+           END AS mom_ppm,
+           CASE WHEN yoy_rev IS NULL THEN NULL ELSE
+             (ny - ((ny % yoy_rev) + yoy_rev) % yoy_rev) // yoy_rev
+           END AS yoy_ppm
+    FROM (SELECT *, 1000000 * (rev - prev_rev) AS nm,
+                 1000000 * (rev - yoy_rev) AS ny
+          FROM j) t
+    """,
+)
+def period_over_period_revenue(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month")
+    ).agg((F.sum(_dec("o_totalprice")) * 100).cast("long").alias("rev"))
+    m = monthly.alias("m")
+    pm = monthly.select(
+        F.add_months("month", 1).alias("month"),
+        F.col("rev").alias("prev_rev"),
+    ).alias("pm")
+    py = monthly.select(
+        F.add_months("month", 12).alias("month"),
+        F.col("rev").alias("yoy_rev"),
+    ).alias("py")
+    j = m.join(pm, "month", "left").join(py, "month", "left")
+
+    def sdiv(delta: str, den: str):
+        n = f"(1000000 * (rev - {den}))"
+        return F.expr(
+            f"CASE WHEN {den} IS NULL THEN NULL ELSE "
+            f"CAST(({n} - ((({n}) % {den}) + {den}) % {den})"
+            f" div {den} AS BIGINT) END"
+        ).alias(delta)
+
+    return j.select(
+        "month",
+        F.col("rev").alias("rev_cents"),
+        F.col("prev_rev").alias("prev_cents"),
+        F.col("yoy_rev").alias("yoy_cents"),
+        sdiv("mom_ppm", "prev_rev"),
+        sdiv("yoy_ppm", "yoy_rev"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact-moment Pearson correlation MATRIX over lineitem's numeric
+# measures in ONE scan — the multivariate completion of
+# corr_qty_price_exact_moments: quantities/prices/discounts/taxes
+# quantize to integers, a single aggregate collects every first and
+# second moment (p sums + p^2 cross sums, map-side combined), and
+# each pairwise r composes from the EXACT integer moments through an
+# identical IEEE double expression (n*Sxy - Sx*Sy over the sqrt of
+# the variance product) in both engines. Scale shape: the matrix
+# costs exactly one pass regardless of p — the schema-profiling
+# counterpart of cramers_v_matrix for numeric columns.
+# ---------------------------------------------------------------------------
+_CORR_COLS = [
+    ("qty", "CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT)"),
+    ("price",
+     "CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)"),
+    ("disc",
+     "CAST(CAST(l_discount AS DECIMAL(12,4)) * 10000 AS BIGINT)"),
+    ("tax", "CAST(CAST(l_tax AS DECIMAL(12,4)) * 10000 AS BIGINT)"),
+]
+
+
+def _corr_matrix_oracle() -> str:
+    moments = ["CAST(COUNT(*) AS HUGEINT) AS nn"]
+    for a, expr in _CORR_COLS:
+        moments.append(f"SUM(CAST({expr} AS HUGEINT)) AS s_{a}")
+    pairs = []
+    for i, (a, ea) in enumerate(_CORR_COLS):
+        for b, eb in _CORR_COLS[i:]:
+            moments.append(
+                f"SUM(CAST({ea} AS HUGEINT) * CAST({eb} AS HUGEINT))"
+                f" AS s_{a}_{b}"
+            )
+            if a != b:
+                pairs.append((a, b))
+    sel = []
+    for a, b in pairs:
+        sel.append(f"""
+    SELECT '{a}' AS col_a, '{b}' AS col_b,
+           CAST(nn * s_{a}_{b} - s_{a} * s_{b} AS DOUBLE)
+             / SQRT(CAST(nn * s_{a}_{a} - s_{a} * s_{a} AS DOUBLE)
+                    * CAST(nn * s_{b}_{b} - s_{b} * s_{b} AS DOUBLE))
+             AS r FROM m""")
+    return (
+        "WITH m AS (SELECT " + ", ".join(moments) + " FROM lineitem) "
+        + " UNION ALL ".join(sel)
+    )
+
+
+@query("lineitem_corr_matrix", oracle=_corr_matrix_oracle())
+def lineitem_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    d38 = "decimal(38,0)"
+    base = li.select(
+        *[F.expr(e).cast(d38).alias(a) for a, e in _CORR_COLS]
+    )
+    aggs = [F.count(F.lit(1)).cast(d38).alias("nn")]
+    pairs = []
+    for i, (a, _) in enumerate(_CORR_COLS):
+        aggs.append(F.sum(a).cast(d38).alias(f"s_{a}"))
+        for b, _ in _CORR_COLS[i:]:
+            aggs.append(
+                F.sum(F.col(a) * F.col(b)).cast(d38).alias(f"s_{a}_{b}")
+            )
+            if a != b:
+                pairs.append((a, b))
+    m = base.agg(*aggs).localCheckpoint(eager=True)  # one scan, p^2 readers
+    outs = [
+        m.select(
+            F.lit(a).alias("col_a"),
+            F.lit(b).alias("col_b"),
+            F.expr(
+                f"CAST(nn * s_{a}_{b} - s_{a} * s_{b} AS DOUBLE)"
+                f" / SQRT(CAST(nn * s_{a}_{a} - s_{a} * s_{a}"
+                f" AS DOUBLE)"
+                f" * CAST(nn * s_{b}_{b} - s_{b} * s_{b} AS DOUBLE))"
+            ).alias("r"),
+        )
+        for a, b in pairs
+    ]
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
