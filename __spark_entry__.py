@@ -42,17 +42,39 @@ def entry(spark: SparkSession) -> DataFrame:
 # ordering only decides which subset the driver re-verifies
 # independently.
 _GATE_PRIORITY = [
-    # Round-8 ordering. Positions 1-2: the two r7 driver-gate failures,
-    # rewritten this round in the conservative version-stable SQL
-    # dialect (scalar seasonal slots instead of LIST-state recursion;
-    # BIGINT exactly-divisible division instead of HUGEINT floor-div)
-    # so the gate can confirm them green. Then: the 32 registry
-    # entries no driver gate (r1-r7) ever verified, per the r7 audit.
-    # New/changed r8 queries are inserted right after those, so the
-    # ~50-query driver window covers fixes, never-verified, and new
-    # work before anything already gate-green.
+    # Round-9 ordering. Positions 1-2: the two r7/r8 driver-gate hash
+    # failures. Root cause identified this round by result-SCHEMA
+    # audit: both oracles (and only these two of 248) leaked a
+    # DuckDB HUGEINT column into the result (SUM(BIGINT) -> HUGEINT
+    # propagating through the recursion into n_at_risk /
+    # level_cents). fetchall() hides it (Python ints), but
+    # pandas/Arrow conversion of HUGEINT is float64/object —
+    # a dtype-sensitive hash diverges from Spark's int64 with equal
+    # values, matching the observed rows+schema-green/hash-red
+    # signature. Fixed with explicit BIGINT casts at the leak sites;
+    # tools/check_correctness.py now fails any oracle whose result
+    # schema contains HUGEINT/DECIMAL. Positions 3-10: the bisect
+    # probes the r8 verdict prescribed — each isolates one stage
+    # (inputs, init, per-step arithmetic, unrolled recursion, pure
+    # WITH-RECURSIVE evaluation) with a non-recursive or trivial
+    # oracle, so if the originals are somehow still red the gate
+    # pattern pins the divergence. Then: the 2 registry entries with
+    # no driver row ever, the changed-this-round queries, and the
+    # remaining never-gated r8 window.
     'holt_winters_revenue',
     'session_kaplan_meier',
+    'probe_km_risk_table',
+    'probe_km_step_factors',
+    'probe_km_unrolled3',
+    'probe_km_recursion_cumsum',
+    'probe_hw_daily_inputs',
+    'probe_hw_init_state',
+    'probe_hw_unrolled3',
+    'probe_hw_recursion_cumsum',
+    'period_over_period_revenue',
+    'lineitem_corr_matrix',
+    'ind_discovery_profile',
+    'customer_spend_gini',
     'attribution_linear_touch',
     'basket_brand_triples',
     'bloom_membership_stats',
@@ -321,8 +343,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return wrapped
 
-    ordered = [n for n in _GATE_PRIORITY if n in QUERIES]
-    ordered += [n for n in QUERIES if n not in _GATE_PRIORITY]
+    # dict.fromkeys dedupes while keeping first position: a name may
+    # legitimately appear twice in _GATE_PRIORITY (front-loaded this
+    # round AND in an older block kept for history).
+    ordered = list(dict.fromkeys(
+        [n for n in _GATE_PRIORITY if n in QUERIES]
+        + [n for n in QUERIES if n not in _GATE_PRIORITY]
+    ))
     return {name: with_conf(QUERIES[name]) for name in ordered}
 
 

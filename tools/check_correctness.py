@@ -106,6 +106,24 @@ def main() -> int:
         try:
             rel = con.sql(oracles[name])
             dcols = [c.lower() for c in rel.columns]
+            # Dtype audit: fetchall() hands back Python ints, so a
+            # HUGEINT result column hashes fine HERE yet converts to
+            # float64/object in any pandas/Arrow-based comparator
+            # (duckdb-version-dependent) — the r7/r8 driver-gate
+            # signature (rows+schema match, hash red, local green).
+            # Enforce the all-BIGINT/DOUBLE/VARCHAR/DATE contract so
+            # the leak can never ship again.
+            leaky = [
+                f"{c}:{t}"
+                for c, t in zip(rel.columns, rel.types)
+                if str(t) in ("HUGEINT", "UHUGEINT", "UBIGINT")
+                or str(t).startswith("DECIMAL")
+            ]
+            if leaky:
+                print(f"FAIL {name}: oracle dtype leak {leaky}")
+                record(name, err=f"oracle dtype leak: {leaky}")
+                failures += 1
+                continue
             drows = rel.fetchall()
         except Exception as exc:
             print(f"FAIL {name}: duckdb error: {exc}")
