@@ -11181,10 +11181,14 @@ def media_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
       -- BIGINT-only recursion with exactly-divisible numerators: the
       -- ((n % d) + d) % d subtraction makes n0/n1 multiples of n_risk,
       -- so `//` yields the same exact integer under floor OR truncate
-      -- semantics in any engine version (the r7 driver gate showed
-      -- HUGEINT `//` inside recursion is version-sensitive; s <= 1e12
-      -- and n_risk < 9.2e6 keep n1 inside int64 — the Spark side's
-      -- decimal(38,0) path is the one that scales past that).
+      -- semantics in any engine version. s <= 1e12 and n_risk < 9.2e6
+      -- keep n1 inside int64; past that bound (reachable near sf10)
+      -- the overflow is LOUD, not silent — DuckDB raises on BIGINT
+      -- multiplication overflow, so the gate reports an oracle error
+      -- instead of a wrong hash. The Spark side's decimal(38,0) path
+      -- is the one that scales past it (widen this oracle to HUGEINT
+      -- internally if a >sf10 gate corpus ever appears; output casts
+      -- keep the result schema BIGINT either way).
       SELECT rn, t, d, c, n_risk,
              (n0 - ((n0 % n_risk) + n_risk) % n_risk) // n_risk AS s
       FROM (SELECT rn, t, d, c, n_risk,
@@ -13451,7 +13455,12 @@ def ind_discovery_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     melted = []
     for t, tcols in sorted(by_table.items()):
         cs = sorted(set(tcols))
-        stack_args = ", ".join(f"'{t}.{c}', CAST({c} AS BIGINT)" for c in cs)
+        # STRING melt: containment is type-agnostic, and a BIGINT cast
+        # would silently NULL (then drop) any future non-numeric
+        # candidate, under-counting n_unmatched into a false holds=true
+        stack_args = ", ".join(
+            f"'{t}.{c}', CAST({c} AS STRING)" for c in cs
+        )
         melted.append(
             load_table(spark, sf_dir, t).selectExpr(
                 f"stack({len(cs)}, {stack_args}) AS (k, v)"
@@ -15036,16 +15045,14 @@ def trimmed_mean_order_total(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("cnt"))
         .localCheckpoint(eager=True)  # values-sized; 3 consumers
     )
-    # unpartitioned window over DISTINCT VALUES — the documented
-    # values-sized fold, never corpus-sized
-    c = v.withColumn(
-        "cum",
-        F.sum("cnt").over(
-            Window.orderBy("cents").rowsBetween(
-                Window.unboundedPreceding, Window.currentRow
-            )
-        ),
-    )
+    # two-level bucketed cumulative (see _bucketed_cumsum): distinct
+    # order TOTALS approach order cardinality (unlike the cents price
+    # domain MW/KS fold over), so a flat unpartitioned window here
+    # would become a single-task straggler at 100x
+    c = _bucketed_cumsum(
+        v, value_col="cents", weight_col="cnt", out_col="cum",
+        inclusive=True,
+    ).withColumn("cum", F.col("cum").cast("long"))
     nn = v.agg(
         F.sum("cnt").cast("long").alias("n"),
         F.expr("CAST(sum(cnt) * 5 DIV 100 AS BIGINT)").alias("k"),
@@ -15335,6 +15342,66 @@ def ols_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bucketed_cumsum(
+    vals: DataFrame,
+    *,
+    value_col: str,
+    weight_col: str,
+    out_col: str,
+    inclusive: bool,
+    bucket_shift: int = 24,
+) -> DataFrame:
+    """Cumulative weight positions over a distinct-value frame WITHOUT
+    an unpartitioned value-level window — the two-level discipline of
+    operators/quantiles.py as a reusable composition.
+
+    Level 1: a coarse order-preserving bucket (``value div 2^shift``)
+    gets per-bucket weight totals, and ONE cumulative window runs over
+    the bucket histogram (bucket count tracks the VALUE RANGE / 2^24,
+    never the value cardinality — hundreds of rows where a flat window
+    would see millions). Level 2: within-bucket cumulative windows are
+    PARTITIONED BY bucket, so they parallelize across the cluster; the
+    global position is bucket offset + within-bucket position. Values
+    and results are bit-identical to the flat window (pure integer
+    regrouping), which is what keeps the DuckDB oracles unchanged.
+    """
+    d38 = "decimal(38,0)"
+    end = 0 if inclusive else -1
+    bucketed = vals.withColumn(
+        "__b", F.expr(f"{value_col} div {1 << bucket_shift}")
+    )
+    w_boff = Window.orderBy("__b").rowsBetween(
+        Window.unboundedPreceding, -1
+    )  # bucket-histogram-sized frame (range / 2^shift rows)
+    boff = (
+        bucketed.groupBy("__b")
+        .agg(F.sum(weight_col).alias("__bc"))
+        .withColumn(
+            "__off",
+            F.coalesce(
+                F.sum("__bc").over(w_boff), F.lit(0).cast(d38)
+            ),
+        )
+        .select("__b", "__off")
+    )
+    w_in = Window.partitionBy("__b").orderBy(value_col).rowsBetween(
+        Window.unboundedPreceding, end
+    )
+    return (
+        bucketed.withColumn(
+            "__p_in",
+            F.coalesce(
+                F.sum(weight_col).over(w_in), F.lit(0).cast(d38)
+            ),
+        )
+        .join(F.broadcast(boff), "__b")
+        .withColumn(
+            out_col, (F.col("__off") + F.col("__p_in")).cast(d38)
+        )
+        .drop("__b", "__off", "__p_in")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Gini coefficient of per-customer order spend — the inequality /
 # concentration statistic next to the spend-decile profile. Exact
@@ -15343,9 +15410,20 @@ def ols_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (for a run of c equal values x starting after cumulative position
 # P, sum(rank*x) = x*(c*P + c*(c+1)/2) — rank-sum is permutation-
 # invariant within ties, so no row-level ordering is ever needed).
-# Scale shape: one customer-keyed aggregate, then everything runs on
-# the values-sized distinct frame (the two-pass quantile discipline);
-# S1 reaches ~1e19 at sf1 so the sum runs in DECIMAL(38,0)/HUGEINT.
+# Scale shape: one customer-keyed aggregate, then the cumulative
+# positions run as the BUCKETED two-level discipline of
+# operators/quantiles.py — unlike Mann-Whitney/KS (whose distinct
+# frame is bounded by the cents PRICE DOMAIN), distinct per-customer
+# spend SUMS approach customer cardinality, so a flat unpartitioned
+# window would become a single-task straggler at 100×. Level 1: a
+# coarse order-preserving bucket (x div 2^24, ~$170k stripes — bucket
+# count tracks the spend RANGE, a few hundred at sf1, never customer
+# count) gets per-bucket totals and a bucket-count-sized cumulative
+# window; level 2: within-bucket cumulative windows PARTITIONED BY
+# bucket run fully parallel, and P = bucket offset + within-bucket
+# position. S1 reaches ~1e19 at sf1 so sums run in
+# DECIMAL(38,0)/HUGEINT. The DuckDB oracle keeps the flat window —
+# single-node, same numbers by construction.
 # ---------------------------------------------------------------------------
 @query(
     "customer_spend_gini",
@@ -15387,11 +15465,9 @@ def customer_spend_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     vals = spend.groupBy("x").agg(
         F.count(F.lit(1)).cast(d38).alias("c")
     )
-    wv = Window.orderBy("x").rowsBetween(
-        Window.unboundedPreceding, -1
-    )  # values-sized frame: the global window is NDV-bounded
-    cum = vals.withColumn(
-        "p", F.coalesce(F.sum("c").over(wv), F.lit(0).cast(d38))
+    cum = _bucketed_cumsum(
+        vals, value_col="x", weight_col="c", out_col="p",
+        inclusive=False,
     )
     agg = cum.agg(
         F.sum("c").cast(d38).alias("nn"),
@@ -15429,7 +15505,12 @@ def customer_spend_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
 # integers with an identical IEEE double expression in both engines.
 # Scale shape: one (type, cents) aggregate, then everything is
 # values-sized (same discipline as ks_value_distribution_shift);
-# no row-level ranking is ever materialized.
+# no row-level ranking is ever materialized. The flat unpartitioned
+# cumulative window here is safe BECAUSE the frame is bounded by the
+# cents PRICE DOMAIN (events.value < 500 -> <= 50k distinct cents at
+# any corpus size — a domain constant, not a cardinality); folds
+# whose distinct frame grows with the data (Gini's per-customer spend
+# sums, the trimmed mean's order totals) use _bucketed_cumsum instead.
 # ---------------------------------------------------------------------------
 @query(
     "mann_whitney_value_shift",
@@ -15550,8 +15631,15 @@ def part_name_blocked_matches(
     keyed = part.select(
         "p_partkey",
         "p_name",
-        F.concat_ws(
-            " ", F.element_at(toks, 1), F.element_at(toks, 2)
+        # F.concat (NOT concat_ws) to mirror the oracle's `||`: both
+        # propagate NULL for a name with fewer than two tokens, so the
+        # row drops out of blocking identically in both engines —
+        # concat_ws would silently keep it keyed on token 1 alone.
+        # F.get (not element_at) so a short token array yields NULL
+        # under ANSI mode instead of INVALID_ARRAY_INDEX, matching
+        # DuckDB's out-of-bounds list indexing.
+        F.concat(
+            F.get(toks, 0), F.lit(" "), F.get(toks, 1)
         ).alias("blk"),
     )
     a = keyed.alias("a")
