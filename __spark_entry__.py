@@ -75,6 +75,14 @@ _GATE_PRIORITY = [
     'lineitem_corr_matrix',
     'ind_discovery_profile',
     'customer_spend_gini',
+    # -- new in round 9 ------------------------------------------------
+    'anova_value_by_type',
+    'spearman_qty_price',
+    'logrank_cohort_survival',
+    'part_link_prediction_topk',
+    'trimmed_mean_order_total',
+    'part_name_blocked_matches',
+    'mann_whitney_value_shift',
     'attribution_linear_touch',
     'basket_brand_triples',
     'bloom_membership_stats',

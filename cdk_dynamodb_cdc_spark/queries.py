@@ -16277,3 +16277,536 @@ def probe_hw_recursion_cumsum(
         "day",
         F.sum("y").over(w_cum).cast("long").alias("cum_rev_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# One-way ANOVA (F-test) of event value by event type — the k-group
+# extension of the two-sample tests (z, Mann-Whitney U, KS, chi^2):
+# does mean spend differ across event types? Sums of squares compose
+# from EXACT integer cents moments: per group (n_g, s_g = sum cents,
+# q_g = sum cents^2) aggregate map-side; SSB/SSW are integer-floored
+# per group (floor(s_g^2 / n_g) via the exactly-divisible identity —
+# all operands positive), so every summand is an exact integer and
+# the group-sum is order-independent; F composes from the integers
+# with one identical IEEE expression in both engines. Scale shape:
+# one scan + a vocabulary-sized aggregate; q_g ~ N*cents^2 keeps the
+# BIGINT outputs inside int64 to ~sf100 (the DECIMAL(38,0)/HUGEINT
+# internals carry two orders past that — widen the OUTPUT scale
+# before a >sf100 gate corpus).
+# ---------------------------------------------------------------------------
+@query(
+    "anova_value_by_type",
+    oracle="""
+    WITH g AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS HUGEINT) AS n,
+             CAST(SUM(CAST(CAST(value AS DECIMAL(9,2)) * 100
+                      AS BIGINT)) AS HUGEINT) AS s,
+             CAST(SUM(CAST(CAST(value AS DECIMAL(9,2)) * 100
+                           AS BIGINT)
+                      * CAST(CAST(value AS DECIMAL(9,2)) * 100
+                             AS BIGINT)) AS HUGEINT) AS q
+      FROM events GROUP BY event_type
+    ), tots AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS k,
+             SUM(n) AS nn, SUM(s) AS ss, SUM(q) AS qq,
+             SUM((s * s - ((s * s % n) + n) % n) // n) AS sb
+      FROM g
+    )
+    SELECT CAST(k AS BIGINT) AS k_groups,
+           CAST(nn AS BIGINT) AS n_total,
+           CAST(sb - (ss * ss - ((ss * ss % nn) + nn) % nn) // nn
+                AS BIGINT) AS ssb_cents2,
+           CAST(qq - sb AS BIGINT) AS ssw_cents2,
+           CAST(sb - (ss * ss - ((ss * ss % nn) + nn) % nn) // nn
+                AS DOUBLE)
+             * CAST(nn - k AS DOUBLE)
+             / (CAST(qq - sb AS DOUBLE) * CAST(k - 1 AS DOUBLE))
+             AS f_stat
+    FROM tots
+    """,
+)
+def anova_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    d38 = "decimal(38,0)"
+    cents = (F.col("value").cast("decimal(9,2)") * 100).cast("long")
+    g = ev.select(
+        "event_type", cents.alias("v")
+    ).groupBy("event_type").agg(
+        F.count(F.lit(1)).cast(d38).alias("n"),
+        F.sum("v").cast(d38).alias("s"),
+        F.sum(F.col("v").cast(d38) * F.col("v").cast(d38))
+        .cast(d38)
+        .alias("q"),
+    )
+    s2 = F.col("s") * F.col("s")
+    per = g.select(
+        "n",
+        "s",
+        "q",
+        ((s2 - F.pmod(s2, F.col("n"))) / F.col("n"))
+        .cast(d38)
+        .alias("sb_g"),
+    )
+    tots = per.agg(
+        F.count(F.lit(1)).cast(d38).alias("k"),
+        F.sum("n").cast(d38).alias("nn"),
+        F.sum("s").cast(d38).alias("ss"),
+        F.sum("q").cast(d38).alias("qq"),
+        F.sum("sb_g").cast(d38).alias("sb"),
+    )
+    ss2 = F.col("ss") * F.col("ss")
+    grand = ((ss2 - F.pmod(ss2, F.col("nn"))) / F.col("nn")).cast(d38)
+    return tots.select(
+        F.col("k").cast("long").alias("k_groups"),
+        F.col("nn").cast("long").alias("n_total"),
+        (F.col("sb") - grand).cast("long").alias("ssb_cents2"),
+        (F.col("qq") - F.col("sb")).cast("long").alias("ssw_cents2"),
+        (
+            (F.col("sb") - grand).cast("double")
+            * (F.col("nn") - F.col("k")).cast("double")
+            / (
+                (F.col("qq") - F.col("sb")).cast("double")
+                * (F.col("k") - 1).cast("double")
+            )
+        ).alias("f_stat"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Spearman rank correlation between lineitem quantity and extended
+# price — the nonparametric monotone-association statistic beside the
+# exact-moments Pearson (corr_qty_price_exact_moments). Tie handling
+# is the textbook AVERAGE RANK, kept integer by carrying 2*rank:
+# for a value with count c after cumulative position P,
+# 2*avg_rank = 2P + c + 1 — an exact BIGINT. Quantity ranks fold over
+# a DOMAIN-BOUNDED frame (1..50 discrete quantities, flat window
+# safe); extended-price ranks fold over a cardinality-sized distinct
+# frame, so they run through _bucketed_cumsum (partitioned two-level
+# cumulative, no global single-task window). Rows join back to their
+# two rank columns (the quantity side broadcasts; the price side
+# hash-joins on the value), Pearson moments accumulate in
+# DECIMAL(38,0)/HUGEINT, and rho composes from exact integers with
+# one identical IEEE expression. sum_rank2_qty = n*(n+1) is emitted
+# as a self-check invariant.
+# ---------------------------------------------------------------------------
+@query(
+    "spearman_qty_price",
+    oracle="""
+    WITH rows_ AS (
+      SELECT CAST(l_quantity AS BIGINT) AS x,
+             CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100
+                  AS BIGINT) AS y
+      FROM lineitem
+    ), vx AS (
+      SELECT x, CAST(COUNT(*) AS BIGINT) AS c FROM rows_ GROUP BY x
+    ), rx AS (
+      SELECT x,
+             2 * COALESCE(SUM(c) OVER (ORDER BY x
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               + c + 1 AS r2x
+      FROM vx
+    ), vy AS (
+      SELECT y, CAST(COUNT(*) AS BIGINT) AS c FROM rows_ GROUP BY y
+    ), ry AS (
+      SELECT y,
+             2 * COALESCE(SUM(c) OVER (ORDER BY y
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               + c + 1 AS r2y
+      FROM vy
+    ), m AS (
+      SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+             SUM(CAST(r2x AS HUGEINT)) AS sx,
+             SUM(CAST(r2y AS HUGEINT)) AS sy,
+             SUM(CAST(r2x AS HUGEINT) * r2x) AS sxx,
+             SUM(CAST(r2y AS HUGEINT) * r2y) AS syy,
+             SUM(CAST(r2x AS HUGEINT) * r2y) AS sxy
+      FROM rows_ r JOIN rx ON rx.x = r.x JOIN ry ON ry.y = r.y
+    )
+    SELECT CAST(n AS BIGINT) AS n_rows,
+           CAST(sx AS BIGINT) AS sum_rank2_qty,
+           CAST(n * sxy - sx * sy AS DOUBLE)
+             / SQRT(CAST(n * sxx - sx * sx AS DOUBLE)
+                    * CAST(n * syy - sy * sy AS DOUBLE)) AS rho
+    FROM m
+    """,
+)
+def spearman_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").cast("long").alias("x"),
+        (F.col("l_extendedprice").cast("decimal(12,2)") * 100)
+        .cast("long")
+        .alias("y"),
+    )
+    d38 = "decimal(38,0)"
+    vx = li.groupBy("x").agg(F.count(F.lit(1)).alias("c"))
+    w_x = Window.orderBy("x").rowsBetween(
+        Window.unboundedPreceding, -1
+    )  # quantity domain: <= 50 distinct rows, flat window safe
+    rx = vx.select(
+        "x",
+        (
+            2 * F.coalesce(F.sum("c").over(w_x), F.lit(0))
+            + F.col("c")
+            + 1
+        ).alias("r2x"),
+    )
+    vy = li.groupBy("y").agg(F.count(F.lit(1)).cast(d38).alias("c"))
+    ry = _bucketed_cumsum(
+        vy, value_col="y", weight_col="c", out_col="p",
+        inclusive=False,
+    ).select(
+        "y",
+        (2 * F.col("p") + F.col("c") + 1).cast("long").alias("r2y"),
+    )
+    joined = li.join(F.broadcast(rx), "x").join(ry, "y")
+    m = joined.agg(
+        F.count(F.lit(1)).cast(d38).alias("n"),
+        F.sum("r2x").cast(d38).alias("sx"),
+        F.sum("r2y").cast(d38).alias("sy"),
+        F.sum(F.col("r2x").cast(d38) * F.col("r2x")).cast(d38)
+        .alias("sxx"),
+        F.sum(F.col("r2y").cast(d38) * F.col("r2y")).cast(d38)
+        .alias("syy"),
+        F.sum(F.col("r2x").cast(d38) * F.col("r2y")).cast(d38)
+        .alias("sxy"),
+    )
+    return m.select(
+        F.col("n").cast("long").alias("n_rows"),
+        F.col("sx").cast("long").alias("sum_rank2_qty"),
+        (
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            .cast("double")
+            / F.sqrt(
+                (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+                .cast("double")
+                * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+                .cast("double")
+            )
+        ).alias("rho"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Two-cohort log-rank test over session survival — the inference
+# companion to session_kaplan_meier: do even- and odd-numbered users'
+# sessions have the same survival curve? Same sessionization and
+# censoring rules; at each distinct duration with d > 0 deaths the
+# expected cohort-A deaths E1 += d*n1/n and the hypergeometric
+# variance V += d*n1*n2*(n-d)/(n^2*(n-1)) accumulate as FIXED-POINT
+# 1e9 integers (each term floor-divided via the exactly-divisible
+# identity; DECIMAL(38,0)/HUGEINT internals, BIGINT outputs), so O-E
+# and V hash bit-exactly and z composes with one identical IEEE
+# expression. NO recursion anywhere — the estimator is a pure
+# windowed aggregate. Scale shape: user-keyed sessionization
+# shuffles, then everything runs on the distinct-duration frame
+# (bounded by max session minutes, same argument as KM); the at-risk
+# windows are that bounded series.
+# ---------------------------------------------------------------------------
+@query(
+    "logrank_cohort_survival",
+    oracle="""
+    WITH horizon AS (
+      SELECT MAX(ts) AS hmax FROM events
+    ), gaps AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER w)
+                       > 1800000000
+                  OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END
+               AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id
+                 ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_id
+      FROM gaps
+    ), lab AS (
+      SELECT user_id % 2 AS grp,
+             (epoch_us(MAX(ts)) - epoch_us(MIN(ts)))
+               // 60000000 AS t,
+             CASE WHEN epoch_us(MAX(ts))
+                       >= epoch_us(MAX(hmax)) - 3600000000
+                  THEN 1 ELSE 0 END AS censored
+      FROM sess CROSS JOIN horizon
+      GROUP BY user_id, session_id
+    ), risk AS (
+      SELECT t,
+             CAST(SUM(CASE WHEN grp = 0 AND censored = 0
+                           THEN 1 ELSE 0 END) AS BIGINT) AS d1,
+             CAST(SUM(CASE WHEN grp = 0 AND censored = 1
+                           THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+             CAST(SUM(CASE WHEN grp = 1 AND censored = 0
+                           THEN 1 ELSE 0 END) AS BIGINT) AS d2,
+             CAST(SUM(CASE WHEN grp = 1 AND censored = 1
+                           THEN 1 ELSE 0 END) AS BIGINT) AS c2
+      FROM lab GROUP BY t
+    ), tots AS (
+      SELECT CAST(SUM(d1 + c1) AS BIGINT) AS na,
+             CAST(SUM(d2 + c2) AS BIGINT) AS nb
+      FROM risk
+    ), atrisk AS (
+      SELECT t, d1, d2,
+             CAST(na - COALESCE(SUM(d1 + c1) OVER (ORDER BY t
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                 0) AS BIGINT) AS n1,
+             CAST(nb - COALESCE(SUM(d2 + c2) OVER (ORDER BY t
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                 0) AS BIGINT) AS n2
+      FROM risk CROSS JOIN tots
+    ), terms AS (
+      SELECT d1,
+             (e0 - ((e0 % n) + n) % n) // n AS e1_t,
+             CASE WHEN n > 1
+                  THEN (v0 - ((v0 % vd) + vd) % vd) // vd
+                  ELSE CAST(0 AS HUGEINT) END AS v_t
+      FROM (
+        SELECT d1, n1 + n2 AS n,
+               1000000000::HUGEINT * (d1 + d2) * n1 AS e0,
+               1000000000::HUGEINT * (d1 + d2) * n1 * n2
+                 * (n1 + n2 - d1 - d2) AS v0,
+               CAST(n1 + n2 AS HUGEINT) * (n1 + n2)
+                 * (n1 + n2 - 1) AS vd
+        FROM atrisk WHERE d1 + d2 > 0
+      ) x
+    )
+    SELECT tots.na AS n_sessions_a, tots.nb AS n_sessions_b,
+           agg.o1 AS deaths_a,
+           CAST(agg.e1s AS BIGINT) AS expected_a_x1e9,
+           CAST(agg.vs AS BIGINT) AS var_x1e9,
+           CAST(1000000000 * agg.o1 - agg.e1s AS DOUBLE)
+             / SQRT(CAST(agg.vs AS DOUBLE) * 1e9) AS z
+    FROM tots CROSS JOIN (
+      SELECT CAST(SUM(d1) AS BIGINT) AS o1,
+             SUM(e1_t) AS e1s, SUM(v_t) AS vs
+      FROM terms
+    ) agg
+    """,
+)
+def logrank_cohort_survival(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    d38 = "decimal(38,0)"
+    horizon = ev.agg(_epoch_us(F.max("ts")).alias("hmax_us"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = _epoch_us(F.col("ts")) - _epoch_us(F.lag("ts").over(w))
+    new_session = F.when(
+        gap_us.isNull() | (gap_us > 30 * 60 * 1_000_000), 1
+    ).otherwise(0)
+    wsum = Window.partitionBy("user_id").orderBy(
+        "ts", "event_id"
+    ).rowsBetween(Window.unboundedPreceding, 0)
+    sess = ev.withColumn("new_session", new_session).withColumn(
+        "session_id", F.sum("new_session").over(wsum)
+    )
+    lab = (
+        sess.groupBy("user_id", "session_id")
+        .agg(
+            _epoch_us(F.min("ts")).alias("start_us"),
+            _epoch_us(F.max("ts")).alias("end_us"),
+        )
+        .crossJoin(F.broadcast(horizon))
+        .select(
+            F.pmod(F.col("user_id"), F.lit(2)).alias("grp"),
+            F.expr("(end_us - start_us) div 60000000").alias("t"),
+            F.when(
+                F.col("end_us") >= F.col("hmax_us") - 3_600_000_000,
+                F.lit(1),
+            )
+            .otherwise(F.lit(0))
+            .alias("censored"),
+        )
+    )
+    dead = 1 - F.col("censored")
+    is_a = (F.col("grp") == 0).cast("long")
+    risk = lab.groupBy("t").agg(
+        F.sum(is_a * dead).alias("d1"),
+        F.sum(is_a * F.col("censored")).alias("c1"),
+        F.sum((1 - is_a) * dead).alias("d2"),
+        F.sum((1 - is_a) * F.col("censored")).alias("c2"),
+    ).localCheckpoint(
+        eager=True
+    )  # duration-bounded frame; stops tots+atrisk re-running the
+    # whole sessionization pipeline (one events scan, not three)
+    tots = risk.agg(
+        F.sum(F.col("d1") + F.col("c1")).alias("na"),
+        F.sum(F.col("d2") + F.col("c2")).alias("nb"),
+    )
+    w_prev = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, -1
+    )  # distinct-durations frame: bounded, same argument as KM
+    atrisk = risk.crossJoin(F.broadcast(tots)).select(
+        "d1",
+        "d2",
+        (
+            F.col("na")
+            - F.coalesce(
+                F.sum(F.col("d1") + F.col("c1")).over(w_prev),
+                F.lit(0),
+            )
+        ).alias("n1"),
+        (
+            F.col("nb")
+            - F.coalesce(
+                F.sum(F.col("d2") + F.col("c2")).over(w_prev),
+                F.lit(0),
+            )
+        ).alias("n2"),
+    ).filter(F.col("d1") + F.col("d2") > 0)
+    n = (F.col("n1") + F.col("n2")).cast(d38)
+    d = (F.col("d1") + F.col("d2")).cast(d38)
+    e0 = F.lit(10**9).cast(d38) * d * F.col("n1").cast(d38)
+    v0 = (
+        F.lit(10**9).cast(d38)
+        * d
+        * F.col("n1").cast(d38)
+        * F.col("n2").cast(d38)
+        * (n - d)
+    )
+    vd = n * n * (n - 1)
+    terms = atrisk.select(
+        "d1",
+        ((e0 - F.pmod(e0, n)) / n).cast(d38).alias("e1_t"),
+        F.when(
+            n > 1, ((v0 - F.pmod(v0, vd)) / vd).cast(d38)
+        )
+        .otherwise(F.lit(0).cast(d38))
+        .alias("v_t"),
+    )
+    agg = terms.agg(
+        F.sum("d1").cast("long").alias("o1"),
+        F.sum("e1_t").cast(d38).alias("e1s"),
+        F.sum("v_t").cast(d38).alias("vs"),
+    )
+    return tots.crossJoin(F.broadcast(agg)).select(
+        F.col("na").alias("n_sessions_a"),
+        F.col("nb").alias("n_sessions_b"),
+        F.col("o1").alias("deaths_a"),
+        F.col("e1s").cast("long").alias("expected_a_x1e9"),
+        F.col("vs").cast("long").alias("var_x1e9"),
+        (
+            (
+                F.lit(10**9).cast(d38) * F.col("o1") - F.col("e1s")
+            ).cast("double")
+            / F.sqrt(F.col("vs").cast("double") * F.lit(1e9))
+        ).alias("z"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Link prediction on the co-ordered-parts graph: common-neighbor and
+# Jaccard scores for part pairs that are NOT yet edges — the classic
+# graph-completion / recommendation primitive (Liben-Nowell & Kleinberg
+# 2003) beside the triangle/k-core/community suite, and the same
+# wedge-join shape triangle counting uses. Candidates come from
+# 2-paths (u-w-v with u<v), existing edges are removed with an anti
+# join, and jaccard_ppm = floor(1e6*cn / (deg_u + deg_v - cn)) is
+# exact integer. Scale shape: wedge work is sum(deg(w)^2), kept at
+# signal density by the same >= 2 co-order weight prune the triangle
+# operator uses (a 100-TB graph adds a degree cap or heavy-hitter
+# split before the wedge join — the hub mitigation documented in
+# SCALING.md); never an all-pairs product. Top-20 via
+# TakeOrderedAndProject with a full deterministic tiebreak.
+# ---------------------------------------------------------------------------
+@query(
+    "part_link_prediction_topk",
+    oracle="""
+    WITH it AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e AS (
+      SELECT a.l_partkey AS u, b.l_partkey AS v
+      FROM it a JOIN it b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY u, v HAVING COUNT(*) >= 2
+    ),
+    und AS (
+      SELECT u, v FROM e UNION ALL SELECT v, u FROM e
+    ),
+    deg AS (
+      SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS d
+      FROM und GROUP BY u
+    ),
+    cand AS (
+      SELECT a.u AS x, b.v AS y, CAST(COUNT(*) AS BIGINT) AS cn
+      FROM und a JOIN und b ON b.u = a.v AND a.u < b.v
+      GROUP BY x, y
+    ),
+    nonedge AS (
+      SELECT c.x, c.y, c.cn FROM cand c
+      WHERE NOT EXISTS (SELECT 1 FROM e
+                        WHERE e.u = c.x AND e.v = c.y)
+    )
+    SELECT n.x AS part_a, n.y AS part_b, n.cn AS common_neighbors,
+           CAST((1000000 * n.cn) // (da.d + db.d - n.cn) AS BIGINT)
+             AS jaccard_ppm
+    FROM nonedge n
+    JOIN deg da ON da.node = n.x
+    JOIN deg db ON db.node = n.y
+    ORDER BY common_neighbors DESC, jaccard_ppm DESC, part_a, part_b
+    LIMIT 20
+    """,
+)
+def part_link_prediction_topk(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    it = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = it.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u")
+    )
+    b = it.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v")
+    )
+    e = (
+        a.join(b, "ok")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= 2)
+        .select("u", "v")
+        .localCheckpoint(eager=True)  # edge list: 4 consumers below
+    )
+    und = e.unionByName(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    deg = und.groupBy(F.col("u").alias("node")).agg(
+        F.count(F.lit(1)).alias("d")
+    )
+    wa = und.select(F.col("u").alias("x"), F.col("v").alias("w"))
+    wb = und.select(F.col("u").alias("w"), F.col("v").alias("y"))
+    cand = (
+        wa.join(wb, "w")
+        .filter(F.col("x") < F.col("y"))
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).alias("cn"))
+    )
+    nonedge = cand.join(
+        e,
+        (cand["x"] == e["u"]) & (cand["y"] == e["v"]),
+        "left_anti",
+    )
+    da = deg.select(F.col("node").alias("x"), F.col("d").alias("dx"))
+    db = deg.select(F.col("node").alias("y"), F.col("d").alias("dy"))
+    return (
+        nonedge.join(da, "x")
+        .join(db, "y")
+        .select(
+            F.col("x").alias("part_a"),
+            F.col("y").alias("part_b"),
+            F.col("cn").alias("common_neighbors"),
+            F.expr("CAST(1000000 * cn DIV (dx + dy - cn) AS BIGINT)")
+            .alias("jaccard_ppm"),
+        )
+        .orderBy(
+            F.col("common_neighbors").desc(),
+            F.col("jaccard_ppm").desc(),
+            "part_a",
+            "part_b",
+        )
+        .limit(20)
+    )
