@@ -91,6 +91,25 @@ def main() -> int:
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir)
+            # Same dtype contract as the oracle side below: result
+            # schemas stay in the plain portable set so no comparator
+            # (tuple-, pandas-, or Arrow-based) can see different
+            # logical types between engines.
+            _OK = {
+                "bigint", "int", "smallint", "tinyint", "double",
+                "float", "string", "date", "boolean", "timestamp",
+                "timestamp_ntz",
+            }
+            s_leaky = [
+                f"{f.name}:{f.dataType.simpleString()}"
+                for f in sdf.schema.fields
+                if f.dataType.simpleString() not in _OK
+            ]
+            if s_leaky:
+                print(f"FAIL {name}: spark dtype leak {s_leaky}")
+                record(name, err=f"spark dtype leak: {s_leaky}")
+                failures += 1
+                continue
             srows = sdf.collect()
             scols = sdf.columns
         except Exception as exc:
