@@ -80,6 +80,9 @@ _GATE_PRIORITY = [
     'spearman_qty_price',
     'logrank_cohort_survival',
     'part_link_prediction_topk',
+    'feature_hashing_stats',
+    'target_encode_priority',
+    'bm25_ndcg_eval',
     'trimmed_mean_order_total',
     'part_name_blocked_matches',
     'mann_whitney_value_shift',

@@ -16810,3 +16810,303 @@ def part_link_prediction_topk(
         )
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Feature hashing (the "hashing trick", Weinberger et al. 2009) —
+# the large-scale categorical-feature prep step that maps an unbounded
+# feature vocabulary into a fixed 2^k bucket space. Three part
+# attributes melt into prefixed feature strings, hash with the
+# engine's cross-engine md5 bucket (llm/text.py:token_hash60 — DuckDB
+# derives identical assignments), and the report quantifies the
+# collision cost a model would pay: bucket occupancy, colliding
+# vocabulary share, and a chi-square uniformity score in exact ppm
+# (S = sum over all m buckets of (m*load - T)^2 kept integer; empty
+# buckets contribute (0 - T)^2 via the closed-form (m - used) * T^2
+# term, no m-row table ever materialized). Scale shape: one melted
+# scan, one vocabulary-sized aggregate, one bucket-sized aggregate —
+# map-side-combinable end to end; the 100-TB corpus changes T, never
+# the bucket frame.
+# ---------------------------------------------------------------------------
+@query(
+    "feature_hashing_stats",
+    oracle="""
+    WITH feats AS (
+      SELECT 'brand=' || p_brand AS feat FROM part
+      UNION ALL SELECT 'type=' || p_type FROM part
+      UNION ALL SELECT 'size=' || CAST(p_size AS VARCHAR) FROM part
+    ), vocab AS (
+      SELECT feat, CAST(COUNT(*) AS BIGINT) AS n,
+             ('0x' || substr(md5(feat), 1, 15))::BIGINT % 128
+               AS bucket
+      FROM feats GROUP BY feat
+    ), buckets AS (
+      SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_values,
+             CAST(SUM(n) AS BIGINT) AS load
+      FROM vocab GROUP BY bucket
+    ), agg AS (
+      SELECT CAST((SELECT COUNT(*) FROM vocab) AS BIGINT) AS n_vals,
+             CAST(COUNT(*) AS BIGINT) AS used,
+             CAST(MAX(n_values) AS BIGINT) AS max_vals,
+             CAST(SUM(CASE WHEN n_values >= 2 THEN n_values
+                           ELSE 0 END) AS BIGINT) AS colliding,
+             CAST(SUM(load) AS BIGINT) AS t,
+             SUM((128::HUGEINT * load - (SELECT SUM(load) FROM buckets))
+                 * (128::HUGEINT * load
+                    - (SELECT SUM(load) FROM buckets))) AS s_used
+      FROM buckets
+    )
+    SELECT n_vals AS n_feature_values,
+           used AS n_buckets_used,
+           colliding AS n_colliding_values,
+           max_vals AS max_bucket_values,
+           t AS total_instances,
+           CAST((num - ((num % den) + den) % den) // den AS BIGINT)
+             AS chi2_ppm
+    FROM (SELECT n_vals, used, colliding, max_vals, t,
+                 1000000::HUGEINT
+                   * (s_used + (128 - used)::HUGEINT * t * t) AS num,
+                 128::HUGEINT * t AS den
+          FROM agg) x
+    """,
+)
+def feature_hashing_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    d38 = "decimal(38,0)"
+    # one melted scan (stack), not a 3-branch union: the IND-profile
+    # discipline — adding features must not add scans
+    feats = part.selectExpr(
+        "stack(3, 'brand=' || p_brand, 'type=' || p_type,"
+        " 'size=' || CAST(p_size AS STRING)) AS feat"
+    )
+    vocab = (
+        feats.groupBy("feat")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn(
+            "bucket", llm_text.token_hash60(F.col("feat")) % 128
+        )
+        .localCheckpoint(eager=True)  # vocabulary-sized; 2 consumers
+    )
+    buckets = vocab.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_values"),
+        F.sum("n").alias("load"),
+    )
+    tot = buckets.agg(F.sum("load").cast(d38).alias("t"))
+    agg = buckets.crossJoin(F.broadcast(tot)).agg(
+        F.count(F.lit(1)).alias("used"),
+        F.max("n_values").alias("max_vals"),
+        F.sum(
+            F.when(F.col("n_values") >= 2, F.col("n_values"))
+            .otherwise(F.lit(0))
+        ).alias("colliding"),
+        F.max("t").alias("t"),
+        F.sum(
+            (F.lit(128).cast(d38) * F.col("load") - F.col("t"))
+            * (F.lit(128).cast(d38) * F.col("load") - F.col("t"))
+        ).cast(d38).alias("s_used"),
+    )
+    nvals = vocab.agg(F.count(F.lit(1)).alias("n_vals"))
+    num = (
+        F.lit(10**6).cast(d38)
+        * (
+            F.col("s_used")
+            + (F.lit(128).cast(d38) - F.col("used"))
+            * F.col("t")
+            * F.col("t")
+        )
+    ).cast(d38)
+    den = (F.lit(128).cast(d38) * F.col("t")).cast(d38)
+    return agg.crossJoin(F.broadcast(nvals)).select(
+        F.col("n_vals").alias("n_feature_values"),
+        F.col("used").alias("n_buckets_used"),
+        F.col("colliding").alias("n_colliding_values"),
+        F.col("max_vals").alias("max_bucket_values"),
+        F.col("t").cast("long").alias("total_instances"),
+        ((num - F.pmod(num, den)) / den)
+        .cast("long")
+        .alias("chi2_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Smoothed target encoding (m-estimate, Micci-Barreca 2001) of order
+# priority against the order-total target — the leakage-aware
+# categorical encoder feature pipelines use where one-hot would
+# explode. enc_c = (sum_c + m * global_mean) / (n_c + m) with m = 100,
+# cleared to one exact integer ratio: enc = (s_c*N + m*S) / (N*(n_c+m))
+# in cents, emitted floor-scaled x100 via the exactly-divisible
+# identity — deterministic in both engines, no float means anywhere.
+# Scale shape: one map-side-combinable (priority) aggregate + a 1-row
+# broadcast of the global sums; output is category-sized.
+# ---------------------------------------------------------------------------
+@query(
+    "target_encode_priority",
+    oracle="""
+    WITH per AS (
+      SELECT o_orderpriority,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)) * 100)
+                  AS BIGINT) AS s
+      FROM orders GROUP BY o_orderpriority
+    ), tot AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS nn,
+             CAST(SUM(s) AS BIGINT) AS ss
+      FROM per
+    )
+    SELECT o_orderpriority AS priority, n AS n_orders,
+           s AS sum_cents,
+           CAST((num - ((num % den) + den) % den) // den AS BIGINT)
+             AS enc_cents_x100
+    FROM (SELECT o_orderpriority, n, s,
+                 100::HUGEINT * (s::HUGEINT * nn + 100 * ss) AS num,
+                 nn::HUGEINT * (n + 100) AS den
+          FROM per CROSS JOIN tot) x
+    """,
+)
+def target_encode_priority(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    d38 = "decimal(38,0)"
+    per = orders.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum(_dec("o_totalprice") * 100)).cast("long").alias("s"),
+    )
+    tot = per.agg(
+        F.sum("n").cast(d38).alias("nn"),
+        F.sum("s").cast(d38).alias("ss"),
+    )
+    num = (
+        F.lit(100).cast(d38)
+        * (
+            F.col("s").cast(d38) * F.col("nn")
+            + F.lit(100).cast(d38) * F.col("ss")
+        )
+    ).cast(d38)
+    den = (F.col("nn") * (F.col("n") + 100).cast(d38)).cast(d38)
+    return per.crossJoin(F.broadcast(tot)).select(
+        F.col("o_orderpriority").alias("priority"),
+        F.col("n").alias("n_orders"),
+        F.col("s").alias("sum_cents"),
+        ((num - F.pmod(num, den)) / den)
+        .cast("long")
+        .alias("enc_cents_x100"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# nDCG@10 retrieval evaluation over the BM25 ranking — the graded
+# relevance metric beside the binary recall contracts the ANN lanes
+# carry. Relevance = n_terms_matched (0..3 graded gain, a label both
+# engines derive identically); the rank discount 1/log2(rank+1) is a
+# LITERAL integer ppm table (hardcoded constants, so no runtime libm
+# call whose last ulp could differ across platforms); DCG and the
+# ideal DCG are exact integer dot products over the top-10 frame and
+# ndcg_ppm is their floored ratio. Scale shape: the BM25 scorer's
+# TakeOrderedAndProject hands over 10 rows; everything after is
+# constant-size.
+# ---------------------------------------------------------------------------
+_NDCG_DISC_PPM = [
+    1000000, 630929, 500000, 430676, 386852,
+    356207, 333333, 315464, 301029, 289064,
+]
+
+
+@query(
+    "bm25_ndcg_eval",
+    oracle=f"""
+    WITH words AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      FROM documents
+    ), w2 AS (SELECT * FROM words WHERE term <> ''),
+    dl AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl
+      FROM w2 GROUP BY doc_id
+    ),
+    tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(dl) AS BIGINT) AS total_len
+      FROM dl
+    ),
+    tf AS (
+      SELECT term, doc_id, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM w2
+      WHERE term IN ({", ".join(f"'{t}'" for t in _SEARCH_TERMS)})
+      GROUP BY term, doc_id
+    ),
+    df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+           FROM tf GROUP BY term),
+    scored AS (
+      SELECT doc_id,
+             CAST((1000000::HUGEINT * (2*n_docs - 2*df + 1) * 44
+                   * tf * total_len)
+                  // ((2*df + 1)::HUGEINT
+                      * (20::HUGEINT*tf*total_len
+                         + 6::HUGEINT*total_len
+                         + 18::HUGEINT*dl*n_docs)) AS BIGINT) AS s
+      FROM tf JOIN df USING (term) JOIN dl USING (doc_id)
+      CROSS JOIN tot
+    ),
+    ranked AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS gain,
+             CAST(SUM(s) AS BIGINT) AS score_fp,
+             ROW_NUMBER() OVER (ORDER BY SUM(s) DESC, doc_id) AS rnk
+      FROM scored GROUP BY doc_id
+      ORDER BY score_fp DESC, doc_id LIMIT 10
+    ),
+    disc AS (
+      SELECT * FROM (VALUES
+        {", ".join(f"({i + 1}, {p})" for i, p in enumerate(_NDCG_DISC_PPM))}
+      ) AS t(rnk, disc_ppm)
+    ),
+    ideal AS (
+      SELECT gain,
+             ROW_NUMBER() OVER (ORDER BY gain DESC, doc_id) AS rnk
+      FROM ranked
+    ),
+    sums AS (
+      SELECT (SELECT SUM(r.gain * d.disc_ppm)
+              FROM ranked r JOIN disc d USING (rnk)) AS dcg,
+             (SELECT SUM(i.gain * d.disc_ppm)
+              FROM ideal i JOIN disc d USING (rnk)) AS idcg
+    )
+    SELECT CAST(dcg AS BIGINT) AS dcg_ppm,
+           CAST(idcg AS BIGINT) AS idcg_ppm,
+           CAST((1000000 * dcg
+                 - ((1000000 * dcg % idcg) + idcg) % idcg)
+                // idcg AS BIGINT) AS ndcg_ppm
+    FROM sums
+    """,
+)
+def bm25_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    top = llm_text.bm25_topk(
+        load_table(spark, sf_dir, "documents"), _SEARCH_TERMS, top_k=10
+    ).select(
+        "doc_id",
+        F.col("n_terms_matched").alias("gain"),
+        "score_fp",
+    )
+    w_rank = Window.orderBy(F.col("score_fp").desc(), "doc_id")
+    w_ideal = Window.orderBy(F.col("gain").desc(), "doc_id")
+    ranked = top.withColumn(
+        "rnk", F.row_number().over(w_rank)
+    ).withColumn("irnk", F.row_number().over(w_ideal))
+    disc = F.array(*[F.lit(p) for p in _NDCG_DISC_PPM])
+    sums = ranked.agg(
+        F.sum(
+            F.col("gain") * F.element_at(disc, F.col("rnk"))
+        ).alias("dcg"),
+        F.sum(
+            F.col("gain") * F.element_at(disc, F.col("irnk"))
+        ).alias("idcg"),
+    )
+    num = F.lit(1000000).cast("long") * F.col("dcg")
+    return sums.select(
+        F.col("dcg").cast("long").alias("dcg_ppm"),
+        F.col("idcg").cast("long").alias("idcg_ppm"),
+        ((num - F.pmod(num, F.col("idcg"))) / F.col("idcg"))
+        .cast("long")
+        .alias("ndcg_ppm"),
+    )
