@@ -16999,8 +16999,11 @@ def target_encode_priority(
 # ---------------------------------------------------------------------------
 # nDCG@10 retrieval evaluation over the BM25 ranking — the graded
 # relevance metric beside the binary recall contracts the ANN lanes
-# carry. Relevance = n_terms_matched (0..3 graded gain, a label both
-# engines derive identically); the rank discount 1/log2(rank+1) is a
+# carry. Relevance = total query-term occurrences capped at 7 (a
+# graded 1..7 label both engines derive identically; the cap is what
+# keeps the label from just re-deriving the tf-dominated score, so
+# nDCG < 1 is reachable and measured); the rank discount
+# 1/log2(rank+1) is a
 # LITERAL integer ppm table (hardcoded constants, so no runtime libm
 # call whose last ulp could differ across platforms); DCG and the
 # ideal DCG are exact integer dot products over the top-10 frame and
@@ -17049,11 +17052,17 @@ _NDCG_DISC_PPM = [
       FROM tf JOIN df USING (term) JOIN dl USING (doc_id)
       CROSS JOIN tot
     ),
+    hits AS (
+      SELECT doc_id, CAST(LEAST(SUM(tf), 7) AS BIGINT) AS gain
+      FROM tf GROUP BY doc_id
+    ),
     ranked AS (
-      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS gain,
-             CAST(SUM(s) AS BIGINT) AS score_fp,
-             ROW_NUMBER() OVER (ORDER BY SUM(s) DESC, doc_id) AS rnk
-      FROM scored GROUP BY doc_id
+      SELECT s.doc_id, h.gain,
+             CAST(SUM(s.s) AS BIGINT) AS score_fp,
+             ROW_NUMBER() OVER (ORDER BY SUM(s.s) DESC, s.doc_id)
+               AS rnk
+      FROM scored s JOIN hits h USING (doc_id)
+      GROUP BY s.doc_id, h.gain
       ORDER BY score_fp DESC, doc_id LIMIT 10
     ),
     disc AS (
@@ -17081,13 +17090,25 @@ _NDCG_DISC_PPM = [
     """,
 )
 def bm25_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    top = llm_text.bm25_topk(
-        load_table(spark, sf_dir, "documents"), _SEARCH_TERMS, top_k=10
-    ).select(
-        "doc_id",
-        F.col("n_terms_matched").alias("gain"),
-        "score_fp",
+    docs = load_table(spark, sf_dir, "documents")
+    ranked = llm_text.bm25_topk(
+        docs, _SEARCH_TERMS, top_k=10
+    ).select("doc_id", "score_fp")
+    toks = F.filter(
+        F.split(F.col("text"), " "), lambda x: x != F.lit("")
     )
+    def _hit_count(term: str):
+        # factory, not a default-arg lambda: a 2-arg lambda makes
+        # F.filter pass the ELEMENT INDEX as the second argument
+        return F.size(F.filter(toks, lambda x: x == F.lit(term)))
+
+    hits = sum(_hit_count(t) for t in _SEARCH_TERMS)
+    gains = docs.join(F.broadcast(ranked), "doc_id").select(
+        "doc_id",
+        "score_fp",
+        F.least(hits.cast("long"), F.lit(7)).alias("gain"),
+    )
+    top = gains
     w_rank = Window.orderBy(F.col("score_fp").desc(), "doc_id")
     w_ideal = Window.orderBy(F.col("gain").desc(), "doc_id")
     ranked = top.withColumn(
