@@ -13453,16 +13453,29 @@ def ind_discovery_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         by_table.setdefault(ta, []).append(ca)
         by_table.setdefault(tb, []).append(cb)
     melted = []
+    _INTEGRAL = {"tinyint", "smallint", "int", "bigint"}
     for t, tcols in sorted(by_table.items()):
         cs = sorted(set(tcols))
-        # STRING melt: containment is type-agnostic, and a BIGINT cast
-        # would silently NULL (then drop) any future non-numeric
-        # candidate, under-counting n_unmatched into a false holds=true
+        tdf = load_table(spark, sf_dir, t)
+        # BIGINT melt is only lossless for integral candidates; a
+        # non-numeric column would cast to NULL, drop out of the
+        # containment count, and silently report holds=true. Fail
+        # LOUDLY at build time instead (a STRING melt would be
+        # type-agnostic but measured ~2x slower on the 6M-value
+        # frame — wider shuffle rows for zero benefit while every
+        # candidate is a key column).
+        types = dict(tdf.dtypes)
+        bad = [c for c in cs if types.get(c) not in _INTEGRAL]
+        if bad:
+            raise TypeError(
+                f"IND candidates on {t} must be integral for the "
+                f"BIGINT melt; got {[(c, types.get(c)) for c in bad]}"
+            )
         stack_args = ", ".join(
-            f"'{t}.{c}', CAST({c} AS STRING)" for c in cs
+            f"'{t}.{c}', CAST({c} AS BIGINT)" for c in cs
         )
         melted.append(
-            load_table(spark, sf_dir, t).selectExpr(
+            tdf.selectExpr(
                 f"stack({len(cs)}, {stack_args}) AS (k, v)"
             )
         )
