@@ -15551,11 +15551,14 @@ def customer_spend_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
            CAST(u1_x2 AS BIGINT) AS u1_x2,
            CAST(tie_sum AS BIGINT) AS tie_sum,
-           CAST(u1_x2 - n1 * n2 AS DOUBLE)
-             / (2.0 * SQRT((CAST(n1 * n2 AS DOUBLE)
+           -- VARCHAR-routed HUGEINT->DOUBLE (see spearman oracle):
+           -- U and n1*n2 cross 2^53 near sf100
+           CAST(CAST(u1_x2 - n1 * n2 AS VARCHAR) AS DOUBLE)
+             / (2.0 * SQRT((CAST(CAST(n1 * n2 AS VARCHAR) AS DOUBLE)
                   * (CAST(n1 + n2 + 1 AS DOUBLE)
-                     - CAST(tie_sum AS DOUBLE)
-                       / CAST((n1 + n2) * (n1 + n2 - 1) AS DOUBLE)))
+                     - CAST(CAST(tie_sum AS VARCHAR) AS DOUBLE)
+                       / CAST(CAST((n1 + n2) * (n1 + n2 - 1)
+                                   AS VARCHAR) AS DOUBLE)))
                  / 12.0)) AS z
     FROM agg
     """,
@@ -15787,9 +15790,14 @@ def _corr_matrix_oracle() -> str:
     for a, b in pairs:
         sel.append(f"""
     SELECT '{a}' AS col_a, '{b}' AS col_b,
-           CAST(nn * s_{a}_{b} - s_{a} * s_{b} AS DOUBLE)
-             / SQRT(CAST(nn * s_{a}_{a} - s_{a} * s_{a} AS DOUBLE)
-                    * CAST(nn * s_{b}_{b} - s_{b} * s_{b} AS DOUBLE))
+           -- VARCHAR-routed: direct HUGEINT->DOUBLE is not correctly
+           -- rounded in DuckDB; these moments reach ~1e24
+           CAST(CAST(nn * s_{a}_{b} - s_{a} * s_{b} AS VARCHAR)
+                AS DOUBLE)
+             / SQRT(CAST(CAST(nn * s_{a}_{a} - s_{a} * s_{a}
+                              AS VARCHAR) AS DOUBLE)
+                    * CAST(CAST(nn * s_{b}_{b} - s_{b} * s_{b}
+                                AS VARCHAR) AS DOUBLE))
              AS r FROM m""")
     return (
         "WITH m AS (SELECT " + ", ".join(moments) + " FROM lineitem) "
@@ -16331,10 +16339,13 @@ def probe_hw_recursion_cumsum(
            CAST(sb - (ss * ss - ((ss * ss % nn) + nn) % nn) // nn
                 AS BIGINT) AS ssb_cents2,
            CAST(qq - sb AS BIGINT) AS ssw_cents2,
-           CAST(sb - (ss * ss - ((ss * ss % nn) + nn) % nn) // nn
-                AS DOUBLE)
+           -- VARCHAR-routed HUGEINT->DOUBLE (see spearman oracle):
+           -- SSB/SSW cross 2^53 near sf10
+           CAST(CAST(sb - (ss * ss - ((ss * ss % nn) + nn) % nn) // nn
+                     AS VARCHAR) AS DOUBLE)
              * CAST(nn - k AS DOUBLE)
-             / (CAST(qq - sb AS DOUBLE) * CAST(k - 1 AS DOUBLE))
+             / (CAST(CAST(qq - sb AS VARCHAR) AS DOUBLE)
+                * CAST(k - 1 AS DOUBLE))
              AS f_stat
     FROM tots
     """,
@@ -16438,9 +16449,16 @@ def anova_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT CAST(n AS BIGINT) AS n_rows,
            CAST(sx AS BIGINT) AS sum_rank2_qty,
-           CAST(n * sxy - sx * sy AS DOUBLE)
-             / SQRT(CAST(n * sxx - sx * sx AS DOUBLE)
-                    * CAST(n * syy - sy * sy AS DOUBLE)) AS rho
+           -- VARCHAR-routed double casts: DuckDB's direct
+           -- HUGEINT->DOUBLE is double-rounded (upper*2^64 + lower)
+           -- and diverges from Spark's correctly-rounded decimal
+           -- path by ulps once the integer exceeds 2^53 (caught by
+           -- the sf0.1 robustness sweep); strtod is correctly
+           -- rounded, so the string hop restores bit equality.
+           CAST(CAST(n * sxy - sx * sy AS VARCHAR) AS DOUBLE)
+             / SQRT(CAST(CAST(n * sxx - sx * sx AS VARCHAR) AS DOUBLE)
+                    * CAST(CAST(n * syy - sy * sy AS VARCHAR)
+                           AS DOUBLE)) AS rho
     FROM m
     """,
 )
@@ -16589,8 +16607,12 @@ def spearman_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
            agg.o1 AS deaths_a,
            CAST(agg.e1s AS BIGINT) AS expected_a_x1e9,
            CAST(agg.vs AS BIGINT) AS var_x1e9,
-           CAST(1000000000 * agg.o1 - agg.e1s AS DOUBLE)
-             / SQRT(CAST(agg.vs AS DOUBLE) * 1e9) AS z
+           -- VARCHAR-routed (see spearman oracle): O-E and V scale
+           -- with deaths x 1e9 and cross 2^53 near sf100
+           CAST(CAST(1000000000 * agg.o1 - agg.e1s AS VARCHAR)
+                AS DOUBLE)
+             / SQRT(CAST(CAST(agg.vs AS VARCHAR) AS DOUBLE) * 1e9)
+             AS z
     FROM tots CROSS JOIN (
       SELECT CAST(SUM(d1) AS BIGINT) AS o1,
              SUM(e1_t) AS e1s, SUM(v_t) AS vs
