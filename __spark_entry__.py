@@ -83,6 +83,23 @@ _GATE_PRIORITY = [
     'feature_hashing_stats',
     'target_encode_priority',
     'bm25_ndcg_eval',
+    # -- changed in round 9: _dec_double single-rounding rewrite + the
+    # VARCHAR-routed HUGEINT/DECIMAL->DOUBLE oracle casts (values may
+    # shift by ulps, so the gate re-verifies each) ------------------
+    'daily_revenue_acf',
+    'ols_daily_revenue',
+    'ols_price_on_quantity',
+    'corr_qty_price_exact_moments',
+    'nation_order_gini',
+    'ewma_revenue_trend',
+    'rolling_zscore_daily_revenue',
+    'cusum_revenue_changepoint',
+    'time_weighted_avg_value',
+    'nation_revenue_share',
+    'attribution_last_touch',
+    'grouping_sets_flag_status',
+    'dsir_resample_topn',
+    'weekly_retention_cohorts',
     'trimmed_mean_order_total',
     'part_name_blocked_matches',
     'mann_whitney_value_shift',

@@ -5227,30 +5227,28 @@ def weekly_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _dec_double(col: "F.Column") -> "F.Column":
-    """Bit-stable DECIMAL -> DOUBLE: ``double(floor(x)) + double(x -
-    floor(x))``.
+    """Bit-stable DECIMAL -> DOUBLE: ONE correctly-rounded conversion.
 
-    A direct cast of a wide decimal is NOT bit-stable across engines:
-    DuckDB converts scale-s decimals as ``double(unscaled) /
-    double(10^s)`` (two roundings when unscaled exceeds 2^53) while
-    the JVM parses the exact string (one rounding), so sums past ~16
-    significant digits can differ in the last ulp. Splitting first
-    makes every primitive op identical in both engines: the integer
-    part is one int->double conversion (correctly rounded by IEEE in
-    both), the sub-1 fraction is one exact-operand division, and the
-    final add rounds the same two doubles. The oracle twin spells the
-    same split in SQL.
+    A direct DuckDB cast of a wide decimal is NOT bit-stable across
+    engines: DuckDB converts int128-backed values (HUGEINT, and any
+    DECIMAL with precision > 18 or integer part > 2^53) through
+    ``double(upper) * 2^64 + double(lower)`` — two roundings — while
+    the JVM's BigDecimal.doubleValue() rounds once, so results can
+    differ in the last ulp (reproduced at sf0.1 by the round-9
+    robustness sweep). The earlier floor+frac split only moved the
+    problem: DuckDB's FLOOR keeps the int128 backing, so the integer
+    part itself double-rounds past 2^53. The stable contract is ONE
+    correctly-rounded conversion per side: Spark's decimal cast is
+    BigDecimal.doubleValue (correct), and the oracle twin hops
+    through VARCHAR so strtod performs the single correct rounding
+    of the same exact digits.
     """
-    ipart = F.floor(col)
-    return ipart.cast("double") + (col - ipart).cast("double")
+    return col.cast("double")
 
 
 def _duck_dec_double(expr: str) -> str:
     """DuckDB twin of ``_dec_double`` (see its docstring)."""
-    return (
-        f"(CAST(FLOOR({expr}) AS DOUBLE)"
-        f" + CAST(({expr}) - FLOOR({expr}) AS DOUBLE))"
-    )
+    return f"CAST(CAST(({expr}) AS VARCHAR) AS DOUBLE)"
 
 
 # ---------------------------------------------------------------------------
@@ -15279,11 +15277,15 @@ def _ols_oracle() -> str:
            {fdiv['det0']} AS b0_ppm,
            {fdiv['det1']} AS b1_ppm,
            {fdiv['det2']} AS b2_ppm,
-           1.0 - (CAST(syy*det - (det0*sy + det1*s1y + det2*s2y)
-                       AS DOUBLE)
-                  / CAST(det AS DOUBLE))
+           -- VARCHAR-routed HUGEINT->DOUBLE (see _duck_dec_double):
+           -- determinants and SSE cross 2^53 well inside the tested
+           -- scale range
+           1.0 - (CAST(CAST(syy*det - (det0*sy + det1*s1y + det2*s2y)
+                            AS VARCHAR) AS DOUBLE)
+                  / CAST(CAST(det AS VARCHAR) AS DOUBLE))
                  * (CAST(nn AS DOUBLE)
-                    / CAST(nn*syy - sy*sy AS DOUBLE)) AS r2
+                    / CAST(CAST(nn*syy - sy*sy AS VARCHAR)
+                           AS DOUBLE)) AS r2
     FROM nrm
     """
 
