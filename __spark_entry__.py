@@ -100,6 +100,7 @@ _GATE_PRIORITY = [
     'grouping_sets_flag_status',
     'dsir_resample_topn',
     'weekly_retention_cohorts',
+    'embedding_pq_topk',
     'trimmed_mean_order_total',
     'part_name_blocked_matches',
     'mann_whitney_value_shift',

@@ -8798,7 +8798,21 @@ _PQ_RECALL_FLOOR = 0.5
 )
 def embedding_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    pq = llm_vectors.pq_topk(emb, query_ids=_ANN_QUERY_IDS, k=10, dim=64)
+    # The ADC shortlist is the recall dial: a FIXED shortlist decays
+    # as the corpus grows (the sf0.1 robustness sweep measured qid-1
+    # recall 0.3 at 2000 vectors with the old fixed 100). 20% of the
+    # corpus holds the measured 0.8-1.0 band at every tested SF; a
+    # 100-TB store doesn't run FLAT PQ at all — the IVFPQ lane
+    # (embedding_ivfpq_topk) is the scale path, where cell pruning
+    # bounds the scan and the shortlist stays cell-local.
+    n = emb.count()
+    pq = llm_vectors.pq_topk(
+        emb,
+        query_ids=_ANN_QUERY_IDS,
+        k=10,
+        dim=64,
+        shortlist=max(100, n // 5),
+    )
     exact = llm_vectors.cosine_topk(emb, query_ids=_ANN_QUERY_IDS, k=10)
     hits = exact.select("qid", "neighbor_id").join(
         pq.select("qid", "neighbor_id"), ["qid", "neighbor_id"], "left_semi"
