@@ -83,6 +83,7 @@ _GATE_PRIORITY = [
     'feature_hashing_stats',
     'target_encode_priority',
     'bm25_ndcg_eval',
+    'isotonic_quality_calibration',
     # -- changed in round 9: _dec_double single-rounding rewrite + the
     # VARCHAR-routed HUGEINT/DECIMAL->DOUBLE oracle casts (values may
     # shift by ulps, so the gate re-verifies each) ------------------

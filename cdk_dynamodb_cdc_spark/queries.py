@@ -17182,3 +17182,122 @@ def bm25_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("ndcg_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Isotonic regression (PAVA) calibration curve — the monotone
+# calibrator (Zadrozny & Elkan 2002; Robertson's minimax identity)
+# that maps a raw score to a calibrated probability, fit here for
+# P(lang = 'en' | document length bin). Instead of replaying the
+# sequential pool-adjacent-violators merges (stateful, order-
+# sensitive), BOTH engines compute the closed-form minimax
+# characterization of the unique isotonic fit:
+#     fitted(i) = min_{b >= i} max_{a <= i} mean(y over bins a..b)
+# entirely in integers: interval means are exact fractions compared
+# through one 1e12 fixed-point floor (ties collapse to the same
+# output value, so the minimax is deterministic), and the result is
+# emitted in ppm. Scale shape: one scan collapses the corpus to a
+# DOMAIN-BOUNDED bin frame (<= 200 rows at any corpus size); the
+# a<=i<=b triple frame is bins^3/6 ~ 1.3M tiny rows — constant work
+# independent of corpus size, all joins broadcastable.
+# ---------------------------------------------------------------------------
+@query(
+    "isotonic_quality_calibration",
+    oracle="""
+    WITH bins AS (
+      SELECT LEAST(n_chars // 50, 199) AS bin,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS sy
+      FROM documents GROUP BY bin
+    ), pre AS (
+      SELECT bin, n, sy,
+             SUM(n) OVER w AS cn, SUM(sy) OVER w AS cs
+      FROM bins
+      WINDOW w AS (ORDER BY bin
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ), pairs AS (
+      SELECT a.bin AS a, b.bin AS b,
+             1000000000000 * (b.cs - a.cs + a.sy) AS num,
+             b.cn - a.cn + a.n AS den
+      FROM pre a JOIN pre b ON a.bin <= b.bin
+    ), scaled AS (
+      SELECT a, b,
+             CAST((num - ((num % den) + den) % den) // den AS BIGINT)
+               AS m
+      FROM pairs
+    ), inner_max AS (
+      SELECT i.bin AS bin, s.b, MAX(s.m) AS mx
+      FROM scaled s JOIN bins i ON s.a <= i.bin AND i.bin <= s.b
+      GROUP BY i.bin, s.b
+    ), fit AS (
+      SELECT bin, MIN(mx) AS fitted_scaled FROM inner_max GROUP BY bin
+    )
+    SELECT CAST(bins.bin AS BIGINT) AS bin, bins.n AS n_docs,
+           bins.sy AS n_positive,
+           CAST(fit.fitted_scaled // 1000000 AS BIGINT) AS fitted_ppm
+    FROM bins JOIN fit USING (bin)
+    """,
+)
+def isotonic_quality_calibration(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    bins = docs.groupBy(
+        F.least(F.expr("n_chars div 50"), F.lit(199)).alias("bin")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("lang") == "en").cast("long")).alias("sy"),
+    ).localCheckpoint(eager=True)  # domain-bounded (<= 200 rows)
+    w = Window.orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, 0
+    )  # bin-frame window: bounded by the 200-bin domain
+    pre = bins.select(
+        "bin", "n", "sy",
+        F.sum("n").over(w).alias("cn"),
+        F.sum("sy").over(w).alias("cs"),
+    )
+    a = pre.select(
+        F.col("bin").alias("a"),
+        F.col("cn").alias("cn_a"),
+        F.col("cs").alias("cs_a"),
+        F.col("n").alias("n_a"),
+        F.col("sy").alias("sy_a"),
+    )
+    b = pre.select(
+        F.col("bin").alias("b"),
+        F.col("cn").alias("cn_b"),
+        F.col("cs").alias("cs_b"),
+    )
+    num = (
+        F.lit(10**12).cast("long")
+        * (F.col("cs_b") - F.col("cs_a") + F.col("sy_a"))
+    )
+    den = F.col("cn_b") - F.col("cn_a") + F.col("n_a")
+    scaled = (
+        a.join(b, F.col("a") <= F.col("b"))
+        .select(
+            "a",
+            "b",
+            ((num - F.pmod(num, den)) / den).cast("long").alias("m"),
+        )
+    )
+    i = bins.select(F.col("bin").alias("i"))
+    inner_max = (
+        scaled.join(
+            i, (F.col("a") <= F.col("i")) & (F.col("i") <= F.col("b"))
+        )
+        .groupBy("i", "b")
+        .agg(F.max("m").alias("mx"))
+    )
+    fit = inner_max.groupBy("i").agg(F.min("mx").alias("fitted_scaled"))
+    return (
+        bins.join(fit, bins["bin"] == fit["i"])
+        .select(
+            F.col("bin").cast("long").alias("bin"),
+            F.col("n").alias("n_docs"),
+            F.col("sy").alias("n_positive"),
+            F.expr("CAST(fitted_scaled div 1000000 AS BIGINT)")
+            .alias("fitted_ppm"),
+        )
+    )
