@@ -8798,20 +8798,19 @@ _PQ_RECALL_FLOOR = 0.5
 )
 def embedding_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    # The ADC shortlist is the recall dial: a FIXED shortlist decays
-    # as the corpus grows (the sf0.1 robustness sweep measured qid-1
-    # recall 0.3 at 2000 vectors with the old fixed 100). 20% of the
-    # corpus holds the measured 0.8-1.0 band at every tested SF; a
-    # 100-TB store doesn't run FLAT PQ at all — the IVFPQ lane
+    # The ADC shortlist is the recall dial: pq_topk sizes it to 20%
+    # of the corpus (floor 100) off its own checkpointed codes frame
+    # — no extra scan here. The sf0.1 robustness sweep measured the
+    # old fixed-100 shortlist at qid-1 recall 0.3; the adaptive size
+    # holds the 0.8-1.0 band at every tested SF. A 100-TB store
+    # doesn't run FLAT PQ at all — the IVFPQ lane
     # (embedding_ivfpq_topk) is the scale path, where cell pruning
     # bounds the scan and the shortlist stays cell-local.
-    n = emb.count()
     pq = llm_vectors.pq_topk(
         emb,
         query_ids=_ANN_QUERY_IDS,
         k=10,
         dim=64,
-        shortlist=max(100, n // 5),
     )
     exact = llm_vectors.cosine_topk(emb, query_ids=_ANN_QUERY_IDS, k=10)
     hits = exact.select("qid", "neighbor_id").join(
@@ -17269,11 +17268,23 @@ def isotonic_quality_calibration(
         F.col("cn").alias("cn_b"),
         F.col("cs").alias("cs_b"),
     )
+    # Fixed-point fold in decimal(38,0), like the sibling ANOVA/KM
+    # folds: a LONG numerator (1e12 * cumulative doc count) overflows
+    # int64 past ~9.2M documents, and a long/long division runs in
+    # double, which misrounds exact quotients past 2^53 — the oracle
+    # computes the same expression in int128, so both hazards are
+    # Spark-side only. decimal keeps multiply, pmod, and the exact
+    # division lossless at any corpus this engine targets; the
+    # quotient itself is <= 1e12 (a mean in ppt), so the final BIGINT
+    # cast never truncates.
     num = (
-        F.lit(10**12).cast("long")
+        F.lit(10**12).cast("decimal(13,0)")
         * (F.col("cs_b") - F.col("cs_a") + F.col("sy_a"))
+        .cast("decimal(19,0)")
     )
-    den = F.col("cn_b") - F.col("cn_a") + F.col("n_a")
+    den = (
+        (F.col("cn_b") - F.col("cn_a") + F.col("n_a")).cast("decimal(19,0)")
+    )
     scaled = (
         a.join(b, F.col("a") <= F.col("b"))
         .select(

@@ -2,7 +2,11 @@
 replacement for an unpartitioned cumulative window over a distinct-
 value frame. The contract: bit-identical positions to the flat
 window for ANY value distribution, inclusive and exclusive frames,
-including negative values (`div` floors toward -inf consistently) and
+including negative values (`div` truncates toward zero, which is
+monotone non-decreasing in the dividend for a fixed positive divisor,
+so bucket assignment preserves value order — the invariant the
+two-level rewrite needs; it does NOT floor toward -inf, so nothing
+here may rely on floor behavior at negative bucket boundaries) and
 single-bucket / one-row degenerate shapes."""
 
 import pytest
