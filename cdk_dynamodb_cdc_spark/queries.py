@@ -16315,6 +16315,31 @@ def probe_hw_recursion_cumsum(
     )
 
 
+# The bisect probes above decomposed the two recursive queries whose
+# oracles driver-gate hash-failed in r7/r8. That bug is root-caused
+# (HUGEINT result-schema leak) and canary-guarded class-wide in
+# tools/check_correctness.py, so the probes no longer earn registry
+# slots: they are demoted here to a PROBES side table — still exact
+# decompositions of the originals, still exercised every CI run by
+# tests/test_gate_probes.py (stage-parity against the live queries)
+# — and their 10 gate positions return to the rotation.
+PROBES: dict = {}
+PROBE_ORACLES: dict = {}
+for _probe_name in [
+    "probe_km_risk_table",
+    "probe_km_step_factors",
+    "probe_km_unrolled3",
+    "probe_km_recursion_cumsum",
+    "probe_hw_daily_inputs",
+    "probe_hw_init_state",
+    "probe_hw_unrolled3",
+    "probe_hw_recursion_cumsum",
+]:
+    PROBES[_probe_name] = QUERIES.pop(_probe_name)
+    PROBE_ORACLES[_probe_name] = ORACLES.pop(_probe_name)
+del _probe_name
+
+
 # ---------------------------------------------------------------------------
 # One-way ANOVA (F-test) of event value by event type — the k-group
 # extension of the two-sample tests (z, Mann-Whitney U, KS, chi^2):
@@ -16754,11 +16779,13 @@ def logrank_cohort_survival(
 # wedge-join shape triangle counting uses. Candidates come from
 # 2-paths (u-w-v with u<v), existing edges are removed with an anti
 # join, and jaccard_ppm = floor(1e6*cn / (deg_u + deg_v - cn)) is
-# exact integer. Scale shape: wedge work is sum(deg(w)^2), kept at
-# signal density by the same >= 2 co-order weight prune the triangle
-# operator uses (a 100-TB graph adds a degree cap or heavy-hitter
-# split before the wedge join — the hub mitigation documented in
-# SCALING.md); never an all-pairs product. Top-20 via
+# exact integer. Scale shape: the graph is first sparsified to each
+# node's top-64 strongest co-order edges (w desc, id tiebreak — the
+# k-NN graph construction; PART OF THE QUERY CONTRACT, the oracle
+# applies the identical cap), so wedge work is bounded by 64*deg per
+# node instead of deg^2 on a hot hub at 100x data; candidates then
+# come from the >= 2 co-order weight prune the triangle operator
+# also uses — never an all-pairs product. Top-20 via
 # TakeOrderedAndProject with a full deterministic tiebreak.
 # ---------------------------------------------------------------------------
 @query(
@@ -16766,13 +16793,22 @@ def logrank_cohort_survival(
     oracle="""
     WITH it AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
     e AS (
-      SELECT a.l_partkey AS u, b.l_partkey AS v
+      SELECT a.l_partkey AS u, b.l_partkey AS v,
+             CAST(COUNT(*) AS BIGINT) AS w
       FROM it a JOIN it b
         ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
       GROUP BY u, v HAVING COUNT(*) >= 2
     ),
+    und_all AS (
+      SELECT u, v, w FROM e UNION ALL SELECT v, u, w FROM e
+    ),
     und AS (
-      SELECT u, v FROM e UNION ALL SELECT v, u FROM e
+      SELECT u, v FROM (
+        SELECT u, v,
+               ROW_NUMBER() OVER (PARTITION BY u
+                                  ORDER BY w DESC, v) AS rk
+        FROM und_all) r
+      WHERE rk <= 64
     ),
     deg AS (
       SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS d
@@ -16818,11 +16854,26 @@ def part_link_prediction_topk(
         .groupBy("u", "v")
         .agg(F.count(F.lit(1)).alias("w"))
         .filter(F.col("w") >= 2)
-        .select("u", "v")
         .localCheckpoint(eager=True)  # edge list: 4 consumers below
     )
-    und = e.unionByName(
-        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    # Top-64 sparsification BEFORE the wedge join — part of the query
+    # contract (the oracle applies the identical cap): each node keeps
+    # its 64 strongest co-order edges (w desc, id tiebreak), the
+    # standard k-NN graph sparsification, so the wedge stage is
+    # bounded by 64*deg instead of deg^2 on a hot part at 100x data.
+    # Compiles to WindowGroupLimit (rank-limit pushdown), same as
+    # part_coorder_sssp's per-node prune.
+    w_nbr = Window.partitionBy("u").orderBy(F.col("w").desc(), "v")
+    und = (
+        e.select("u", "v", "w")
+        .unionByName(
+            e.select(
+                F.col("v").alias("u"), F.col("u").alias("v"), "w"
+            )
+        )
+        .withColumn("rk", F.row_number().over(w_nbr))
+        .filter(F.col("rk") <= 64)
+        .select("u", "v")
     )
     deg = und.groupBy(F.col("u").alias("node")).agg(
         F.count(F.lit(1)).alias("d")

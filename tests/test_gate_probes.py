@@ -1,7 +1,12 @@
 """The round-9 driver-gate bisect probes must be EXACT decompositions
 of the two queries they instrument — if a probe drifted from the
 original pipeline, a green probe could no longer exonerate the stage
-it claims to cover."""
+it claims to cover.
+
+Round 10 demoted the probes out of the query registry (the bug they
+bisected is root-caused and canary-guarded in
+tools/check_correctness.py); they live in ``queries.PROBES`` now and
+THIS suite is what keeps them honest."""
 
 import pytest
 
@@ -20,7 +25,7 @@ def test_km_risk_table_matches_original_km_rows(spark, qmod):
         r["duration_min"]: r
         for r in qmod.QUERIES["session_kaplan_meier"](spark, SF).collect()
     }
-    probe = qmod.QUERIES["probe_km_risk_table"](spark, SF).collect()
+    probe = qmod.PROBES["probe_km_risk_table"](spark, SF).collect()
     assert len(probe) == len(km)
     for r in probe:
         o = km[r["duration_min"]]
@@ -35,7 +40,7 @@ def test_km_unrolled3_is_the_original_head(spark, qmod):
         key=lambda r: r["duration_min"],
     )[:3]
     probe = sorted(
-        qmod.QUERIES["probe_km_unrolled3"](spark, SF).collect(),
+        qmod.PROBES["probe_km_unrolled3"](spark, SF).collect(),
         key=lambda r: r["rn"],
     )
     assert [(r["duration_min"], r["surv_scaled"]) for r in probe] == [
@@ -47,7 +52,7 @@ def test_km_first_step_equals_first_factor(spark, qmod):
     # S(t_1) = factor_1 by definition (S starts at 1.0 = 1e12)
     factors = {
         r["rn"]: r["factor_scaled"]
-        for r in qmod.QUERIES["probe_km_step_factors"](spark, SF).collect()
+        for r in qmod.PROBES["probe_km_step_factors"](spark, SF).collect()
     }
     head = sorted(
         qmod.QUERIES["session_kaplan_meier"](spark, SF).collect(),
@@ -62,7 +67,7 @@ def test_hw_unrolled3_is_the_original_head(spark, qmod):
         key=lambda r: r["day"],
     )[:3]
     probe = sorted(
-        qmod.QUERIES["probe_hw_unrolled3"](spark, SF).collect(),
+        qmod.PROBES["probe_hw_unrolled3"](spark, SF).collect(),
         key=lambda r: r["rn"],
     )
     assert [
@@ -79,10 +84,10 @@ def test_hw_unrolled3_is_the_original_head(spark, qmod):
 def test_hw_init_state_feeds_the_first_step(spark, qmod):
     # replay step rn=8 from the probe-exposed init state and compare
     # with the original fold's first emitted row
-    init = qmod.QUERIES["probe_hw_init_state"](spark, SF).collect()[0]
+    init = qmod.PROBES["probe_hw_init_state"](spark, SF).collect()[0]
     inputs = {
         r["rn"]: r
-        for r in qmod.QUERIES["probe_hw_daily_inputs"](spark, SF).collect()
+        for r in qmod.PROBES["probe_hw_daily_inputs"](spark, SF).collect()
     }
     y8 = inputs[8]["rev_cents"]
     lv0, tr0, s1 = init["level0_cents"], 0, init["seas1_cents"]
