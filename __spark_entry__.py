@@ -42,314 +42,71 @@ def entry(spark: SparkSession) -> DataFrame:
 # ordering only decides which subset the driver re-verifies
 # independently.
 _GATE_PRIORITY = [
-    # Round-9 ordering. Positions 1-2: the two r7/r8 driver-gate hash
-    # failures. Root cause identified this round by result-SCHEMA
-    # audit: both oracles (and only these two of 248) leaked a
-    # DuckDB HUGEINT column into the result (SUM(BIGINT) -> HUGEINT
-    # propagating through the recursion into n_at_risk /
-    # level_cents). fetchall() hides it (Python ints), but
-    # pandas/Arrow conversion of HUGEINT is float64/object —
-    # a dtype-sensitive hash diverges from Spark's int64 with equal
-    # values, matching the observed rows+schema-green/hash-red
-    # signature. Fixed with explicit BIGINT casts at the leak sites;
-    # tools/check_correctness.py now fails any oracle whose result
-    # schema contains HUGEINT/DECIMAL. Positions 3-10: the bisect
-    # probes the r8 verdict prescribed — each isolates one stage
-    # (inputs, init, per-step arithmetic, unrolled recursion, pure
-    # WITH-RECURSIVE evaluation) with a non-recursive or trivial
-    # oracle, so if the originals are somehow still red the gate
-    # pattern pins the divergence. Then: the 2 registry entries with
-    # no driver row ever, the changed-this-round queries, and the
-    # remaining never-gated r8 window.
-    'holt_winters_revenue',
-    'session_kaplan_meier',
-    'probe_km_risk_table',
-    'probe_km_step_factors',
-    'probe_km_unrolled3',
-    'probe_km_recursion_cumsum',
-    'probe_hw_daily_inputs',
-    'probe_hw_init_state',
-    'probe_hw_unrolled3',
-    'probe_hw_recursion_cumsum',
-    'period_over_period_revenue',
-    'lineitem_corr_matrix',
-    'ind_discovery_profile',
-    'customer_spend_gini',
-    # -- new in round 9 ------------------------------------------------
-    'anova_value_by_type',
-    'spearman_qty_price',
-    'logrank_cohort_survival',
-    'part_link_prediction_topk',
-    'feature_hashing_stats',
-    'target_encode_priority',
-    'bm25_ndcg_eval',
+    # Round-10 ordering. The r9 probes are retired (demoted to
+    # queries.PROBES + tests/test_gate_probes.py), freeing their
+    # slots. Window layout: the 6 operators NEW this round, then
+    # the 4 whose implementation or oracle CHANGED this round
+    # (isotonic decimal fold, adaptive PQ shortlist, link-pred
+    # top-64 sparsification cap, curate MATERIALIZED oracle),
+    # then the 17 queries whose most recent driver-green row
+    # dated to r3 or earlier (the staleness tail the r9 verdict
+    # flagged), then the 23 oldest previously-green (all r4) to
+    # keep the rotation advancing. Every other registry entry
+    # follows in stable registration order via queries().
+    # -- new in round 10 (never gate-verified) -----------------
+    'gk_lambda_type_dow',
+    'kendall_tau_qty_price',
+    'quality_brier_calibration',
+    'token_tvd_drift',
+    'mann_kendall_revenue_trend',
+    'user_interarrival_burstiness',
+    # -- changed in round 10 -----------------------------------
     'isotonic_quality_calibration',
-    # -- changed in round 9: _dec_double single-rounding rewrite + the
-    # VARCHAR-routed HUGEINT/DECIMAL->DOUBLE oracle casts (values may
-    # shift by ulps, so the gate re-verifies each) ------------------
-    'daily_revenue_acf',
-    'ols_daily_revenue',
-    'ols_price_on_quantity',
-    'corr_qty_price_exact_moments',
-    'nation_order_gini',
-    'ewma_revenue_trend',
-    'rolling_zscore_daily_revenue',
-    'cusum_revenue_changepoint',
-    'time_weighted_avg_value',
-    'nation_revenue_share',
-    'attribution_last_touch',
-    'grouping_sets_flag_status',
-    'dsir_resample_topn',
-    'weekly_retention_cohorts',
     'embedding_pq_topk',
-    'trimmed_mean_order_total',
-    'part_name_blocked_matches',
-    'mann_whitney_value_shift',
-    'attribution_linear_touch',
-    'basket_brand_triples',
-    'bloom_membership_stats',
-    'bm25_search_topk',
-    'bpe_pack_stats',
-    'bpe_train_token_counts',
-    'brand_community_labels',
-    'cdc_change_stats_autotyped',
-    'contrastive_hard_negatives',
-    'cumulative_new_users',
-    'daily_revenue_seasonal',
-    'decontam_bloom_prefilter',
-    'dsir_resample_topn',
-    'embedding_jl_topk',
-    'embedding_sq8_topk',
-    'hbos_event_outliers',
-    'hll_daily_user_cardinality',
-    'hll_user_cardinality',
-    'kmv_audience_overlap',
-    'length_bucket_batch_stats',
-    'media_fingerprint_dedup',
-    'orders_price_band_stats',
-    'orders_price_date_skyline',
-    'part_coorder_bfs_layers',
-    'part_coorder_triangles',
-    'quarantine_replay_stats',
-    'rrf_hybrid_retrieval',
-    'sample_quota_apportionment',
-    'semantic_decontam_flags',
-    'source_overlap_matrix',
-    'user_event_diversity',
-    'weighted_sample_per_lang',
-    # -- new in round 8 (never gate-verified) --------------------------
-    'txlog_clone_stats',
-    'embedding_hamming_topk',
-    'ols_daily_revenue',
-    'customer_spend_gini',
-    'mann_whitney_value_shift',
-    'part_name_blocked_matches',
-    'poisson_bootstrap_ci',
-    'sparse_cosine_pairs',
-    'txlog_bloom_lookup',
-    'txlog_delete_vector_state',
-    'cramers_v_matrix',
-    'trimmed_mean_order_total',
-    'part_coorder_sssp',
-    'quality_score_auc',
-    'lang_id_eval_metrics',
-    'brand_rule_lift',
-    'embedding_dbscan_2d',
-    'cms_selfjoin_size',
-    'sql_surface_recursive_cte',
-    'did_value_contrast',
-    'forecast_backtest_mape',
-    'sampled_quantile_contract',
-    'session_sequence_pairs',
-    'kmeans_doc_clusters',
-    'fd_discovery_profile',
-    'ind_discovery_profile',
-    'cf_holdout_hit_rate',
-    'salted_join_hot_keys',
-    'event_key_skew_profile',
-    'returnflag_sample_quantiles',
-    'revenue_binary_segmentation',
-    'attribution_time_decay',
-    'part_item_cf_topk',
-    'source_format_roundtrip',
-    'theil_sen_revenue_trend',
-    'session_pattern_match_counts',
-    'event_type_ppr',
-    'ks_value_distribution_shift',
-    'txlog_version_diff_stats',
-    'kn_bigram_doc_scores',
-    'textrank_keywords',
-    'customer_k_anonymity',
-    'order_total_benford',
-    'event_type_hits',
-    'scd2_temporal_enrich',
-    'pmi_collocations_top',
-    'part_coorder_kcore',
-    'holt_revenue_trend',
-    'lineitem_price_quantiles_twopass',
-    'mmr_diverse_retrieval',
-    'paragraph_dedup_stats',
-    'media_transcript_alignment',
-    'budget_select_docs',
-    'lineitem_weighted_price_quantiles',
-    'cms_user_count_estimates',
-    'txlog_history_stats',
-    'txlog_merge_into_state',
-    'dsir_importance_keep',
-    'weighted_sample_by_length',
-    'q1_pricing_summary',
-    'embedding_ivf_topk',
-    'cdc_change_stats_typed',
-    'range_join_clicks_after_errors',
-    'cube_lineitem_flag_status',
+    'part_link_prediction_topk',
+    'curate_corpus_dispositions',
+    # -- staleness tail: last driver-green r3 or earlier -------
     'approx_distinct_custkeys',
-    'cdc_change_stats_reconstructed',
-    'scalar_function_suite',
-    'ttl_expiry_removes',
-    'variant_props_stats',
-    'udtf_changed_path_stats',
-    'token_counts_bpeish',
-    'near_dup_embedding_pairs',
-    'quarantine_stats',
-    'q6_forecast_revenue',
+    'chunk_documents',
+    'cube_lineitem_flag_status',
+    'pk_filter_prefix_counts',
+    'publish_route_counts',
     'q10_returned_items',
     'q14_promo_revenue_share',
     'q19_disjunctive_predicates',
-    'pk_filter_prefix_counts',
-    'publish_route_counts',
+    'q6_forecast_revenue',
+    'quarantine_stats',
+    'range_join_clicks_after_errors',
     'rollup_daily_from_hourly',
-    'chunk_documents',
-    'train_val_test_split',
-    'sql_surface_identical_text',
-    'q4_late_shipment_priority',
-    'q12_priority_by_linestatus',
-    'q13_customer_order_distribution',
-    'q17_small_quantity_revenue',
-    'q18_large_volume_orders',
-    'q22_idle_high_balance_customers',
-    'window_range_frame_revenue',
-    'udaf_weighted_revenue_cents',
-    'cdc_decimal_fidelity',
-    'corr_qty_price_exact_moments',
-    'percentile_order_values',
-    'asof_next_event_after_order',
-    'q2_min_cost_supplier',
-    'q7_volume_shipping',
-    'q8_national_market_share',
-    'q9_product_type_profit',
-    'q11_important_stock',
-    'q15_top_supplier',
-    'q16_parts_supplier_relationship',
-    'q20_potential_part_promotion',
-    'q21_suppliers_kept_waiting',
-    'decontam_eval_overlap',
-    'pack_training_sequences',
-    'stratified_sample_by_lang',
-    'pii_scrub_stats',
-    'vocab_top_terms_by_lang',
-    'tfidf_top_terms',
-    'cdc_seq_inversion_stats',
-    'cdc_scd2_history',
-    'cdc_incremental_group_totals',
-    'near_dup_ngram_jaccard',
-    'repetition_stats',
-    'boilerplate_ngram_stats',
-    'gapfill_hourly_user_activity',
+    'scalar_function_suite',
+    'token_counts_bpeish',
+    'ttl_expiry_removes',
+    'udtf_changed_path_stats',
+    'variant_props_stats',
+    # -- rotation fill: oldest previously-green (r4) -----------
     'approx_quantile_contract',
+    'array_function_suite',
+    'asof_next_event_after_order',
+    'boilerplate_ngram_stats',
+    'cdc_change_stats_reconstructed',
+    'cdc_change_stats_typed',
+    'cdc_decimal_fidelity',
     'cdc_snapshot_at',
     'cdc_squash_net_changes',
-    'media_transform_stats',
-    'hll_sketch_union_contract',
-    'unpivot_lineitem_measures',
-    'spend_decile_profile',
-    'array_function_suite',
-    'mad_outlier_stats',
+    'decontam_eval_overlap',
     'event_transition_matrix',
-    'weekly_retention_cohorts',
-    'funnel_conversion_steps',
-    'ewma_revenue_trend',
-    'value_histogram_events',
-    'time_weighted_avg_value',
-    'inverted_index_search',
-    'profile_event_columns',
-    'cdc_snapshot_diff',
-    'cdc_merge_apply',
-    'hopping_window_counts',
-    'nation_revenue_share',
-    'funnel_time_to_convert',
-    'rolling_zscore_daily_revenue',
-    'ols_price_on_quantity',
-    'attribution_last_touch',
-    'session_path_trigrams',
-    'near_dup_containment_pairs',
-    'user_daily_streaks',
-    'peak_concurrent_sessions',
-    'basket_brand_pairs',
-    'part_name_fuzzy_pairs',
-    'event_type_pagerank',
-    'sliding_distinct_users_3h',
-    'doc_commonness_score',
-    'order_priority_mode_stats',
-    'returnflag_linestatus_chisq_cells',
-    'nation_order_gini',
-    'bitmap_distinct_suppliers_by_brand',
-    'brand_affinity_triangles',
-    'approx_topk_event_types_contract',
-    'order_rank_distribution',
-    'priority_listagg_by_status',
-    'grouping_sets_flag_status',
-    'cusum_revenue_changepoint',
-    'ab_test_conversion_zscore',
-    'user_activity_similarity_topk',
-    'dq_expectations_report',
-    'nation_supplier_pareto',
-    'order_linecount_distribution',
-    'q3_shipping_priority',
-    'q5_local_supplier_volume',
-    'semi_join_customers_with_orders',
-    'anti_join_customers_without_orders',
-    'window_topk_orders_per_customer',
-    'window_running_revenue',
-    'rollup_lineitem_status',
-    'pivot_returnflag_by_status',
-    'setop_active_1996_not_1997',
-    'distinct_parts_per_brand',
-    'json_extract_events_props',
-    'sessionize_events',
-    'asof_latest_order_at_event',
-    'cdc_change_stats',
-    'cdc_unmarshall_roundtrip',
-    'claim_check_pointer_stats',
-    'dedup_exact_groups',
-    'near_dup_minhash_pairs',
-    'near_dup_simhash_pairs',
-    'doc_signatures',
-    'text_quality_stats',
-    'lang_id_confusion',
-    'embedding_cosine_topk',
-    'embedding_ann_topk',
-    'media_metadata',
-    'media_frame_sample',
-    'tumbling_window_counts',
-    'session_window_stats',
-    'dedup_clusters',
-    'curate_corpus_dispositions',
-    'part_name_match_clusters',
-    'semantic_dedup_keep',
-    'corpus_mix_temperature',
-    'perplexity_filter_stats',
-    'substring_dup_stats',
-    'bpe_merge_candidates',
-    'quality_gate_dispositions',
-    'incremental_near_dup_pairs',
-    'nb_lang_confusion',
-    'embedding_pq_topk',
-    'cdc_field_drift_stats',
-    'embedding_ivfpq_topk',
-    'doc_hash_embedding_topk',
-    'epoch_shard_heads',
-    'winnow_fingerprint_overlap',
-    'daily_revenue_acf',
+    'gapfill_hourly_user_activity',
+    'hll_sketch_union_contract',
+    'mad_outlier_stats',
+    'media_transform_stats',
+    'near_dup_ngram_jaccard',
+    'pack_training_sequences',
+    'percentile_order_values',
+    'q11_important_stock',
+    'q12_priority_by_linestatus',
+    'q13_customer_order_distribution',
+    'q15_top_supplier',
+    'q16_parts_supplier_relationship',
 ]
 
 

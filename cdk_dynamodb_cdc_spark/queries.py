@@ -4378,11 +4378,19 @@ def cdc_incremental_group_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
                    list_distinct(list_transform(range(1, len(ws) - 1),
                        i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS s
             FROM w),
-    p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+    -- MATERIALIZED: without it the engine may re-evaluate this CTE
+    -- chain (the all-pairs shingle join) on EVERY iteration of the
+    -- recursive closure below, which is what made this oracle blow
+    -- the sf0.1 robustness budget in round 9. Materializing pins the
+    -- pair set to one evaluation; the recursion then touches only
+    -- the pair-sized edge table.
+    p AS MATERIALIZED (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
           FROM shg a JOIN shg b ON a.doc_id < b.doc_id
           WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
                 / len(list_distinct(a.s || b.s)) >= 0.8),
-    e AS (SELECT doc_a AS src, doc_b AS dst FROM p
+    e AS MATERIALIZED (
+          SELECT doc_a AS src, doc_b AS dst FROM p
           UNION ALL SELECT doc_b, doc_a FROM p),
     reach(node, lbl) AS (
       SELECT doc_id, doc_id FROM documents
@@ -17362,4 +17370,575 @@ def isotonic_quality_calibration(
             F.expr("CAST(fitted_scaled div 1000000 AS BIGINT)")
             .alias("fitted_ppm"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Goodman-Kruskal lambda — the log-free association measure (PRE:
+# proportional reduction in prediction error) between two categorical
+# columns, complementing Cramer's V / chi-square with a DIRECTED
+# score: how much better does knowing the ISO weekday predict the
+# event type (and vice versa) than always guessing the mode? Unlike
+# mutual information it is exact in integers (counts and one ppm
+# floor division), so the hash contract is trivial. Scale shape: one
+# scan collapses to the |dow| x |types| contingency table (bounded by
+# the category product, never by rows); both lambdas read that one
+# tiny frame.
+# ---------------------------------------------------------------------------
+@query(
+    "gk_lambda_type_dow",
+    oracle="""
+    WITH ct AS (
+      SELECT isodow(ts) AS dow, event_type,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY dow, event_type
+    ), tot AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS n_total FROM ct
+    ), row_max AS (          -- best guess of type within each dow
+      SELECT CAST(SUM(mx) AS BIGINT) AS sum_row_max
+      FROM (SELECT dow, MAX(n) AS mx FROM ct GROUP BY dow) t
+    ), col_max AS (          -- best guess of dow within each type
+      SELECT CAST(SUM(mx) AS BIGINT) AS sum_col_max
+      FROM (SELECT event_type, MAX(n) AS mx FROM ct GROUP BY event_type) t
+    ), marg_type AS (        -- modal type overall
+      SELECT CAST(MAX(s) AS BIGINT) AS max_type
+      FROM (SELECT event_type, SUM(n) AS s FROM ct GROUP BY event_type) t
+    ), marg_dow AS (         -- modal dow overall
+      SELECT CAST(MAX(s) AS BIGINT) AS max_dow
+      FROM (SELECT dow, SUM(n) AS s FROM ct GROUP BY dow) t
+    )
+    SELECT n_total, sum_row_max, sum_col_max, max_type, max_dow,
+           CAST((1000000 * (sum_row_max - max_type))
+                // (n_total - max_type) AS BIGINT)
+             AS lambda_type_given_dow_ppm,
+           CAST((1000000 * (sum_col_max - max_dow))
+                // (n_total - max_dow) AS BIGINT)
+             AS lambda_dow_given_type_ppm
+    FROM tot, row_max, col_max, marg_type, marg_dow
+    """,
+)
+def gk_lambda_type_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    ct = ev.groupBy(
+        F.expr("extract(DAYOFWEEK_ISO FROM ts)").cast("long").alias("dow"),
+        "event_type",
+    ).agg(F.count(F.lit(1)).alias("n"))
+    ct = ct.localCheckpoint(eager=True)  # contingency table: 5 readers
+    tot = ct.agg(F.sum("n").alias("n_total"))
+    row_max = (
+        ct.groupBy("dow").agg(F.max("n").alias("mx"))
+        .agg(F.sum("mx").alias("sum_row_max"))
+    )
+    col_max = (
+        ct.groupBy("event_type").agg(F.max("n").alias("mx"))
+        .agg(F.sum("mx").alias("sum_col_max"))
+    )
+    marg_type = (
+        ct.groupBy("event_type").agg(F.sum("n").alias("s"))
+        .agg(F.max("s").alias("max_type"))
+    )
+    marg_dow = (
+        ct.groupBy("dow").agg(F.sum("n").alias("s"))
+        .agg(F.max("s").alias("max_dow"))
+    )
+    one = (
+        tot.crossJoin(F.broadcast(row_max))
+        .crossJoin(F.broadcast(col_max))
+        .crossJoin(F.broadcast(marg_type))
+        .crossJoin(F.broadcast(marg_dow))
+    )
+    lam_t = F.expr(
+        "CAST((1000000 * (sum_row_max - max_type))"
+        " div (n_total - max_type) AS BIGINT)"
+    )
+    lam_d = F.expr(
+        "CAST((1000000 * (sum_col_max - max_dow))"
+        " div (n_total - max_dow) AS BIGINT)"
+    )
+    return one.select(
+        "n_total", "sum_row_max", "sum_col_max", "max_type", "max_dow",
+        lam_t.alias("lambda_type_given_dow_ppm"),
+        lam_d.alias("lambda_dow_given_type_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Kendall tau-b rank correlation between quantity and price band —
+# the concordance-based complement to Spearman (which this registry
+# computes over the two-level bucketed cumsum) and Pearson. Both
+# variables live on DOMAIN-BOUNDED grids (quantity 1..50, price band
+# capped at 200), so the pair statistic folds exactly over the
+# contingency CELLS: concordant/discordant mass is a cell-pair join
+# bounded by |cells|^2 (a constant ~10k^2 regardless of corpus rows
+# — never an n^2 row join), and tie corrections come from the
+# marginals. C, D, and the tie terms are exact BIGINTs; tau_b is one
+# IEEE composition (two single-rounded int->double conversions, one
+# multiply, one correctly-rounded sqrt, one divide — bit-stable
+# across engines, same contract as the log-rank z).
+# ---------------------------------------------------------------------------
+@query(
+    "kendall_tau_qty_price",
+    oracle="""
+    WITH cells AS (
+      SELECT CAST(l_quantity AS BIGINT) AS x,
+             LEAST(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100
+                        AS BIGINT) // 100000, 199) AS y,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM lineitem GROUP BY x, y
+    ), pairs AS (
+      SELECT
+        CAST(SUM(CASE WHEN b.y > a.y THEN a.n * b.n ELSE 0 END)
+             AS BIGINT) AS nc,
+        CAST(SUM(CASE WHEN b.y < a.y THEN a.n * b.n ELSE 0 END)
+             AS BIGINT) AS nd
+      FROM cells a JOIN cells b ON a.x < b.x
+    ), margx AS (
+      SELECT CAST(SUM(s * (s - 1) / 2) AS BIGINT) AS tx
+      FROM (SELECT x, SUM(n) AS s FROM cells GROUP BY x) t
+    ), margy AS (
+      SELECT CAST(SUM(s * (s - 1) / 2) AS BIGINT) AS ty
+      FROM (SELECT y, SUM(n) AS s FROM cells GROUP BY y) t
+    ), tot AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS n_rows,
+             CAST(SUM(n) * (SUM(n) - 1) / 2 AS BIGINT) AS n0
+      FROM cells
+    )
+    SELECT n_rows, nc, nd, tx AS tied_x, ty AS tied_y,
+           CAST(CAST(nc - nd AS VARCHAR) AS DOUBLE)
+             / sqrt(CAST(CAST(n0 - tx AS VARCHAR) AS DOUBLE)
+                    * CAST(CAST(n0 - ty AS VARCHAR) AS DOUBLE))
+             AS tau_b
+    FROM tot, pairs, margx, margy
+    """,
+)
+def kendall_tau_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    cells = (
+        li.groupBy(
+            F.col("l_quantity").cast("long").alias("x"),
+            F.least(
+                F.expr(
+                    "CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100"
+                    " AS BIGINT) div 100000"
+                ),
+                F.lit(199).cast("long"),
+            ).alias("y"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=True)  # bounded cell frame: 4 readers
+    )
+    a = cells.select(
+        F.col("x").alias("xa"), F.col("y").alias("ya"),
+        F.col("n").alias("na"),
+    )
+    b = cells.select(
+        F.col("x").alias("xb"), F.col("y").alias("yb"),
+        F.col("n").alias("nb"),
+    )
+    pairs = a.join(b, F.col("xa") < F.col("xb")).agg(
+        F.sum(
+            F.when(F.col("yb") > F.col("ya"), F.col("na") * F.col("nb"))
+            .otherwise(F.lit(0))
+        ).alias("nc"),
+        F.sum(
+            F.when(F.col("yb") < F.col("ya"), F.col("na") * F.col("nb"))
+            .otherwise(F.lit(0))
+        ).alias("nd"),
+    )
+    margx = (
+        cells.groupBy("x").agg(F.sum("n").alias("s"))
+        .agg(F.sum(F.expr("s * (s - 1) div 2")).alias("tx"))
+    )
+    margy = (
+        cells.groupBy("y").agg(F.sum("n").alias("s"))
+        .agg(F.sum(F.expr("s * (s - 1) div 2")).alias("ty"))
+    )
+    tot = cells.agg(
+        F.sum("n").alias("n_rows"),
+        F.expr("CAST(SUM(n) * (SUM(n) - 1) div 2 AS BIGINT)").alias("n0"),
+    )
+    one = (
+        tot.crossJoin(F.broadcast(pairs))
+        .crossJoin(F.broadcast(margx))
+        .crossJoin(F.broadcast(margy))
+    )
+    tau = (
+        (F.col("nc") - F.col("nd")).cast("double")
+        / F.sqrt(
+            (F.col("n0") - F.col("tx")).cast("double")
+            * (F.col("n0") - F.col("ty")).cast("double")
+        )
+    )
+    return one.select(
+        "n_rows", "nc", "nd",
+        F.col("tx").alias("tied_x"),
+        F.col("ty").alias("tied_y"),
+        tau.alias("tau_b"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Calibration report for a scored classifier — per-confidence-bin
+# reliability (the ECE decomposition) plus the Brier score, the two
+# standard "is this model's probability honest" diagnostics that sit
+# beside the isotonic calibrator and AUC in the eval family. The
+# "model" is the deterministic length-based confidence the corpus
+# tools already use (conf_ppm = min(n_chars,2000)/2000, exact in
+# ppm); the label is lang='en'. Everything is exact integer
+# arithmetic: per-bin sums of conf_ppm and labels are BIGINTs, the
+# reliability gap is a ppm floor, and the per-bin Brier sum runs in
+# decimal/int128 before one floor division (sibling pattern to the
+# ANOVA/isotonic folds, immune to int64 overflow at any corpus).
+# Scale shape: one scan folds map-side into <= 10 bins.
+# ---------------------------------------------------------------------------
+@query(
+    "quality_brier_calibration",
+    oracle="""
+    WITH scored AS (
+      SELECT LEAST(n_chars, 2000) * 500 AS conf_ppm,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+      FROM documents
+    ), binned AS (
+      SELECT LEAST(conf_ppm // 100000, 9) AS bin,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(conf_ppm) AS BIGINT) AS sum_conf,
+             CAST(SUM(y) AS BIGINT) AS n_pos,
+             SUM(CAST((conf_ppm - y * 1000000)
+                      * (conf_ppm - y * 1000000) AS HUGEINT)) AS ssq
+      FROM scored GROUP BY bin
+    )
+    SELECT CAST(bin AS BIGINT) AS bin, n_docs,
+           CAST(sum_conf // n_docs AS BIGINT) AS mean_conf_ppm,
+           CAST(1000000 * n_pos // n_docs AS BIGINT) AS pos_ppm,
+           CAST(abs(sum_conf - 1000000 * n_pos) // n_docs AS BIGINT)
+             AS gap_ppm,
+           CAST(ssq // (CAST(n_docs AS HUGEINT) * 1000000) AS BIGINT)
+             AS brier_x1e6
+    FROM binned
+    """,
+)
+def quality_brier_calibration(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    conf = F.least(F.col("n_chars"), F.lit(2000)) * 500
+    y = (F.col("lang") == "en").cast("long")
+    scored = docs.select(conf.alias("conf_ppm"), y.alias("y"))
+    binned = scored.groupBy(
+        F.least(F.expr("conf_ppm div 100000"), F.lit(9).cast("long"))
+        .alias("bin")
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("conf_ppm").alias("sum_conf"),
+        F.sum("y").alias("n_pos"),
+        F.sum(
+            (
+                (F.col("conf_ppm") - F.col("y") * 1000000)
+                * (F.col("conf_ppm") - F.col("y") * 1000000)
+            ).cast("decimal(20,0)")
+        ).alias("ssq"),  # decimal sum: per-term <= 1e12, immune to n
+    )
+    d = (F.col("n_docs") * 1000000).cast("decimal(20,0)")
+    brier = (
+        ((F.col("ssq") - F.pmod(F.col("ssq"), d)) / d).cast("long")
+    )
+    return binned.select(
+        F.col("bin").cast("long").alias("bin"),
+        "n_docs",
+        F.expr("CAST(sum_conf div n_docs AS BIGINT)")
+        .alias("mean_conf_ppm"),
+        F.expr("CAST(1000000 * n_pos div n_docs AS BIGINT)")
+        .alias("pos_ppm"),
+        F.expr(
+            "CAST(abs(sum_conf - 1000000 * n_pos) div n_docs AS BIGINT)"
+        ).alias("gap_ppm"),
+        brier.alias("brier_x1e6"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Corpus drift via total variation distance — the log-free
+# distribution-shift monitor (PSI/KL need logs, whose libm rounding
+# is not bit-stable across engines; TVD = (1/2)*sum|p-q| is a pure
+# rational, so it hashes exactly). Splits each language's corpus
+# into two cohorts (even/odd doc_id — the deterministic stand-in for
+# crawl A vs crawl B) and reports how far the unigram distributions
+# moved: tvd_ppm = floor(1e6 * sum_t |n_a(t)*N_b - n_b(t)*N_a| /
+# (2*N_a*N_b)), computed entirely in decimal/int128 (cross products
+# reach N_a*N_b ~ 2.5e15 per term at sf0.1 — int64 is already unsafe
+# there, the same hazard class the ANOVA fold documents). Scale
+# shape: one exploded scan -> vocabulary-sized (lang, token)
+# aggregate -> language-sized report; the cohort totals broadcast.
+# ---------------------------------------------------------------------------
+@query(
+    "token_tvd_drift",
+    oracle="""
+    WITH tok AS (
+      SELECT lang, doc_id % 2 AS h, unnest(string_split(text, ' ')) AS t
+      FROM documents
+    ), counts AS (
+      SELECT lang, t,
+             CAST(SUM(CASE WHEN h = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS na,
+             CAST(SUM(CASE WHEN h = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS nb
+      FROM tok GROUP BY lang, t
+    ), tots AS (
+      SELECT lang, CAST(SUM(na) AS BIGINT) AS ta,
+             CAST(SUM(nb) AS BIGINT) AS tb,
+             CAST(COUNT(*) AS BIGINT) AS vocab
+      FROM counts GROUP BY lang
+    ), sums AS (
+      SELECT c.lang,
+             SUM(abs(CAST(c.na AS HUGEINT) * t.tb
+                     - CAST(c.nb AS HUGEINT) * t.ta)) AS s
+      FROM counts c JOIN tots t USING (lang)
+      GROUP BY c.lang
+    )
+    SELECT t.lang, t.ta AS n_tokens_a, t.tb AS n_tokens_b, t.vocab,
+           CASE WHEN t.ta = 0 OR t.tb = 0 THEN 1000000
+                ELSE CAST(1000000 * s.s
+                          // (2 * CAST(t.ta AS HUGEINT) * t.tb)
+                          AS BIGINT)
+           END AS tvd_ppm
+    FROM tots t JOIN sums s USING (lang)
+    """,
+)
+def token_tvd_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "lang",
+        (F.col("doc_id") % 2).alias("h"),
+        F.explode(F.split("text", " ")).alias("t"),
+    )
+    counts = tok.groupBy("lang", "t").agg(
+        F.sum(F.when(F.col("h") == 0, 1).otherwise(0)).alias("na"),
+        F.sum(F.when(F.col("h") == 1, 1).otherwise(0)).alias("nb"),
+    )
+    tots = counts.groupBy("lang").agg(
+        F.sum("na").alias("ta"),
+        F.sum("nb").alias("tb"),
+        F.count(F.lit(1)).alias("vocab"),
+    )
+    d38 = "decimal(38,0)"
+    term = F.abs(
+        F.col("na").cast(d38) * F.col("tb").cast(d38)
+        - F.col("nb").cast(d38) * F.col("ta").cast(d38)
+    )
+    sums = (
+        counts.join(F.broadcast(tots), "lang")
+        .groupBy("lang")
+        .agg(F.sum(term).alias("s"))
+    )
+    den = (F.lit(2).cast(d38) * F.col("ta").cast(d38)
+           * F.col("tb").cast(d38))
+    num = F.lit(1000000).cast(d38) * F.col("s")
+    tvd = F.when(
+        (F.col("ta") == 0) | (F.col("tb") == 0),
+        F.lit(1000000).cast("long"),
+    ).otherwise(((num - F.pmod(num, den)) / den).cast("long"))
+    return (
+        tots.join(sums, "lang")
+        .select(
+            "lang",
+            F.col("ta").alias("n_tokens_a"),
+            F.col("tb").alias("n_tokens_b"),
+            "vocab",
+            tvd.alias("tvd_ppm"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Mann-Kendall trend test on daily revenue — the nonparametric
+# significance twin of the Theil-Sen slope this registry already
+# fits (MK asks "is there a monotone trend at all", Theil-Sen asks
+# "how steep"). S = sum over day pairs of sign(y_b - y_a) and the
+# tie-corrected variance 18*Var = n(n-1)(2n+5) - sum t(t-1)(2t+5)
+# are exact BIGINTs folded over the DAY frame (the same bounded
+# days^2 pair join Theil-Sen uses — calendar-bounded, never
+# rows^2); z is one IEEE composition (exact int->double conversions,
+# one divide-by-18, one correctly-rounded sqrt, one divide).
+# ---------------------------------------------------------------------------
+@query(
+    "mann_kendall_revenue_trend",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT)
+               AS y
+      FROM events GROUP BY day
+    ), s AS (
+      SELECT CAST(SUM(CASE WHEN b.y > a.y THEN 1
+                           WHEN b.y < a.y THEN -1 ELSE 0 END)
+                  AS BIGINT) AS s_stat
+      FROM daily a JOIN daily b ON b.day > a.day
+    ), ties AS (
+      SELECT CAST(COALESCE(SUM(t * (t - 1) * (2 * t + 5)), 0)
+                  AS BIGINT) AS tie_term
+      FROM (SELECT y, COUNT(*) AS t FROM daily GROUP BY y
+            HAVING COUNT(*) > 1) g
+    ), n AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_days FROM daily
+    )
+    SELECT n_days, s_stat,
+           CAST(n_days * (n_days - 1) * (2 * n_days + 5) - tie_term
+                AS BIGINT) AS var_x18,
+           CASE
+             WHEN s_stat > 0 THEN CAST(s_stat - 1 AS DOUBLE)
+               / sqrt(CAST(n_days * (n_days - 1) * (2 * n_days + 5)
+                           - tie_term AS DOUBLE) / 18.0)
+             WHEN s_stat < 0 THEN CAST(s_stat + 1 AS DOUBLE)
+               / sqrt(CAST(n_days * (n_days - 1) * (2 * n_days + 5)
+                           - tie_term AS DOUBLE) / 18.0)
+             ELSE 0.0
+           END AS z
+    FROM n, s, ties
+    """,
+)
+def mann_kendall_revenue_trend(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(
+            (F.sum(F.col("value").cast("decimal(18,2)")) * 100)
+            .cast("long")
+            .alias("y")
+        )
+        .localCheckpoint(eager=True)  # day frame: 3 readers
+    )
+    a = daily.select(F.col("day").alias("da"), F.col("y").alias("ya"))
+    b = daily.select(F.col("day").alias("db"), F.col("y").alias("yb"))
+    s = a.join(b, F.col("db") > F.col("da")).agg(
+        F.sum(
+            F.when(F.col("yb") > F.col("ya"), 1)
+            .when(F.col("yb") < F.col("ya"), -1)
+            .otherwise(0)
+        ).alias("s_stat")
+    )
+    ties = (
+        daily.groupBy("y").agg(F.count(F.lit(1)).alias("t"))
+        .filter(F.col("t") > 1)
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+                ),
+                F.lit(0).cast("long"),
+            ).alias("tie_term")
+        )
+    )
+    n = daily.agg(F.count(F.lit(1)).alias("n_days"))
+    one = n.crossJoin(F.broadcast(s)).crossJoin(F.broadcast(ties))
+    var_x18 = (
+        F.col("n_days") * (F.col("n_days") - 1)
+        * (2 * F.col("n_days") + 5)
+        - F.col("tie_term")
+    )
+    sd = F.sqrt(var_x18.cast("double") / 18.0)
+    z = (
+        F.when(
+            F.col("s_stat") > 0,
+            (F.col("s_stat") - 1).cast("double") / sd,
+        )
+        .when(
+            F.col("s_stat") < 0,
+            (F.col("s_stat") + 1).cast("double") / sd,
+        )
+        .otherwise(F.lit(0.0))
+    )
+    return one.select(
+        "n_days", "s_stat",
+        var_x18.cast("long").alias("var_x18"),
+        z.alias("z"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-user inter-arrival burstiness (Goh & Barabasi 2008): B =
+# (sigma - mu)/(sigma + mu) over the user's gap distribution — the
+# event-cadence profiler that separates machine-regular actors
+# (B -> -1) from bursty humans (B -> +1), beside the streak/
+# diversity/skew per-user profilers. Gaps are exact integer seconds
+# from the totally-ordered (ts, event_id) per-user sequence; the
+# moment sums run in decimal (sum of gap^2 exceeds int64 for a user
+# with ~10k two-year gaps); B is one IEEE composition using the
+# n-scaled identity B = (sqrt(n*s2 - s1^2) - s1)/(sqrt(...) + s1),
+# so only exact integers convert to double (VARCHAR-routed on the
+# oracle side — the int128 double-rounding contract). Scale shape:
+# one user-partitioned window + one user aggregate, co-partitioned
+# on the same key; output is user-sized.
+# ---------------------------------------------------------------------------
+@query(
+    "user_interarrival_burstiness",
+    oracle=f"""
+    WITH g AS (
+      SELECT user_id,
+             (epoch_us(ts) - lag(epoch_us(ts)) OVER
+                (PARTITION BY user_id ORDER BY ts, event_id))
+               // 1000000 AS gap_s
+      FROM events
+    ), m AS (
+      SELECT user_id,
+             CAST(COUNT(*) AS BIGINT) AS n_gaps,
+             CAST(SUM(gap_s) AS BIGINT) AS s1,
+             SUM(CAST(gap_s AS HUGEINT) * gap_s) AS s2
+      FROM g WHERE gap_s IS NOT NULL
+      GROUP BY user_id HAVING COUNT(*) >= 2
+    )
+    SELECT user_id, n_gaps,
+           CAST(s1 // n_gaps AS BIGINT) AS mean_gap_s,
+           (sqrt({_duck_dec_double('n_gaps * s2 - CAST(s1 AS HUGEINT) * s1')})
+            - CAST(s1 AS DOUBLE))
+           / (sqrt({_duck_dec_double('n_gaps * s2 - CAST(s1 AS HUGEINT) * s1')})
+              + CAST(s1 AS DOUBLE)) AS burstiness
+    FROM m
+    """,
+)
+def user_interarrival_burstiness(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    # epoch_us is strictly monotone in ts, so (ts_us, event_id) is
+    # the same total order the oracle's (ts, event_id) gives.
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    gap = F.expr(
+        "CAST((ts_us - lag_us) div 1000000 AS BIGINT)"
+    )
+    g = (
+        ev.select(
+            "user_id",
+            _epoch_us(F.col("ts")).alias("ts_us"),
+            "event_id",
+        )
+        .withColumn("lag_us", F.lag("ts_us").over(w))
+        .select("user_id", gap.alias("gap_s"))
+        .filter(F.col("gap_s").isNotNull())
+    )
+    d38 = "decimal(38,0)"
+    m = (
+        g.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            F.sum("gap_s").alias("s1"),
+            F.sum(
+                (F.col("gap_s") * F.col("gap_s")).cast("decimal(31,0)")
+            ).alias("s2"),
+        )
+        .filter(F.col("n_gaps") >= 2)
+    )
+    vd = _dec_double(
+        (
+            F.col("n_gaps").cast(d38) * F.col("s2")
+            - F.col("s1").cast(d38) * F.col("s1").cast(d38)
+        ).cast(d38)
+    )
+    s1d = F.col("s1").cast("double")
+    return m.select(
+        "user_id",
+        "n_gaps",
+        F.expr("CAST(s1 div n_gaps AS BIGINT)").alias("mean_gap_s"),
+        ((F.sqrt(vd) - s1d) / (F.sqrt(vd) + s1d)).alias("burstiness"),
     )
