@@ -95,13 +95,13 @@ def _epoch_us(col):
     "q1_pricing_summary",
     oracle="""
     SELECT l_returnflag, l_linestatus,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))) * (CAST(1 AS DECIMAL(4,2)) + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_price,
-           CAST(SUM(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+           CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sum_qty,
+           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sum_base_price,
+           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS VARCHAR) AS DOUBLE) AS sum_disc_price,
+           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))) * (CAST(1 AS DECIMAL(4,2)) + CAST(l_tax AS DECIMAL(4,2)))) AS VARCHAR) AS DOUBLE) AS sum_charge,
+           CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) / COUNT(*) AS avg_qty,
+           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) / COUNT(*) AS avg_price,
+           CAST(CAST(SUM(CAST(l_discount AS DECIMAL(4,2))) AS VARCHAR) AS DOUBLE) / COUNT(*) AS avg_disc,
            CAST(COUNT(*) AS BIGINT) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -136,7 +136,7 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q3_shipping_priority",
     oracle="""
     SELECT l_orderkey,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS VARCHAR) AS DOUBLE) AS revenue,
            CAST(o_orderdate AS DATE) AS orderdate, o_orderpriority
     FROM customer JOIN orders ON c_custkey = o_custkey
                   JOIN lineitem ON l_orderkey = o_orderkey
@@ -183,7 +183,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q5_local_supplier_volume",
     oracle="""
     SELECT n_name,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS VARCHAR) AS DOUBLE) AS revenue
     FROM customer JOIN orders ON c_custkey = o_custkey
                   JOIN lineitem ON l_orderkey = o_orderkey
                   JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
@@ -307,9 +307,9 @@ def window_topk_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFra
     "window_running_revenue",
     oracle="""
     SELECT o_custkey, o_orderkey,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
                 OVER (PARTITION BY o_custkey ORDER BY o_orderkey
-                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS VARCHAR) AS DOUBLE)
              AS running_total,
            CAST(LAG(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS BIGINT)
              AS prev_orderkey
@@ -338,7 +338,7 @@ def window_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT l_returnflag, l_linestatus,
            CAST(COUNT(*) AS BIGINT) AS n,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS qty
+           CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS qty
     FROM lineitem
     GROUP BY ROLLUP (l_returnflag, l_linestatus)
     """,
@@ -355,8 +355,8 @@ def rollup_lineitem_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pivot_returnflag_by_status",
     oracle="""
     SELECT l_returnflag,
-           CAST(SUM(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(12,2)) END) AS DOUBLE) AS qty_o,
-           CAST(SUM(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(12,2)) END) AS DOUBLE) AS qty_f
+           CAST(CAST(SUM(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(12,2)) END) AS VARCHAR) AS DOUBLE) AS qty_o,
+           CAST(CAST(SUM(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(12,2)) END) AS VARCHAR) AS DOUBLE) AS qty_f
     FROM lineitem
     GROUP BY l_returnflag
     """,
@@ -500,13 +500,13 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH orders_daily AS (
       SELECT o_custkey, o_orderdate,
-             CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS day_total
+             CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS day_total
       FROM orders GROUP BY o_custkey, o_orderdate
     )
     SELECT e.user_id,
            CAST(COUNT(*) AS BIGINT) AS n_events,
            CAST(COUNT(od.day_total) AS BIGINT) AS n_matched,
-           CAST(SUM(CAST(od.day_total AS DECIMAL(18,2))) AS DOUBLE) AS sum_matched_total
+           CAST(CAST(SUM(CAST(od.day_total AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_matched_total
     FROM events e
     ASOF LEFT JOIN orders_daily od
       ON e.user_id = od.o_custkey AND e.ts >= od.o_orderdate
@@ -629,7 +629,7 @@ def cdc_change_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT event_type,
            CAST(COUNT(*) AS BIGINT) AS n,
-           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+           CAST(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sum_value
     FROM versions
     WHERE prev_id IS NULL OR event_type <> prev_type OR value <> prev_value
     GROUP BY event_type
@@ -1059,7 +1059,7 @@ _PRICE_BANDS = [
       {", ".join(f"('{b}', {lo}, {hi})" for b, lo, hi in _PRICE_BANDS)})
     SELECT b.band,
            CAST(COUNT(*) AS BIGINT) AS n_orders,
-           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+           CAST(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE)
              AS total_price
     FROM orders o
     JOIN bands b ON o.o_totalprice BETWEEN b.lo AND b.hi
@@ -1502,7 +1502,7 @@ def range_join_clicks_after_errors(spark: SparkSession, sf_dir: str) -> DataFram
            CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT)
              AS gid,
            CAST(COUNT(*) AS BIGINT) AS n,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS qty
+           CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS qty
     FROM lineitem
     GROUP BY CUBE (l_returnflag, l_linestatus)
     """,
@@ -2089,8 +2089,8 @@ def quarantine_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q6_forecast_revenue",
     oracle="""
-    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
-                    * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
+    SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * CAST(l_discount AS DECIMAL(4,2))) AS VARCHAR) AS DOUBLE) AS revenue,
            CAST(COUNT(*) AS BIGINT) AS n_lines
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
@@ -2121,9 +2121,8 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q10_returned_items",
     oracle="""
     SELECT c_custkey, c_name, n_name,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
-                    * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))))
-                AS DOUBLE) AS revenue
+           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS VARCHAR) AS DOUBLE) AS revenue
     FROM customer JOIN orders ON c_custkey = o_custkey
                   JOIN lineitem ON l_orderkey = o_orderkey
                   JOIN nation ON c_nationkey = n_nationkey
@@ -2163,13 +2162,12 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q14_promo_revenue_share",
     oracle="""
-    SELECT CAST(SUM(CASE WHEN p_type LIKE 'PROMO%'
+    SELECT CAST(CAST(SUM(CASE WHEN p_type LIKE 'PROMO%'
                     THEN CAST(l_extendedprice AS DECIMAL(12,2))
                          * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))
-                    END) AS DOUBLE)
-           / CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
-                      * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))))
-             AS DOUBLE) AS promo_share,
+                    END) AS VARCHAR) AS DOUBLE)
+           / CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                      * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS VARCHAR) AS DOUBLE) AS promo_share,
            CAST(COUNT(*) AS BIGINT) AS n_lines
     FROM lineitem JOIN part ON l_partkey = p_partkey
     WHERE l_shipdate >= TIMESTAMP '1996-09-01' AND l_shipdate < TIMESTAMP '1996-10-01'
@@ -2202,9 +2200,8 @@ def q14_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q19_disjunctive_predicates",
     oracle="""
-    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
-                    * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))))
-                AS DOUBLE) AS revenue,
+    SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS VARCHAR) AS DOUBLE) AS revenue,
            CAST(COUNT(*) AS BIGINT) AS n_lines
     FROM lineitem JOIN part ON p_partkey = l_partkey
     WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
@@ -2321,7 +2318,7 @@ def publish_route_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT time_bucket(INTERVAL '1 day', ts) AS bucket_start,
            event_type,
            CAST(COUNT(*) AS BIGINT) AS n,
-           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
+           CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_value,
            CAST(MIN(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS min_value,
            CAST(MAX(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS max_value
     FROM events
@@ -2507,7 +2504,12 @@ def train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SQL_SURFACE_TEXT = """
     WITH revenue AS (
       SELECT o_custkey AS custkey,
-             CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+             -- STRING, not VARCHAR: this text runs VERBATIM on BOTH
+             -- engines (that is the query's whole point), and Spark
+             -- rejects bare VARCHAR while both accept STRING. The
+             -- string hop keeps the decimal->double conversion
+             -- single-rounded on DuckDB (int128 backing past 2^53).
+             CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS STRING) AS DOUBLE) AS total
       FROM orders
       WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
         AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
@@ -2640,8 +2642,8 @@ def q13_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFra
              SUM(CAST(l_quantity AS DECIMAL(12,2))) AS qty_sum
       FROM lineitem GROUP BY l_partkey
     )
-    SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
-                / 7.0 AS DOUBLE) AS avg_yearly
+    SELECT CAST(CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+                / 7.0 AS VARCHAR) AS DOUBLE) AS avg_yearly
     FROM lineitem JOIN pq ON l_partkey = pk
     WHERE 5 * CAST(l_quantity AS DECIMAL(12,2)) * cnt < qty_sum
     """,
@@ -2725,7 +2727,7 @@ def q18_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT c_nationkey,
            CAST(COUNT(*) AS BIGINT) AS n_cust,
-           CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_acctbal
+           CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS total_acctbal
     FROM customer c, pos
     WHERE CAST(c_acctbal AS DECIMAL(12,2)) * n_pos > bal_sum
       AND NOT EXISTS (SELECT 1 FROM orders o
@@ -2770,7 +2772,7 @@ def q22_idle_high_balance_customers(spark: SparkSession, sf_dir: str) -> DataFra
     oracle="""
     SELECT o_custkey, o_orderkey,
            CAST(COUNT(*) OVER w AS BIGINT) AS n_near,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER w AS DOUBLE)
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER w AS VARCHAR) AS DOUBLE)
              AS near_total
     FROM orders
     WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey
@@ -3343,9 +3345,9 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q8_national_market_share",
     oracle="""
     SELECT o_year,
-           CAST(CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN vol
+           CAST(CAST(CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN vol
                               ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
-                / CAST(SUM(vol) AS DOUBLE) AS DOUBLE) AS mkt_share
+                / CAST(SUM(vol) AS DOUBLE) AS VARCHAR) AS DOUBLE) AS mkt_share
     FROM (
       SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER) AS o_year,
              CAST(l_extendedprice AS DECIMAL(12,2))
@@ -4343,7 +4345,7 @@ def scd2_temporal_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT event_type AS group_key,
            CAST(COUNT(*) AS BIGINT) AS n_items,
-           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+           CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS total_value
     FROM last WHERE rn = 1 GROUP BY event_type
     """,
 )
@@ -4963,8 +4965,8 @@ def hll_sketch_union_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH a AS (
       SELECT l_returnflag,
-             CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
-             CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+             CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sum_qty,
+             CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE)
                AS sum_base_price
       FROM lineitem GROUP BY l_returnflag
     )
@@ -8315,8 +8317,8 @@ def semantic_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents GROUP BY source
     ),
     t AS (
-      SELECT CAST(SUM(CAST(sqrt(CAST(n_docs AS DOUBLE))
-                           AS DECIMAL(28,10))) AS DOUBLE) AS z,
+      SELECT CAST(CAST(SUM(CAST(sqrt(CAST(n_docs AS DOUBLE))
+                           AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) AS z,
              SUM(n_docs) AS n_total
       FROM c
     ),
@@ -13723,7 +13725,7 @@ def cf_holdout_hit_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT e.event_type,
            CAST(COUNT(*) AS BIGINT) AS n_events,
            CAST(MAX(d.type_total) AS BIGINT) AS type_total,
-           CAST(SUM(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE)
+           CAST(CAST(SUM(CAST(e.value AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)
              AS sum_value
     FROM events e JOIN dim d ON e.event_type = d.event_type
     GROUP BY e.event_type
