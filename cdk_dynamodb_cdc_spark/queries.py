@@ -3081,13 +3081,27 @@ def lineitem_weighted_price_quantiles(
 @query(
     "orders_price_date_skyline",
     oracle="""
-    SELECT a.o_orderkey, a.o_orderdate, a.o_totalprice
-    FROM orders a
-    WHERE NOT EXISTS (
-      SELECT 1 FROM orders b
-      WHERE b.o_orderdate < a.o_orderdate
-        AND b.o_totalprice < a.o_totalprice
+    -- Windowed-frontier form of the 2-D skyline: keep a iff no
+    -- strictly-earlier-day order has a strictly lower price, i.e.
+    -- a.price <= min(price over earlier days). Equivalent to the
+    -- naive NOT EXISTS (b.date < a.date AND b.price < a.price)
+    -- anti-join, which DuckDB executes as an O(n^2) nested loop —
+    -- 3.6e11 probes at sf1's 600k orders (measured: one core pinned
+    -- for 20+ min before the round-10 sf1 sweep killed it). The
+    -- frontier form is the ground truth at n log n.
+    WITH daily AS (
+      SELECT o_orderdate AS d, MIN(o_totalprice) AS day_min
+      FROM orders GROUP BY d
+    ), f AS (
+      SELECT d,
+             MIN(day_min) OVER (ORDER BY d
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS prev_min
+      FROM daily
     )
+    SELECT a.o_orderkey, a.o_orderdate, a.o_totalprice
+    FROM orders a JOIN f ON f.d = a.o_orderdate
+    WHERE f.prev_min IS NULL OR a.o_totalprice <= f.prev_min
     """,
 )
 def orders_price_date_skyline(
