@@ -798,7 +798,7 @@ def ivfpq_topk(
     nlist: int = IVF_NLIST,
     nprobe: int = IVF_NPROBE,
     m: int = PQ_M,
-    shortlist: int = 100,
+    shortlist: int | None = None,
 ) -> DataFrame:
     """IVF + PQ composed — the FAISS IVFPQ shape, which is what
     billion-vector deployments actually run: the IVF cells bound WHICH
@@ -812,16 +812,32 @@ def ivfpq_topk(
     encodes residuals x - centroid for tighter quantization — a
     per-cell subtraction before :func:`pq_encode`, same plan shape.)
 
+    ``shortlist=None`` (the default) sizes the ADC shortlist to 20%
+    of the EXPECTED PROBED candidate count (n * nprobe / nlist, floor
+    100) — the same dial-scales-with-corpus contract as pq_topk and
+    ann_cosine_topk: PQ quantization noise pushes true neighbors
+    below a FIXED ADC rank more often as the probed set grows (the
+    round-10 sf1 run measured a recall-floor breach at 20k vectors
+    with the old fixed 100). The count reads the checkpointed
+    (vec_id, cell, codes) frame the candidate join scans anyway.
+
     Scale: probe list and lookup tables broadcast; the candidate join
     keys on (cell); stored cell-bucketed, the scan reads only probed
     cells' (vec_id, codes) rows; exact arithmetic touches
-    ``shortlist * |queries|`` vectors regardless of corpus size.
+    ``shortlist * |queries|`` vectors regardless of corpus size —
+    shortlist grows with the PER-QUERY probed fraction, not with the
+    corpus as a whole, which is the FAISS nprobe/shortlist coupling.
     """
     codebook = _ivf_codebook(_normed(emb), nlist)
     index = ivf_build(emb, nlist=nlist, codebook=codebook)
     pq_books = pq_train(emb, dim, m=m)
     encoded = pq_encode(emb, pq_books)
-    indexed = index.select("vec_id", "cell").join(encoded, "vec_id")
+    indexed = (
+        index.select("vec_id", "cell").join(encoded, "vec_id")
+        .localCheckpoint(eager=True)  # candidate-join side, 2 readers
+    )
+    if shortlist is None:
+        shortlist = max(100, indexed.count() * nprobe // (nlist * 5))
 
     spark = emb.sparkSession
     q_rows = (
