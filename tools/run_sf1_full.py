@@ -41,6 +41,11 @@ ORACLE_SKIP_SF1 = [
     "curate_corpus_dispositions",
     "incremental_near_dup_pairs",
     "embedding_dbscan_2d",
+    # not all-pairs by design, but DuckDB's evaluation of the
+    # unrolled greedy MMR selection ballooned past 85 GB RSS at sf1
+    # (measured in this round's sweep before the process was killed);
+    # parity stands at sf0.1
+    "mmr_diverse_retrieval",
 ]
 
 SF1 = "/root/repo/sf1"
