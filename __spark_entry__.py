@@ -50,9 +50,13 @@ _GATE_PRIORITY = [
     # top-64 sparsification cap, curate MATERIALIZED oracle),
     # then the 17 queries whose most recent driver-green row
     # dated to r3 or earlier (the staleness tail the r9 verdict
-    # flagged), then the 23 oldest previously-green (all r4) to
-    # keep the rotation advancing. Every other registry entry
-    # follows in stable registration order via queries().
+    # flagged), then the 21 queries whose oracle or plan changed
+    # AFTER the first r10 rotation landed (the VARCHAR-routed
+    # decimal-sum oracles, the windowed-frontier skyline oracle,
+    # and the two adaptive-dial ANN lanes — changed queries
+    # outrank rotation fill per the gate-coverage policy), then
+    # 2 oldest previously-green (r4) fill. Every other registry
+    # entry follows in stable registration order via queries().
     # -- new in round 10 (never gate-verified) -----------------
     'gk_lambda_type_dow',
     'kendall_tau_qty_price',
@@ -83,30 +87,31 @@ _GATE_PRIORITY = [
     'ttl_expiry_removes',
     'udtf_changed_path_stats',
     'variant_props_stats',
+    # -- changed after the first r10 rotation -------------------
+    'q1_pricing_summary',
+    'q3_shipping_priority',
+    'q5_local_supplier_volume',
+    'q8_national_market_share',
+    'q17_small_quantity_revenue',
+    'q22_idle_high_balance_customers',
+    'orders_price_date_skyline',
+    'orders_price_band_stats',
+    'rollup_lineitem_status',
+    'window_running_revenue',
+    'window_range_frame_revenue',
+    'pivot_returnflag_by_status',
+    'unpivot_lineitem_measures',
+    'salted_join_hot_keys',
+    'asof_latest_order_at_event',
+    'cdc_incremental_group_totals',
+    'cdc_unmarshall_roundtrip',
+    'corpus_mix_temperature',
+    'train_val_test_split',
+    'embedding_ann_topk',
+    'embedding_ivfpq_topk',
     # -- rotation fill: oldest previously-green (r4) -----------
     'approx_quantile_contract',
     'array_function_suite',
-    'asof_next_event_after_order',
-    'boilerplate_ngram_stats',
-    'cdc_change_stats_reconstructed',
-    'cdc_change_stats_typed',
-    'cdc_decimal_fidelity',
-    'cdc_snapshot_at',
-    'cdc_squash_net_changes',
-    'decontam_eval_overlap',
-    'event_transition_matrix',
-    'gapfill_hourly_user_activity',
-    'hll_sketch_union_contract',
-    'mad_outlier_stats',
-    'media_transform_stats',
-    'near_dup_ngram_jaccard',
-    'pack_training_sequences',
-    'percentile_order_values',
-    'q11_important_stock',
-    'q12_priority_by_linestatus',
-    'q13_customer_order_distribution',
-    'q15_top_supplier',
-    'q16_parts_supplier_relationship',
 ]
 
 
