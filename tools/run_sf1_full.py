@@ -46,6 +46,14 @@ ORACLE_SKIP_SF1 = [
     # (measured in this round's sweep before the process was killed);
     # parity stands at sf0.1
     "mmr_diverse_retrieval",
+    # the co-order-graph round-replay oracles (chained relaxation
+    # CTEs): DuckDB materializes every round's full reached-set x
+    # adjacency join — measured 58 GB disk spill (BFS, ENOSPC) and
+    # 68 GB-and-climbing (SSSP, killed) at sf1's ~13M-edge co-order
+    # graph. The Spark side is frontier-based and runs fine at sf1;
+    # oracle parity stands at sf0.1 in the robustness sweep.
+    "part_coorder_bfs_layers",
+    "part_coorder_sssp",
 ]
 
 SF1 = "/root/repo/sf1"
@@ -102,12 +110,16 @@ def main() -> int:
             "round-10 FULL-registry correctness at sf1 (10x the sf0.1 "
             "robustness sweep, 100x the driver gate): every registered "
             "query ran its Spark plan on the sf1 corpus; all but the "
-            "documented all-pairs-oracle exclusions were hash-compared "
+            "documented oracle-capacity exclusions were hash-compared "
             "against their DuckDB oracle at sf1. Excluded ORACLES (Spark "
-            "side still ran; rows-only): the brute-force near-dup/ANN "
-            "ground truths, all-pairs by design (~1.25e9 list-op pairs "
-            "at 50k docs) — their oracle parity stands at sf0.1 in the "
-            "ROBUSTNESS_SF01 artifacts."
+            "side still ran; rows-only) fall in two classes: (1) the "
+            "brute-force near-dup/ANN ground truths, all-pairs by design "
+            "(~1.25e9 list-op pairs at 50k docs); (2) ground truths whose "
+            "DuckDB evaluation balloons at sf1 even though the Spark plan "
+            "is bounded — the unrolled greedy MMR selection (85 GB RSS, "
+            "killed) and the co-order-graph round-replay CTEs (58-68 GB "
+            "disk spill, ENOSPC). Oracle parity for every excluded query "
+            "stands at sf0.1 in the ROBUSTNESS_SF01 artifacts."
         ),
         "sf_dir": SF1,
         "oracle_excluded": ORACLE_SKIP_SF1,
