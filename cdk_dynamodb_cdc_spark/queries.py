@@ -17958,3 +17958,457 @@ def user_interarrival_burstiness(
         F.expr("CAST(s1 div n_gaps AS BIGINT)").alias("mean_gap_s"),
         ((F.sqrt(vd) - s1d) / (F.sqrt(vd) + s1d)).alias("burstiness"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Herfindahl–Hirschman concentration of customer revenue within each
+# nation — the market-concentration statistic next to the Pareto and
+# Gini lanes. Exactly rational: HHI = sum(share_i^2) =
+# sum(r_i^2) / T^2 with r_i = per-customer spend cents and T = the
+# nation total, emitted as floor-scaled ppm with the exactly-
+# divisible identity (pmod subtraction), every step DECIMAL(38,0)/
+# HUGEINT integer — no per-share float ever exists. Shape: one
+# customer-keyed aggregate (map-side combinable), one nation-keyed
+# fold over customer rows, nation dimension broadcast; output is
+# nation-sized. At 100x the only growing stage is the two keyed
+# aggregates — shares never materialize individually.
+# ---------------------------------------------------------------------------
+@query(
+    "nation_revenue_hhi",
+    oracle="""
+    WITH r AS (
+      SELECT c.c_custkey, c.c_nationkey,
+             SUM(CAST(CAST(o.o_totalprice AS DECIMAL(9,2)) * 100
+                      AS BIGINT)) AS cents
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_custkey, c.c_nationkey
+    ), agg AS (
+      SELECT c_nationkey, COUNT(*) AS n_customers,
+             SUM(CAST(cents AS HUGEINT)) AS t,
+             SUM(CAST(cents AS HUGEINT) * CAST(cents AS HUGEINT))
+               AS sq
+      FROM r GROUP BY c_nationkey
+    )
+    SELECT n.n_name AS nation,
+           CAST(n_customers AS BIGINT) AS n_customers,
+           CAST(t AS BIGINT) AS total_cents,
+           CAST((1000000 * sq
+                 - ((1000000 * sq % (t * t)) + (t * t)) % (t * t))
+                // (t * t) AS BIGINT) AS hhi_ppm
+    FROM agg JOIN nation n ON agg.c_nationkey = n.n_nationkey
+    """,
+)
+def nation_revenue_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d38 = "decimal(38,0)"
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nat = load_table(spark, sf_dir, "nation")
+    cents = (
+        F.col("o_totalprice").cast("decimal(9,2)") * 100
+    ).cast("long")
+    r = (
+        orders.join(
+            cust.select("c_custkey", "c_nationkey"),
+            orders.o_custkey == cust.c_custkey,
+        )
+        .groupBy("c_custkey", "c_nationkey")
+        .agg(F.sum(cents).alias("cents"))
+    )
+    agg = r.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum(F.col("cents").cast(d38)).cast(d38).alias("t"),
+        F.sum(F.col("cents").cast(d38) * F.col("cents").cast(d38))
+        .cast(d38)
+        .alias("sq"),
+    )
+    t2 = F.col("t") * F.col("t")
+    num = (F.lit(1000000).cast(d38) * F.col("sq")).cast(d38)
+    return (
+        agg.join(
+            F.broadcast(nat.select("n_nationkey", "n_name")),
+            agg.c_nationkey == F.col("n_nationkey"),
+        )
+        .select(
+            F.col("n_name").alias("nation"),
+            F.col("n_customers").cast("long").alias("n_customers"),
+            F.col("t").cast("long").alias("total_cents"),
+            ((num - F.pmod(num, t2)) / t2).cast(d38).cast("long")
+            .alias("hhi_ppm"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Winsorized mean of order value per priority — the outlier-robust
+# location statistic next to the trimmed mean and MAD lanes: values
+# are CLAMPED to the exact per-group [p5, p95] (PERCENTILE_DISC
+# lower-discrete convention, rank ceil(q*n)) instead of dropped.
+# Exact integer contract: boundaries come from a cumulative count
+# over the (priority, cents) VALUE HISTOGRAM — a domain-bounded frame
+# (distinct order-total cents are bounded by the price domain, not by
+# row count, so the partitioned flat window is 100x-safe) — and the
+# winsorized mean is emitted as floored cents via the exactly-
+# divisible identity. No value-level window, no doubles anywhere.
+# Shape: one (priority, cents) aggregate, one histogram window, one
+# broadcast of the 5-row threshold table back onto the histogram.
+# ---------------------------------------------------------------------------
+@query(
+    "winsorized_mean_by_priority",
+    oracle="""
+    WITH v AS (
+      SELECT o_orderpriority AS prio,
+             CAST(CAST(o_totalprice AS DECIMAL(9,2)) * 100 AS BIGINT)
+               AS cents
+      FROM orders
+    ), h AS (
+      SELECT prio, cents, COUNT(*) AS c FROM v GROUP BY prio, cents
+    ), cum AS (
+      SELECT prio, cents, c,
+             SUM(c) OVER (PARTITION BY prio ORDER BY cents) AS cm,
+             SUM(c) OVER (PARTITION BY prio) AS n
+      FROM h
+    ), thr AS (
+      SELECT prio, MAX(n) AS n,
+             MIN(CASE WHEN cm >= (n + 19) // 20 THEN cents END)
+               AS lo_cents,
+             MIN(CASE WHEN cm >= (19 * n + 19) // 20 THEN cents END)
+               AS hi_cents
+      FROM cum GROUP BY prio
+    ), s AS (
+      SELECT h.prio, t.n, t.lo_cents, t.hi_cents,
+             SUM(CAST(LEAST(GREATEST(h.cents, t.lo_cents),
+                            t.hi_cents) AS HUGEINT) * h.c) AS sc
+      FROM h JOIN thr t ON h.prio = t.prio
+      GROUP BY h.prio, t.n, t.lo_cents, t.hi_cents
+    )
+    SELECT prio, CAST(n AS BIGINT) AS n_orders,
+           CAST(lo_cents AS BIGINT) AS lo_cents,
+           CAST(hi_cents AS BIGINT) AS hi_cents,
+           CAST((sc - ((sc % n) + n) % n) // n AS BIGINT)
+             AS winsorized_mean_cents
+    FROM s
+    """,
+)
+def winsorized_mean_by_priority(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    d38 = "decimal(38,0)"
+    cents = (
+        F.col("o_totalprice").cast("decimal(9,2)") * 100
+    ).cast("long")
+    h = (
+        load_table(spark, sf_dir, "orders")
+        .select(F.col("o_orderpriority").alias("prio"), cents.alias("v"))
+        .groupBy("prio", "v")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w_cum = Window.partitionBy("prio").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, 0
+    )  # domain-bounded histogram frame (distinct cents, not rows)
+    w_all = Window.partitionBy("prio")
+    cum = h.withColumn("cm", F.sum("c").over(w_cum)).withColumn(
+        "n", F.sum("c").over(w_all)
+    )
+    r05 = F.expr("(n + 19) div 20")
+    r95 = F.expr("(19 * n + 19) div 20")
+    thr = cum.groupBy("prio").agg(
+        F.max("n").alias("n"),
+        F.min(F.when(F.col("cm") >= r05, F.col("v"))).alias("lo_cents"),
+        F.min(F.when(F.col("cm") >= r95, F.col("v"))).alias("hi_cents"),
+    )
+    clamped = F.least(
+        F.greatest(F.col("v"), F.col("lo_cents")), F.col("hi_cents")
+    ).cast(d38)
+    s = (
+        h.join(F.broadcast(thr), "prio")
+        .groupBy("prio", "n", "lo_cents", "hi_cents")
+        .agg(F.sum(clamped * F.col("c").cast(d38)).cast(d38).alias("sc"))
+    )
+    nn = F.col("n").cast(d38)
+    return s.select(
+        "prio",
+        F.col("n").cast("long").alias("n_orders"),
+        F.col("lo_cents").cast("long").alias("lo_cents"),
+        F.col("hi_cents").cast("long").alias("hi_cents"),
+        ((F.col("sc") - F.pmod(F.col("sc"), nn)) / nn)
+        .cast(d38)
+        .cast("long")
+        .alias("winsorized_mean_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gini-impurity information gain of each categorical lineitem feature
+# against the returned-flag label — the decision-tree split-quality
+# ranking as a feature-prep operator (the house rational-arithmetic
+# sibling of entropy gain, which would drag libm logs into the
+# result; same discipline as user_event_diversity's Gini–Simpson).
+# Exact contract: parent impurity ppm = floor(1e6*(N^2-P^2-Q^2)/N^2);
+# each value's weighted child impurity is floored to ppm
+# INDIVIDUALLY — floor(1e6*(n_v^2-p_v^2-q_v^2)/(N*n_v)) — and summed,
+# so both engines perform the identical floor sequence (the summed
+# child ppm is within #values ppm of the true rational, and the
+# contract IS the floored sum). Shape: one melted stack() scan
+# (adding features never adds scans), one (feature, value) aggregate
+# (map-side combinable), one feature-sized fold — value vocabularies
+# are schema-bounded, so every post-scan frame is tiny at any SF.
+# ---------------------------------------------------------------------------
+@query(
+    "gini_gain_feature_ranking",
+    oracle="""
+    WITH m AS (
+      SELECT f, v, CAST(l_returnflag = 'R' AS INT) AS y
+      FROM lineitem,
+      LATERAL (VALUES
+        ('linestatus', l_linestatus),
+        ('ship_month', CAST(MONTH(l_shipdate) AS VARCHAR)),
+        ('quantity', CAST(CAST(l_quantity AS INT) AS VARCHAR)),
+        ('disc_pct', CAST(CAST(CAST(l_discount AS DECIMAL(4,2)) * 100
+                               AS INT) AS VARCHAR))) AS t(f, v)
+    ), c AS (
+      SELECT f, v, CAST(COUNT(*) AS HUGEINT) AS n_v,
+             CAST(SUM(y) AS HUGEINT) AS p_v
+      FROM m GROUP BY f, v
+    ), tot AS (
+      SELECT f, SUM(n_v) AS n, SUM(p_v) AS p FROM c GROUP BY f
+    ), child AS (
+      SELECT c.f, COUNT(*) AS n_values,
+             SUM((1000000 * (c.n_v * c.n_v - c.p_v * c.p_v
+                             - (c.n_v - c.p_v) * (c.n_v - c.p_v)))
+                 // (t.n * c.n_v)) AS child_ppm
+      FROM c JOIN tot t ON c.f = t.f
+      GROUP BY c.f
+    )
+    SELECT t.f AS feature, CAST(n_values AS BIGINT) AS n_values,
+           CAST((1000000 * (t.n * t.n - t.p * t.p
+                            - (t.n - t.p) * (t.n - t.p)))
+                // (t.n * t.n) AS BIGINT) AS parent_gini_ppm,
+           CAST(child_ppm AS BIGINT) AS child_gini_ppm,
+           CAST((1000000 * (t.n * t.n - t.p * t.p
+                            - (t.n - t.p) * (t.n - t.p)))
+                // (t.n * t.n) - child_ppm AS BIGINT) AS gain_ppm
+    FROM tot t JOIN child ON t.f = child.f
+    """,
+)
+def gini_gain_feature_ranking(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    d38 = "decimal(38,0)"
+    m = load_table(spark, sf_dir, "lineitem").select(
+        F.expr(
+            "stack(4, 'linestatus', l_linestatus,"
+            " 'ship_month', CAST(MONTH(l_shipdate) AS STRING),"
+            " 'quantity', CAST(CAST(l_quantity AS INT) AS STRING),"
+            " 'disc_pct', CAST(CAST(CAST(l_discount AS DECIMAL(4,2))"
+            " * 100 AS INT) AS STRING)) AS (f, v)"
+        ),
+        (F.col("l_returnflag") == "R").cast("int").alias("y"),
+    )
+    c = m.groupBy("f", "v").agg(
+        F.count(F.lit(1)).cast(d38).alias("n_v"),
+        F.sum("y").cast(d38).alias("p_v"),
+    )
+    tot = c.groupBy("f").agg(
+        F.sum("n_v").cast(d38).alias("n"),
+        F.sum("p_v").cast(d38).alias("p"),
+    )
+    q_v = F.col("n_v") - F.col("p_v")
+    child_num = (
+        F.lit(1000000).cast(d38)
+        * (
+            F.col("n_v") * F.col("n_v")
+            - F.col("p_v") * F.col("p_v")
+            - q_v * q_v
+        )
+    ).cast(d38)
+    child_den = (F.col("n") * F.col("n_v")).cast(d38)
+    child = (
+        c.join(F.broadcast(tot), "f")
+        .select(
+            "f",
+            ((child_num - F.pmod(child_num, child_den)) / child_den)
+            .cast(d38)
+            .alias("ppm_v"),
+        )
+        .groupBy("f")
+        .agg(
+            F.count(F.lit(1)).alias("n_values"),
+            F.sum("ppm_v").cast(d38).alias("child_ppm"),
+        )
+    )
+    qq = F.col("n") - F.col("p")
+    par_num = (
+        F.lit(1000000).cast(d38)
+        * (
+            F.col("n") * F.col("n")
+            - F.col("p") * F.col("p")
+            - qq * qq
+        )
+    ).cast(d38)
+    par_den = (F.col("n") * F.col("n")).cast(d38)
+    parent_ppm = (
+        (par_num - F.pmod(par_num, par_den)) / par_den
+    ).cast(d38)
+    return (
+        tot.join(child, "f")
+        .select(
+            F.col("f").alias("feature"),
+            F.col("n_values").cast("long").alias("n_values"),
+            parent_ppm.cast("long").alias("parent_gini_ppm"),
+            F.col("child_ppm").cast("long").alias("child_gini_ppm"),
+            (parent_ppm - F.col("child_ppm"))
+            .cast(d38)
+            .cast("long")
+            .alias("gain_ppm"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# RFM customer segmentation — recency / frequency / monetary quintile
+# scores, the classic commerce segmentation operator. Exact contract:
+# each dimension's quintile boundaries are PERCENTILE_DISC values
+# (rank ceil(k*n/5), 1-indexed, lower-discrete) over the CUSTOMER
+# population, and score_d = 1 + #(boundaries < value) — ties sit in
+# the lower bucket, so scores are pure integer comparisons against
+# four broadcast boundary values per dimension (R scores follow the
+# same raw convention: R5 = longest-inactive). Shape: one
+# customer-keyed aggregate; recency (bounded by the corpus day span)
+# and frequency (bounded by per-customer order counts) fold over
+# DOMAIN-BOUNDED histogram windows, while monetary — whose distinct
+# spend sums approach customer cardinality — runs through the
+# bucketed two-level cumulative (_bucketed_cumsum), so no
+# unpartitioned value-level window exists at any scale; the 12
+# boundary values broadcast back onto customers, never an ntile.
+# Output is the <=125-row segment grid.
+# ---------------------------------------------------------------------------
+@query(
+    "rfm_customer_segments",
+    oracle="""
+    WITH anchor AS (SELECT MAX(CAST(o_orderdate AS DATE)) AS ad
+                    FROM orders),
+    cust AS (
+      SELECT o_custkey,
+             DATE_DIFF('day', MAX(CAST(o_orderdate AS DATE)),
+                       (SELECT ad FROM anchor)) AS r,
+             COUNT(*) AS f,
+             SUM(CAST(CAST(o_totalprice AS DECIMAL(9,2)) * 100
+                      AS BIGINT)) AS m
+      FROM orders GROUP BY o_custkey
+    ), n AS (SELECT COUNT(*) AS n FROM cust),
+    b AS (
+      SELECT d, k, MIN(v) AS b FROM (
+        SELECT d, v, SUM(c) OVER (PARTITION BY d ORDER BY v) AS cm
+        FROM (
+          SELECT d, v, COUNT(*) AS c FROM (
+            SELECT 'r' AS d, r AS v FROM cust
+            UNION ALL SELECT 'f', f FROM cust
+            UNION ALL SELECT 'm', m FROM cust
+          ) GROUP BY d, v
+        )
+      ), (SELECT UNNEST([1, 2, 3, 4]) AS k), n
+      WHERE cm >= (k * n.n + 4) // 5
+      GROUP BY d, k
+    ), bp AS (
+      SELECT
+        MAX(CASE WHEN d = 'r' AND k = 1 THEN b END) AS r1,
+        MAX(CASE WHEN d = 'r' AND k = 2 THEN b END) AS r2,
+        MAX(CASE WHEN d = 'r' AND k = 3 THEN b END) AS r3,
+        MAX(CASE WHEN d = 'r' AND k = 4 THEN b END) AS r4,
+        MAX(CASE WHEN d = 'f' AND k = 1 THEN b END) AS f1,
+        MAX(CASE WHEN d = 'f' AND k = 2 THEN b END) AS f2,
+        MAX(CASE WHEN d = 'f' AND k = 3 THEN b END) AS f3,
+        MAX(CASE WHEN d = 'f' AND k = 4 THEN b END) AS f4,
+        MAX(CASE WHEN d = 'm' AND k = 1 THEN b END) AS m1,
+        MAX(CASE WHEN d = 'm' AND k = 2 THEN b END) AS m2,
+        MAX(CASE WHEN d = 'm' AND k = 3 THEN b END) AS m3,
+        MAX(CASE WHEN d = 'm' AND k = 4 THEN b END) AS m4
+      FROM b
+    )
+    SELECT
+      CAST(1 + CAST(r > r1 AS INT) + CAST(r > r2 AS INT)
+             + CAST(r > r3 AS INT) + CAST(r > r4 AS INT) AS INT)
+        AS r_score,
+      CAST(1 + CAST(f > f1 AS INT) + CAST(f > f2 AS INT)
+             + CAST(f > f3 AS INT) + CAST(f > f4 AS INT) AS INT)
+        AS f_score,
+      CAST(1 + CAST(m > m1 AS INT) + CAST(m > m2 AS INT)
+             + CAST(m > m3 AS INT) + CAST(m > m4 AS INT) AS INT)
+        AS m_score,
+      CAST(COUNT(*) AS BIGINT) AS n_customers,
+      CAST(SUM(m) AS BIGINT) AS total_m_cents
+    FROM cust, bp
+    GROUP BY 1, 2, 3
+    """,
+)
+def rfm_customer_segments(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cents = (
+        F.col("o_totalprice").cast("decimal(9,2)") * 100
+    ).cast("long")
+    anchor = orders.agg(
+        F.max(F.col("o_orderdate").cast("date")).alias("ad")
+    )
+    cust = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.max(F.col("o_orderdate").cast("date")).alias("last_d"),
+            F.count(F.lit(1)).alias("f"),
+            F.sum(cents).alias("m"),
+        )
+        .crossJoin(F.broadcast(anchor))
+        .select(
+            "o_custkey",
+            F.datediff(F.col("ad"), F.col("last_d")).cast("long")
+            .alias("r"),
+            F.col("f").cast("long").alias("f"),
+            "m",
+        )
+        .localCheckpoint(eager=True)  # three consumers, one orders pass
+    )
+    n = cust.count()  # boundary ranks are plan constants (like the
+    # two-pass quantile operator's driver-side histogram resolution)
+    ranks = [(k * n + 4) // 5 for k in (1, 2, 3, 4)]
+
+    def boundaries(dim: str, bucketed: bool) -> DataFrame:
+        hist = cust.groupBy(F.col(dim).alias("v")).agg(
+            F.count(F.lit(1)).cast("decimal(38,0)").alias("c")
+        )
+        if bucketed:
+            cum = _bucketed_cumsum(
+                hist, value_col="v", weight_col="c",
+                out_col="cm", inclusive=True,
+            )
+        else:
+            w = Window.orderBy("v").rowsBetween(
+                Window.unboundedPreceding, 0
+            )  # domain-bounded histogram frame
+            cum = hist.withColumn("cm", F.sum("c").over(w))
+        return cum.agg(*[
+            F.min(F.when(F.col("cm") >= rk, F.col("v"))).alias(
+                f"{dim}{i + 1}"
+            )
+            for i, rk in enumerate(ranks)
+        ])
+    bp = (
+        boundaries("r", bucketed=False)
+        .crossJoin(boundaries("f", bucketed=False))
+        .crossJoin(boundaries("m", bucketed=True))
+    )
+
+    def score(dim: str) -> "F.Column":
+        s = F.lit(1)
+        for i in (1, 2, 3, 4):
+            s = s + (F.col(dim) > F.col(f"{dim}{i}")).cast("int")
+        return s.cast("int").alias(f"{dim}_score")
+
+    return (
+        cust.crossJoin(F.broadcast(bp))
+        .groupBy(score("r"), score("f"), score("m"))
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("m").alias("total_m_cents"),
+        )
+    )
