@@ -18207,7 +18207,8 @@ def gini_gain_feature_ranking(
     c = m.groupBy("f", "v").agg(
         F.count(F.lit(1)).cast(d38).alias("n_v"),
         F.sum("y").cast(d38).alias("p_v"),
-    )
+    ).localCheckpoint(eager=True)  # vocabulary-sized; three
+    # consumers (tot, child, output join) share ONE lineitem pass
     tot = c.groupBy("f").agg(
         F.sum("n_v").cast(d38).alias("n"),
         F.sum("p_v").cast(d38).alias("p"),
