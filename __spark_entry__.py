@@ -68,6 +68,9 @@ _GATE_PRIORITY = [
     'winsorized_mean_by_priority',
     'gini_gain_feature_ranking',
     'rfm_customer_segments',
+    'customer_spend_lorenz',
+    'brand_discount_elasticity',
+    'source_type_token_ratio',
     # -- changed in round 10 -----------------------------------
     'isotonic_quality_calibration',
     'embedding_pq_topk',
@@ -106,17 +109,16 @@ _GATE_PRIORITY = [
     'pivot_returnflag_by_status',
     'unpivot_lineitem_measures',
     'salted_join_hot_keys',
-    'asof_latest_order_at_event',
-    'cdc_incremental_group_totals',
-    'train_val_test_split',
     'embedding_ann_topk',
     'embedding_ivfpq_topk',
-    # displaced to keep the window at 50 when the four second-batch
-    # r10 operators landed (new > changed > stale > fill): the two
-    # r4 rotation fills, plus cdc_unmarshall_roundtrip and
-    # corpus_mix_temperature from the changed block (both green in
-    # this round's CORRECTNESS_LOCAL_r10 / ROBUSTNESS_SF01_r10 /
-    # CORRECTNESS_SF1_r10 runs of the same changed oracles).
+    # displaced to keep the window at 50 as the seven second- and
+    # third-batch r10 operators landed (new > changed > stale >
+    # fill): the two r4 rotation fills, plus cdc_unmarshall_roundtrip,
+    # corpus_mix_temperature, asof_latest_order_at_event,
+    # cdc_incremental_group_totals, and train_val_test_split from the
+    # changed block (every displaced query is green in this round's
+    # CORRECTNESS_LOCAL_r10 / ROBUSTNESS_SF01_r10 / CORRECTNESS_SF1_r10
+    # runs of the same changed oracles).
 ]
 
 

@@ -18413,3 +18413,241 @@ def rfm_customer_segments(
             F.sum("m").alias("total_m_cents"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Lorenz curve of customer spend — the distributional complement of
+# customer_spend_gini: at each spend decile boundary (PERCENTILE_DISC
+# rank ceil(d*n/10), the RFM convention), report the boundary value,
+# how many customers sit at or below it, and their exact cumulative
+# share of total spend in floor-scaled ppm. Tie groups are never
+# split (the point reported is the discrete-CDF step at the boundary
+# VALUE), so no per-row ordering exists anywhere. Shape: one
+# customer-keyed aggregate; both cumulative folds (count positions
+# and spend mass) run over the distinct-spend frame through the
+# bucketed two-level cumulative — distinct spend sums approach
+# customer cardinality, exactly the frame _bucketed_cumsum exists
+# for; the 10-row boundary table comes out of one aggregate.
+# ---------------------------------------------------------------------------
+@query(
+    "customer_spend_lorenz",
+    oracle="""
+    WITH cust AS (
+      SELECT o_custkey,
+             SUM(CAST(CAST(o_totalprice AS DECIMAL(9,2)) * 100
+                      AS BIGINT)) AS m
+      FROM orders GROUP BY o_custkey
+    ), h AS (
+      SELECT m AS v, COUNT(*) AS c,
+             SUM(m) AS s
+      FROM cust GROUP BY m
+    ), cum AS (
+      SELECT v,
+             SUM(c) OVER (ORDER BY v) AS cm,
+             SUM(CAST(s AS HUGEINT)) OVER (ORDER BY v) AS sm
+      FROM h
+    ), tot AS (
+      SELECT COUNT(*) AS n, SUM(CAST(m AS HUGEINT)) AS st FROM cust
+    )
+    SELECT d,
+           CAST(MIN(v) AS BIGINT) AS boundary_spend_cents,
+           CAST(MIN(cm) AS BIGINT) AS n_cum_customers,
+           CAST(MIN((1000000 * sm) // st) AS BIGINT) AS cum_spend_ppm
+    FROM cum, tot, (SELECT UNNEST([1,2,3,4,5,6,7,8,9,10]) AS d)
+    WHERE cm >= (d * n + 9) // 10
+    GROUP BY d
+    """,
+)
+def customer_spend_lorenz(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    d38 = "decimal(38,0)"
+    cents = (
+        F.col("o_totalprice").cast("decimal(9,2)") * 100
+    ).cast("long")
+    cust = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.sum(cents).alias("m"))
+    )
+    h = cust.groupBy(F.col("m").alias("v")).agg(
+        F.count(F.lit(1)).cast(d38).alias("c"),
+        F.sum("m").cast(d38).alias("s"),
+    ).localCheckpoint(eager=True)  # distinct-spend frame feeds two
+    # cumulative folds and the totals without re-aggregating orders
+    cm = _bucketed_cumsum(
+        h, value_col="v", weight_col="c", out_col="cm",
+        inclusive=True,
+    )
+    sm = _bucketed_cumsum(
+        h.select("v", "s"), value_col="v", weight_col="s",
+        out_col="sm", inclusive=True,
+    ).select("v", "sm")
+    cum = cm.join(sm, "v")
+    tot = h.agg(
+        F.sum("c").cast(d38).alias("n"), F.sum("s").cast(d38).alias("st")
+    )
+    deciles = spark.range(1, 11).select(F.col("id").cast("int").alias("d"))
+    num = (F.lit(1000000).cast(d38) * F.col("sm")).cast(d38)
+    share = ((num - F.pmod(num, F.col("st"))) / F.col("st")).cast(d38)
+    rank = F.expr("CAST((d * n + 9) div 10 AS decimal(38,0))")
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(deciles))
+        .filter(F.col("cm") >= rank)
+        .groupBy("d")
+        .agg(
+            F.min("v").alias("boundary_spend_cents"),
+            F.min(F.col("cm").cast("long")).alias("n_cum_customers"),
+            F.min(share.cast("long")).alias("cum_spend_ppm"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-brand discount elasticity of demand — the GROUPED simple-OLS
+# slope (quantity on discount percent), the grouped sibling of the
+# global OLS lanes: slope_b = (n*Sxy - Sx*Sy) / (n*Sxx - Sx^2) per
+# brand, every moment an exact DECIMAL(38,0)/HUGEINT integer and the
+# SIGNED ppm quotient floored through the exactly-divisible pmod
+# identity (never a bare signed integer division, whose rounding
+# direction differs between engines). Shape: one broadcast of the
+# two-column part dimension, one brand-keyed moments aggregate
+# (map-side combinable), brand-sized output — the corpus contributes
+# exactly one scan at any SF.
+# ---------------------------------------------------------------------------
+@query(
+    "brand_discount_elasticity",
+    oracle="""
+    WITH li AS (
+      SELECT p.p_brand AS brand,
+             CAST(CAST(l.l_discount AS DECIMAL(4,2)) * 100 AS BIGINT)
+               AS x,
+             CAST(l.l_quantity AS BIGINT) AS y
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ), m AS (
+      SELECT brand, CAST(COUNT(*) AS HUGEINT) AS n,
+             CAST(SUM(x) AS HUGEINT) AS sx,
+             CAST(SUM(y) AS HUGEINT) AS sy,
+             CAST(SUM(x * y) AS HUGEINT) AS sxy,
+             CAST(SUM(x * x) AS HUGEINT) AS sxx
+      FROM li GROUP BY brand
+    )
+    SELECT brand, CAST(n AS BIGINT) AS n_items,
+           CAST((1000000 * (n * sxy - sx * sy)
+                 - ((1000000 * (n * sxy - sx * sy)
+                     % (n * sxx - sx * sx))
+                    + (n * sxx - sx * sx)) % (n * sxx - sx * sx))
+                // (n * sxx - sx * sx) AS BIGINT) AS slope_ppm
+    FROM m
+    WHERE n * sxx - sx * sx > 0
+    """,
+)
+def brand_discount_elasticity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    d38 = "decimal(38,0)"
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand"
+    )
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(
+            "l_partkey",
+            (F.col("l_discount").cast("decimal(4,2)") * 100)
+            .cast("long")
+            .alias("x"),
+            F.col("l_quantity").cast("long").alias("y"),
+        )
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    )
+    m = li.groupBy(F.col("p_brand").alias("brand")).agg(
+        F.count(F.lit(1)).cast(d38).alias("n"),
+        F.sum("x").cast(d38).alias("sx"),
+        F.sum("y").cast(d38).alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast(d38).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast(d38).alias("sxx"),
+    )
+    num = (
+        F.lit(1000000).cast(d38)
+        * (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+    ).cast(d38)
+    den = (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    ).cast(d38)
+    return (
+        m.filter(den > 0)
+        .select(
+            "brand",
+            F.col("n").cast("long").alias("n_items"),
+            ((num - F.pmod(num, den)) / den).cast(d38).cast("long")
+            .alias("slope_ppm"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Lexical diversity per document source — type-token ratio (distinct
+# vocabulary over running tokens, the corpus-health statistic next to
+# the vocab and token-drift lanes), exactly rational in floor-scaled
+# ppm. Tokenization is the engine's whitespace convention (identical
+# split semantics on both engines, as in the LM lanes). Shape: one
+# documents scan exploding to (source, token), one distinct-agg
+# (map-side partial on the (source, token) key), one source-sized
+# fold — token volume grows with data, vocabulary saturates, so the
+# TTR itself is the operator a 100-TB curation pipeline watches for
+# crawl duplication (TTR collapsing toward 0 = token growth without
+# vocabulary growth).
+# ---------------------------------------------------------------------------
+@query(
+    "source_type_token_ratio",
+    oracle="""
+    WITH toks AS (
+      SELECT source, UNNEST(string_split(text, ' ')) AS w
+      FROM documents
+    ), per AS (
+      SELECT source, w, COUNT(*) AS c FROM toks GROUP BY source, w
+    ), d AS (
+      SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source
+    )
+    SELECT p.source, CAST(d.n_docs AS BIGINT) AS n_docs,
+           CAST(SUM(p.c) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct,
+           CAST((1000000 * CAST(COUNT(*) AS HUGEINT)
+                 - ((1000000 * CAST(COUNT(*) AS HUGEINT)
+                     % SUM(CAST(p.c AS HUGEINT)))
+                    + SUM(CAST(p.c AS HUGEINT)))
+                   % SUM(CAST(p.c AS HUGEINT)))
+                // SUM(CAST(p.c AS HUGEINT)) AS BIGINT) AS ttr_ppm
+    FROM per p JOIN d ON p.source = d.source
+    GROUP BY p.source, d.n_docs
+    """,
+)
+def source_type_token_ratio(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    d38 = "decimal(38,0)"
+    docs = load_table(spark, sf_dir, "documents")
+    per = (
+        docs.select(
+            "source",
+            F.explode(F.split(F.col("text"), " ")).alias("w"),
+        )
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    d = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    agg = per.groupBy("source").agg(
+        F.sum("c").cast(d38).alias("n_tokens"),
+        F.count(F.lit(1)).cast(d38).alias("n_distinct"),
+    )
+    num = (F.lit(1000000).cast(d38) * F.col("n_distinct")).cast(d38)
+    den = F.col("n_tokens")
+    return agg.join(F.broadcast(d), "source").select(
+        "source",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_distinct").cast("long").alias("n_distinct"),
+        ((num - F.pmod(num, den)) / den).cast(d38).cast("long")
+        .alias("ttr_ppm"),
+    )

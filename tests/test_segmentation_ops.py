@@ -104,3 +104,32 @@ def test_gini_gain_perfect_split_reaches_parent_impurity():
         for n_v, p_v in ((50, 50), (50, 0))
     )
     assert child == 0
+
+
+def test_signed_pmod_floor_identity(spark):
+    # brand_discount_elasticity's slope can be NEGATIVE; the
+    # exactly-divisible pmod identity must floor (round toward
+    # -inf) identically to the oracle's ((n % d) + d) % d form —
+    # a bare signed integer division would truncate instead.
+    rows = [(-7, 2, -4), (7, 2, 3), (-6, 3, -2), (-1, 5, -1)]
+    df = spark.createDataFrame(rows, "num long, den long, want long")
+    d38 = "decimal(38,0)"
+    got = df.select(
+        "want",
+        (
+            (F.col("num").cast(d38)
+             - F.pmod(F.col("num").cast(d38), F.col("den").cast(d38)))
+            / F.col("den").cast(d38)
+        ).cast(d38).cast("long").alias("got"),
+    ).collect()
+    for r in got:
+        assert r["got"] == r["want"]
+    import duckdb
+
+    con = duckdb.connect()
+    for num, den, want in rows:
+        (o,) = con.sql(
+            f"SELECT ({num} - (({num} % {den}) + {den}) % {den})"
+            f" // {den}"
+        ).fetchone()
+        assert int(o) == want
