@@ -34,6 +34,12 @@ CASES = [
     ([-40000000, -1, 0, 1, 99999999999], [2, 3, 1, 4, 9]),
     ([42], [7]),
     (list(range(0, 2_000_000_000, 137_000_003)), None),
+    # mass-style weights (the Lorenz spend-cumulative usage): weights
+    # are value*count products in the 1e8-1e13 range, not row counts
+    (
+        [1013_70, 499978_59, 123456_78, 16777216_00, 2_000_000_01],
+        [123_456_789, 9_876_543_210, 42, 7_000_000_000_123, 1],
+    ),
 ]
 
 
