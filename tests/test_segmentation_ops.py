@@ -133,3 +133,56 @@ def test_signed_pmod_floor_identity(spark):
             f" // {den}"
         ).fetchone()
         assert int(o) == want
+
+
+def test_winsorized_contract_vs_bruteforce(spark):
+    # brute-force reference for the winsorized-mean contract on an
+    # adversarial value multiset (heavy ties at both tails, a
+    # singleton group, and a group smaller than 20 where p5's rank
+    # clamps to 1): boundaries at rank ceil(q*n), values clamped,
+    # floored-cents mean.
+    import math
+
+    groups = {
+        "A": [5] * 30 + [7] * 40 + [9] * 25 + [1000] * 5,
+        "B": [2, 3, 5, 8, 13, 21, 34],
+        "C": [42],
+    }
+    rows = [(g, v) for g, vs in groups.items() for v in vs]
+    df = spark.createDataFrame(rows, "prio string, cents long")
+
+    def brute(vs):
+        vs = sorted(vs)
+        n = len(vs)
+        lo = vs[max(1, math.ceil(0.05 * n)) - 1]
+        hi = vs[max(1, math.ceil(0.95 * n)) - 1]
+        clamped = [min(max(v, lo), hi) for v in vs]
+        return lo, hi, sum(clamped) // n
+
+    from pyspark.sql import Window
+
+    h = df.groupBy("prio", F.col("cents").alias("v")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    w_cum = Window.partitionBy("prio").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    w_all = Window.partitionBy("prio")
+    cum = h.withColumn("cm", F.sum("c").over(w_cum)).withColumn(
+        "n", F.sum("c").over(w_all)
+    )
+    thr = cum.groupBy("prio").agg(
+        F.max("n").alias("n"),
+        F.min(
+            F.when(F.col("cm") >= F.expr("(n + 19) div 20"), F.col("v"))
+        ).alias("lo"),
+        F.min(
+            F.when(
+                F.col("cm") >= F.expr("(19 * n + 19) div 20"), F.col("v")
+            )
+        ).alias("hi"),
+    ).collect()
+    got = {r["prio"]: (r["lo"], r["hi"]) for r in thr}
+    for g, vs in groups.items():
+        lo, hi, _ = brute(vs)
+        assert got[g] == (lo, hi), (g, got[g], (lo, hi))
