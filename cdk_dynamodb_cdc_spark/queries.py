@@ -2642,8 +2642,8 @@ def q13_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFra
              SUM(CAST(l_quantity AS DECIMAL(12,2))) AS qty_sum
       FROM lineitem GROUP BY l_partkey
     )
-    SELECT CAST(CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
-                / 7.0 AS VARCHAR) AS DOUBLE) AS avg_yearly
+    SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS VARCHAR)
+                AS DOUBLE) / 7.0 AS avg_yearly
     FROM lineitem JOIN pq ON l_partkey = pk
     WHERE 5 * CAST(l_quantity AS DECIMAL(12,2)) * cnt < qty_sum
     """,
@@ -3359,9 +3359,10 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q8_national_market_share",
     oracle="""
     SELECT o_year,
-           CAST(CAST(CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN vol
-                              ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
-                / CAST(SUM(vol) AS DOUBLE) AS VARCHAR) AS DOUBLE) AS mkt_share
+           CAST(CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN vol
+                         ELSE CAST(0 AS DECIMAL(12,2)) END) AS VARCHAR)
+                AS DOUBLE)
+                / CAST(CAST(SUM(vol) AS VARCHAR) AS DOUBLE) AS mkt_share
     FROM (
       SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER) AS o_year,
              CAST(l_extendedprice AS DECIMAL(12,2))
@@ -3766,15 +3767,23 @@ def q21_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH RECURSIVE
     w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-    sh AS (SELECT doc_id,
+    sh AS MATERIALIZED (
+           SELECT doc_id,
                   list_distinct(list_transform(range(1, len(ws) - 1),
                       i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS s
            FROM w),
-    p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+    -- MATERIALIZED: the recursive closure below references e every
+    -- round; without it the all-pairs shingle join re-evaluates per
+    -- iteration (the blow-up curate_corpus_dispositions hit in r9).
+    -- One evaluation of the pair join is still all-pairs by design —
+    -- that is the point of a ground-truth oracle.
+    p AS MATERIALIZED (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
           FROM sh a JOIN sh b ON a.doc_id < b.doc_id
           WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
                 / len(list_distinct(a.s || b.s)) >= 0.8),
-    e AS (SELECT doc_a AS src, doc_b AS dst FROM p
+    e AS MATERIALIZED (
+          SELECT doc_a AS src, doc_b AS dst FROM p
           UNION ALL
           SELECT doc_b, doc_a FROM p),
     reach(node, lbl) AS (
@@ -8239,11 +8248,14 @@ def txlog_merge_into_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     "semantic_dedup_keep",
     oracle=f"""
     WITH RECURSIVE
-    s AS (
+    s AS MATERIALIZED (
       SELECT vec_id, embedding, {_lsh_bucket_sql('embedding')} AS bucket
       FROM embeddings WHERE vec_id < 500
     ),
-    p AS (
+    -- MATERIALIZED: e feeds every iteration of the recursive closure;
+    -- without it the bucketed cosine join above re-evaluates per round
+    -- (the r10 sf1 capacity blow-up class) — pin it to one evaluation.
+    p AS MATERIALIZED (
       SELECT a.vec_id AS src, b.vec_id AS dst
       FROM s a JOIN s b
         ON a.vec_id < b.vec_id
@@ -8256,7 +8268,8 @@ def txlog_merge_into_state(spark: SparkSession, sf_dir: str) -> DataFrame:
                      i -> b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))))
             >= 0.4
     ),
-    e AS (SELECT src, dst FROM p UNION ALL SELECT dst, src FROM p),
+    e AS MATERIALIZED (
+      SELECT src, dst FROM p UNION ALL SELECT dst, src FROM p),
     reach(node, lbl) AS (
       SELECT vec_id, vec_id FROM s
       UNION
@@ -10675,8 +10688,13 @@ def rrf_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (equal by construction for unit weights within the horizon).
 # ---------------------------------------------------------------------------
 def _bfs_round_sql(prev: str, cur: str) -> str:
+    # MATERIALIZED: each d{prev} is referenced twice, so without it
+    # DuckDB inlines the whole chain — 2^rounds re-evaluations of the
+    # co-order pair join, the 58 GB spill that blew the r10 sf1 sweep.
+    # Pinning each round to one evaluation makes the oracle replay
+    # linear in rounds, same recipe as curate_corpus_dispositions.
     return f"""
-    d{cur} AS (
+    d{cur} AS MATERIALIZED (
       SELECT node, MIN(dist) AS dist FROM (
         SELECT node, dist FROM d{prev}
         UNION ALL
@@ -10689,15 +10707,17 @@ def _bfs_round_sql(prev: str, cur: str) -> str:
 @query(
     "part_coorder_bfs_layers",
     oracle=f"""
-    WITH it AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-    e AS (
+    WITH it AS MATERIALIZED (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e AS MATERIALIZED (
       SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
       FROM it a JOIN it b
         ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
     ),
-    adj AS (SELECT u AS src, v AS dst FROM e
-            UNION ALL SELECT v AS src, u AS dst FROM e),
-    nodes AS (SELECT DISTINCT src AS node FROM adj),
+    adj AS MATERIALIZED (
+      SELECT u AS src, v AS dst FROM e
+      UNION ALL SELECT v AS src, u AS dst FROM e),
+    nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM adj),
     d0 AS (SELECT node, 0 AS dist FROM nodes WHERE node = 1),
     {_bfs_round_sql('0', '1')},
     {_bfs_round_sql('1', '2')},
@@ -13947,8 +13967,13 @@ def returnflag_sample_quantiles(
 @query(
     "part_coorder_sssp",
     oracle="""
-    WITH it AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-    co AS (
+    -- MATERIALIZED throughout: every round CTE is referenced twice by
+    -- the next one, so inlining re-evaluates the co-order join 2^rounds
+    -- times (the 68 GB sf1 spill in round 10); one evaluation per
+    -- round is the same recipe as curate_corpus_dispositions.
+    WITH it AS MATERIALIZED (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    co AS MATERIALIZED (
       SELECT a.l_partkey AS u, b.l_partkey AS v,
              CAST(COUNT(*) AS BIGINT) AS c
       FROM it a JOIN it b
@@ -13961,31 +13986,32 @@ def returnflag_sample_quantiles(
       UNION ALL
       SELECT v AS src, u AS dst, 1000000 // c AS w FROM co
     ),
-    adj AS (
+    adj AS MATERIALIZED (
       SELECT src, dst, w FROM (
         SELECT src, dst, w,
                ROW_NUMBER() OVER (PARTITION BY src
                                   ORDER BY w, dst) AS rk
         FROM dadj) WHERE rk <= 10
     ),
-    d0 AS (SELECT DISTINCT src AS node, CAST(0 AS BIGINT) AS dist
+    d0 AS MATERIALIZED (
+           SELECT DISTINCT src AS node, CAST(0 AS BIGINT) AS dist
            FROM adj WHERE src = 1),
-    d1 AS (SELECT node, MIN(dist) AS dist FROM (
+    d1 AS MATERIALIZED (SELECT node, MIN(dist) AS dist FROM (
              SELECT node, dist FROM d0
              UNION ALL
              SELECT e.dst AS node, d.dist + e.w AS dist
              FROM d0 d JOIN adj e ON e.src = d.node) GROUP BY node),
-    d2 AS (SELECT node, MIN(dist) AS dist FROM (
+    d2 AS MATERIALIZED (SELECT node, MIN(dist) AS dist FROM (
              SELECT node, dist FROM d1
              UNION ALL
              SELECT e.dst AS node, d.dist + e.w AS dist
              FROM d1 d JOIN adj e ON e.src = d.node) GROUP BY node),
-    d3 AS (SELECT node, MIN(dist) AS dist FROM (
+    d3 AS MATERIALIZED (SELECT node, MIN(dist) AS dist FROM (
              SELECT node, dist FROM d2
              UNION ALL
              SELECT e.dst AS node, d.dist + e.w AS dist
              FROM d2 d JOIN adj e ON e.src = d.node) GROUP BY node),
-    d4 AS (SELECT node, MIN(dist) AS dist FROM (
+    d4 AS MATERIALIZED (SELECT node, MIN(dist) AS dist FROM (
              SELECT node, dist FROM d3
              UNION ALL
              SELECT e.dst AS node, d.dist + e.w AS dist
@@ -14341,28 +14367,32 @@ def brand_rule_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "embedding_dbscan_2d",
     oracle="""
-    WITH RECURSIVE c AS (
+    WITH RECURSIVE c AS MATERIALIZED (
       SELECT vec_id,
              CAST(floor(CAST(embedding[1] AS DOUBLE) * 1000) AS BIGINT) AS x,
              CAST(floor(CAST(embedding[2] AS DOUBLE) * 1000) AS BIGINT) AS y
       FROM embeddings
     ),
-    nb AS (
+    -- MATERIALIZED: nb feeds cnt, ce, AND border, and ce feeds every
+    -- iteration of the recursive closure — without it DuckDB inlines
+    -- the quadratic neighbor join into each reference (the sf1
+    -- capacity blow-up class from round 10); one evaluation apiece.
+    nb AS MATERIALIZED (
       SELECT a.vec_id AS a, b.vec_id AS b
       FROM c a JOIN c b
         ON a.vec_id != b.vec_id
        AND (a.x - b.x) * (a.x - b.x)
            + (a.y - b.y) * (a.y - b.y) <= 900
     ),
-    cnt AS (
+    cnt AS MATERIALIZED (
       SELECT c.vec_id,
              COALESCE(t.n, 0) AS n_nbrs
       FROM c LEFT JOIN (
         SELECT a, CAST(COUNT(*) AS BIGINT) AS n FROM nb GROUP BY a
       ) t ON t.a = c.vec_id
     ),
-    core AS (SELECT vec_id FROM cnt WHERE n_nbrs >= 4),
-    ce AS (
+    core AS MATERIALIZED (SELECT vec_id FROM cnt WHERE n_nbrs >= 4),
+    ce AS MATERIALIZED (
       SELECT nb.a, nb.b FROM nb
       JOIN core ca ON ca.vec_id = nb.a
       JOIN core cb ON cb.vec_id = nb.b
@@ -17509,14 +17539,17 @@ def gk_lambda_type_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
              AS BIGINT) AS nd
       FROM cells a JOIN cells b ON a.x < b.x
     ), margx AS (
-      SELECT CAST(SUM(s * (s - 1) / 2) AS BIGINT) AS tx
+      -- integer // division: s*(s-1) is always even, so //2 is exact
+      -- at every SF; DuckDB's `/` returns DOUBLE, which rounds past
+      -- 2^53 pairs and would diverge from the Spark `div` path
+      SELECT CAST(SUM(s * (s - 1) // 2) AS BIGINT) AS tx
       FROM (SELECT x, SUM(n) AS s FROM cells GROUP BY x) t
     ), margy AS (
-      SELECT CAST(SUM(s * (s - 1) / 2) AS BIGINT) AS ty
+      SELECT CAST(SUM(s * (s - 1) // 2) AS BIGINT) AS ty
       FROM (SELECT y, SUM(n) AS s FROM cells GROUP BY y) t
     ), tot AS (
       SELECT CAST(SUM(n) AS BIGINT) AS n_rows,
-             CAST(SUM(n) * (SUM(n) - 1) / 2 AS BIGINT) AS n0
+             CAST(SUM(n) * (SUM(n) - 1) // 2 AS BIGINT) AS n0
       FROM cells
     )
     SELECT n_rows, nc, nd, tx AS tied_x, ty AS tied_y,

@@ -141,11 +141,21 @@ def main() -> int:
         if name in oracle_skip:
             print(f"OK?  {name}: oracle skipped (capacity), "
                   f"{len(srows)} spark rows ({time.time() - t0:.1f}s)")
-            record(name, spark_rows=len(srows), rows_ok=True)
-            report[name]["oracle_skipped"] = (
-                "all-pairs ground-truth oracle intractable at this SF; "
-                "oracle parity held at sf0.1 (ROBUSTNESS_SF01)"
-            )
+            # Distinct status, NOT a pass: no comparison ran, so every
+            # match field is null — composing artifacts must count
+            # these under n_oracle_skipped, never under n_pass.
+            report[name] = {
+                "rows_match": None,
+                "schema_match": None,
+                "hash_match": None,
+                "spark_rows": len(srows),
+                "oracle_rows": None,
+                "err": None,
+                "oracle_skipped": (
+                    "ground-truth oracle intractable at this SF; "
+                    "oracle parity held at sf0.1 (ROBUSTNESS_SF01)"
+                ),
+            }
             continue
         if name not in oracles:
             print(f"OK?  {name}: rows-only check, {len(srows)} rows "

@@ -99,11 +99,21 @@ def main() -> int:
         d = json.load(open(part))
         env_fp = d.pop("__env__", env_fp)
         merged.update({k: v for k, v in d.items() if not k.startswith("__")})
+    # Three disjoint buckets (ADVICE r10: skip rows must not count as
+    # passes): hash-verified, rows-only (query has no oracle at any
+    # SF), and oracle-skipped (capacity exclusion — no comparison ran).
+    n_skipped = sum(
+        1 for v in merged.values() if v.get("oracle_skipped")
+    )
+    n_rows_only = sum(
+        1 for v in merged.values()
+        if not v.get("oracle_skipped") and v.get("oracle_rows") is None
+        and v.get("rows_match") and not v.get("err")
+    )
     n_pass = sum(
         1 for v in merged.values()
-        if (v.get("hash_match") or v.get("oracle_skipped")
-            or v.get("oracle_rows") is None)
-        and v.get("rows_match") and not v.get("err")
+        if v.get("hash_match") and v.get("rows_match")
+        and not v.get("err")
     )
     artifact = {
         "note": (
@@ -125,15 +135,19 @@ def main() -> int:
         "oracle_excluded": ORACLE_SKIP_SF1,
         "n_queries": len(merged),
         "n_pass": n_pass,
+        "n_rows_only": n_rows_only,
+        "n_oracle_skipped": n_skipped,
         "failed_chunks": failed_chunks,
         "__env__": env_fp,
         "queries": dict(sorted(merged.items())),
     }
     with open(out, "w") as fh:
         json.dump(artifact, fh, indent=2)
-    print(f"wrote {out}: {n_pass}/{len(merged)} pass, "
+    print(f"wrote {out}: {n_pass} hash-pass + {n_rows_only} rows-only "
+          f"+ {n_skipped} oracle-skipped of {len(merged)}, "
           f"{len(failed_chunks)} failed chunks", flush=True)
-    return 0 if n_pass == len(merged) and not failed_chunks else 1
+    ok = n_pass + n_rows_only + n_skipped == len(merged)
+    return 0 if ok and not failed_chunks else 1
 
 
 if __name__ == "__main__":
