@@ -42,83 +42,71 @@ def entry(spark: SparkSession) -> DataFrame:
 # ordering only decides which subset the driver re-verifies
 # independently.
 _GATE_PRIORITY = [
-    # Round-10 ordering. The r9 probes are retired (demoted to
-    # queries.PROBES + tests/test_gate_probes.py), freeing their
-    # slots. Window layout: the 6 operators NEW this round, then
-    # the 4 whose implementation or oracle CHANGED this round
-    # (isotonic decimal fold, adaptive PQ shortlist, link-pred
-    # top-64 sparsification cap, curate MATERIALIZED oracle),
-    # then the 17 queries whose most recent driver-green row
-    # dated to r3 or earlier (the staleness tail the r9 verdict
-    # flagged), then the 21 queries whose oracle or plan changed
-    # AFTER the first r10 rotation landed (the VARCHAR-routed
-    # decimal-sum oracles, the windowed-frontier skyline oracle,
-    # and the two adaptive-dial ANN lanes — changed queries
-    # outrank rotation fill per the gate-coverage policy), then
-    # 2 oldest previously-green (r4) fill. Every other registry
-    # entry follows in stable registration order via queries().
-    # -- new in round 10 (never gate-verified) -----------------
-    'gk_lambda_type_dow',
+    # Round-11 ordering (new > changed > stale > fill, 50 slots).
+    # Window layout: the 5 sf1 fixed-probe contract queries NEW this
+    # round, then the 8 whose oracle CHANGED this round (MATERIALIZED
+    # round/closure CTEs in the graph/cluster oracles; integer //
+    # tie-count division in Kendall; VARCHAR-routed inner decimal
+    # sums in q8/q17), then the FULL 35-query staleness tail whose
+    # most recent driver-green row dates to r4 (the r10 verdict's
+    # rotation list — includes sql_surface_identical_text, whose r10
+    # text change the r10 window missed), then 2 oldest r5-green
+    # fill. Every other registry entry follows in stable registration
+    # order via queries().
+    # -- new in round 11 (never gate-verified) -----------------
+    'near_dup_minhash_probe',
+    'near_dup_simhash_probe',
+    'near_dup_jaccard_probe',
+    'near_dup_containment_probe',
+    'incremental_near_dup_probe',
+    # -- changed in round 11 -----------------------------------
     'kendall_tau_qty_price',
-    'quality_brier_calibration',
-    'token_tvd_drift',
-    'mann_kendall_revenue_trend',
-    'user_interarrival_burstiness',
-    'nation_revenue_hhi',
-    'winsorized_mean_by_priority',
-    'gini_gain_feature_ranking',
-    'rfm_customer_segments',
-    'customer_spend_lorenz',
-    'brand_discount_elasticity',
-    'source_type_token_ratio',
-    # -- changed in round 10 -----------------------------------
-    'isotonic_quality_calibration',
-    'embedding_pq_topk',
-    'part_link_prediction_topk',
-    'curate_corpus_dispositions',
-    # -- staleness tail: last driver-green r3 or earlier -------
-    'approx_distinct_custkeys',
-    'chunk_documents',
-    'cube_lineitem_flag_status',
-    'pk_filter_prefix_counts',
-    'publish_route_counts',
-    'q10_returned_items',
-    'q14_promo_revenue_share',
-    'q19_disjunctive_predicates',
-    'q6_forecast_revenue',
-    'quarantine_stats',
-    'range_join_clicks_after_errors',
-    'rollup_daily_from_hourly',
-    'scalar_function_suite',
-    'token_counts_bpeish',
-    'ttl_expiry_removes',
-    'udtf_changed_path_stats',
-    'variant_props_stats',
-    # -- changed after the first r10 rotation -------------------
-    'q1_pricing_summary',
-    'q3_shipping_priority',
-    'q5_local_supplier_volume',
     'q8_national_market_share',
     'q17_small_quantity_revenue',
-    'q22_idle_high_balance_customers',
-    'orders_price_date_skyline',
-    'orders_price_band_stats',
-    'rollup_lineitem_status',
-    'window_running_revenue',
-    'window_range_frame_revenue',
-    'pivot_returnflag_by_status',
-    'unpivot_lineitem_measures',
-    'salted_join_hot_keys',
-    'embedding_ann_topk',
-    'embedding_ivfpq_topk',
-    # displaced to keep the window at 50 as the seven second- and
-    # third-batch r10 operators landed (new > changed > stale >
-    # fill): the two r4 rotation fills, plus cdc_unmarshall_roundtrip,
-    # corpus_mix_temperature, asof_latest_order_at_event,
-    # cdc_incremental_group_totals, and train_val_test_split from the
-    # changed block (every displaced query is green in this round's
-    # CORRECTNESS_LOCAL_r10 / ROBUSTNESS_SF01_r10 / CORRECTNESS_SF1_r10
-    # runs of the same changed oracles).
+    'part_coorder_bfs_layers',
+    'part_coorder_sssp',
+    'embedding_dbscan_2d',
+    'semantic_dedup_keep',
+    'dedup_clusters',
+    # -- staleness tail: last driver-green r4 ------------------
+    'approx_quantile_contract',
+    'array_function_suite',
+    'asof_next_event_after_order',
+    'boilerplate_ngram_stats',
+    'cdc_change_stats_reconstructed',
+    'cdc_change_stats_typed',
+    'cdc_decimal_fidelity',
+    'cdc_snapshot_at',
+    'cdc_squash_net_changes',
+    'decontam_eval_overlap',
+    'event_transition_matrix',
+    'gapfill_hourly_user_activity',
+    'hll_sketch_union_contract',
+    'mad_outlier_stats',
+    'media_transform_stats',
+    'near_dup_ngram_jaccard',
+    'pack_training_sequences',
+    'percentile_order_values',
+    'q11_important_stock',
+    'q12_priority_by_linestatus',
+    'q13_customer_order_distribution',
+    'q15_top_supplier',
+    'q16_parts_supplier_relationship',
+    'q18_large_volume_orders',
+    'q20_potential_part_promotion',
+    'q21_suppliers_kept_waiting',
+    'q2_min_cost_supplier',
+    'q4_late_shipment_priority',
+    'q7_volume_shipping',
+    'q9_product_type_profit',
+    'repetition_stats',
+    'sql_surface_identical_text',
+    'stratified_sample_by_lang',
+    'train_val_test_split',
+    'udaf_weighted_revenue_cents',
+    # -- fill: oldest previously-green (r5) --------------------
+    'ab_test_conversion_zscore',
+    'approx_topk_event_types_contract',
 ]
 
 

@@ -1,9 +1,16 @@
 """Headline benchmark: run every registered query at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE
-JSON line the driver can parse:
+compact JSON line the driver can parse:
 
     {"metric": "total_query_wall_sec", "value": N, "unit": "sec",
-     "queries": {"q1_...": sec, ...}, "sf": 0.1}
+     "sf": 0.1, "times_cs": [cs, ...], "slowest": {...}, ...}
+
+The driver keeps only the last ~2000 bytes of stdout, so per-query
+times travel as a centisecond array in queries() registry order (zip
+with list(__spark_entry__.queries()) at the same commit to recover
+names); the FULL named map is written to $SPARK_GRAFT_BENCH_FULL
+(default /tmp/bench_full.json) and committed per round as
+BENCH_LOCAL_r{N}.json.
 
 Each query is materialized with a `noop` sink write so the timing
 covers full plan execution, not just plan construction. Warm-up: one
@@ -72,7 +79,9 @@ def main() -> int:
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
-    out = {
+    # FULL named per-query map + env fingerprint -> sidecar file (the
+    # committed BENCH_LOCAL artifacts are produced from this).
+    full = {
         "metric": "total_query_wall_sec",
         "value": total,
         "unit": "sec",
@@ -84,12 +93,54 @@ def main() -> int:
         "env": engine_env(spark),
     }
     if errors:
-        # A broken query contributes NO time, so `value` is not
-        # comparable with error-free rounds — flag that loudly rather
-        # than letting a regression read as a speedup.
-        out["errors"] = errors
+        full["errors"] = errors
+        full["value_incomparable_due_to_errors"] = True
+    full_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_FULL", "/tmp/bench_full.json"
+    )
+    try:
+        with open(full_path, "w") as fh:
+            json.dump(full, fh, indent=2)
+    except OSError:
+        full_path = None
+    # The driver records only the LAST ~2000 bytes of stdout and
+    # json-parses them; a 269-entry named map is ~10 KB, so the r10
+    # artifact's tail was front-truncated and unparseable. Emit ONE
+    # compact line instead: per-query times as centiseconds in
+    # queries() registry order (names are recoverable by zipping with
+    # list(queries()) at the same commit), plus the named slowest-5.
+    times_cs = [
+        int(round(timings[name] * 100))
+        for name in entrymod.queries()
+        if name in timings
+    ]
+    slowest = dict(
+        sorted(timings.items(), key=lambda kv: -kv[1])[:5]
+    )
+    out = {
+        "metric": "total_query_wall_sec",
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        "queries_timed": len(timings),
+        "queries_registered": len(entrymod.queries()),
+        "runs_per_query": runs_per_query,
+        "query_order": "registry (zip with list(queries()) at this commit)",
+        "times_cs": times_cs,
+        "slowest": slowest,
+        "full_json": full_path,
+    }
+    if errors:
         out["value_incomparable_due_to_errors"] = True
-    print(json.dumps(out))
+        out["n_errors"] = len(errors)
+    line = json.dumps(out, separators=(",", ":"))
+    if len(line) > 1900:  # drop detail until the driver's tail fits
+        out.pop("slowest", None)
+        line = json.dumps(out, separators=(",", ":"))
+    if len(line) > 1900:
+        out.pop("times_cs", None)
+        line = json.dumps(out, separators=(",", ":"))
+    print(line)
     return 0
 
 
