@@ -86,6 +86,44 @@ def _epoch_us(col):
     )
 
 
+# Index-accelerated EXACT ground truth for the word-3-gram similarity
+# family (round 11). The r10 oracles evaluated the pair predicate on
+# the full doc_a x doc_b cross product — exact, but ~1.25e9 list
+# intersections at sf1 (measured ~100x the sf0.1 cost), which kept
+# the whole family oracle-excluded at sf1. Any pair with Jaccard or
+# containment > 0 shares at least one shingle, so joining the
+# inverted shingle index yields a PROVABLY COMPLETE candidate
+# superset (sum over grams of df^2 — measured 12.7M at sf1, max df
+# 25); the exact predicate is then evaluated only on candidates,
+# with values identical to the brute force. This stays independent
+# of the production lane's MinHash/banding approximation — it is the
+# same exact predicate on a lossless candidate reduction, not a
+# replay of the engine's sketch.
+_DUCK_SHINGLE_INDEX_SQL = """
+    w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    sh AS MATERIALIZED (
+        SELECT doc_id,
+               list_distinct(list_transform(range(1, len(ws) - 1),
+                   i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS s
+        FROM w{guard}),
+    posts AS (SELECT doc_id, unnest(s) AS g FROM sh),
+    cand AS MATERIALIZED (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM posts a JOIN posts b
+          ON a.g = b.g AND a.doc_id < b.doc_id),
+    p AS (
+        SELECT c.doc_a, c.doc_b,
+               len(list_intersect(sa.s, sb.s)) AS n_common,
+               -- |A u B| from sizes: both lists are distinct, equal to
+               -- len(list_distinct(sa.s || sb.s)) without the merge
+               len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))
+                 AS n_union
+        FROM cand c
+        JOIN sh sa ON sa.doc_id = c.doc_a
+        JOIN sh sb ON sb.doc_id = c.doc_b)
+"""
+
+
 # ---------------------------------------------------------------------------
 # Aggregation: TPC-H Q1 — scan + filter + groupBy with partial aggregation.
 # Catalyst pushes the shipdate filter into the parquet scan and plans a
@@ -755,16 +793,8 @@ def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @query(
     "near_dup_minhash_pairs",
-    oracle="""
-    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-    sh AS (SELECT doc_id,
-                  list_distinct(list_transform(range(1, len(ws) - 1),
-                      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS s
-           FROM w),
-    p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                 len(list_intersect(a.s, b.s)) AS n_common,
-                 len(list_distinct(a.s || b.s)) AS n_union
-          FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+    oracle=f"""
+    WITH {_DUCK_SHINGLE_INDEX_SQL.format(guard='')}
     SELECT doc_a, doc_b,
            CAST(n_common AS INT) AS n_common,
            CAST(n_union AS INT) AS n_union,
@@ -3772,16 +3802,25 @@ def q21_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
                   list_distinct(list_transform(range(1, len(ws) - 1),
                       i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS s
            FROM w),
-    -- MATERIALIZED: the recursive closure below references e every
-    -- round; without it the all-pairs shingle join re-evaluates per
-    -- iteration (the blow-up curate_corpus_dispositions hit in r9).
-    -- One evaluation of the pair join is still all-pairs by design —
-    -- that is the point of a ground-truth oracle.
+    -- index-accelerated exact pair set (_DUCK_SHINGLE_INDEX_SQL):
+    -- any pair with Jaccard >= 0.8 > 0 shares a shingle, so the
+    -- inverted-index join is a complete candidate superset and the
+    -- exact predicate runs only on candidates. MATERIALIZED so the
+    -- recursive closure below touches a pair-sized edge table, never
+    -- re-evaluating the join per iteration (the r9 blow-up).
+    posts AS (SELECT doc_id, unnest(s) AS g FROM sh),
+    cand AS MATERIALIZED (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM posts a JOIN posts b
+            ON a.g = b.g AND a.doc_id < b.doc_id),
     p AS MATERIALIZED (
-          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-          FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+          SELECT c.doc_a, c.doc_b
+          FROM cand c
+          JOIN sh a ON a.doc_id = c.doc_a
+          JOIN sh b ON b.doc_id = c.doc_b
           WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-                / len(list_distinct(a.s || b.s)) >= 0.8),
+                / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+                >= 0.8),
     e AS MATERIALIZED (
           SELECT doc_a AS src, doc_b AS dst FROM p
           UNION ALL
@@ -4399,21 +4438,29 @@ def cdc_incremental_group_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH RECURSIVE
     w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-    shg AS (SELECT doc_id,
+    shg AS MATERIALIZED (
+            SELECT doc_id,
                    list_distinct(list_transform(range(1, len(ws) - 1),
                        i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS s
             FROM w),
-    -- MATERIALIZED: without it the engine may re-evaluate this CTE
-    -- chain (the all-pairs shingle join) on EVERY iteration of the
-    -- recursive closure below, which is what made this oracle blow
-    -- the sf0.1 robustness budget in round 9. Materializing pins the
-    -- pair set to one evaluation; the recursion then touches only
-    -- the pair-sized edge table.
+    -- index-accelerated exact pair set (_DUCK_SHINGLE_INDEX_SQL):
+    -- complete candidate superset from the inverted shingle index,
+    -- exact predicate on candidates only. MATERIALIZED so the
+    -- recursive closure touches a pair-sized edge table and never
+    -- re-evaluates the join per iteration (the r9 blow-up).
+    posts AS (SELECT doc_id, unnest(s) AS g FROM shg),
+    cand AS MATERIALIZED (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM posts a JOIN posts b
+            ON a.g = b.g AND a.doc_id < b.doc_id),
     p AS MATERIALIZED (
-          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-          FROM shg a JOIN shg b ON a.doc_id < b.doc_id
+          SELECT c.doc_a, c.doc_b
+          FROM cand c
+          JOIN shg a ON a.doc_id = c.doc_a
+          JOIN shg b ON b.doc_id = c.doc_b
           WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-                / len(list_distinct(a.s || b.s)) >= 0.8),
+                / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+                >= 0.8),
     e AS MATERIALIZED (
           SELECT doc_a AS src, doc_b AS dst FROM p
           UNION ALL SELECT doc_b, doc_a FROM p),
@@ -4513,17 +4560,9 @@ def curate_corpus_dispositions(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @query(
     "near_dup_ngram_jaccard",
-    oracle="""
-    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-    sh AS (SELECT doc_id,
-                  list_distinct(list_transform(range(1, len(ws) - 1),
-                      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS s
-           FROM w
-           WHERE len(ws) >= 3),
-    p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                 len(list_intersect(a.s, b.s)) AS n_common,
-                 len(list_distinct(a.s || b.s)) AS n_union
-          FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+    oracle=f"""
+    WITH {_DUCK_SHINGLE_INDEX_SQL.format(
+        guard=chr(10) + '        WHERE len(ws) >= 3')}
     SELECT doc_a, doc_b,
            CAST(n_common AS INT) AS n_common,
            CAST(n_union AS INT) AS n_union,
@@ -6497,22 +6536,23 @@ def session_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @query(
     "near_dup_containment_pairs",
-    oracle="""
-    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-    sh AS (SELECT doc_id,
-                  list_distinct(list_transform(range(1, len(ws) - 1),
-                      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS s
-           FROM w
-           WHERE len(ws) >= 3),
-    p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                 len(list_intersect(a.s, b.s)) AS n_common,
-                 len(a.s) AS n_a
-          FROM sh a JOIN sh b ON a.doc_id <> b.doc_id)
-    SELECT doc_a, doc_b,
-           CAST(n_common AS INT) AS n_common,
-           CAST(n_a AS INT) AS n_a,
-           CAST(n_common AS DOUBLE) / n_a AS containment
-    FROM p WHERE CAST(n_common AS DOUBLE) / n_a >= 0.8
+    oracle=f"""
+    WITH {_DUCK_SHINGLE_INDEX_SQL.format(
+        guard=chr(10) + '        WHERE len(ws) >= 3')},
+    -- containment is DIRECTIONAL: emit both orientations of each
+    -- canonical candidate (a pair with containment > 0 in either
+    -- direction shares a shingle, so candidates stay complete)
+    d AS (
+        SELECT doc_a, doc_b, n_common FROM p
+        UNION ALL
+        SELECT doc_b, doc_a, n_common FROM p
+    )
+    SELECT d.doc_a, d.doc_b,
+           CAST(d.n_common AS INT) AS n_common,
+           CAST(len(sa.s) AS INT) AS n_a,
+           CAST(d.n_common AS DOUBLE) / len(sa.s) AS containment
+    FROM d JOIN sh sa ON sa.doc_id = d.doc_a
+    WHERE CAST(d.n_common AS DOUBLE) / len(sa.s) >= 0.8
     """,
 )
 def near_dup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -8715,23 +8755,31 @@ def quality_gate_dispositions(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
                FROM documents),
-    sh AS (SELECT doc_id,
+    sh AS MATERIALIZED (
+           SELECT doc_id,
                   list_distinct(list_transform(range(1, len(ws) - 1),
                       i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))
                     AS s
            FROM w),
-    newb AS (SELECT * FROM sh WHERE doc_id % 10 = 0),
-    corp AS (SELECT * FROM sh WHERE doc_id % 10 <> 0)
-    SELECT n.doc_id AS new_doc_id, c.doc_id AS corpus_doc_id,
+    -- index-accelerated exact candidates (see _DUCK_SHINGLE_INDEX_SQL):
+    -- a batch x corpus pair with jaccard >= 0.8 > 0 shares a shingle,
+    -- so the inverted-index join is a complete candidate superset
+    np AS (SELECT doc_id, unnest(s) AS g FROM sh WHERE doc_id % 10 = 0),
+    cp AS (SELECT doc_id, unnest(s) AS g FROM sh WHERE doc_id % 10 <> 0),
+    cand AS MATERIALIZED (
+        SELECT DISTINCT n.doc_id AS new_doc_id, c.doc_id AS corpus_doc_id
+        FROM np n JOIN cp c ON n.g = c.g)
+    SELECT cd.new_doc_id, cd.corpus_doc_id,
            CAST(len(list_intersect(n.s, c.s)) AS INT) AS n_common,
            CAST(len(n.s) + len(c.s) - len(list_intersect(n.s, c.s))
                 AS INT) AS n_union,
            CAST(len(list_intersect(n.s, c.s)) AS DOUBLE)
              / (len(n.s) + len(c.s) - len(list_intersect(n.s, c.s)))
              AS jaccard
-    FROM newb n JOIN corp c ON TRUE
-    WHERE len(n.s) + len(c.s) - len(list_intersect(n.s, c.s)) > 0
-      AND CAST(len(list_intersect(n.s, c.s)) AS DOUBLE)
+    FROM cand cd
+    JOIN sh n ON n.doc_id = cd.new_doc_id
+    JOIN sh c ON c.doc_id = cd.corpus_doc_id
+    WHERE CAST(len(list_intersect(n.s, c.s)) AS DOUBLE)
           / (len(n.s) + len(c.s) - len(list_intersect(n.s, c.s)))
           >= 0.8
     """,
@@ -14357,17 +14405,47 @@ def brand_rule_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
 # exact IEEE scale, so both engines derive identical integer coords).
 # The engine runs grid-blocked candidate generation + star-CC cluster
 # labeling + the deterministic min-cluster border rule; the oracle is
-# textbook brute force — the all-pairs eps-join plus a RECURSIVE
-# transitive closure over core-core edges — so the green hash proves
-# the 3x3 cell block finds every eps-pair and the O(log n) CC equals
-# full closure. eps=30 milliunits, minPts=5 (core = 4 other points in
-# the closed ball): at sf0.01 that yields a core/border/noise mix, not
-# one blob.
+# the all-pairs eps-join (still brute force) plus min-label rounds
+# with pointer jumping over core-core edges (replacing the r10
+# transitive-closure recursion, which enumerates Theta(component^2)
+# reach pairs and is intractable on sf1's single ~20k-node dense
+# component) — so the green hash proves the 3x3 cell block finds
+# every eps-pair and the O(log n) CC equals the label-propagation
+# fixpoint. eps=30 milliunits, minPts=5 (core = 4 other points in
+# the closed ball): at sf0.01 that yields a core/border/noise mix,
+# not one blob.
 # ---------------------------------------------------------------------------
+_DBSCAN_LP_ROUNDS = 16
+
+
+def _dbscan_lp_rounds_sql() -> str:
+    """Min-label pointer-jumping rounds over the core-core edge table
+    ``ce`` seeded from ``l0``. Each round keeps per node the MIN of
+    its own label, its neighbors' labels, and the label OF its label
+    (the jump — labels are core node ids, so they are always keys of
+    the same round table); covered distance roughly doubles per
+    round. All MATERIALIZED: each round is referenced three times by
+    the next, and inlining would re-evaluate the chain 3^rounds
+    times (the r10 spill class)."""
+    rounds = []
+    for i in range(1, _DBSCAN_LP_ROUNDS + 1):
+        p = i - 1
+        rounds.append(f"""
+    l{i} AS MATERIALIZED (
+      SELECT node, MIN(lbl) AS lbl FROM (
+        SELECT node, lbl FROM l{p}
+        UNION ALL
+        SELECT e.a AS node, l.lbl FROM ce e JOIN l{p} l ON l.node = e.b
+        UNION ALL
+        SELECT x.node, y.lbl FROM l{p} x JOIN l{p} y ON y.node = x.lbl
+      ) GROUP BY node)""")
+    return ",".join(rounds)
+
+
 @query(
     "embedding_dbscan_2d",
-    oracle="""
-    WITH RECURSIVE c AS MATERIALIZED (
+    oracle=f"""
+    WITH c AS MATERIALIZED (
       SELECT vec_id,
              CAST(floor(CAST(embedding[1] AS DOUBLE) * 1000) AS BIGINT) AS x,
              CAST(floor(CAST(embedding[2] AS DOUBLE) * 1000) AS BIGINT) AS y
@@ -14397,12 +14475,23 @@ def brand_rule_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
       JOIN core ca ON ca.vec_id = nb.a
       JOIN core cb ON cb.vec_id = nb.b
     ),
-    reach(a, b) AS (
-      SELECT vec_id, vec_id FROM core
-      UNION
-      SELECT r.a, e.b FROM reach r JOIN ce e ON e.a = r.b
+    -- Min-label rounds with POINTER JUMPING instead of the r10
+    -- transitive-closure recursion: at sf1's 10x point density the
+    -- neighbor graph is one ~20k-node component (measured avg degree
+    -- 282), so enumerating reach pairs is Th(component^2) ~ 4e8 rows
+    -- x ~34 closure rounds — structurally intractable in any engine.
+    -- Each round below takes min(self, neighbors' labels, label of
+    -- own label); the jump term doubles covered distance per round,
+    -- so {_DBSCAN_LP_ROUNDS} rounds cover ~2^{_DBSCAN_LP_ROUNDS}
+    -- hops >> any component diameter in the unit box at eps=30.
+    -- Non-convergence cannot pass silently: an unconverged label
+    -- differs from the engine's fixpoint and fails the value hash.
+    l0 AS MATERIALIZED (SELECT vec_id AS node, vec_id AS lbl FROM core),
+    {_dbscan_lp_rounds_sql()},
+    cl AS MATERIALIZED (
+      SELECT node AS vec_id, lbl AS cluster
+      FROM l{_DBSCAN_LP_ROUNDS}
     ),
-    cl AS (SELECT a AS vec_id, MIN(b) AS cluster FROM reach GROUP BY a),
     border AS (
       SELECT nb.a AS vec_id, MIN(cl.cluster) AS cluster
       FROM nb
