@@ -60,9 +60,18 @@ _GATE_PRIORITY = [
     'near_dup_containment_probe',
     'incremental_near_dup_probe',
     # -- changed in round 11 -----------------------------------
+    # (near_dup_ngram_jaccard also changed — it sits in the stale
+    # block below, one slot either way. Displaced to keep the window
+    # at 50 with the full 35-query stale tail in: q8 and q17, whose
+    # r11 change is oracle-arithmetic only — the VARCHAR hop moved to
+    # the actual decimal->double site — hash-verified at sf0.01 AND
+    # sf0.1 in this round's committed local artifacts, and both were
+    # driver-gated green in r10.)
     'kendall_tau_qty_price',
-    'q8_national_market_share',
-    'q17_small_quantity_revenue',
+    'near_dup_minhash_pairs',
+    'near_dup_containment_pairs',
+    'incremental_near_dup_pairs',
+    'curate_corpus_dispositions',
     'part_coorder_bfs_layers',
     'part_coorder_sssp',
     'embedding_dbscan_2d',
@@ -104,9 +113,8 @@ _GATE_PRIORITY = [
     'stratified_sample_by_lang',
     'train_val_test_split',
     'udaf_weighted_revenue_cents',
-    # -- fill: oldest previously-green (r5) --------------------
-    'ab_test_conversion_zscore',
-    'approx_topk_event_types_contract',
+    # (no rotation fill this round: 5 new + 10 changed + the full
+    # 35-query r4 staleness tail fill the 50 slots exactly)
 ]
 
 

@@ -9196,11 +9196,21 @@ def _mmr_step_cte(i: int) -> str:
         FROM grid g LEFT JOIN qdots d ON d.x = g.qid AND d.y = g.cid
       ) WHERE rk <= {_MMR_SHORTLIST}
     ),
+    -- shortlist vectors FIRST, then the dimension join: with the
+    -- original IN (SELECT cid FROM sl) predicates the planner left
+    -- both semi joins ABOVE the d-join, evaluating the unrestricted
+    -- v x v dimension product (~1.6e11 rows at sf1 — the 85-95 GB
+    -- balloon measured in r10 and re-measured solo in r11); the
+    -- explicit pre-filtered sides pin the join input to
+    -- shortlist x dims rows
+    slc AS MATERIALIZED (SELECT DISTINCT cid FROM sl),
+    vs AS MATERIALIZED (
+      SELECT v.doc_id, v.d, v.val
+      FROM v JOIN slc ON slc.cid = v.doc_id
+    ),
     sdots AS MATERIALIZED (
       SELECT a.doc_id AS x, b.doc_id AS y, SUM(a.val * b.val) AS dot
-      FROM v a JOIN v b ON b.d = a.d
-      WHERE a.doc_id IN (SELECT cid FROM sl)
-        AND b.doc_id IN (SELECT cid FROM sl)
+      FROM vs a JOIN vs b ON b.d = a.d
       GROUP BY x, y
     ),
     sim AS MATERIALIZED (
