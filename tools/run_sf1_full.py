@@ -5,13 +5,13 @@ the sf1 corpus in CHUNKS (fresh JVM + fresh DuckDB per chunk, so one
 heavy plan can't poison the rest), then composes the chunk artifacts
 into one driver-shaped JSON with the exclusion policy recorded.
 
-Exclusions: the brute-force near-dup/ANN ground-truth oracles are
-all-pairs BY DESIGN; at sf1 (50k documents / 20k vectors) that is
-~1.25e9 pairs of list intersections — beyond a single DuckDB process
-by orders of magnitude. Those queries still run their SPARK side at
-sf1 (rows-only row, reason recorded); their oracle parity stands at
-sf0.1, where the robustness sweep ran the 12.5M-pair oracles to
-completion (ROBUSTNESS_SF01 artifacts).
+Round 11 closed the r10 oracle-capacity exclusions (MATERIALIZED
+round CTEs, pointer-jumping label rounds, shortlist pre-filtering,
+inverted-index exact candidates — see the oracle docstrings in
+queries.py); ORACLE_SKIP_SF1 below holds whatever remains excluded,
+each with its measured reason. Heavy oracles verified one-at-a-time
+by a solo sweep can be merged via SF1_PREVERIFIED_GLOB instead of
+re-running inside a chunk.
 
 Usage: python tools/run_sf1_full.py [out.json] [chunk_size]
 """
@@ -27,51 +27,52 @@ sys.path.insert(0, "/root/repo")
 
 import __spark_entry__ as entrymod  # noqa: E402
 
-# Genuinely all-pairs ground-truth oracles, intractable at sf1 (the
-# sf0.1 brute force measures ~15 min in one DuckDB process; sf1 is
-# ~100x that). Spark sides still run (rows-only row, reason
-# recorded); full-oracle parity stands at sf0.1, and round 11 adds
-# sf1-grade HASH evidence for the same production lanes via the
-# fixed-probe contract queries (near_dup_*_probe,
-# incremental_near_dup_probe), whose restricted probe-x-corpus
-# oracles DO run at sf1.
-#
-# Round-11 closures (no longer excluded): the CTE-replay class —
-# part_coorder_bfs_layers, part_coorder_sssp, embedding_dbscan_2d,
-# semantic_dedup_keep, near_dup_embedding_pairs,
-# semantic_decontam_flags, mmr_diverse_retrieval — now hash-verified
-# at sf1 after the MATERIALIZED round/closure CTE fix (the r10
-# spills were 2^rounds re-evaluations of the pair join, not genuine
-# oracle cost).
-ORACLE_SKIP_SF1 = [
-    "near_dup_minhash_pairs",
-    "near_dup_simhash_pairs",
-    "near_dup_ngram_jaccard",
-    "near_dup_containment_pairs",
-    "incremental_near_dup_pairs",
-    # full-corpus compositions whose oracles embed the same all-pairs
-    # shingle join (one evaluation after MATERIALIZED, but still
-    # corpus x corpus): the composition is hash-verified at sf0.1 and
-    # its pair input is probe-verified at sf1
-    "dedup_clusters",
-    "curate_corpus_dispositions",
-]
+# EMPTY as of round 11: all fourteen r10 oracle-capacity exclusions
+# are closed. The CTE-replay class (BFS/SSSP/semantic-dedup closures)
+# needed MATERIALIZED round CTEs; DBSCAN needed pointer-jumping label
+# rounds in place of the Theta(n^2) reach closure; MMR needed the
+# shortlist semi-joins pushed below the dimension join; the
+# word-3-gram similarity family needed inverted-index exact candidate
+# generation (complete for any threshold > 0); and the simhash
+# all-pairs bit oracle simply runs (67 s at sf1 — bit_count is cheap
+# enough for 1.25e9 pairs). Every closure was verified solo at sf1 in
+# the round-11 campaign before this list was emptied; the heavy
+# index-join oracles cost 14-22 min each and are merged from the solo
+# artifacts via SF1_PREVERIFIED_GLOB.
+ORACLE_SKIP_SF1: list[str] = []
 
 SF1 = "/root/repo/sf1"
 TMP = "/tmp/sf1_full"
 
 
 def main() -> int:
-    out = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/CORRECTNESS_SF1_r10.json"
+    out = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/CORRECTNESS_SF1_r11.json"
     chunk_size = int(sys.argv[2]) if len(sys.argv) > 2 else 28
     names = list(entrymod.queries())
     os.makedirs(TMP, exist_ok=True)
-    chunks = [
-        names[i:i + chunk_size] for i in range(0, len(names), chunk_size)
-    ]
     merged: dict[str, dict] = {}
     env_fp = None
     failed_chunks = []
+    # Pre-verified per-query results (the one-at-a-time solo sweeps a
+    # round runs FIRST for the spill-risk class): point
+    # SF1_PREVERIFIED_GLOB at their CHECK_CORRECTNESS_JSON files and
+    # the chunked sweep skips those names instead of re-paying 20-30
+    # minutes of index-join oracle per query.
+    pre_glob = os.environ.get("SF1_PREVERIFIED_GLOB", "")
+    if pre_glob:
+        import glob as _glob
+        for p in sorted(_glob.glob(pre_glob)):
+            d = json.load(open(p))
+            env_fp = d.pop("__env__", env_fp)
+            for k, v in d.items():
+                if not k.startswith("__"):
+                    v["preverified_solo"] = os.path.basename(p)
+                    merged[k] = v
+        print(f"preverified solo results: {len(merged)}", flush=True)
+    names = [n for n in names if n not in merged]
+    chunks = [
+        names[i:i + chunk_size] for i in range(0, len(names), chunk_size)
+    ]
     for i, chunk in enumerate(chunks):
         part = f"{TMP}/chunk_{i:02d}.json"
         if os.path.exists(part):
@@ -89,7 +90,7 @@ def main() -> int:
                     env=env, cwd="/root/repo",
                     stdout=open(f"{TMP}/chunk_{i:02d}.log", "w"),
                     stderr=subprocess.STDOUT,
-                    timeout=3600,
+                    timeout=7200,
                 )
             except subprocess.TimeoutExpired:
                 rc = "timeout"
@@ -118,19 +119,19 @@ def main() -> int:
     )
     artifact = {
         "note": (
-            "round-10 FULL-registry correctness at sf1 (10x the sf0.1 "
+            "round-11 FULL-registry correctness at sf1 (10x the sf0.1 "
             "robustness sweep, 100x the driver gate): every registered "
-            "query ran its Spark plan on the sf1 corpus; all but the "
-            "documented oracle-capacity exclusions were hash-compared "
-            "against their DuckDB oracle at sf1. Excluded ORACLES (Spark "
-            "side still ran; rows-only) fall in two classes: (1) the "
-            "brute-force near-dup/ANN ground truths, all-pairs by design "
-            "(~1.25e9 list-op pairs at 50k docs); (2) ground truths whose "
-            "DuckDB evaluation balloons at sf1 even though the Spark plan "
-            "is bounded — the unrolled greedy MMR selection (85 GB RSS, "
-            "killed) and the co-order-graph round-replay CTEs (58-68 GB "
-            "disk spill, ENOSPC). Oracle parity for every excluded query "
-            "stands at sf0.1 in the ROBUSTNESS_SF01 artifacts."
+            "query ran its Spark plan on the sf1 corpus and, unless "
+            "listed in oracle_excluded, was hash-compared against its "
+            "DuckDB oracle at sf1. Round 11 closed the r10 exclusion "
+            "classes: MATERIALIZED round/closure CTEs (BFS/SSSP), "
+            "pointer-jumping label rounds (DBSCAN), shortlist "
+            "pre-filtering below the dimension join (MMR), and "
+            "inverted-index exact candidate generation for the "
+            "word-3-gram similarity family. Entries carrying "
+            "preverified_solo were verified one-at-a-time by this "
+            "round's solo sweep (same corpus, same commit) before the "
+            "chunked run and merged from their per-query artifacts."
         ),
         "sf_dir": SF1,
         "oracle_excluded": ORACLE_SKIP_SF1,
