@@ -109,10 +109,13 @@ def main() -> int:
     # compact line instead: per-query times as centiseconds in
     # queries() registry order (names are recoverable by zipping with
     # list(queries()) at the same commit), plus the named slowest-5.
+    # null placeholders keep positional alignment with the registry even
+    # when a query errored or a SPARK_GRAFT_BENCH_QUERIES subset ran —
+    # otherwise zip(list(queries()), times_cs) silently misnames every
+    # entry after the first gap.
     times_cs = [
-        int(round(timings[name] * 100))
+        int(round(timings[name] * 100)) if name in timings else None
         for name in entrymod.queries()
-        if name in timings
     ]
     slowest = dict(
         sorted(timings.items(), key=lambda kv: -kv[1])[:5]
@@ -125,7 +128,10 @@ def main() -> int:
         "queries_timed": len(timings),
         "queries_registered": len(entrymod.queries()),
         "runs_per_query": runs_per_query,
-        "query_order": "registry (zip with list(queries()) at this commit)",
+        "query_order": (
+            "registry (zip with list(queries()) at this commit; "
+            "null = not timed this run)"
+        ),
         "times_cs": times_cs,
         "slowest": slowest,
         "full_json": full_path,

@@ -65,6 +65,29 @@ def query(name: str, oracle: str | None = None):
     return deco
 
 
+# Retired driver-gate bisect probes (round 9): exact decompositions of
+# the two recursive queries whose oracles hash-failed in r7/r8. The bug
+# is root-caused (HUGEINT result-schema leak) and canary-guarded
+# class-wide in tools/check_correctness.py, so the probes don't earn
+# registry slots — they register HERE, never in QUERIES/ORACLES, and
+# stay exercised every CI run by tests/test_gate_probes.py
+# (stage-parity against the live queries).
+PROBES: dict[str, QueryFn] = {}
+PROBE_ORACLES: dict[str, str] = {}
+
+
+def probe(name: str, oracle: str | None = None):
+    """Like ``query`` but registers into the non-gated PROBES table."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        PROBES[name] = fn
+        if oracle is not None:
+            PROBE_ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
 def _dec(col, prec: int = 12, scale: int = 2):
     return F.col(col).cast(f"decimal({prec},{scale})")
 
@@ -16126,7 +16149,7 @@ def _km_ordered_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
+@probe(
     "probe_km_risk_table",
     oracle="WITH" + _KM_BASE_SQL + """
     SELECT CAST(rn AS BIGINT) AS rn, CAST(t AS BIGINT) AS duration_min,
@@ -16145,7 +16168,7 @@ def probe_km_risk_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
+@probe(
     "probe_km_step_factors",
     oracle="WITH" + _KM_BASE_SQL + """
     SELECT CAST(rn AS BIGINT) AS rn, CAST(t AS BIGINT) AS duration_min,
@@ -16209,7 +16232,7 @@ def _km_unrolled_oracle(depth: int = 3) -> str:
     return "".join(blocks)
 
 
-@query("probe_km_unrolled3", oracle=_km_unrolled_oracle(3))
+@probe("probe_km_unrolled3", oracle=_km_unrolled_oracle(3))
 def probe_km_unrolled3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bisect stage 3: first 3 KM recursion steps, oracle unrolled.
 
@@ -16231,7 +16254,7 @@ def probe_km_unrolled3(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
+@probe(
     "probe_km_recursion_cumsum",
     oracle="WITH RECURSIVE" + _KM_BASE_SQL + """,
     rc AS (
@@ -16295,7 +16318,7 @@ def _hw_idx_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
+@probe(
     "probe_hw_daily_inputs",
     oracle="WITH" + _HW_BASE_SQL + """
     SELECT CAST(rn AS BIGINT) AS rn, day, y AS rev_cents,
@@ -16320,7 +16343,7 @@ def probe_hw_daily_inputs(
     )
 
 
-@query(
+@probe(
     "probe_hw_init_state",
     oracle="WITH" + _HW_BASE_SQL + """
     SELECT lv0 AS level0_cents,
@@ -16408,7 +16431,7 @@ def _hw_unrolled_oracle(depth: int = 3) -> str:
     return "".join(blocks)
 
 
-@query("probe_hw_unrolled3", oracle=_hw_unrolled_oracle(3))
+@probe("probe_hw_unrolled3", oracle=_hw_unrolled_oracle(3))
 def probe_hw_unrolled3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bisect stage 3: first 3 HW smoothing steps, oracle unrolled.
 
@@ -16435,7 +16458,7 @@ def probe_hw_unrolled3(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
+@probe(
     "probe_hw_recursion_cumsum",
     oracle="WITH RECURSIVE" + _HW_BASE_SQL + """,
     rc AS (
@@ -16468,29 +16491,10 @@ def probe_hw_recursion_cumsum(
     )
 
 
-# The bisect probes above decomposed the two recursive queries whose
-# oracles driver-gate hash-failed in r7/r8. That bug is root-caused
-# (HUGEINT result-schema leak) and canary-guarded class-wide in
-# tools/check_correctness.py, so the probes no longer earn registry
-# slots: they are demoted here to a PROBES side table — still exact
-# decompositions of the originals, still exercised every CI run by
-# tests/test_gate_probes.py (stage-parity against the live queries)
-# — and their 10 gate positions return to the rotation.
-PROBES: dict = {}
-PROBE_ORACLES: dict = {}
-for _probe_name in [
-    "probe_km_risk_table",
-    "probe_km_step_factors",
-    "probe_km_unrolled3",
-    "probe_km_recursion_cumsum",
-    "probe_hw_daily_inputs",
-    "probe_hw_init_state",
-    "probe_hw_unrolled3",
-    "probe_hw_recursion_cumsum",
-]:
-    PROBES[_probe_name] = QUERIES.pop(_probe_name)
-    PROBE_ORACLES[_probe_name] = ORACLES.pop(_probe_name)
-del _probe_name
+# The eight bisect probes above register via @probe (see top of file):
+# they are exact decompositions of the two recursive queries, kept out
+# of the gated registry by construction so decorator count == registry
+# count for any reader auditing coverage.
 
 
 # ---------------------------------------------------------------------------
@@ -18804,16 +18808,24 @@ def source_type_token_ratio(
 _PROBE_MOD = 389
 _PROBE_RES = 31
 
-_PROBE_SH_SQL = """
+# Single source of truth: the Spark-side probe filter and every oracle
+# branch interpolate _PROBE_MOD/_PROBE_RES, so editing the constants
+# cannot desynchronize the oracle from the verified slice.
+_PROBE_SH_SQL = f"""
     w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
     sh AS MATERIALIZED (
         SELECT doc_id,
                list_distinct(list_transform(range(1, len(ws) - 1),
                    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS s
-        FROM w{guard}),
+        FROM w{{guard}}),
     pr AS MATERIALIZED (
-        SELECT * FROM sh WHERE doc_id % 389 = 31)
+        SELECT * FROM sh
+        WHERE doc_id % {_PROBE_MOD} = {_PROBE_RES})
 """
+
+# The second UNION branch of each pair-probe oracle excludes probe-a
+# rows already covered by the first branch.
+_PROBE_NOT_A_SQL = f"a.doc_id % {_PROBE_MOD} <> {_PROBE_RES}"
 
 
 def _probe_pair_filter(df: DataFrame) -> DataFrame:
@@ -18845,7 +18857,7 @@ def _probe_pair_filter(df: DataFrame) -> DataFrame:
              len(list_intersect(a.s, b.s)),
              len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))
       FROM sh a JOIN pr b
-        ON a.doc_id < b.doc_id AND a.doc_id % 389 <> 31
+        ON a.doc_id < b.doc_id AND {_PROBE_NOT_A_SQL}
     )
     SELECT doc_a, doc_b,
            CAST(n_common AS INT) AS n_common,
@@ -18874,7 +18886,8 @@ def near_dup_minhash_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id, {llm_text.duck_simhash60('text')} AS sh
         FROM documents),
     pr AS MATERIALIZED (
-        SELECT * FROM sh WHERE doc_id % 389 = 31)
+        SELECT * FROM sh
+        WHERE doc_id % {_PROBE_MOD} = {_PROBE_RES})
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
            CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS hamming
     FROM pr a JOIN sh b
@@ -18882,7 +18895,7 @@ def near_dup_minhash_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     UNION ALL
     SELECT a.doc_id, b.doc_id, CAST(bit_count(xor(a.sh, b.sh)) AS INT)
     FROM sh a JOIN pr b
-      ON a.doc_id < b.doc_id AND a.doc_id % 389 <> 31
+      ON a.doc_id < b.doc_id AND {_PROBE_NOT_A_SQL}
      AND bit_count(xor(a.sh, b.sh)) <= 3
     """,
 )
@@ -18911,7 +18924,7 @@ def near_dup_simhash_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
              len(list_intersect(a.s, b.s)),
              len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))
       FROM sh a JOIN pr b
-        ON a.doc_id < b.doc_id AND a.doc_id % 389 <> 31
+        ON a.doc_id < b.doc_id AND {_PROBE_NOT_A_SQL}
     )
     SELECT doc_a, doc_b,
            CAST(n_common AS INT) AS n_common,

@@ -225,7 +225,25 @@ def main() -> int:
         # queries that pass bit-exactly here — and nothing in the
         # committed record could say which engine versions disagreed.
         # Every artifact now carries the versions it was produced with.
-        report["__env__"] = engine_env(spark)
+        env = engine_env(spark)
+        # Provenance for artifact merges (tools/run_sf1_full.py's
+        # preverified-solo path): which commit and corpus produced
+        # this file, so a composed artifact can verify its inputs
+        # instead of trusting filenames.
+        import subprocess
+        try:
+            env["commit"] = subprocess.run(
+                ["git", "rev-parse", "HEAD"], cwd="/root/repo",
+                capture_output=True, text=True, timeout=10,
+            ).stdout.strip()
+            env["dirty"] = bool(subprocess.run(
+                ["git", "status", "--porcelain"], cwd="/root/repo",
+                capture_output=True, text=True, timeout=10,
+            ).stdout.strip())
+        except Exception:
+            pass
+        env["sf_dir"] = sf_dir
+        report["__env__"] = env
         with open(out, "w") as fh:
             json.dump(report, fh, indent=2)
         print(f"wrote {out} ({len(report)} queries)")

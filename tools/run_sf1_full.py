@@ -46,7 +46,7 @@ TMP = "/tmp/sf1_full"
 
 
 def main() -> int:
-    out = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/CORRECTNESS_SF1_r11.json"
+    out = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/CORRECTNESS_SF1_r12.json"
     chunk_size = int(sys.argv[2]) if len(sys.argv) > 2 else 28
     names = list(entrymod.queries())
     os.makedirs(TMP, exist_ok=True)
@@ -61,13 +61,38 @@ def main() -> int:
     pre_glob = os.environ.get("SF1_PREVERIFIED_GLOB", "")
     if pre_glob:
         import glob as _glob
+        head = subprocess.run(
+            ["git", "rev-parse", "HEAD"], cwd="/root/repo",
+            capture_output=True, text=True,
+        ).stdout.strip()
+        registry = set(entrymod.queries())
         for p in sorted(_glob.glob(pre_glob)):
             d = json.load(open(p))
-            env_fp = d.pop("__env__", env_fp)
+            pre_env = d.pop("__env__", None) or {}
+            # Provenance gate (ADVICE r11): a stale solo artifact from
+            # an older commit or a different corpus must not be merged
+            # into an artifact that claims "same corpus, same commit".
+            pre_commit = pre_env.get("commit")
+            pre_sf = pre_env.get("sf_dir")
+            if pre_commit and head and pre_commit != head:
+                print(f"SKIP preverified {p}: commit {pre_commit[:12]} "
+                      f"!= HEAD {head[:12]}", flush=True)
+                continue
+            if pre_sf and os.path.realpath(pre_sf) != os.path.realpath(SF1):
+                print(f"SKIP preverified {p}: sf_dir {pre_sf} != {SF1}",
+                      flush=True)
+                continue
+            env_fp = pre_env or env_fp
             for k, v in d.items():
-                if not k.startswith("__"):
-                    v["preverified_solo"] = os.path.basename(p)
-                    merged[k] = v
+                if k.startswith("__"):
+                    continue
+                if k not in registry:
+                    print(f"SKIP preverified row {k} ({p}): not in the "
+                          "current registry", flush=True)
+                    continue
+                v["preverified_solo"] = os.path.basename(p)
+                v["preverified_commit"] = pre_commit
+                merged[k] = v
         print(f"preverified solo results: {len(merged)}", flush=True)
     names = [n for n in names if n not in merged]
     chunks = [
@@ -118,20 +143,16 @@ def main() -> int:
         and not v.get("err")
     )
     artifact = {
-        "note": (
-            "round-11 FULL-registry correctness at sf1 (10x the sf0.1 "
-            "robustness sweep, 100x the driver gate): every registered "
-            "query ran its Spark plan on the sf1 corpus and, unless "
-            "listed in oracle_excluded, was hash-compared against its "
-            "DuckDB oracle at sf1. Round 11 closed the r10 exclusion "
-            "classes: MATERIALIZED round/closure CTEs (BFS/SSSP), "
-            "pointer-jumping label rounds (DBSCAN), shortlist "
-            "pre-filtering below the dimension join (MMR), and "
-            "inverted-index exact candidate generation for the "
-            "word-3-gram similarity family. Entries carrying "
-            "preverified_solo were verified one-at-a-time by this "
-            "round's solo sweep (same corpus, same commit) before the "
-            "chunked run and merged from their per-query artifacts."
+        "note": os.environ.get("SWEEP_NOTE") or (
+            f"FULL-registry correctness at sf1 over the current "
+            f"{len(merged)}-query registry (10x the sf0.1 robustness "
+            "sweep, 100x the driver gate): every registered query ran "
+            "its Spark plan on the sf1 corpus and, unless listed in "
+            "oracle_excluded, was hash-compared against its DuckDB "
+            "oracle at sf1. Entries carrying preverified_solo were "
+            "verified one-at-a-time by a solo sweep whose artifact "
+            "commit/corpus fingerprint was validated against HEAD and "
+            "the sf1 path before merging."
         ),
         "sf_dir": SF1,
         "oracle_excluded": ORACLE_SKIP_SF1,

@@ -67,14 +67,12 @@ def main() -> int:
         and v.get("rows_match") and not v.get("err")
     )
     artifact = {
-        "note": (
-            "round-10 sf0.1 robustness sweep at the final r10 registry: "
-            "every registered query re-verified against its DuckDB "
-            "oracle at 10x the driver gate's scale factor, with NO "
+        "note": os.environ.get("SWEEP_NOTE") or (
+            f"full-registry correctness sweep at {sf_dir} over the "
+            f"current {len(names)}-query registry: every registered "
+            "query re-verified against its DuckDB oracle with NO "
             "exclusions — including the all-pairs dedup ground truths "
-            "and the curation composition, whose oracle now "
-            "MATERIALIZEs the pair join so the recursive closure stops "
-            "re-evaluating it (the round-9 exclusion, closed)."
+            "and the staged curation closure."
         ),
         "sf_dir": sf_dir,
         "n_queries": len(merged),
