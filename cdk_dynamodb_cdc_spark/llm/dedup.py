@@ -677,6 +677,7 @@ def connected_components_star(
     id_a: str = "doc_a",
     id_b: str = "doc_b",
     max_rounds: int = 40,
+    local_finish_edges: int = 1 << 17,
 ) -> DataFrame:
     """Connected components via alternating large-star / small-star
     (Kiveris et al., "Connected Components in MapReduce and Beyond",
@@ -705,20 +706,103 @@ def connected_components_star(
     (neighbor-min) pointers; the fixpoint is a forest of stars centered
     at component minima. Convergence is an exact edge-set comparison
     (count equality + exceptAll emptiness), not a heuristic.
+
+    Bounded local finisher: whenever the materialized edge set is
+    under ``local_finish_edges`` (checked at init and after each
+    round, using counts the convergence test already pays for), the
+    remaining rounds collapse into one exact min-label union-find on
+    the collected edges (<= 2^17 rows, ~2 MB) — the same
+    small-enough-so-localize reasoning AQE applies to broadcast
+    joins. Star rounds preserve component node-partitions exactly
+    (Kiveris et al.), so the finisher's labels equal the distributed
+    fixpoint's. At cluster scale a large graph never passes the bound
+    and the loop stays fully distributed; the collect is
+    driver-bounded by construction.
     """
+
+    def _local_star_fixpoint(edges_df: DataFrame) -> DataFrame:
+        """Exact min-label union-find over a bounded collected edge
+        list; returns the fixpoint star edges (node -> component min)
+        as a DataFrame with ``edges_df``'s schema."""
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent.get(r, r) != r:
+                r = parent[r]
+            while parent.get(x, x) != r:  # path compression
+                parent[x], x = r, parent[x]
+            return r
+
+        for row in edges_df.collect():
+            ru, rv = find(row[0]), find(row[1])
+            if ru != rv:
+                # min-label union: Spark's least/min on strings is
+                # binary UTF-8 order, which matches Python's
+                # code-point comparison; ints compare identically.
+                lo, hi = (ru, rv) if ru < rv else (rv, ru)
+                parent[hi] = lo
+        stars = [(n, find(n)) for n in list(parent) if find(n) != n]
+        return edges_df.sparkSession.createDataFrame(
+            stars, schema=edges_df.schema
+        )
+    # No up-front distinct: duplicate input edges only feed min
+    # aggregations and the end-of-round distinct, so they cannot change
+    # the result — and skipping the extra shuffle + its job matters
+    # because the loop's cost at any scale is dominated by fixed
+    # per-round overhead once the edge set contracts (round 0 typically
+    # shrinks it by ~25x). The checkpoint still truncates caller
+    # lineage so round 0 doesn't replay an arbitrary upstream plan.
     e = (
         pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
         .filter(F.col("u") != F.col("v"))
-        .distinct()
         .localCheckpoint(eager=True)
     )
+    # Lazy on purpose: all_nodes joins the final labels exactly once,
+    # outside the loop, so an eager checkpoint would only add a job.
     all_nodes = (
         e.select(F.col("u").alias("node"))
         .unionByName(e.select(F.col("v").alias("node")))
         .distinct()
-        .localCheckpoint(eager=True)
     )
 
+    # Init-time finisher check: e is materialized (checkpoint above),
+    # so the count is one cheap job, and a graph already under the
+    # bound skips the distributed rounds entirely. The raw (possibly
+    # duplicate-carrying) count can only overstate, never understate,
+    # so the bound stays conservative.
+    if e.count() <= local_finish_edges:
+        e = _local_star_fixpoint(e)
+    else:
+        e = _star_rounds(
+            e, max_rounds, local_finish_edges, _local_star_fixpoint
+        )
+
+    # Fixpoint edges are (node, component_min) stars; centers carry no
+    # outgoing edge, so they label themselves via the left join.
+    labels = e.groupBy("u").agg(F.min("v").alias("cluster_id"))
+    return all_nodes.join(
+        labels, all_nodes.node == labels.u, "left"
+    ).select(
+        "node",
+        F.coalesce("cluster_id", F.col("node")).alias("cluster_id"),
+    )
+
+
+def _star_rounds(
+    e: DataFrame,
+    max_rounds: int,
+    local_finish_edges: int,
+    local_fixpoint,
+) -> DataFrame:
+    """Distributed alternating-star loop for graphs over the local
+    bound; returns fixpoint star edges. See
+    :func:`connected_components_star` for the algorithm contract."""
+    # prev_count carries each round's materialized edge count into the
+    # next round's convergence test, replacing a second count job.
+    # None on round 0: e may still hold input duplicates (see above),
+    # so its count is not comparable to the deduped round output.
+    prev_count: int | None = None
     for _ in range(max_rounds):
         # --- large-star ---------------------------------------------
         sym = e.unionByName(
@@ -727,12 +811,13 @@ def connected_components_star(
         m_of_u = sym.groupBy("u").agg(
             F.least(F.min("v"), F.first("u")).alias("m")
         )
+        # No distinct here: duplicate large-star edges are absorbed by
+        # the small-star min aggregation and the end-of-round distinct.
         large = (
             sym.join(m_of_u, "u")
             .filter(F.col("v") > F.col("u"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .filter(F.col("u") != F.col("v"))
-            .distinct()
         )
         # --- small-star ---------------------------------------------
         oriented = large.select(
@@ -748,24 +833,19 @@ def connected_components_star(
             .localCheckpoint(eager=True)
         )
         # --- exact convergence check --------------------------------
-        if small.count() == e.count() and small.exceptAll(e).isEmpty():
-            e = small
-            break
+        sc = small.count()
+        if sc == prev_count and small.exceptAll(e).isEmpty():
+            return small
+        # --- bounded local finisher ---------------------------------
+        # sc is already computed for the convergence test, so this
+        # branch costs no extra job; see the function docstring.
+        if sc <= local_finish_edges:
+            return local_fixpoint(small)
+        prev_count = sc
         e = small
-    else:
-        raise RuntimeError(
-            f"connected_components_star did not converge in "
-            f"{max_rounds} rounds"
-        )
-
-    # Fixpoint edges are (node, component_min) stars; centers carry no
-    # outgoing edge, so they label themselves via the left join.
-    labels = e.groupBy("u").agg(F.min("v").alias("cluster_id"))
-    return all_nodes.join(
-        labels, all_nodes.node == labels.u, "left"
-    ).select(
-        "node",
-        F.coalesce("cluster_id", F.col("node")).alias("cluster_id"),
+    raise RuntimeError(
+        f"connected_components_star did not converge in "
+        f"{max_rounds} rounds"
     )
 
 

@@ -4538,13 +4538,39 @@ def curate_corpus_dispositions(spark: SparkSession, sf_dir: str) -> DataFrame:
     in isolation; this query pins the COMPOSITION."""
     docs = load_table(spark, sf_dir, "documents")
     pairs = llm_dedup.minhash_near_dup_pairs(docs, threshold=0.8)
-    cc = llm_dedup.connected_components_star(pairs)
     eval_docs = docs.filter(F.col("doc_id") % 29 == 0)
-    contam = (
+    contam_lazy = (
         llm_curation.decontaminate(docs, eval_docs)
         .filter(F.col("n_shared_grams") > 0)
         .select("doc_id", F.lit(True).alias("contam"))
     )
+    # The contamination signal is independent of the dedup lane, but
+    # connected_components_star materializes the near-dup pairs
+    # eagerly (its lineage-truncation checkpoint), which would
+    # serialize the two. Materialize the (tiny: contaminated ids only)
+    # contam frame on a second job thread so both lanes' stages share
+    # the executor slots the other leaves idle — concurrent job
+    # submission on one SparkSession is the standard pattern; result
+    # hashes are unaffected because both lanes are deterministic.
+    import threading
+
+    contam_box: dict = {}
+
+    def _materialize_contam() -> None:
+        try:
+            contam_box["df"] = contam_lazy.localCheckpoint(eager=True)
+        except Exception as exc:  # surfaced after join() below
+            contam_box["err"] = exc
+
+    contam_thread = threading.Thread(target=_materialize_contam)
+    contam_thread.start()
+    try:
+        cc = llm_dedup.connected_components_star(pairs)
+    finally:
+        contam_thread.join()
+    if "err" in contam_box:
+        raise contam_box["err"]
+    contam = contam_box["df"]
     quality = llm_text.text_quality(F.col("text"))["quality_score"]
     bucket = llm_text.token_hash60(F.col("doc_id").cast("string")) % 100
     base = (

@@ -673,6 +673,41 @@ def test_star_cc_matches_propagation_on_random_graphs(spark):
             for r in dedup.connected_components_star(pairs).collect()
         }
         assert got == want, f"trial {trial}"
+        # Path parity: local_finish_edges=0 forces the fully
+        # distributed star loop; the default sends a graph this small
+        # through the driver union-find finisher. Identical output is
+        # the finisher's whole contract.
+        got_dist = {
+            (r["node"], r["cluster_id"])
+            for r in dedup.connected_components_star(
+                pairs, local_finish_edges=0
+            ).collect()
+        }
+        assert got_dist == want, f"trial {trial} (distributed path)"
+
+
+def test_star_cc_local_finisher_string_ids(spark):
+    # The local finisher's min-label union must match Spark's binary
+    # UTF-8 string ordering (multi-byte codepoints included).
+    pairs = spark.createDataFrame(
+        [("b", "a"), ("a", "é"), ("z", "y"), ("y", "x")],
+        "doc_a string, doc_b string",
+    )
+    got = {
+        (r["node"], r["cluster_id"])
+        for r in dedup.connected_components_star(pairs).collect()
+    }
+    assert got == {
+        ("a", "a"), ("b", "a"), ("é", "a"),
+        ("x", "x"), ("y", "x"), ("z", "x"),
+    }
+    got_dist = {
+        (r["node"], r["cluster_id"])
+        for r in dedup.connected_components_star(
+            pairs, local_finish_edges=0
+        ).collect()
+    }
+    assert got_dist == got
 
 
 def test_star_cc_handles_diameter_beyond_propagation_budget(spark):
