@@ -726,6 +726,28 @@ from pyspark.sql.datasource import (  # noqa: E402
 FEED_SOURCE_NAME = "txlog_feed"
 
 
+def _localize_feed_cell(value, localize: bool):
+    """pyarrow's to_pylist yields tz-NAIVE datetimes for TIMESTAMP
+    (LTZ) parquet columns, which Spark's arrow converter rejects
+    ("Cannot convert tz-naive Timestamp"). The engine pins every
+    session to UTC (session.py), so stored instants are UTC wall
+    values — attach the zone on the way out. TIMESTAMP_NTZ fields
+    stay naive (localize=False)."""
+    import datetime as _dt
+
+    if localize and value is not None and getattr(value, "tzinfo", None) is None:
+        return value.replace(tzinfo=_dt.timezone.utc)
+    return value
+
+
+def _ltz_field_names(schema) -> set[str]:
+    return {
+        f.name
+        for f in schema.fields
+        if f.dataType.typeName() == "timestamp"
+    }
+
+
 def _log_versions(path: str) -> list[int]:
     """Action-file versions under ``path/_txlog`` (plain-os listing —
     feed readers run without a Spark session). Checkpoint files are
@@ -800,9 +822,15 @@ class TxLogFeedReader(_SimpleReader):
     from the evolved manifest order must not have same-typed values
     silently swapped between columns."""
 
-    def __init__(self, options: dict, field_names: list[str]):
+    def __init__(
+        self,
+        options: dict,
+        field_names: list[str],
+        tz_fields: set[str] | None = None,
+    ):
         self.path = options["path"].rstrip("/")
         self.field_names = field_names
+        self.tz_fields = tz_fields or set()
 
     def _versions(self) -> list[int]:
         return _log_versions(self.path)
@@ -827,8 +855,16 @@ class TxLogFeedReader(_SimpleReader):
             for rec in pq.read_table(local).to_pylist():
                 # by-name decode: pre-evolution files lack the newer
                 # columns (pad with None); column order in the file is
-                # irrelevant.
-                rows.append(tuple(rec.get(n) for n in names))
+                # irrelevant. LTZ timestamps are localized to UTC
+                # (see _localize_feed_cell).
+                rows.append(
+                    tuple(
+                        _localize_feed_cell(
+                            rec.get(n), n in self.tz_fields
+                        )
+                        for n in names
+                    )
+                )
         return rows
 
     def read(self, start: dict):
@@ -872,7 +908,11 @@ class TxLogFeedDataSource(_DataSource):
         return _St.fromJson(json.loads(schema_json))
 
     def simpleStreamReader(self, schema) -> TxLogFeedReader:
-        return TxLogFeedReader(self.options, [f.name for f in schema.fields])
+        return TxLogFeedReader(
+            self.options,
+            [f.name for f in schema.fields],
+            _ltz_field_names(schema),
+        )
 
 
 def read_txlog_feed(spark: SparkSession, path: str):
@@ -1509,9 +1549,15 @@ BULK_FEED_SOURCE_NAME = "txlog_feed_bulk"
 
 
 class _FeedFilePartition(_InputPartition):
-    def __init__(self, path: str, field_names: list[str]):
+    def __init__(
+        self,
+        path: str,
+        field_names: list[str],
+        tz_fields: set[str] | None = None,
+    ):
         self.path = path
         self.field_names = field_names
+        self.tz_fields = tz_fields or set()
 
 
 class TxLogBulkFeedReader(_FullReader):
@@ -1520,9 +1566,15 @@ class TxLogBulkFeedReader(_FullReader):
     declared schema (pre-evolution files pad missing columns with
     None; file-local column order never leaks into the stream)."""
 
-    def __init__(self, options: dict, field_names: list[str]):
+    def __init__(
+        self,
+        options: dict,
+        field_names: list[str],
+        tz_fields: set[str] | None = None,
+    ):
         self.path = options["path"].rstrip("/")
         self.field_names = field_names
+        self.tz_fields = tz_fields or set()
 
     def _versions(self) -> list[int]:
         return _log_versions(self.path)
@@ -1542,8 +1594,12 @@ class TxLogBulkFeedReader(_FullReader):
         )
         # one partition per file: executors read in parallel
         names = self.field_names
-        return [_FeedFilePartition(_local(f), names) for f in added] or [
-            _FeedFilePartition("", names)  # Spark requires >= 1 partition
+        tz = self.tz_fields
+        return [
+            _FeedFilePartition(_local(f), names, tz) for f in added
+        ] or [
+            # Spark requires >= 1 partition
+            _FeedFilePartition("", names, tz)
         ]
 
     def read(self, partition: _FeedFilePartition):
@@ -1552,8 +1608,11 @@ class TxLogBulkFeedReader(_FullReader):
         import pyarrow.parquet as pq
 
         names = partition.field_names
+        tz = partition.tz_fields
         rows = [
-            tuple(rec.get(n) for n in names)
+            tuple(
+                _localize_feed_cell(rec.get(n), n in tz) for n in names
+            )
             for rec in pq.read_table(partition.path).to_pylist()
         ]
         return iter(rows)
@@ -1577,7 +1636,9 @@ class TxLogBulkFeedDataSource(_DataSource):
 
     def streamReader(self, schema) -> TxLogBulkFeedReader:
         return TxLogBulkFeedReader(
-            self.options, [f.name for f in schema.fields]
+            self.options,
+            [f.name for f in schema.fields],
+            _ltz_field_names(schema),
         )
 
 

@@ -536,18 +536,22 @@ def maintain_snapshot_stream(
       2. upsert into the state store: the store is parquet partitioned
          by `bucket = pmod(hash(pk), buckets)`; the batch writes, with
          DYNAMIC partition overwrite, only the buckets it touches —
-         each rewritten bucket holds its previous keys (minus updated
-         keys) plus ALL of the batch's winners, REMOVE winners
-         included as physical tombstone rows (Kafka-compaction style).
-         Tombstones are what make pure deletions durable: dynamic
-         overwrite cannot write an EMPTY partition, so a bucket whose
-         net change is "delete the last key" would otherwise never be
-         rewritten and the stale row would survive. A tombstone is
-         carried forward in `keep` like any state row until its key
-         next ARRIVES again (at which point the new winner replaces
-         it), so tombstone count is bounded by the number of
-         currently-deleted keys per bucket — it never shrinks on
-         rewrites alone, and `read_snapshot_store` filters it out.
+         each rewritten bucket holds, per key, the MAX-SEQ row across
+         its previous contents and the batch's winners (a seq-guarded
+         merge: micro-batch arrival order is not the change order, so
+         a blind replace would let a late-delivered older batch
+         regress newer state — the round-12 soak caught exactly
+         that), REMOVE winners included as physical tombstone rows
+         (Kafka-compaction style). Tombstones are what make pure
+         deletions durable: dynamic overwrite cannot write an EMPTY
+         partition, so a bucket whose net change is "delete the last
+         key" would otherwise never be rewritten and the stale row
+         would survive. A tombstone is carried forward like any state
+         row until a NEWER change for its key arrives (at which point
+         the new winner replaces it), so tombstone count is bounded
+         by the number of currently-deleted keys per bucket — it
+         never shrinks on rewrites alone, and `read_snapshot_store`
+         filters it out.
 
     Exactly-once: replaying a batch recomputes the identical bucket
     contents (winners are keyed by seq, unaffected by replay) and
@@ -598,12 +602,25 @@ def maintain_snapshot_stream(
             touched = [
                 r.bucket for r in fresh.select("bucket").distinct().collect()
             ]
-            keep = state.filter(F.col("bucket").isin(touched)).join(
-                fresh.select(*key_cols),
-                list(key_cols),
-                "left_anti",
+            pruned = state.filter(F.col("bucket").isin(touched))
+            # Seq-guarded merge, NOT a blind replace: micro-batch
+            # arrival order is not the change order — FileStreamSource
+            # breaks equal-mtime ties arbitrarily, and at scale
+            # cross-shard file arrival never follows the per-key
+            # sequence — so a batch whose winner is OLDER than the
+            # stored row must lose. max_by(seq) over state + fresh
+            # keeps the store correct under any batch permutation
+            # (the round-12 soak caught the blind replace regressing
+            # newer state). Replays stay idempotent: a replayed row
+            # ties with its stored twin and the merge result is
+            # identical either way.
+            cols = ["operation", "image", "seq", "ts", "bucket"]
+            out = (
+                pruned.unionByName(fresh)
+                .groupBy(*key_cols)
+                .agg(F.max_by(F.struct(*cols), "seq").alias("w"))
+                .select(*key_cols, *[F.col(f"w.{c}").alias(c) for c in cols])
             )
-            out = keep.unionByName(fresh)
         else:
             out = fresh
         with _dynamic_partition_overwrite(spark):

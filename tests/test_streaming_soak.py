@@ -1,0 +1,283 @@
+"""Long-run streaming soak (round-12 verdict item 6).
+
+The short exactly-once pytests pin each streaming lane over a handful
+of micro-batches; this soak composes the three production sinks —
+maintain_snapshot_stream, maintain_aggregate_stream, and the
+txlog_sink_writer ACID lane with its change-feed consumer — over 100+
+micro-batches of one synthetic CDC stream, with three checkpoint
+restart cycles (phase boundaries) plus one genuine mid-stream kill
+(query.stop() during processing), and asserts the final state of every
+store equals an independent batch replay of the same records.
+"""
+
+from __future__ import annotations
+
+import datetime
+import decimal
+import json
+import os
+import random
+
+from cdk_dynamodb_cdc_spark.operators.ivm import (
+    maintain_aggregate_stream,
+    read_aggregate_store,
+)
+from cdk_dynamodb_cdc_spark.storage import TxTable, txlog_sink_writer
+from cdk_dynamodb_cdc_spark.storage.txlog import read_txlog_feed
+from cdk_dynamodb_cdc_spark.streaming import (
+    read_cdc_stream,
+    run_cdc_stream,
+)
+from cdk_dynamodb_cdc_spark.streaming.stream import (
+    maintain_snapshot_stream,
+    read_snapshot_store,
+)
+
+UTC = datetime.timezone.utc
+N_FILES = 100
+RECORDS_PER_FILE = 3
+N_KEYS = 20
+GROUPS = ["a", "b", "c"]
+# Phase boundaries: each boundary is a full stop + restart of every
+# stream from its checkpoint (3 restart cycles across 4 phases).
+PHASES = [(0, 30), (30, 60), (60, 85), (85, 100)]
+
+
+def _img(group: str, value: str) -> str:
+    return json.dumps(
+        {"event_type": {"S": group}, "value": {"N": value}}
+    )
+
+
+def _generate(src_dir) -> dict:
+    """Write N_FILES JSON-lines CDC files; return the Python-side
+    replay: per-key live image and the expected per-group totals.
+
+    old_image always equals the key's previous new_image (consistent
+    chain), every MODIFY changes the value (no no-op drops), REMOVE
+    clears the key so a later INSERT restarts it.
+    """
+    rng = random.Random(12)
+    t0 = datetime.datetime(2024, 3, 1, tzinfo=UTC)
+    live: dict[str, tuple[str, str]] = {}  # pk -> (group, value)
+    seq = 0
+    n_records = 0
+    for f in range(N_FILES):
+        lines = []
+        for _ in range(RECORDS_PER_FILE):
+            seq += 1
+            n_records += 1
+            pk = f"U#{rng.randrange(N_KEYS)}"
+            ts = t0 + datetime.timedelta(minutes=seq)
+            if pk not in live:
+                group = rng.choice(GROUPS)
+                value = f"{rng.randrange(1, 500)}.{rng.randrange(100):02d}"
+                rec = {
+                    "operation": "INSERT",
+                    "old_image": None,
+                    "new_image": _img(group, value),
+                }
+                live[pk] = (group, value)
+            elif rng.random() < 0.15:
+                group, value = live.pop(pk)
+                rec = {
+                    "operation": "REMOVE",
+                    "old_image": _img(group, value),
+                    "new_image": None,
+                }
+            else:
+                old_group, old_value = live[pk]
+                # occasional cross-group move; value always changes
+                group = (
+                    rng.choice(GROUPS)
+                    if rng.random() < 0.2
+                    else old_group
+                )
+                value = f"{rng.randrange(1, 500)}.{rng.randrange(100):02d}"
+                if value == old_value:
+                    value = f"{int(value.split('.')[0]) + 1}.00"
+                rec = {
+                    "operation": "MODIFY",
+                    "old_image": _img(old_group, old_value),
+                    "new_image": _img(group, value),
+                }
+                live[pk] = (group, value)
+            rec.update(
+                event_id=f"ev-{seq}",
+                seq=seq,
+                ts=ts.strftime("%Y-%m-%dT%H:%M:%S.%f%z"),
+                pk=pk,
+                sk="S",
+                size_bytes=64,
+            )
+            lines.append(json.dumps(rec))
+        with open(src_dir / f"batch{f:03d}.json", "w") as fh:
+            fh.write("\n".join(lines) + "\n")
+    totals: dict[str, list] = {}
+    for group, value in live.values():
+        cur = totals.setdefault(group, [0, decimal.Decimal(0)])
+        cur[0] += 1
+        cur[1] += decimal.Decimal(value)
+    return {
+        "live": live,
+        "totals": {g: (n, t) for g, (n, t) in totals.items()},
+        "n_records": n_records,
+    }
+
+
+def _await(q):
+    q.awaitTermination(300)
+    assert not q.isActive
+
+
+def test_soak_composed_streams_match_batch_replay(spark, tmp_path):
+    src = tmp_path / "src"
+    src.mkdir()
+    expect = _generate(src)
+
+    snap_state = str(tmp_path / "snap_state")
+    snap_ckpt = str(tmp_path / "snap_ckpt")
+    agg_state = str(tmp_path / "agg_state")
+    agg_ckpt = str(tmp_path / "agg_ckpt")
+    tx_path = str(tmp_path / "txlog")
+    tx_ckpt = str(tmp_path / "tx_ckpt")
+    feed_out = str(tmp_path / "feed_out")
+    feed_ckpt = str(tmp_path / "feed_ckpt")
+    staged = tmp_path / "staged"
+    staged.mkdir()
+
+    all_files = sorted(os.listdir(src))
+
+    def stage(hi: int) -> None:
+        """Expose the first `hi` source files to the streams."""
+        for name in all_files[:hi]:
+            dst = staged / name
+            if not dst.exists():
+                os.link(src / name, dst)
+
+    def run_snapshot():
+        q = maintain_snapshot_stream(
+            read_cdc_stream(
+                spark, str(staged), starting_position="trim_horizon",
+                max_files_per_trigger=1,
+            ),
+            state_path=snap_state,
+            checkpoint_path=snap_ckpt,
+            buckets=4,
+        )
+        _await(q)
+
+    def run_aggregate():
+        q = maintain_aggregate_stream(
+            read_cdc_stream(
+                spark, str(staged), starting_position="trim_horizon",
+                max_files_per_trigger=10,
+            ),
+            state_path=agg_state,
+            checkpoint_path=agg_ckpt,
+            group_field="event_type",
+            value_field="value",
+            buckets=4,
+        )
+        _await(q)
+
+    def run_txlog():
+        q = run_cdc_stream(
+            read_cdc_stream(
+                spark, str(staged), starting_position="trim_horizon",
+                max_files_per_trigger=20,
+            ),
+            sink_path=tx_path,
+            checkpoint_path=tx_ckpt,
+            sink_writer=txlog_sink_writer(
+                spark, tx_path, app_id="soak"
+            ),
+        )
+        _await(q)
+
+    def run_feed_consumer():
+        q = (
+            read_txlog_feed(spark, tx_path)
+            .writeStream.format("parquet")
+            .option("path", feed_out)
+            .option("checkpointLocation", feed_ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        _await(q)
+
+    killed = False
+    for phase, (_, hi) in enumerate(PHASES):
+        stage(hi)
+        if phase == 1 and not killed:
+            # Genuine kill: stop the snapshot query mid-processing;
+            # the next run must recover from the checkpoint with no
+            # duplicate or lost application (however many of this
+            # phase's batches the kill interrupted).
+            q = maintain_snapshot_stream(
+                read_cdc_stream(
+                    spark, str(staged),
+                    starting_position="trim_horizon",
+                    max_files_per_trigger=1,
+                ),
+                state_path=snap_state,
+                checkpoint_path=snap_ckpt,
+                buckets=4,
+            )
+            q.stop()
+            q.awaitTermination(300)
+            killed = True
+        run_snapshot()
+        run_aggregate()
+        run_txlog()
+        run_feed_consumer()
+
+    # ---- micro-batch volume: >= 100 snapshot batches alone ---------
+    def commits(ckpt: str) -> int:
+        return len(
+            [
+                f
+                for f in os.listdir(os.path.join(ckpt, "commits"))
+                if not f.startswith(".")
+            ]
+        )
+
+    n_batches = commits(snap_ckpt) + commits(agg_ckpt) + commits(tx_ckpt)
+    assert commits(snap_ckpt) >= N_FILES  # 1 file per trigger
+    assert n_batches >= N_FILES + N_FILES // 10 + N_FILES // 20
+
+    # ---- snapshot store == batch replay winners --------------------
+    got_live = {
+        r.pk: r.image
+        for r in read_snapshot_store(spark, snap_state).collect()
+    }
+    want_live = {
+        pk: _img(group, value)
+        for pk, (group, value) in expect["live"].items()
+    }
+    assert {
+        pk: json.loads(img) for pk, img in got_live.items()
+    } == {pk: json.loads(img) for pk, img in want_live.items()}
+
+    # ---- aggregate store == live-group totals ----------------------
+    got_totals = {
+        r.group_key: (r.n_items, decimal.Decimal(r.total_value))
+        for r in read_aggregate_store(spark, agg_state).collect()
+        if r.n_items
+    }
+    assert got_totals == expect["totals"]
+
+    # ---- txlog: every record published exactly once ----------------
+    tx_rows = TxTable(spark, tx_path).snapshot().collect()
+    assert len(tx_rows) == expect["n_records"]
+    ids = [r.event_id for r in tx_rows]
+    assert len(ids) == len(set(ids))
+
+    # ---- feed consumer saw exactly the txlog's rows ----------------
+    feed_ids = [
+        r.event_id
+        for r in spark.read.parquet(feed_out)
+        .select("event_id")
+        .collect()
+    ]
+    assert sorted(feed_ids) == sorted(ids)
