@@ -42,79 +42,77 @@ def entry(spark: SparkSession) -> DataFrame:
 # ordering only decides which subset the driver re-verifies
 # independently.
 _GATE_PRIORITY = [
-    # Round-11 ordering (new > changed > stale > fill, 50 slots).
-    # Window layout: the 5 sf1 fixed-probe contract queries NEW this
-    # round, then the 8 whose oracle CHANGED this round (MATERIALIZED
-    # round/closure CTEs in the graph/cluster oracles; integer //
-    # tie-count division in Kendall; VARCHAR-routed inner decimal
-    # sums in q8/q17), then the FULL 35-query staleness tail whose
-    # most recent driver-green row dates to r4 (the r10 verdict's
-    # rotation list — includes sql_surface_identical_text, whose r10
-    # text change the r10 window missed), then 2 oldest r5-green
-    # fill. Every other registry entry follows in stable registration
-    # order via queries().
-    # -- new in round 11 (never gate-verified) -----------------
-    'near_dup_minhash_probe',
-    'near_dup_simhash_probe',
-    'near_dup_jaccard_probe',
-    'near_dup_containment_probe',
-    'incremental_near_dup_probe',
-    # -- changed in round 11 -----------------------------------
-    # (near_dup_ngram_jaccard also changed — it sits in the stale
-    # block below, one slot either way. Displaced to keep the window
-    # at 50 with the full 35-query stale tail in: q8 and q17, whose
-    # r11 change is oracle-arithmetic only — the VARCHAR hop moved to
-    # the actual decimal->double site — hash-verified at sf0.01 AND
-    # sf0.1 in this round's committed local artifacts, and both were
-    # driver-gated green in r10.)
-    'kendall_tau_qty_price',
-    'near_dup_minhash_pairs',
-    'near_dup_containment_pairs',
-    'incremental_near_dup_pairs',
+    # Round-12 ordering (new > changed > stale > fill, 50 slots).
+    # Window layout: no NEW queries this round; the 6 whose execution
+    # path or oracle CHANGED this round first, then the FULL 38-query
+    # staleness tail whose most recent driver-green row dates to r5
+    # (the r11 verdict's rotation list), then 6 oldest r6-green fill.
+    # Every other registry entry follows in stable registration order
+    # via queries(). (The 5 sf1 probe-contract oracles had their
+    # hardcoded 389/31 literals replaced by interpolated constants
+    # this round — a whitespace-identical SQL refactor, resolved text
+    # semantics unchanged, and all 5 were gate-verified green in r11,
+    # so they rotate out rather than displace stale entries.)
+    # -- changed in round 12 -----------------------------------
+    # mmr_diverse_retrieval: r11 oracle change (shortlist pre-filter
+    # rewrite) that the r11 window missed (ADVICE r11) — its sf1
+    # preverified-solo hash pass mitigated, now driver-verified.
+    # The other five consume connected_components_star, whose round
+    # loop was streamlined this round (no input/large-star distinct,
+    # count reuse, bounded local union-find finisher); curation also
+    # overlaps its decontamination checkpoint on a second job thread.
+    'mmr_diverse_retrieval',
     'curate_corpus_dispositions',
-    'part_coorder_bfs_layers',
-    'part_coorder_sssp',
     'embedding_dbscan_2d',
-    'semantic_dedup_keep',
     'dedup_clusters',
-    # -- staleness tail: last driver-green r4 ------------------
-    'approx_quantile_contract',
-    'array_function_suite',
-    'asof_next_event_after_order',
-    'boilerplate_ngram_stats',
-    'cdc_change_stats_reconstructed',
-    'cdc_change_stats_typed',
-    'cdc_decimal_fidelity',
-    'cdc_snapshot_at',
-    'cdc_squash_net_changes',
-    'decontam_eval_overlap',
-    'event_transition_matrix',
-    'gapfill_hourly_user_activity',
-    'hll_sketch_union_contract',
-    'mad_outlier_stats',
-    'media_transform_stats',
-    'near_dup_ngram_jaccard',
-    'pack_training_sequences',
-    'percentile_order_values',
-    'q11_important_stock',
-    'q12_priority_by_linestatus',
-    'q13_customer_order_distribution',
-    'q15_top_supplier',
-    'q16_parts_supplier_relationship',
-    'q18_large_volume_orders',
-    'q20_potential_part_promotion',
-    'q21_suppliers_kept_waiting',
-    'q2_min_cost_supplier',
-    'q4_late_shipment_priority',
-    'q7_volume_shipping',
-    'q9_product_type_profit',
-    'repetition_stats',
-    'sql_surface_identical_text',
-    'stratified_sample_by_lang',
-    'train_val_test_split',
-    'udaf_weighted_revenue_cents',
-    # (no rotation fill this round: 5 new + 10 changed + the full
-    # 35-query r4 staleness tail fill the 50 slots exactly)
+    'semantic_dedup_keep',
+    'part_name_match_clusters',
+    # -- staleness tail: last driver-green r5 ------------------
+    'ab_test_conversion_zscore',
+    'approx_topk_event_types_contract',
+    'basket_brand_pairs',
+    'bitmap_distinct_suppliers_by_brand',
+    'brand_affinity_triangles',
+    'cdc_incremental_group_totals',
+    'cdc_merge_apply',
+    'cdc_scd2_history',
+    'cdc_seq_inversion_stats',
+    'cdc_snapshot_diff',
+    'doc_commonness_score',
+    'dq_expectations_report',
+    'embedding_ivf_topk',
+    'event_type_pagerank',
+    'funnel_conversion_steps',
+    'funnel_time_to_convert',
+    'hopping_window_counts',
+    'inverted_index_search',
+    'nation_supplier_pareto',
+    'near_dup_embedding_pairs',
+    'order_linecount_distribution',
+    'order_priority_mode_stats',
+    'order_rank_distribution',
+    'part_name_fuzzy_pairs',
+    'peak_concurrent_sessions',
+    'pii_scrub_stats',
+    'priority_listagg_by_status',
+    'profile_event_columns',
+    'returnflag_linestatus_chisq_cells',
+    'session_path_trigrams',
+    'sliding_distinct_users_3h',
+    'spend_decile_profile',
+    'tfidf_top_terms',
+    'user_activity_similarity_topk',
+    'user_daily_streaks',
+    'value_histogram_events',
+    'vocab_top_terms_by_lang',
+    'weighted_sample_by_length',
+    # -- rotation fill: oldest r6-green, registration order ----
+    'semi_join_customers_with_orders',
+    'anti_join_customers_without_orders',
+    'window_topk_orders_per_customer',
+    'setop_active_1996_not_1997',
+    'distinct_parts_per_brand',
+    'json_extract_events_props',
 ]
 
 
