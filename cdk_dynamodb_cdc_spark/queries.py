@@ -10361,16 +10361,24 @@ def brand_community_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Frequent itemsets, level-wise (Apriori): brand TRIPLES bought in the
-# same order with relative support >= 1/500 of all orders. The Spark
-# plan is the genuinely scalable formulation: L1/L2 pruning first
-# (frequent brands, then frequent PAIRS), and only order-rows whose
-# pair already passed expand to candidate triples — downward closure
-# (every frequent triple has all frequent sub-pairs) makes the pruned
-# computation EQUAL to the brute-force triple join the oracle runs, so
-# the green hash doubles as the Apriori-correctness theorem. Per-order
-# fan-out stays schema-bounded (brand vocabulary), and the support
-# threshold is relative, so the same query is non-vacuous at every SF.
+# Frequent itemsets: brand TRIPLES bought in the same order with
+# relative support >= 1/500 of all orders. The scalable Spark shape is
+# per-order BASKET arrays + a codegen'd generate chain, not fact
+# self-joins: fold each order's distinct brands into one sorted array
+# (ONE shuffle, rows = orders), then expand i<j<k combinations with
+# three posexplode/slice steps — Generate + slice stay inside
+# whole-stage codegen, where the earlier nested higher-order-function
+# expansion ran interpreted (5x slower) and the original three-way
+# self-join went superlinear at the sf10 decade (12.5x time at 10x
+# data, three sort-merge passes over the fact spilling locally).
+# Apriori candidate pruning is deliberately ABSENT: the triple key
+# space is schema-bounded (C(|brand vocabulary|, 3) <= 2300), so the
+# support groupBy is already vocabulary-sized and downward-closure
+# pruning buys nothing — that device matters for UNBOUNDED item
+# vocabularies, where this engine's prefix-filtered similarity joins
+# (llm/dedup.py PPJoin lanes) implement exactly the bounded-candidate
+# discipline. Support threshold is relative, so the query is
+# non-vacuous at every SF; oracle = brute-force triple join.
 # ---------------------------------------------------------------------------
 @query(
     "basket_brand_triples",
@@ -10399,62 +10407,36 @@ def basket_brand_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey", "l_partkey"
     )
     pt = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
-    ob = (
-        li.join(pt, li.l_partkey == pt.p_partkey)
-        .select("l_orderkey", F.col("p_brand").alias("brand"))
-        .distinct()
-        # feeds the support count, the pair expansion, the triple
-        # extension, and the frequent-pair build: materialize once
+    ob = li.join(pt, li.l_partkey == pt.p_partkey).select(
+        "l_orderkey", F.col("p_brand").alias("brand")
+    )
+    # No distinct: collect_set dedups inside the aggregation, so the
+    # per-order fold is the query's ONLY fact-sized shuffle (with
+    # map-side partial sets; a separate distinct would shuffle the
+    # fact a second time on a different key).
+    baskets = (
+        ob.groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("brand")).alias("bs"))
+        # feeds the support count and the expansion: materialize once
         .localCheckpoint(eager=True)
     )
-    minsup = ob.agg(
-        F.expr("count(distinct l_orderkey) div 500").alias("ms")
+    minsup = baskets.agg(F.expr("count(1) div 500").alias("ms"))
+    # i < j < k combination chain over the sorted array: each level
+    # explodes one element and carries the remaining suffix, so the
+    # work is exactly the number of emitted combinations.
+    lvl1 = (
+        baskets.select(F.posexplode("bs").alias("i", "x"), "bs")
+        .select("x", F.expr("slice(bs, i + 2, size(bs))").alias("r1"))
+        .filter(F.size("r1") >= 2)
     )
-    a, b = ob.alias("a"), ob.alias("b")
-    pair_rows = a.join(
-        b,
-        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-        & (F.col("a.brand") < F.col("b.brand")),
-    ).select(
-        F.col("a.l_orderkey").alias("l_orderkey"),
-        F.col("a.brand").alias("x"),
-        F.col("b.brand").alias("y"),
-    )
-    fp = (
-        pair_rows.groupBy("x", "y")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .crossJoin(F.broadcast(minsup))
-        .filter(F.col("n") >= F.col("ms"))
-        .select("x", "y")
-        .localCheckpoint(eager=True)
-    )
-    # L2 prune: only order-rows of frequent pairs expand
-    op = pair_rows.join(fp, ["x", "y"], "left_semi").alias("op")
-    c = ob.alias("c")
-    tri_rows = (
-        op.join(
-            c,
-            (F.col("op.l_orderkey") == F.col("c.l_orderkey"))
-            & (F.col("y") < F.col("c.brand")),
-        )
+    lvl2 = (
+        lvl1.select("x", F.posexplode("r1").alias("j", "y"), "r1")
         .select(
-            F.col("op.l_orderkey").alias("l_orderkey"),
-            "x",
-            "y",
-            F.col("c.brand").alias("z"),
+            "x", "y", F.expr("slice(r1, j + 2, size(r1))").alias("r2")
         )
-        # candidate prune: (x,z) and (y,z) must also be frequent
-        .join(
-            fp.select(F.col("x").alias("x"), F.col("y").alias("z")),
-            ["x", "z"],
-            "left_semi",
-        )
-        .join(
-            fp.select(F.col("x").alias("y"), F.col("y").alias("z")),
-            ["y", "z"],
-            "left_semi",
-        )
+        .filter(F.size("r2") >= 1)
     )
+    tri_rows = lvl2.select("x", "y", F.explode("r2").alias("z"))
     return (
         tri_rows.groupBy(
             F.col("x").alias("brand_a"),
