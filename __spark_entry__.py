@@ -67,6 +67,10 @@ _GATE_PRIORITY = [
     'dedup_clusters',
     'semantic_dedup_keep',
     'part_name_match_clusters',
+    # basket_brand_triples: rewritten this round (basket arrays +
+    # generate chain, sf10 study finding); displaces the last r6 fill
+    # slot (json_extract_events_props) to keep the window at 50.
+    'basket_brand_triples',
     # -- staleness tail: last driver-green r5 ------------------
     'ab_test_conversion_zscore',
     'approx_topk_event_types_contract',
@@ -112,7 +116,6 @@ _GATE_PRIORITY = [
     'window_topk_orders_per_customer',
     'setop_active_1996_not_1997',
     'distinct_parts_per_brand',
-    'json_extract_events_props',
 ]
 
 
