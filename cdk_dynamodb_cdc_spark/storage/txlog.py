@@ -726,25 +726,80 @@ from pyspark.sql.datasource import (  # noqa: E402
 FEED_SOURCE_NAME = "txlog_feed"
 
 
-def _localize_feed_cell(value, localize: bool):
+def _localize_feed_cell(value, spec):
     """pyarrow's to_pylist yields tz-NAIVE datetimes for TIMESTAMP
     (LTZ) parquet columns, which Spark's arrow converter rejects
     ("Cannot convert tz-naive Timestamp"). The engine pins every
     session to UTC (session.py), so stored instants are UTC wall
     values — attach the zone on the way out. TIMESTAMP_NTZ fields
-    stay naive (localize=False)."""
+    stay naive (their spec is None).
+
+    ``spec`` is the picklable recursion plan built by ``_ltz_specs``
+    (ADVICE r12: timestamps nested in struct/array/map columns must
+    localize too, not just top-level fields):
+
+      None                      -> no timestamps anywhere below: no-op
+      ("ts",)                   -> localize this datetime
+      ("struct", {name: spec})  -> recurse into the named dict keys
+      ("array", spec)           -> recurse into each element
+      ("map", kspec, vspec)     -> recurse into keys/values
+    """
     import datetime as _dt
 
-    if localize and value is not None and getattr(value, "tzinfo", None) is None:
-        return value.replace(tzinfo=_dt.timezone.utc)
-    return value
+    if spec is None or value is None:
+        return value
+    kind = spec[0]
+    if kind == "ts":
+        if getattr(value, "tzinfo", None) is None:
+            return value.replace(tzinfo=_dt.timezone.utc)
+        return value
+    if kind == "struct":
+        return {
+            k: (_localize_feed_cell(v, spec[1].get(k)))
+            for k, v in value.items()
+        }
+    if kind == "array":
+        return [_localize_feed_cell(v, spec[1]) for v in value]
+    if kind == "map":
+        items = value.items() if hasattr(value, "items") else value
+        return {
+            _localize_feed_cell(k, spec[1]): _localize_feed_cell(v, spec[2])
+            for k, v in items
+        }
+    raise ValueError(f"unknown localize spec {spec!r}")
 
 
-def _ltz_field_names(schema) -> set[str]:
+def _ltz_spec_of(dt):
+    """Recursion plan for one DataType, or None if nothing below it
+    is a (local-zone) timestamp."""
+    tn = dt.typeName()
+    if tn == "timestamp":
+        return ("ts",)
+    if tn == "struct":
+        sub = {
+            f.name: s
+            for f in dt.fields
+            if (s := _ltz_spec_of(f.dataType)) is not None
+        }
+        return ("struct", sub) if sub else None
+    if tn == "array":
+        s = _ltz_spec_of(dt.elementType)
+        return ("array", s) if s is not None else None
+    if tn == "map":
+        ks = _ltz_spec_of(dt.keyType)
+        vs = _ltz_spec_of(dt.valueType)
+        return ("map", ks, vs) if (ks is not None or vs is not None) else None
+    return None
+
+
+def _ltz_field_names(schema) -> dict:
+    """Top-level field name -> localize spec (absent = no timestamps
+    under that field). Kept under the historical name; the value is
+    now a dict so nested timestamps recurse (ADVICE r12)."""
     return {
-        f.name
+        f.name: s
         for f in schema.fields
-        if f.dataType.typeName() == "timestamp"
+        if (s := _ltz_spec_of(f.dataType)) is not None
     }
 
 
@@ -826,11 +881,11 @@ class TxLogFeedReader(_SimpleReader):
         self,
         options: dict,
         field_names: list[str],
-        tz_fields: set[str] | None = None,
+        tz_fields: dict | None = None,
     ):
         self.path = options["path"].rstrip("/")
         self.field_names = field_names
-        self.tz_fields = tz_fields or set()
+        self.tz_fields = tz_fields or {}
 
     def _versions(self) -> list[int]:
         return _log_versions(self.path)
@@ -860,7 +915,7 @@ class TxLogFeedReader(_SimpleReader):
                 rows.append(
                     tuple(
                         _localize_feed_cell(
-                            rec.get(n), n in self.tz_fields
+                            rec.get(n), self.tz_fields.get(n)
                         )
                         for n in names
                     )
@@ -1553,11 +1608,11 @@ class _FeedFilePartition(_InputPartition):
         self,
         path: str,
         field_names: list[str],
-        tz_fields: set[str] | None = None,
+        tz_fields: dict | None = None,
     ):
         self.path = path
         self.field_names = field_names
-        self.tz_fields = tz_fields or set()
+        self.tz_fields = tz_fields or {}
 
 
 class TxLogBulkFeedReader(_FullReader):
@@ -1570,11 +1625,11 @@ class TxLogBulkFeedReader(_FullReader):
         self,
         options: dict,
         field_names: list[str],
-        tz_fields: set[str] | None = None,
+        tz_fields: dict | None = None,
     ):
         self.path = options["path"].rstrip("/")
         self.field_names = field_names
-        self.tz_fields = tz_fields or set()
+        self.tz_fields = tz_fields or {}
 
     def _versions(self) -> list[int]:
         return _log_versions(self.path)
@@ -1611,7 +1666,7 @@ class TxLogBulkFeedReader(_FullReader):
         tz = partition.tz_fields
         rows = [
             tuple(
-                _localize_feed_cell(rec.get(n), n in tz) for n in names
+                _localize_feed_cell(rec.get(n), tz.get(n)) for n in names
             )
             for rec in pq.read_table(partition.path).to_pylist()
         ]

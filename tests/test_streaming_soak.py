@@ -17,6 +17,16 @@ import decimal
 import json
 import os
 import random
+import time
+
+
+def _n_commits(ckpt: str) -> int:
+    """Committed micro-batch count in a streaming checkpoint (0 when
+    the query has not created the commits dir yet)."""
+    d = os.path.join(ckpt, "commits")
+    if not os.path.isdir(d):
+        return 0
+    return len([f for f in os.listdir(d) if not f.startswith(".")])
 
 from cdk_dynamodb_cdc_spark.operators.ivm import (
     maintain_aggregate_stream,
@@ -214,6 +224,7 @@ def test_soak_composed_streams_match_batch_replay(spark, tmp_path):
             # the next run must recover from the checkpoint with no
             # duplicate or lost application (however many of this
             # phase's batches the kill interrupted).
+            pre_kill = _n_commits(snap_ckpt)
             q = maintain_snapshot_stream(
                 read_cdc_stream(
                     spark, str(staged),
@@ -224,9 +235,22 @@ def test_soak_composed_streams_match_batch_replay(spark, tmp_path):
                 checkpoint_path=snap_ckpt,
                 buckets=4,
             )
+            # ADVICE r12: an immediate stop() can land before the
+            # first micro-batch commits, making the "kill" a no-op.
+            # Wait until at least one NEW batch has committed so the
+            # stop provably interrupts a stream that had applied part
+            # of this phase's data, then the restart must recover.
+            deadline = time.time() + 120
+            while _n_commits(snap_ckpt) <= pre_kill:
+                assert time.time() < deadline, (
+                    "no micro-batch committed within 120s before kill"
+                )
+                assert q.exception() is None, q.exception()
+                time.sleep(0.2)
             q.stop()
             q.awaitTermination(300)
             killed = True
+            assert _n_commits(snap_ckpt) > pre_kill
         run_snapshot()
         run_aggregate()
         run_txlog()

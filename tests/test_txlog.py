@@ -1054,3 +1054,106 @@ def test_shallow_clone_zero_copy_independent(spark, tmp_path):
 
     with _pytest.raises(ValueError):
         clone(src, str(tmp_path / "clone"))
+
+
+def test_ltz_localize_recurses_into_nested_types():
+    """ADVICE r12: _ltz_field_names only looked at top-level fields, so
+    a TIMESTAMP nested in a struct/array/map surfaced tz-naive
+    datetimes and hit Spark's arrow rejection. The spec builder must
+    recurse, and the localizer must rewrite exactly the timestamp
+    leaves."""
+    import datetime as dt
+
+    from pyspark.sql.types import (
+        ArrayType,
+        LongType,
+        MapType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampNTZType,
+        TimestampType,
+    )
+
+    from cdk_dynamodb_cdc_spark.storage.txlog import (
+        _localize_feed_cell,
+        _ltz_field_names,
+    )
+
+    schema = StructType(
+        [
+            StructField("id", LongType()),
+            StructField("ts", TimestampType()),
+            StructField("ntz", TimestampNTZType()),
+            StructField(
+                "meta",
+                StructType(
+                    [
+                        StructField("created", TimestampType()),
+                        StructField("label", StringType()),
+                    ]
+                ),
+            ),
+            StructField("history", ArrayType(TimestampType())),
+            StructField("tags", MapType(StringType(), TimestampType())),
+        ]
+    )
+    specs = _ltz_field_names(schema)
+    # NTZ stays naive; the plain-long and all-string branches vanish
+    assert set(specs) == {"ts", "meta", "history", "tags"}
+
+    naive = dt.datetime(2024, 1, 2, 3, 4, 5)
+    utc = naive.replace(tzinfo=dt.timezone.utc)
+    assert _localize_feed_cell(naive, specs["ts"]) == utc
+    assert _localize_feed_cell(
+        {"created": naive, "label": "x"}, specs["meta"]
+    ) == {"created": utc, "label": "x"}
+    assert _localize_feed_cell([naive, None], specs["history"]) == [utc, None]
+    assert _localize_feed_cell({"k": naive}, specs["tags"]) == {"k": utc}
+    # no spec -> untouched (NTZ lane)
+    assert _localize_feed_cell(naive, None) is naive
+
+
+def test_change_feed_handles_nested_timestamps(spark, tmp_path):
+    """End-to-end: nested-timestamp columns stream through both feeds
+    without the tz-naive arrow rejection, values intact."""
+    import datetime as dt
+
+    from cdk_dynamodb_cdc_spark.storage.txlog import (
+        read_txlog_feed,
+        read_txlog_feed_bulk,
+    )
+
+    tbl = str(tmp_path / "tbl")
+    t = TxTable(spark, tbl)
+    t0 = dt.datetime(2024, 5, 6, 7, 8, 9, tzinfo=dt.timezone.utc)
+    rows = [
+        (1, t0, {"created": t0, "label": "a"}, [t0], {"k": t0}),
+        (2, None, {"created": None, "label": "b"}, [], {}),
+    ]
+    schema = (
+        "id long, ts timestamp, "
+        "meta struct<created: timestamp, label: string>, "
+        "history array<timestamp>, tags map<string, timestamp>"
+    )
+    t.commit(spark.createDataFrame(rows, schema))
+
+    for reader, tag in [(read_txlog_feed, "s"), (read_txlog_feed_bulk, "b")]:
+        out = str(tmp_path / f"out_{tag}")
+        q = (
+            reader(spark, tbl)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", str(tmp_path / f"ckpt_{tag}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {r["id"]: r for r in spark.read.parquet(out).collect()}
+        assert got[1]["ts"] == t0.replace(tzinfo=None) or got[1][
+            "ts"
+        ] == t0  # session-UTC collect yields naive-UTC datetimes
+        assert got[1]["meta"]["created"] is not None
+        assert got[1]["history"][0] is not None
+        assert got[1]["tags"]["k"] is not None
+        assert got[2]["ts"] is None and got[2]["meta"]["created"] is None

@@ -231,17 +231,21 @@ def main() -> int:
         # this file, so a composed artifact can verify its inputs
         # instead of trusting filenames.
         import subprocess
+        repo_dir = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
         try:
             env["commit"] = subprocess.run(
-                ["git", "rev-parse", "HEAD"], cwd="/root/repo",
+                ["git", "rev-parse", "HEAD"], cwd=repo_dir,
                 capture_output=True, text=True, timeout=10,
             ).stdout.strip()
             env["dirty"] = bool(subprocess.run(
-                ["git", "status", "--porcelain"], cwd="/root/repo",
+                ["git", "status", "--porcelain"], cwd=repo_dir,
                 capture_output=True, text=True, timeout=10,
             ).stdout.strip())
-        except Exception:
-            pass
+        except Exception as exc:  # pragma: no cover - git always present here
+            # ADVICE r12: never omit provenance silently — downstream
+            # merge gates (run_sf1_full.py) treat a missing commit as
+            # unverifiable and refuse the artifact.
+            print(f"WARN: git provenance capture failed: {exc}", flush=True)
         env["sf_dir"] = sf_dir
         report["__env__"] = env
         with open(out, "w") as fh:

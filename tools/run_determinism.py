@@ -73,10 +73,20 @@ def run_one(sf_dir: str, out: str, shuffle_partitions: int, aqe: bool,
             report[name] = {"hash": None, "err": f"{type(exc).__name__}: "
                             f"{exc}"[:300]}
             print(f"[{i + 1}/{len(todo)}] {name}: ERR {exc}", flush=True)
+    repo_dir = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    try:
+        commit = subprocess.run(
+            ["git", "rev-parse", "HEAD"], cwd=repo_dir,
+            capture_output=True, text=True, timeout=10,
+        ).stdout.strip()
+    except Exception as exc:  # pragma: no cover
+        print(f"WARN: git provenance capture failed: {exc}", flush=True)
+        commit = None
     report["__env__"] = engine_env(spark) | {
         "shuffle_partitions": str(shuffle_partitions),
         "aqe": str(aqe).lower(),
         "sf_dir": sf_dir,
+        "commit": commit,
     }
     with open(out, "w") as fh:
         json.dump(report, fh, indent=2)
@@ -85,21 +95,46 @@ def run_one(sf_dir: str, out: str, shuffle_partitions: int, aqe: bool,
 
 
 def sweep(sf_dir: str, out: str) -> int:
-    tmp = "/tmp/determinism_r12"
+    tmp = os.environ.get("DETERMINISM_TMP", "/tmp/determinism_parts")
     os.makedirs(tmp, exist_ok=True)
+    repo_dir = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    head = subprocess.run(
+        ["git", "rev-parse", "HEAD"], cwd=repo_dir,
+        capture_output=True, text=True, timeout=10,
+    ).stdout.strip()
     parts: dict[str, dict] = {}
     for label, sp, aqe in CONFIGS:
         part = f"{tmp}/{label}.json"
+        # ADVICE r12: a cached part from a different commit must be
+        # regenerated, never mixed in — a composed artifact that
+        # claims "one commit, four physical plans" has to mean it.
+        if os.path.exists(part):
+            try:
+                cached_commit = (json.load(open(part))
+                                 .get("__env__", {}).get("commit"))
+            except Exception:
+                cached_commit = None
+            if cached_commit != head:
+                print(f"== config {label}: cached part is from "
+                      f"{(cached_commit or 'unknown')[:12]} != HEAD "
+                      f"{head[:12]}; regenerating ==", flush=True)
+                os.remove(part)
         if not os.path.exists(part):
             print(f"== config {label} ==", flush=True)
             rc = subprocess.call(
                 [sys.executable, __file__, "run", sf_dir, part,
                  str(sp), "on" if aqe else "off"],
-                cwd="/root/repo",
+                cwd=repo_dir,
                 stdout=open(f"{tmp}/{label}.log", "w"),
                 stderr=subprocess.STDOUT,
             )
             print(f"== config {label}: rc={rc} ==", flush=True)
+            if rc != 0 or not os.path.exists(part):
+                raise SystemExit(
+                    f"config {label} failed (rc={rc}, part "
+                    f"{'present' if os.path.exists(part) else 'missing'}) "
+                    f"— see {tmp}/{label}.log"
+                )
         parts[label] = json.load(open(part))
     base_label = CONFIGS[0][0]
     base = parts[base_label]

@@ -74,11 +74,26 @@ def main() -> int:
             # into an artifact that claims "same corpus, same commit".
             pre_commit = pre_env.get("commit")
             pre_sf = pre_env.get("sf_dir")
-            if pre_commit and head and pre_commit != head:
+            # ADVICE r12: absent provenance is NOT a pass. Pre-r12
+            # artifacts lack commit/sf_dir; they must be regenerated,
+            # not merged on trust. Likewise a dirty working tree at
+            # the same HEAD means the query code may differ from what
+            # the commit claims — reject it.
+            if not pre_commit or not pre_sf:
+                print(f"SKIP preverified {p}: missing commit/sf_dir "
+                      "provenance (__env__ predates the r12 stamp); "
+                      "regenerate with tools/check_correctness.py",
+                      flush=True)
+                continue
+            if pre_env.get("dirty"):
+                print(f"SKIP preverified {p}: produced from a DIRTY "
+                      f"working tree at {pre_commit[:12]}", flush=True)
+                continue
+            if head and pre_commit != head:
                 print(f"SKIP preverified {p}: commit {pre_commit[:12]} "
                       f"!= HEAD {head[:12]}", flush=True)
                 continue
-            if pre_sf and os.path.realpath(pre_sf) != os.path.realpath(SF1):
+            if os.path.realpath(pre_sf) != os.path.realpath(SF1):
                 print(f"SKIP preverified {p}: sf_dir {pre_sf} != {SF1}",
                       flush=True)
                 continue
