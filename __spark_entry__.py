@@ -42,80 +42,74 @@ def entry(spark: SparkSession) -> DataFrame:
 # ordering only decides which subset the driver re-verifies
 # independently.
 _GATE_PRIORITY = [
-    # Round-12 ordering (new > changed > stale > fill, 50 slots).
-    # Window layout: no NEW queries this round; the 6 whose execution
-    # path or oracle CHANGED this round first, then the FULL 38-query
-    # staleness tail whose most recent driver-green row dates to r5
-    # (the r11 verdict's rotation list), then 6 oldest r6-green fill.
-    # Every other registry entry follows in stable registration order
-    # via queries(). (The 5 sf1 probe-contract oracles had their
-    # hardcoded 389/31 literals replaced by interpolated constants
-    # this round — a whitespace-identical SQL refactor, resolved text
-    # semantics unchanged, and all 5 were gate-verified green in r11,
-    # so they rotate out rather than displace stale entries.)
-    # -- changed in round 12 -----------------------------------
-    # mmr_diverse_retrieval: r11 oracle change (shortlist pre-filter
-    # rewrite) that the r11 window missed (ADVICE r11) — its sf1
-    # preverified-solo hash pass mitigated, now driver-verified.
-    # The other five consume connected_components_star, whose round
-    # loop was streamlined this round (no input/large-star distinct,
-    # count reuse, bounded local union-find finisher); curation also
-    # overlaps its decontamination checkpoint on a second job thread.
-    'mmr_diverse_retrieval',
-    'curate_corpus_dispositions',
-    'embedding_dbscan_2d',
-    'dedup_clusters',
-    'semantic_dedup_keep',
-    'part_name_match_clusters',
-    # basket_brand_triples: rewritten this round (basket arrays +
-    # generate chain, sf10 study finding); displaces the last r6 fill
-    # slot (json_extract_events_props) to keep the window at 50.
-    'basket_brand_triples',
-    # -- staleness tail: last driver-green r5 ------------------
-    'ab_test_conversion_zscore',
-    'approx_topk_event_types_contract',
-    'basket_brand_pairs',
-    'bitmap_distinct_suppliers_by_brand',
-    'brand_affinity_triangles',
-    'cdc_incremental_group_totals',
-    'cdc_merge_apply',
-    'cdc_scd2_history',
-    'cdc_seq_inversion_stats',
-    'cdc_snapshot_diff',
-    'doc_commonness_score',
-    'dq_expectations_report',
-    'embedding_ivf_topk',
-    'event_type_pagerank',
-    'funnel_conversion_steps',
-    'funnel_time_to_convert',
-    'hopping_window_counts',
-    'inverted_index_search',
-    'nation_supplier_pareto',
-    'near_dup_embedding_pairs',
-    'order_linecount_distribution',
-    'order_priority_mode_stats',
-    'order_rank_distribution',
-    'part_name_fuzzy_pairs',
-    'peak_concurrent_sessions',
-    'pii_scrub_stats',
-    'priority_listagg_by_status',
-    'profile_event_columns',
-    'returnflag_linestatus_chisq_cells',
-    'session_path_trigrams',
-    'sliding_distinct_users_3h',
-    'spend_decile_profile',
-    'tfidf_top_terms',
-    'user_activity_similarity_topk',
-    'user_daily_streaks',
-    'value_histogram_events',
-    'vocab_top_terms_by_lang',
-    'weighted_sample_by_length',
-    # -- rotation fill: oldest r6-green, registration order ----
-    'semi_join_customers_with_orders',
-    'anti_join_customers_without_orders',
-    'window_topk_orders_per_customer',
-    'setop_active_1996_not_1997',
-    'distinct_parts_per_brand',
+    # Round-13 ordering (new > changed > stale > fill, 50 slots).
+    # Window layout: no NEW queries this round; the 3 whose execution
+    # path CHANGED this round first, then the FULL 30-query staleness
+    # tail whose most recent driver-green row dates to r6 (the r12
+    # verdict's rotation target), then 17 oldest r7-green fill in
+    # registration order. Every other registry entry follows in
+    # stable registration order via queries(). After this window the
+    # oldest driver-green row anywhere in the registry is r7.
+    # -- changed in round 13 -----------------------------------
+    # kmeans_doc_clusters: Lloyd's loop refit to driver-held centroid
+    # literals + map-side argmin (one job per iteration; no n x k
+    # window shuffle). part_coorder_bfs_layers: bfs_layers seed is a
+    # literal frame, early-exit on empty frontier, last round lazy.
+    # txlog_version_diff_stats: aggregation pushdown through the
+    # multiset diff — signed weights + one grouped aggregation over
+    # all 4 version pairs, manifests reconstructed once.
+    'kmeans_doc_clusters',
+    'part_coorder_bfs_layers',
+    'txlog_version_diff_stats',
+    # -- staleness tail: last driver-green r6, registration order
+    'cdc_change_stats',
+    'cdc_unmarshall_roundtrip',
+    'claim_check_pointer_stats',
+    'txlog_history_stats',
+    'txlog_merge_into_state',
+    'sessionize_events',
+    'session_window_stats',
+    'tumbling_window_counts',
+    'json_extract_events_props',
+    'dedup_exact_groups',
+    'near_dup_simhash_pairs',
+    'embedding_cosine_topk',
+    'text_quality_stats',
+    'lang_id_confusion',
+    'doc_signatures',
+    'cdc_field_drift_stats',
+    'asof_latest_order_at_event',
+    'media_metadata',
+    'media_frame_sample',
+    'cms_user_count_estimates',
+    'substring_dup_stats',
+    'perplexity_filter_stats',
+    'doc_hash_embedding_topk',
+    'nb_lang_confusion',
+    'quality_gate_dispositions',
+    'dsir_importance_keep',
+    'corpus_mix_temperature',
+    'epoch_shard_heads',
+    'winnow_fingerprint_overlap',
+    'bpe_merge_candidates',
+    # -- rotation fill: oldest r7-green, registration order ----
+    'budget_select_docs',
+    'media_transcript_alignment',
+    'paragraph_dedup_stats',
+    'lineitem_price_quantiles_twopass',
+    'lineitem_weighted_price_quantiles',
+    'scd2_temporal_enrich',
+    'holt_revenue_trend',
+    'pmi_collocations_top',
+    'part_coorder_kcore',
+    'event_type_hits',
+    'customer_k_anonymity',
+    'order_total_benford',
+    'textrank_keywords',
+    'kn_bigram_doc_scores',
+    'event_type_ppr',
+    'ks_value_distribution_shift',
+    'theil_sen_revenue_trend',
 ]
 
 

@@ -171,6 +171,13 @@ def label_propagation(
     return labels
 
 
+# Frontier/reached sets up to this many rows are broadcast inside
+# bfs_layers' per-round joins (~10-20 MB of longs at the limit — well
+# inside executor broadcast budgets); larger sets fall back to the
+# shuffle join.
+_BFS_BCAST_ROWS = 1_000_000
+
+
 def bfs_layers(
     edges: DataFrame,
     source,
@@ -178,6 +185,7 @@ def bfs_layers(
     u_col: str = "u",
     v_col: str = "v",
     edges_distinct: bool = False,
+    n_nodes: int | None = None,
 ) -> DataFrame:
     """Bounded-horizon breadth-first search over an undirected edge
     list: the exact hop distance from ``source`` for every node within
@@ -192,10 +200,43 @@ def bfs_layers(
     ``max_hops`` keeps the round count fixed and plan-compile-time
     known (full-graph BFS = raise max_hops past the diameter).
 
-    ``edges_distinct=True`` asserts the input is already a distinct
-    canonical (u < v) edge set, so doubling it with the reversed
-    copy cannot create duplicates — the adjacency-wide dedup shuffle
-    (the single largest exchange in this operator) is skipped.
+    ``edges_distinct=True`` skips the adjacency-wide dedup shuffle
+    (the single largest exchange in this operator). Duplicate edges
+    are never a CORRECTNESS hazard — each round's neighbor set is
+    deduplicated anyway — only a work multiplier on the per-round
+    join, so set this whenever the input's duplication factor is
+    small (e.g. the co-order pair build: ~1.2x), not only when the
+    input is provably distinct.
+
+    ``n_nodes``: the size of the node universe, if the caller already
+    knows it (or can count it off an already-materialized frame for
+    less than a BFS round costs). When given, each round's frontier
+    is counted (cheap: the frontiers are cached), the loop exits as
+    soon as every node is reached or a frontier comes back empty (on
+    small-diameter graphs that skips whole no-op rounds that would
+    otherwise still join the full adjacency), and — because the
+    frontier/reached sizes are then KNOWN driver-side — rounds whose
+    probe sets are under ``_BFS_BCAST_ROWS`` use explicit broadcast
+    joins, so the (large) adjacency never shuffles: each round is a
+    map-side hash join over the cached adjacency plus one node-sized
+    dedup exchange. Oversized frontiers fall back to the shuffle
+    join automatically — the broadcast is a bounded optimization,
+    never a scale assumption.
+
+    Round-scheduling costs (r13; same playbook as the star-CC
+    finisher work): the seed is a LITERAL one-row frame (the source
+    is at distance 0 by definition — no job spent scanning the
+    adjacency for it; an absent/isolated source still reports itself
+    at dist 0), and every per-round checkpoint is LAZY
+    (``localCheckpoint(eager=False)``): the RDD is still cached on
+    first computation — so each frontier's two consumers (the next
+    round's join and the result union) share one materialization and
+    the per-round lineage stays truncated — but nothing schedules a
+    separate job per round. With a bounded ``max_hops`` the whole
+    search collapses into the single job of whatever action consumes
+    the result: measured 8 jobs -> 1 on the co-order BFS query, the
+    dominant cost at bench scale where per-job fixed overhead, not
+    data, bounds iterative operators.
     """
     half = edges.select(
         F.col(u_col).alias("src"), F.col(v_col).alias("dst")
@@ -216,33 +257,43 @@ def bfs_layers(
     ).select("e.src", "e.dst")
     if not edges_distinct:
         doubled = doubled.distinct()
-    adj = doubled.localCheckpoint(eager=True)
-    # seed carries the same node type as the edge endpoints
-    reached = (
-        adj.select(F.col("src").alias("node"))
-        .filter(F.col("node") == F.lit(source))
-        .distinct()
-        .select("node", F.lit(0).alias("dist"))
-        .localCheckpoint(eager=True)
+    adj = doubled.localCheckpoint(eager=False)
+    # literal seed, cast to the edge-endpoint type
+    node_type = adj.schema["src"].dataType
+    reached = adj.sparkSession.range(1).select(
+        F.lit(source).cast(node_type).alias("node"),
+        F.lit(0).alias("dist"),
     )
     frontier = reached
+    n_front: int | None = 1  # the literal seed; None = size unknown
+    n_reached = 1
     for hop in range(1, max_hops + 1):
+        probe = frontier.select(F.col("node").alias("src"))
+        if n_front is not None and n_front <= _BFS_BCAST_ROWS:
+            probe = F.broadcast(probe)
         neighbors = (
-            adj.join(
-                frontier.select(F.col("node").alias("src")), "src"
-            )
+            adj.join(probe, "src")
             .select(F.col("dst").alias("node"))
             .distinct()
         )
+        seen = reached.select("node")
+        if n_nodes is not None and n_reached <= _BFS_BCAST_ROWS:
+            seen = F.broadcast(seen)
         frontier = (
-            neighbors.join(reached.select("node"), "node", "left_anti")
+            neighbors.join(seen, "node", "left_anti")
             .select("node", F.lit(hop).alias("dist"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
-        # reached is a union of eager checkpoints — its lineage is
-        # already shallow; checkpointing it again would cost one more
-        # materialization job per round for nothing
+        # reached is a union of checkpoints — its lineage is already
+        # shallow; checkpointing it again would add nothing
         reached = reached.unionAll(frontier)
+        if n_nodes is not None and hop < max_hops:
+            n_front = frontier.count()
+            n_reached += n_front
+            if n_front == 0 or n_reached >= n_nodes:
+                break
+        else:
+            n_front = None
     return reached
 
 

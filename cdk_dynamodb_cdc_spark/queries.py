@@ -10834,25 +10834,41 @@ def part_coorder_bfs_layers(
         .groupBy("l_orderkey")
         .agg(F.sort_array(F.collect_set("l_partkey")).alias("ps"))
         .filter(F.size("ps") >= 2)
-        .localCheckpoint(eager=True)
+        # lazy: cached on first computation, shared by the edge build
+        # and the node universe, but no separate materialization job —
+        # the whole query (BFS rounds included, see bfs_layers) runs
+        # as ONE job
+        .localCheckpoint(eager=False)
     )
     pairs = F.expr(
         "flatten(transform(ps, (x, i) -> "
         "transform(slice(ps, i + 2, size(ps)), y -> "
         "struct(x AS u, y AS v))))"
     )
-    edges = (
-        grouped.select(F.explode(pairs).alias("e"))
-        .select("e.u", "e.v")
-        .distinct()
-    )
-    # the canonical distinct edge set lets bfs_layers skip the
-    # adjacency-wide dedup
-    reached = bfs_layers(
-        edges, source=1, max_hops=4, edges_distinct=True
+    # NO edge-wide distinct: duplicate co-order pairs (an unordered
+    # pair seen in several orders) are absorbed by each BFS round's
+    # neighbor dedup, and the duplication factor is small (~1.2x at
+    # sf0.1) — so skipping the full-edge-list shuffle is a strict win
+    # and the adjacency stays a purely map-side explode over the
+    # cached grouped arrays
+    edges = grouped.select(F.explode(pairs).alias("e")).select(
+        "e.u", "e.v"
     )
     nodes = (
-        grouped.select(F.explode("ps").alias("node")).distinct()
+        grouped.select(F.explode("ps").alias("node"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    # counting the (cached) node universe costs less than one BFS
+    # round and lets bfs_layers stop as soon as every part is
+    # reached — on this small-diameter graph that skips the final
+    # full-adjacency no-op round entirely
+    reached = bfs_layers(
+        edges,
+        source=1,
+        max_hops=4,
+        edges_distinct=True,
+        n_nodes=nodes.count(),
     )
     return (
         nodes.join(reached, "node", "left")
@@ -12085,15 +12101,30 @@ def kn_bigram_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Batch time-travel diff (storage/txlog.py:version_diff): row-level
-# changes between two committed versions from CHANGED FILES ONLY —
-# the batch twin of the streaming change feed, giving the CDF surface
-# driver-side oracle evidence. The sequence is append/append/
-# DELETE-overwrite/OPTIMIZE; the oracle recomputes each diff with set
-# algebra over `orders`. The (2,3) row pins the load-bearing
-# property: an OPTIMIZE rewrites every file yet diffs to EXACTLY zero
-# rows (carried-over rows cancel via multiset subtraction), so
-# downstream incremental maintenance never reprocesses a compaction.
+# Batch time-travel diff (storage/txlog.py:version_diff /
+# version_changed_files): row-level changes between two committed
+# versions from CHANGED FILES ONLY — the batch twin of the streaming
+# change feed, giving the CDF surface driver-side oracle evidence.
+# The sequence is append/append/DELETE-overwrite/OPTIMIZE; the oracle
+# recomputes each diff with set algebra over `orders`. The (2,3) row
+# pins the load-bearing property: an OPTIMIZE rewrites every file yet
+# diffs to EXACTLY zero rows (carried-over rows cancel via multiset
+# subtraction), so downstream incremental maintenance never
+# reprocesses a compaction.
+#
+# Aggregation pushdown (r13): the reported stats are aggregates OVER
+# the multiset differences, so instead of materializing version_diff's
+# two exceptAll frames per pair (2 shuffles each, 8 aggregate subtrees
+# across the 4 pairs), the added-file rows carry weight +1 and the
+# removed-file rows -1, all 4 pairs union into ONE (pair, row)-keyed
+# aggregation, and inserted/deleted stats read off the sign of the net
+# multiplicity: net > 0 contributes net copies to inserted, net < 0
+# contributes -net to deleted — exactly A.exceptAll(B) /
+# B.exceptAll(A) folded into their aggregates. One shuffle total; the
+# per-version manifests are reconstructed from the log ONCE and shared
+# across pairs (version_changed_files' manifest cache). The (2,3)
+# OPTIMIZE row still exercises the cancellation: every net is 0 and
+# the pair reports zeros via the literal pair frame's left join.
 # ---------------------------------------------------------------------------
 @query(
     "txlog_version_diff_stats",
@@ -12135,47 +12166,76 @@ def txlog_version_diff_stats(
     from cdk_dynamodb_cdc_spark.storage.txlog import (
         TxTable,
         optimize,
-        version_diff,
+        version_changed_files,
     )
 
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", _dec("o_totalprice").alias("p")
     )
     t = TxTable(spark, tempfile.mkdtemp(prefix="txlog_d_"))
-    t.commit(orders.filter(F.col("o_orderkey") % 10 == 0))          # v0
-    t.commit(orders.filter(F.col("o_orderkey") % 10 == 1))          # v1
-    t.commit(                                                        # v2
-        t.snapshot().filter(F.col("p") >= 150000), mode="overwrite"
+    # coalesce(4): each staged version is ~15k rows — writing it as 32
+    # scan-partition-shaped files triples the write-job task count and
+    # hands every downstream diff a 100+-split scan for no parallelism
+    # gain at this size (row contents, and therefore every diff stat,
+    # are file-layout-independent)
+    t.commit(orders.filter(F.col("o_orderkey") % 10 == 0).coalesce(4))  # v0
+    t.commit(orders.filter(F.col("o_orderkey") % 10 == 1).coalesce(4))  # v1
+    t.commit(                                                           # v2
+        t.snapshot().filter(F.col("p") >= 150000).coalesce(4),
+        mode="overwrite",
     )
-    optimize(t, target_file_bytes=64 * 1024 * 1024)                  # v3
+    optimize(t, target_file_bytes=64 * 1024 * 1024)                     # v3
 
-    def stats(v_from: int, v_to: int) -> DataFrame:
-        ins, dels = version_diff(t, v_from, v_to)
-        i = ins.agg(
-            F.count(F.lit(1)).alias("n_inserted"),
-            F.coalesce(F.sum("p"), F.lit(0).cast("decimal(12,2)"))
+    pairs = [(0, 1), (1, 2), (2, 3), (0, 2)]
+    manifests: dict[int, dict] = {}
+    sides = []
+    for v_from, v_to in pairs:
+        added, removed, schema = version_changed_files(
+            t, v_from, v_to, manifests
+        )
+        for files, w in ((added, 1), (removed, -1)):
+            if files:
+                sides.append(
+                    spark.read.schema(schema)
+                    .parquet(*files)
+                    .select(
+                        F.lit(v_from).alias("v_from"),
+                        F.lit(v_to).alias("v_to"),
+                        "o_orderkey",
+                        "p",
+                        F.lit(w).alias("w"),
+                    )
+                )
+    weighted = sides[0]
+    for s in sides[1:]:
+        weighted = weighted.unionByName(s)
+    net = weighted.groupBy("v_from", "v_to", "o_orderkey", "p").agg(
+        F.sum("w").alias("net")
+    )
+    pos = F.greatest(F.col("net"), F.lit(0))
+    neg = F.greatest(-F.col("net"), F.lit(0))
+    stats = net.groupBy("v_from", "v_to").agg(
+        F.sum(pos).cast("long").alias("n_inserted"),
+        F.sum(neg).cast("long").alias("n_deleted"),
+        F.sum(pos * F.col("p")).alias("ins_dec"),
+        F.sum(neg * F.col("p")).alias("del_dec"),
+    )
+    pair_frame = spark.createDataFrame(pairs, "v_from int, v_to int")
+    return (
+        pair_frame.join(F.broadcast(stats), ["v_from", "v_to"], "left")
+        .select(
+            "v_from",
+            "v_to",
+            F.coalesce("n_inserted", F.lit(0)).alias("n_inserted"),
+            F.coalesce("n_deleted", F.lit(0)).alias("n_deleted"),
+            F.coalesce(F.col("ins_dec"), F.lit(0))
             .cast("double")
             .alias("ins_total"),
-        )
-        d = dels.agg(
-            F.count(F.lit(1)).alias("n_deleted"),
-            F.coalesce(F.sum("p"), F.lit(0).cast("decimal(12,2)"))
+            F.coalesce(F.col("del_dec"), F.lit(0))
             .cast("double")
             .alias("del_total"),
         )
-        return i.crossJoin(d).select(
-            F.lit(v_from).alias("v_from"),
-            F.lit(v_to).alias("v_to"),
-            "n_inserted",
-            "n_deleted",
-            "ins_total",
-            "del_total",
-        )
-
-    out = stats(0, 1)
-    for pair in ((1, 2), (2, 3), (0, 2)):
-        out = out.unionByName(stats(*pair))
-    return out
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -467,8 +467,34 @@ class TxTable:
         return deleted
 
 
+def version_changed_files(
+    table: TxTable,
+    v_from: int,
+    v_to: int,
+    manifests: dict[int, dict] | None = None,
+) -> tuple[list[str], list[str], StructType]:
+    """The file-level delta between two committed versions:
+    ``(added_files, removed_files, schema_at_v_to)``. Files live in
+    both manifests contribute nothing and are never listed. Callers
+    diffing SEVERAL version pairs of one table pass ``manifests`` (a
+    ``{version: table.manifest(version)}`` cache) so each manifest is
+    reconstructed from the log once, not once per pair."""
+    if manifests is None:
+        manifests = {}
+    for v in (v_from, v_to):
+        if v not in manifests:
+            manifests[v] = table.manifest(v)
+    m0, m1 = manifests[v_from], manifests[v_to]
+    live0, live1 = set(m0["live"]), set(m1["live"])
+    schema = StructType.fromJson(json.loads(m1["schema"]))
+    return sorted(live1 - live0), sorted(live0 - live1), schema
+
+
 def version_diff(
-    table: TxTable, v_from: int, v_to: int
+    table: TxTable,
+    v_from: int,
+    v_to: int,
+    manifests: dict[int, dict] | None = None,
 ) -> tuple["DataFrame", "DataFrame"]:
     """Batch time-travel diff: the row-level changes between two
     committed versions, computed from CHANGED FILES ONLY — the batch
@@ -484,17 +510,17 @@ def version_diff(
     never by table size — the property that makes incremental
     downstream maintenance affordable on a 100-TB table.
     """
-    m0, m1 = table.manifest(v_from), table.manifest(v_to)
-    live0, live1 = set(m0["live"]), set(m1["live"])
-    schema = StructType.fromJson(json.loads(m1["schema"]))
+    added_files, removed_files, schema = version_changed_files(
+        table, v_from, v_to, manifests
+    )
 
     def read(files: list[str]) -> DataFrame:
         if not files:
             return table.spark.createDataFrame([], schema)
         return table.spark.read.schema(schema).parquet(*files)
 
-    added = read(sorted(live1 - live0))
-    removed = read(sorted(live0 - live1))
+    added = read(added_files)
+    removed = read(removed_files)
     return added.exceptAll(removed), removed.exceptAll(added)
 
 

@@ -1913,3 +1913,36 @@ def test_poisson_bootstrap_weights_are_poisson_ish(spark):
     assert abs(by_w[1] / n - e1) < 0.01
     mean_w = sum(k * c for k, c in by_w.items()) / n
     assert abs(mean_w - 1.0) < 0.02
+
+
+def test_kmeans_int_local_finisher_matches_distributed(spark):
+    """The bounded local finisher (llm/vectors.py:_kmeans_int_local)
+    must be bit-identical to the distributed Lloyd's path: same init
+    hashes, same argmin tiebreaks, same floor(double-division)
+    centroid updates, same exact wss totals."""
+    import random
+
+    rng = random.Random(7)
+    dim, n = 8, 60
+    rows = [
+        (i, [rng.uniform(-2.0, 2.0) for _ in range(dim)])
+        for i in range(n)
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    )
+
+    def run(threshold: int):
+        return sorted(
+            tuple(r)
+            for r in vectors.kmeans_int(
+                emb, k=4, iters=3, dim=dim,
+                local_finish_elements=threshold,
+            ).collect()
+        )
+
+    local = run(1 << 21)   # n*dim = 480 -> local path
+    dist = run(0)          # forced distributed path
+    assert local == dist
+    assert len(local) == 4
+    assert sum(r[1] for r in local) == n  # every vector assigned

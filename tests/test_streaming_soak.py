@@ -140,7 +140,15 @@ def _await(q):
     assert not q.isActive
 
 
-def test_soak_composed_streams_match_batch_replay(spark, tmp_path):
+def run_scenario(spark, tmp_path, *, kill: bool = True) -> dict:
+    """The composed soak scenario, callable outside pytest (tools/
+    run_stream_determinism.py replays it under different shuffle-
+    partition configs and pins final-store hash equality — r12
+    verdict item 6). Returns the store paths plus the Python-side
+    expected replay."""
+    import pathlib
+
+    tmp_path = pathlib.Path(tmp_path)
     src = tmp_path / "src"
     src.mkdir()
     expect = _generate(src)
@@ -216,7 +224,7 @@ def test_soak_composed_streams_match_batch_replay(spark, tmp_path):
         )
         _await(q)
 
-    killed = False
+    killed = not kill
     for phase, (_, hi) in enumerate(PHASES):
         stage(hi)
         if phase == 1 and not killed:
@@ -256,18 +264,29 @@ def test_soak_composed_streams_match_batch_replay(spark, tmp_path):
         run_txlog()
         run_feed_consumer()
 
-    # ---- micro-batch volume: >= 100 snapshot batches alone ---------
-    def commits(ckpt: str) -> int:
-        return len(
-            [
-                f
-                for f in os.listdir(os.path.join(ckpt, "commits"))
-                if not f.startswith(".")
-            ]
-        )
+    return {
+        "expect": expect,
+        "snap_state": snap_state,
+        "agg_state": agg_state,
+        "tx_path": tx_path,
+        "feed_out": feed_out,
+        "snap_commits": _n_commits(snap_ckpt),
+        "agg_commits": _n_commits(agg_ckpt),
+        "tx_commits": _n_commits(tx_ckpt),
+    }
 
-    n_batches = commits(snap_ckpt) + commits(agg_ckpt) + commits(tx_ckpt)
-    assert commits(snap_ckpt) >= N_FILES  # 1 file per trigger
+
+def test_soak_composed_streams_match_batch_replay(spark, tmp_path):
+    run = run_scenario(spark, tmp_path, kill=True)
+    expect = run["expect"]
+    snap_state, agg_state = run["snap_state"], run["agg_state"]
+    tx_path, feed_out = run["tx_path"], run["feed_out"]
+
+    # ---- micro-batch volume: >= 100 snapshot batches alone ---------
+    n_batches = (
+        run["snap_commits"] + run["agg_commits"] + run["tx_commits"]
+    )
+    assert run["snap_commits"] >= N_FILES  # 1 file per trigger
     assert n_batches >= N_FILES + N_FILES // 10 + N_FILES // 20
 
     # ---- snapshot store == batch replay winners --------------------

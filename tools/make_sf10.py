@@ -1,19 +1,40 @@
-"""Extend the corpus to sf10 for the orders/lineitem family.
+"""Extend the corpus to sf10 for the orders/lineitem AND the
+documents/embeddings families.
 
-Round-12 verdict item 3: the ~9 queries whose sf1/sf0.1 time ratio
-exceeded 2.8x all scan orders and/or lineitem (part is a dimension),
-so the second decade of scale evidence only needs those two facts at
-100x sf0.1. Same deterministic order-key remapping as tools/
-make_sf1.py (o_orderkey + rep * stride): per-order line structure,
-date/price/flag distributions, and the orders<->lineitem join
-cardinality are preserved exactly; per-customer/part/supplier fact
-density rises 100x — the intended scale axis. Every other table is
-symlinked to its sf0.1 file; only the orders/lineitem-family queries
-are meaningful against this corpus.
+Round-12 verdict item 3 built orders/lineitem at 100x sf0.1 (the ~9
+queries whose sf1/sf0.1 ratio exceeded 2.8x scan those facts); round
+13 extends the same decade to the text/vector tail (substring_dup_
+stats 6.28x, token_counts_bpeish 5.83x, winnow_fingerprint_overlap
+4.81x at sf1/sf0.1 had no second-decade reading).
 
-Usage: python tools/make_sf10.py   (idempotent; ~1.7 GB, gitignored)
-Then:  SPARK_GRAFT_SF_DIR=/root/repo/sf10 \
-       SPARK_GRAFT_BENCH_QUERIES=<orders/lineitem tail> python bench.py
+Replication follows tools/make_sf1.py exactly, at 100 replicas:
+
+* `orders`/`lineitem`: deterministic order-key remapping (o_orderkey
+  + rep * stride): per-order line structure, date/price/flag
+  distributions, and the orders<->lineitem join cardinality are
+  preserved exactly; per-customer/part/supplier fact density rises
+  100x — the intended scale axis.
+* `documents`: disjoint doc_id spaces AND a per-replica BIJECTIVE
+  token mutation (every word suffixed `_<rep>`; replica 0 unchanged).
+  A token bijection maps each document's shingle set bijectively, so
+  every within-replica Jaccard — and the whole near-dup pair/cluster
+  structure — is preserved EXACTLY, while cross-replica Jaccard is 0:
+  the corpus grows 100x in documents at the SAME dup density (how a
+  real crawl grows). Naive replication would add exact cross-replica
+  duplicates and quadratically inflate pair counts — a different
+  workload.
+* `embeddings`: disjoint vec_id spaces, a per-replica CYCLIC SHIFT of
+  the components (shift = rep % dim), and a SIGN FLIP for rep >= dim
+  (dim = 64 < 100 replicas, so the shift alone would repeat; negating
+  both sides of any within-replica pair preserves dot products and
+  norms exactly, while cross-replica cosines flip sign — no replica
+  pair is a near-duplicate).
+* every other table: symlinked to its sf0.1 file (dimension tables
+  scale sub-linearly in TPC-H anyway; events has no >=3x-ratio query).
+
+Usage: python tools/make_sf10.py   (idempotent; ~2 GB, gitignored)
+Then:  SPARK_GRAFT_SF_DIR=/root/repo/sf10 SPARK_DRIVER_MEMORY=48g \
+       SPARK_GRAFT_BENCH_QUERIES=<family list> python bench.py
 """
 
 from __future__ import annotations
@@ -30,10 +51,8 @@ from cdk_dynamodb_cdc_spark.session import get_spark  # noqa: E402
 SRC = "/root/testdata/sf0.1"
 DST = "/root/repo/sf10"
 REPLICAS = 100
-REPLICATE = {"orders": ["o_orderkey"], "lineitem": ["l_orderkey"]}
 LINK_TABLES = [
-    "region", "nation", "customer", "supplier", "part",
-    "events", "documents", "embeddings",
+    "region", "nation", "customer", "supplier", "part", "events",
 ]
 
 
@@ -42,9 +61,23 @@ def main() -> int:
     os.makedirs(DST, exist_ok=True)
 
     orders = spark.read.parquet(f"{SRC}/orders.parquet")
-    stride = orders.agg(F.max("o_orderkey")).first()[0] + 1
+    docs = spark.read.parquet(f"{SRC}/documents.parquet")
+    emb = spark.read.parquet(f"{SRC}/embeddings.parquet")
+    strides = {
+        "o_orderkey": orders.agg(F.max("o_orderkey")).first()[0] + 1,
+        "doc_id": docs.agg(F.max("doc_id")).first()[0] + 1,
+        "vec_id": emb.agg(F.max("vec_id")).first()[0] + 1,
+    }
+    strides["l_orderkey"] = strides["o_orderkey"]  # shared key domain
     reps = spark.range(REPLICAS).select(F.col("id").alias("rep"))
-    for table, keys in REPLICATE.items():
+
+    replicate = {
+        "orders": ["o_orderkey"],
+        "lineitem": ["l_orderkey"],
+        "documents": ["doc_id"],
+        "embeddings": ["vec_id"],
+    }
+    for table, keys in replicate.items():
         dst = f"{DST}/{table}.parquet"
         if os.path.isdir(dst) and os.path.exists(f"{dst}/_SUCCESS"):
             print(f"exists, skipping: {dst}")
@@ -53,13 +86,45 @@ def main() -> int:
         out = src_df.crossJoin(F.broadcast(reps))
         for key in keys:
             out = out.withColumn(
-                key, F.col(key) + F.col("rep") * F.lit(stride)
+                key, F.col(key) + F.col("rep") * F.lit(strides[key])
+            )
+        if table == "documents":
+            # bijective per-replica token mutation (module docstring)
+            out = out.withColumn(
+                "text",
+                F.when(F.col("rep") == 0, F.col("text")).otherwise(
+                    F.array_join(
+                        F.transform(
+                            F.split("text", " "),
+                            lambda w: F.concat(
+                                w, F.lit("_"), F.col("rep").cast("string")
+                            ),
+                        ),
+                        " ",
+                    )
+                ),
+            ).withColumn("n_chars", F.length("text"))
+        elif table == "embeddings":
+            # per-replica cyclic shift + sign flip past one full cycle
+            # (module docstring): norms and within-replica dot
+            # products exact; no cross-replica near-duplicates.
+            out = out.withColumn(
+                "embedding",
+                F.expr(
+                    "transform("
+                    "  concat(slice(embedding, int(rep % 64) + 1, "
+                    "               size(embedding) - int(rep % 64)), "
+                    "         slice(embedding, 1, int(rep % 64))), "
+                    "  v -> CASE WHEN rep >= 64 THEN -v ELSE v END)"
+                ),
             )
         # Even file layout (see make_sf1.py): real tables have many row
         # groups; 128 output files keep every scan stage balanced.
         out = out.drop("rep").repartition(128)
+        if os.path.islink(dst):  # replaced a previously symlinked table
+            os.unlink(dst)
         out.write.mode("overwrite").parquet(dst)
-        print(f"wrote {dst} (stride={stride})")
+        print(f"wrote {dst} (strides={[strides[k] for k in keys]})")
 
     for table in LINK_TABLES:
         link = f"{DST}/{table}.parquet"
