@@ -49,6 +49,30 @@ def main() -> int:
     spark = get_spark("bench")
     spark.range(1_000_000).selectExpr("sum(id)").collect()  # warm-up
 
+    def calibration() -> dict:
+        """Fixed-work probes decomposing host throughput from plan
+        changes (r12/r13 bench drift was uniform across unrelated
+        queries — the VM suffers intermittent host-level contention):
+        a single-thread CPython spin, and 20 no-op Spark jobs
+        measuring scheduler round-trip cost. Identical code each
+        round, so drift in THESE numbers is the machine, not the
+        engine."""
+        t0 = time.perf_counter()
+        x = 0
+        for i in range(10_000_000):
+            x += i
+        spin = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        for _ in range(20):
+            spark.range(1).count()
+        sched = time.perf_counter() - t0
+        return {
+            "spin_1t_sec": round(spin, 3),
+            "sched_20jobs_sec": round(sched, 3),
+        }
+
+    cal_pre = calibration()
+
     runs_per_query = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
     # Optional subset (comma-separated names) for scale studies — e.g.
     # the lineitem-family run at sf1, where doc/embedding queries would
@@ -91,6 +115,7 @@ def main() -> int:
         "runs_per_query": runs_per_query,
         "sf": sf,
         "env": engine_env(spark),
+        "calibration": {"pre": cal_pre, "post": calibration()},
     }
     if errors:
         full["errors"] = errors
