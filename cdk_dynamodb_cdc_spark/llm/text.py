@@ -960,42 +960,74 @@ def winnow_fingerprints(
     profile (llm/dedup.py:substring_dup_stats) is the
     store-everything end of the same trade-off.
 
-    Shape: the gram hashes are materialized by a posexplode (ONE md5
-    per gram — an all-Column formulation that re-references the hash
-    array per window start re-inlines the md5 transform into every
-    window, going quadratic in document length; measured 18x slower
-    at sf0.1), then the sliding minimum is a per-document ROWS window
-    — partition-local sort on (doc, pos), no cross-doc shuffle
-    skew since fingerprint counts are bounded by document length.
+    Shape (r13): entirely MAP-SIDE — zero shuffles. The gram hashes
+    materialize once into an array column (one md5 per gram; a
+    formulation that re-references the hash EXPRESSION per window
+    start re-inlines the md5 transform into every window, going
+    quadratic in document length — measured 18x slower at sf0.1),
+    then the sliding minimum is the classic sparse-table doubling
+    over the array: ceil(log2 w) + 1 zip_with(least) passes against
+    shifted slices of the same column, each pass O(grams). The
+    previous formulation posexploded every gram and ran a
+    (key)-partitioned ROWS window + a global (key, fp) distinct —
+    two full-corpus shuffles of one row PER CHARACTER (223M rows at
+    sf10), whose local sort/spill went 24x at the sf1 -> sf10 decade;
+    the array form keeps each document inside its scan task (the
+    per-doc dedup is array_distinct), so the operator's only exchange
+    is whatever its consumer does with the (key, fp) rows.
     """
-    from pyspark.sql import Window as _W
-
     text = F.col(text_col)
     positions = F.sequence(
         F.lit(1), F.greatest(F.length(text) - (k - 1), F.lit(1))
     )
-    grams = docs.select(
+    hashed = docs.select(
         F.col(key_col).alias("key"),
-        F.posexplode(
-            F.transform(positions, lambda i: text.substr(i, F.lit(k)))
-        ).alias("pos", "gram"),
-    ).select("key", "pos", token_hash60(F.col("gram")).alias("h"))
-    ww = _W.partitionBy("key").orderBy("pos").rowsBetween(0, w - 1)
-    wn = _W.partitionBy("key")
+        F.transform(
+            positions,
+            lambda i: token_hash60(text.substr(i, F.lit(k))),
+        ).alias("h"),
+    )
+    # sliding min over w consecutive entries (clamped at the array
+    # end — out-of-range lookups/pads are NULL and least() ignores
+    # nulls, so tail minima cover the available suffix, exactly the
+    # truncated-window semantics the short-document branch needs).
+    # Small w: one transform with w O(1) get() lookups per position
+    # (measured free next to the md5 floor). Large w: sparse-table
+    # doubling, ceil(log2 w) + 1 zip_with passes.
+    h = F.col("h")
+    if w <= 8:
+        m = F.transform(
+            F.sequence(F.lit(0), F.size(h) - 1),
+            lambda i: F.least(*[F.get(h, i + j) for j in range(w)]),
+        )
+    else:
+
+        def shifted_min(col, shift):
+            return F.zip_with(
+                col,
+                F.slice(
+                    col, shift + 1,
+                    F.greatest(F.size(col) - shift, F.lit(0)),
+                ),
+                lambda a, b: F.least(a, b),
+            )
+
+        m = h
+        span = 1
+        while span * 2 <= w:
+            m = shifted_min(m, span)
+            span *= 2
+        if span < w:
+            m = shifted_min(m, w - span)
+    # full windows only: starts 1..n-w+1; a doc with fewer than w
+    # grams keeps its single truncated window (start 1)
+    fps = F.array_distinct(
+        F.slice(
+            m, 1, F.greatest(F.size("h") - (w - 1), F.lit(1))
+        )
+    )
     return (
-        grams.select(
-            "key",
-            "pos",
-            F.min("h").over(ww).alias("fp"),
-            F.count(F.lit(1)).over(wn).alias("n"),
-        )
-        # windows of exactly w (tail stubs excluded), except that a
-        # doc with fewer than w grams keeps its single full window
-        .filter(
-            (F.col("pos") <= F.col("n") - w) | (F.col("pos") == 0)
-        )
-        .select("key", "fp")
-        .distinct()
+        hashed.select("key", F.explode(fps).alias("fp"))
     )
 
 

@@ -9362,14 +9362,19 @@ def epoch_shard_heads(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def winnow_fingerprint_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
+    # winnow_fingerprints emits each (doc, fp) once (per-doc
+    # array_distinct), so the number of documents sharing a
+    # fingerprint is a plain COUNT over the fp partition — one
+    # window in place of the aggregate + join-back, so the whole
+    # query is a single pipelined DAG (per-gram md5 -> fp shuffle ->
+    # doc shuffle) and the map-side fingerprint pass (the operator's
+    # md5 floor) runs exactly once
     fps = llm_text.winnow_fingerprints(docs).select(
         F.col("key").alias("doc_id"), "fp"
     )
-    freq = fps.groupBy("fp").agg(
-        F.count_distinct("doc_id").alias("nd")
-    )
+    nd = F.count(F.lit(1)).over(Window.partitionBy("fp"))
     return (
-        fps.join(freq, "fp")
+        fps.withColumn("nd", nd)
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_fingerprints"),
