@@ -994,8 +994,15 @@ def winnow_fingerprints(
     # Small w: one transform with w O(1) get() lookups per position
     # (measured free next to the md5 floor). Large w: sparse-table
     # doubling, ceil(log2 w) + 1 zip_with passes.
+    if w < 1:
+        raise ValueError(f"winnow window w must be >= 1, got {w}")
     h = F.col("h")
-    if w <= 8:
+    if w == 1:
+        # degenerate window: every gram hash is its own minimum
+        # (F.least requires >= 2 columns, so the lookup loop below
+        # can't express the identity case)
+        m = h
+    elif w <= 8:
         m = F.transform(
             F.sequence(F.lit(0), F.size(h) - 1),
             lambda i: F.least(*[F.get(h, i + j) for j in range(w)]),
@@ -1026,8 +1033,13 @@ def winnow_fingerprints(
             m, 1, F.greatest(F.size("h") - (w - 1), F.lit(1))
         )
     )
-    return (
-        hashed.select("key", F.explode(fps).alias("fp"))
+    # a NULL text hashes to a single NULL gram (substr over NULL is
+    # NULL) — such a document has no substrings, so it owns zero
+    # fingerprints; dropping the NULL fp here (map-side, free) keeps
+    # every consumer's inner-join/window semantics aligned with the
+    # DuckDB twin, whose JOIN USING (fp) never sees NULL rows
+    return hashed.select("key", F.explode(fps).alias("fp")).filter(
+        F.col("fp").isNotNull()
     )
 
 

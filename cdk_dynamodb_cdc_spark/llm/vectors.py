@@ -1418,6 +1418,15 @@ def _kmeans_int_local(
         ]
         for r in rows
     }
+    if len(xs) != len(rows):
+        # the dict keying would silently collapse duplicate vec_ids
+        # to one vector while the distributed path keeps both rows —
+        # n_docs/wss would then diverge across the local-finish
+        # threshold, so refuse rather than drift
+        raise ValueError(
+            "kmeans_int local finisher requires unique vec_id: "
+            f"{len(rows)} rows but {len(xs)} distinct ids"
+        )
 
     def h60(vec_id) -> int:
         s = f"{salt}:{vec_id}".encode()
@@ -1540,6 +1549,12 @@ def kmeans_int(
     collect instead of per-iteration jobs; a pytest pins local ==
     distributed equality. Pass 0 to force the distributed path.
     """
+    if iters < 1:
+        # the loop contract is "iters assignment passes"; iters=0 has
+        # no assignment to report (the local path would crash, the
+        # distributed path would emit init-centroid stats — neither
+        # is a meaningful answer, and they'd disagree)
+        raise ValueError(f"kmeans_int requires iters >= 1, got {iters}")
     if local_finish_elements and (
         emb.count() * dim <= local_finish_elements
     ):

@@ -9363,8 +9363,13 @@ def epoch_shard_heads(spark: SparkSession, sf_dir: str) -> DataFrame:
 def winnow_fingerprint_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     # winnow_fingerprints emits each (doc, fp) once (per-doc
-    # array_distinct), so the number of documents sharing a
-    # fingerprint is a plain COUNT over the fp partition — one
+    # array_distinct, NULL-text docs dropped at the operator) and
+    # documents.doc_id is a primary key (TESTDATA contract, asserted
+    # by the dedup_exact_groups family), so the number of documents
+    # sharing a fingerprint is a plain COUNT over the fp partition
+    # — COUNT(DISTINCT doc_id) would need that same precondition
+    # violated to differ, and the plain count keeps the window
+    # map-combinable. One
     # window in place of the aggregate + join-back, so the whole
     # query is a single pipelined DAG (per-gram md5 -> fp shuffle ->
     # doc shuffle) and the map-side fingerprint pass (the operator's
@@ -12211,6 +12216,19 @@ def txlog_version_diff_stats(
                         F.lit(w).alias("w"),
                     )
                 )
+    pair_frame = spark.createDataFrame(pairs, "v_from int, v_to int")
+    if not sides:
+        # no version pair changed any file (unreachable with the
+        # staged commits above, but the stat contract — one zeroed
+        # row per pair — should survive edits to the scenario)
+        return pair_frame.select(
+            "v_from",
+            "v_to",
+            F.lit(0).cast("long").alias("n_inserted"),
+            F.lit(0).cast("long").alias("n_deleted"),
+            F.lit(0.0).alias("ins_total"),
+            F.lit(0.0).alias("del_total"),
+        )
     weighted = sides[0]
     for s in sides[1:]:
         weighted = weighted.unionByName(s)
@@ -12225,7 +12243,6 @@ def txlog_version_diff_stats(
         F.sum(pos * F.col("p")).alias("ins_dec"),
         F.sum(neg * F.col("p")).alias("del_dec"),
     )
-    pair_frame = spark.createDataFrame(pairs, "v_from int, v_to int")
     return (
         pair_frame.join(F.broadcast(stats), ["v_from", "v_to"], "left")
         .select(

@@ -531,6 +531,15 @@ def test_bfs_layers_hand_graph(spark):
         for r in bfs_layers(tri, source="a", max_hops=4).collect()
     }
     assert got2 == {"a": 0, "b": 1, "c": 1}
+    # contract pin (r14): the seed is a literal frame, so a source
+    # absent from the edge list still reports ITSELF at dist 0 (the
+    # pre-r13 formulation returned an empty frame here) — callers
+    # needing presence semantics anti-join the seed themselves
+    got3 = {
+        r.node: r.dist
+        for r in bfs_layers(tri, source="zz", max_hops=2).collect()
+    }
+    assert got3 == {"zz": 0}
 
 
 def test_kcore_peels_pendants_and_reports_core_degrees(spark):

@@ -1237,6 +1237,52 @@ def test_winnowing_guarantees_shared_fingerprint_for_long_spans(spark):
     assert not (fps[0] & fps[2]) and not (fps[1] & fps[2])
 
 
+def test_winnow_large_window_doubling_matches_brute_force(spark):
+    """The w > 8 sparse-table doubling branch (llm/text.py) is pinned
+    against a pure-Python brute-force sliding minimum over the same
+    60-bit gram hashes — including a non-power-of-two w, a doc shorter
+    than w (single truncated window), a NULL text (zero rows), and the
+    w=1 identity case."""
+    import hashlib
+
+    k, w = 3, 11  # non-power-of-two w exercises the final partial shift
+    texts = {
+        0: "the quick brown fox jumps over the lazy dog again",
+        1: "ab",            # fewer grams than w: one truncated window
+        2: None,            # no substrings -> zero fingerprint rows
+        3: "abcabcabcabcabcabc",  # heavy repetition -> dedup matters
+    }
+    df = spark.createDataFrame(
+        list(texts.items()), "doc_id long, text string"
+    )
+
+    def h60(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    def brute(text: str | None, win: int) -> set:
+        if text is None:
+            return set()
+        grams = [
+            text[i : i + k] for i in range(max(len(text) - k + 1, 1))
+        ]
+        hs = [h60(g) for g in grams]
+        n_windows = max(len(hs) - win + 1, 1)
+        return {min(hs[i : i + win]) for i in range(n_windows)}
+
+    for win in (11, 1):
+        got: dict[int, set] = {d: set() for d in texts}
+        rows = llm_text.winnow_fingerprints(df, k=k, w=win).collect()
+        for r in rows:
+            got[r["key"]].add(r["fp"])
+        for d, text in texts.items():
+            assert got[d] == brute(text, win), (win, d)
+
+    import pytest
+
+    with pytest.raises(ValueError, match="w must be >= 1"):
+        llm_text.winnow_fingerprints(df, k=k, w=0)
+
+
 def test_dsir_importance_separates_target_like_docs(spark):
     from cdk_dynamodb_cdc_spark.llm.curation import dsir_importance
 
@@ -1946,3 +1992,17 @@ def test_kmeans_int_local_finisher_matches_distributed(spark):
     assert local == dist
     assert len(local) == 4
     assert sum(r[1] for r in local) == n  # every vector assigned
+
+    import pytest
+
+    # duplicate vec_ids would silently collapse in the local dict
+    # keying while the distributed path keeps both rows — the local
+    # finisher must refuse rather than drift across the threshold
+    dup = spark.createDataFrame(
+        rows + rows[:1], "vec_id long, embedding array<float>"
+    )
+    with pytest.raises(ValueError, match="unique vec_id"):
+        vectors.kmeans_int(dup, k=4, iters=2, dim=dim)
+    # iters=0 has no assignment pass to report on either lane
+    with pytest.raises(ValueError, match="iters >= 1"):
+        vectors.kmeans_int(emb, k=4, iters=0, dim=dim)
