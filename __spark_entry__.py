@@ -42,74 +42,75 @@ def entry(spark: SparkSession) -> DataFrame:
 # ordering only decides which subset the driver re-verifies
 # independently.
 _GATE_PRIORITY = [
-    # Round-13 ordering (new > changed > stale > fill, 50 slots).
+    # Round-14 ordering (new > changed > stale > fill, 50 slots).
     # Window layout: no NEW queries this round; the 3 whose execution
-    # path CHANGED this round first, then the FULL 30-query staleness
-    # tail whose most recent driver-green row dates to r6 (the r12
-    # verdict's rotation target), then 17 oldest r7-green fill in
+    # path CHANGED this round first (r14 ADVICE hardening), then the
+    # FULL 15-query staleness tail whose most recent driver-green row
+    # dates to r7 (the r13 verdict's rotation target), then the FULL
+    # 28-query r8-green tail, then 4 oldest r9-green fill in
     # registration order. Every other registry entry follows in
     # stable registration order via queries(). After this window the
-    # oldest driver-green row anywhere in the registry is r7.
-    # -- changed in round 13 -----------------------------------
-    # kmeans_doc_clusters: Lloyd's loop refit to driver-held centroid
-    # literals + map-side argmin (one job per iteration; no n x k
-    # window shuffle). part_coorder_bfs_layers: bfs_layers seed is a
-    # literal frame, early-exit on empty frontier, last round lazy.
-    # txlog_version_diff_stats: aggregation pushdown through the
-    # multiset diff — signed weights + one grouped aggregation over
-    # all 4 version pairs, manifests reconstructed once.
-    'kmeans_doc_clusters',
-    'part_coorder_bfs_layers',
-    'txlog_version_diff_stats',
-    # -- staleness tail: last driver-green r6, registration order
-    'cdc_change_stats',
-    'cdc_unmarshall_roundtrip',
-    'claim_check_pointer_stats',
-    'txlog_history_stats',
-    'txlog_merge_into_state',
-    'sessionize_events',
-    'session_window_stats',
-    'tumbling_window_counts',
-    'json_extract_events_props',
-    'dedup_exact_groups',
-    'near_dup_simhash_pairs',
-    'embedding_cosine_topk',
-    'text_quality_stats',
-    'lang_id_confusion',
-    'doc_signatures',
-    'cdc_field_drift_stats',
-    'asof_latest_order_at_event',
-    'media_metadata',
-    'media_frame_sample',
-    'cms_user_count_estimates',
-    'substring_dup_stats',
-    'perplexity_filter_stats',
-    'doc_hash_embedding_topk',
-    'nb_lang_confusion',
-    'quality_gate_dispositions',
-    'dsir_importance_keep',
-    'corpus_mix_temperature',
-    'epoch_shard_heads',
+    # oldest driver-green row anywhere in the registry is r9.
+    # -- changed in round 14 -----------------------------------
+    # winnow_fingerprint_overlap: winnow_fingerprints now drops the
+    # NULL fingerprint a NULL-text doc hashes to (oracle inner-join
+    # parity) and validates w. kmeans_doc_clusters: kmeans_int
+    # validates iters and the local finisher refuses duplicate
+    # vec_ids. txlog_version_diff_stats: zeroed-pair guard when no
+    # version pair changed files.
     'winnow_fingerprint_overlap',
-    'bpe_merge_candidates',
-    # -- rotation fill: oldest r7-green, registration order ----
-    'budget_select_docs',
-    'media_transcript_alignment',
-    'paragraph_dedup_stats',
-    'lineitem_price_quantiles_twopass',
-    'lineitem_weighted_price_quantiles',
-    'scd2_temporal_enrich',
-    'holt_revenue_trend',
-    'pmi_collocations_top',
-    'part_coorder_kcore',
-    'event_type_hits',
-    'customer_k_anonymity',
-    'order_total_benford',
-    'textrank_keywords',
-    'kn_bigram_doc_scores',
-    'event_type_ppr',
-    'ks_value_distribution_shift',
-    'theil_sen_revenue_trend',
+    'kmeans_doc_clusters',
+    'txlog_version_diff_stats',
+    # -- staleness tail: last driver-green r7, registration order
+    'session_pattern_match_counts',
+    'source_format_roundtrip',
+    'attribution_time_decay',
+    'part_item_cf_topk',
+    'revenue_binary_segmentation',
+    'sampled_quantile_contract',
+    'session_sequence_pairs',
+    'fd_discovery_profile',
+    'cf_holdout_hit_rate',
+    'event_key_skew_profile',
+    'returnflag_sample_quantiles',
+    'cms_selfjoin_size',
+    'sql_surface_recursive_cte',
+    'did_value_contrast',
+    'forecast_backtest_mape',
+    # -- staleness tail: last driver-green r8, registration order
+    'embedding_jl_topk',
+    'semantic_decontam_flags',
+    'decontam_bloom_prefilter',
+    'weighted_sample_per_lang',
+    'hbos_event_outliers',
+    'user_event_diversity',
+    'kmv_audience_overlap',
+    'part_coorder_triangles',
+    'daily_revenue_seasonal',
+    'hll_user_cardinality',
+    'hll_daily_user_cardinality',
+    'length_bucket_batch_stats',
+    'rrf_hybrid_retrieval',
+    'quarantine_replay_stats',
+    'source_overlap_matrix',
+    'sample_quota_apportionment',
+    'embedding_sq8_topk',
+    'media_fingerprint_dedup',
+    'txlog_clone_stats',
+    'quality_score_auc',
+    'lang_id_eval_metrics',
+    'brand_rule_lift',
+    'poisson_bootstrap_ci',
+    'sparse_cosine_pairs',
+    'txlog_bloom_lookup',
+    'cramers_v_matrix',
+    'txlog_delete_vector_state',
+    'embedding_hamming_topk',
+    # -- rotation fill: oldest r9-green, registration order ----
+    'cdc_change_stats_autotyped',
+    'bpe_pack_stats',
+    'corr_qty_price_exact_moments',
+    'weekly_retention_cohorts',
 ]
 
 

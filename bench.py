@@ -103,6 +103,21 @@ def main() -> int:
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
+    cal_post = calibration()
+    # Calibration-normalized total (r14, verdict item 3): the r12/r13
+    # rounds proved the driver window can sit on a host contended up
+    # to 2.4x on a fixed single-thread spin, so raw wall-clock alone
+    # can read as an engine regression when it's machine state. The
+    # fixed-work spin is proportional to CPU-time dilution, so
+    # raw * (QUIET_SPIN / measured_spin) estimates the quiet-window
+    # total. The factor is clipped at 1.0 — normalization may only
+    # CORRECT a contended window, never flatter a fast one — and both
+    # raw and normalized travel in the driver tail so a future reader
+    # compares like with like.
+    QUIET_SPIN = 0.306  # BENCH_LOCAL_r13 quiet-window probe (secs)
+    spin_mean = (cal_pre["spin_1t_sec"] + cal_post["spin_1t_sec"]) / 2
+    cal_factor = min(1.0, QUIET_SPIN / spin_mean) if spin_mean > 0 else 1.0
+    total_norm = round(total * cal_factor, 3)
     # FULL named per-query map + env fingerprint -> sidecar file (the
     # committed BENCH_LOCAL artifacts are produced from this).
     full = {
@@ -115,7 +130,10 @@ def main() -> int:
         "runs_per_query": runs_per_query,
         "sf": sf,
         "env": engine_env(spark),
-        "calibration": {"pre": cal_pre, "post": calibration()},
+        "calibration": {"pre": cal_pre, "post": cal_post},
+        "quiet_spin_baseline_sec": QUIET_SPIN,
+        "cal_factor": round(cal_factor, 4),
+        "value_cal_norm": total_norm,
     }
     if errors:
         full["errors"] = errors
@@ -149,14 +167,20 @@ def main() -> int:
         "metric": "total_query_wall_sec",
         "value": total,
         "unit": "sec",
+        # host-contention correction: raw * min(1, quiet_spin/spin);
+        # cal_spin = [pre, post] fixed-work probe seconds (quiet
+        # baseline 0.306 s) — see bench.py for the full derivation
+        "value_cal_norm": total_norm,
+        "cal_spin": [
+            cal_pre["spin_1t_sec"],
+            cal_post["spin_1t_sec"],
+        ],
         "sf": sf,
         "queries_timed": len(timings),
         "queries_registered": len(entrymod.queries()),
         "runs_per_query": runs_per_query,
-        "query_order": (
-            "registry (zip with list(queries()) at this commit; "
-            "null = not timed this run)"
-        ),
+        # zip with list(queries()) at this commit; null = untimed
+        "query_order": "registry; null=untimed",
         "times_cs": times_cs,
         "slowest": slowest,
         "full_json": full_path,
