@@ -140,6 +140,83 @@ def _await(q):
     assert not q.isActive
 
 
+# Forked snapshot runner for the hard-kill cycle (r14 verdict item 6):
+# runs maintain_snapshot_stream in its OWN Python driver + JVM so the
+# parent can SIGKILL the whole process group mid-batch — checkpoint
+# recovery is then exercised against a genuinely torn process (no
+# cooperative stop(), no JVM shutdown hooks), which is the failure a
+# 1000-executor deployment actually has.
+_FORKED_SNAPSHOT_RUNNER = """
+import sys
+sys.path.insert(0, {repo!r})
+from cdk_dynamodb_cdc_spark.session import get_spark
+from cdk_dynamodb_cdc_spark.streaming import read_cdc_stream
+from cdk_dynamodb_cdc_spark.streaming.stream import maintain_snapshot_stream
+
+staged, snap_state, snap_ckpt, parts = sys.argv[1:5]
+spark = get_spark(
+    "soak_kill_child", master="local[4]",
+    shuffle_partitions=int(parts),
+    extra_conf={{"spark.driver.memory": "4g"}},
+)
+q = maintain_snapshot_stream(
+    read_cdc_stream(
+        spark, staged, starting_position="trim_horizon",
+        max_files_per_trigger=1,
+    ),
+    state_path=snap_state,
+    checkpoint_path=snap_ckpt,
+    buckets=4,
+)
+q.awaitTermination(600)
+"""
+
+
+def _hard_kill_snapshot_cycle(
+    spark, staged: str, snap_state: str, snap_ckpt: str
+) -> None:
+    """Start the snapshot stream in a forked driver, wait for it to
+    commit at least one NEW micro-batch, then SIGKILL its entire
+    process group (Python driver + JVM, no shutdown hooks run)."""
+    import signal
+    import subprocess
+    import sys
+
+    pre_kill = _n_commits(snap_ckpt)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    parts = spark.conf.get("spark.sql.shuffle.partitions")
+    proc = subprocess.Popen(
+        [
+            sys.executable, "-c",
+            _FORKED_SNAPSHOT_RUNNER.format(repo=repo),
+            staged, snap_state, snap_ckpt, str(parts),
+        ],
+        stdout=subprocess.DEVNULL,
+        stderr=subprocess.DEVNULL,
+        start_new_session=True,  # own pgroup: killpg reaps the JVM too
+    )
+    try:
+        deadline = time.time() + 240
+        while _n_commits(snap_ckpt) <= pre_kill:
+            assert proc.poll() is None, (
+                "forked snapshot runner exited before committing "
+                f"a new batch (rc={proc.returncode})"
+            )
+            assert time.time() < deadline, (
+                "no micro-batch committed within 240s before hard kill"
+            )
+            time.sleep(0.1)
+    finally:
+        # SIGKILL the process GROUP: unblockable, tears the driver and
+        # its JVM mid-whatever-they-were-doing
+        try:
+            os.killpg(proc.pid, signal.SIGKILL)
+        except ProcessLookupError:
+            pass
+        proc.wait(30)
+    assert _n_commits(snap_ckpt) > pre_kill
+
+
 def run_scenario(spark, tmp_path, *, kill: bool = True) -> dict:
     """The composed soak scenario, callable outside pytest (tools/
     run_stream_determinism.py replays it under different shuffle-
@@ -228,37 +305,19 @@ def run_scenario(spark, tmp_path, *, kill: bool = True) -> dict:
     for phase, (_, hi) in enumerate(PHASES):
         stage(hi)
         if phase == 1 and not killed:
-            # Genuine kill: stop the snapshot query mid-processing;
-            # the next run must recover from the checkpoint with no
-            # duplicate or lost application (however many of this
-            # phase's batches the kill interrupted).
-            pre_kill = _n_commits(snap_ckpt)
-            q = maintain_snapshot_stream(
-                read_cdc_stream(
-                    spark, str(staged),
-                    starting_position="trim_horizon",
-                    max_files_per_trigger=1,
-                ),
-                state_path=snap_state,
-                checkpoint_path=snap_ckpt,
-                buckets=4,
+            # Genuine kill (r14: upgraded from a cooperative q.stop()
+            # to a SIGKILL of a forked driver's process group): the
+            # stream runs in its own JVM, commits at least one NEW
+            # micro-batch of this phase's data (the r12 no-op-kill
+            # guard), then the whole process is torn down with no
+            # shutdown hooks; the next run must recover from the
+            # checkpoint with no duplicate or lost application
+            # (however many of this phase's batches the kill
+            # interrupted, including a possibly half-written one).
+            _hard_kill_snapshot_cycle(
+                spark, str(staged), snap_state, snap_ckpt
             )
-            # ADVICE r12: an immediate stop() can land before the
-            # first micro-batch commits, making the "kill" a no-op.
-            # Wait until at least one NEW batch has committed so the
-            # stop provably interrupts a stream that had applied part
-            # of this phase's data, then the restart must recover.
-            deadline = time.time() + 120
-            while _n_commits(snap_ckpt) <= pre_kill:
-                assert time.time() < deadline, (
-                    "no micro-batch committed within 120s before kill"
-                )
-                assert q.exception() is None, q.exception()
-                time.sleep(0.2)
-            q.stop()
-            q.awaitTermination(300)
             killed = True
-            assert _n_commits(snap_ckpt) > pre_kill
         run_snapshot()
         run_aggregate()
         run_txlog()
