@@ -73,6 +73,20 @@ def main() -> int:
 
     cal_pre = calibration()
 
+    def steal_jiffies() -> int | None:
+        """Cumulative hypervisor-steal jiffies across all CPUs
+        (/proc/stat cpu line, field 9; USER_HZ=100 so jiffies/100 =
+        stolen cpu-seconds). The r14 round proved the spin probes
+        bracket a run but cannot see MID-run steal bursts (one burst
+        inflated iterative many-stage queries 10-22x while both
+        bracketing spins read quiet); sampling the counter at each
+        query boundary attributes the burst to the queries it hit."""
+        try:
+            with open("/proc/stat") as fh:
+                return int(fh.readline().split()[8])
+        except (OSError, IndexError, ValueError):
+            return None
+
     runs_per_query = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
     # Optional subset (comma-separated names) for scale studies — e.g.
     # the lineitem-family run at sf1, where doc/embedding queries would
@@ -84,10 +98,13 @@ def main() -> int:
     }
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
+    steal_per_query: dict[str, int] = {}
+    steal_start = steal_jiffies()
     for name, fn in entrymod.queries().items():
         if only and name not in only:
             continue
         best = float("inf")
+        s0 = steal_jiffies()
         try:
             for _ in range(runs_per_query):
                 t0 = time.perf_counter()
@@ -101,8 +118,19 @@ def main() -> int:
             errors[name] = f"{type(exc).__name__}: {exc}"[:500]
             continue
         timings[name] = round(best, 3)
+        s1 = steal_jiffies()
+        if s0 is not None and s1 is not None:
+            # steal during THIS query's full measurement window (all
+            # runs_per_query executions, so ~2x the best-of wall)
+            steal_per_query[name] = s1 - s0
 
     total = round(sum(timings.values()), 3)
+    steal_end = steal_jiffies()
+    steal_total = (
+        steal_end - steal_start
+        if steal_start is not None and steal_end is not None
+        else None
+    )
     cal_post = calibration()
     # Calibration-normalized total (r14, verdict item 3): the r12/r13
     # rounds proved the driver window can sit on a host contended up
@@ -134,6 +162,12 @@ def main() -> int:
         "quiet_spin_baseline_sec": QUIET_SPIN,
         "cal_factor": round(cal_factor, 4),
         "value_cal_norm": total_norm,
+        # hypervisor steal attributed per query window (jiffies across
+        # all CPUs, USER_HZ=100: /100 = stolen cpu-seconds). A query
+        # whose time looks regressed but whose steal entry is hot was
+        # hit by the host, not by a plan change.
+        "steal_total_jiffies": steal_total,
+        "steal_jiffies": steal_per_query,
     }
     if errors:
         full["errors"] = errors
@@ -175,6 +209,9 @@ def main() -> int:
             cal_pre["spin_1t_sec"],
             cal_post["spin_1t_sec"],
         ],
+        # total hypervisor steal during the timed section (jiffies,
+        # all CPUs, /100 = cpu-sec); per-query map in full_json
+        "steal_total_jiffies": steal_total,
         "sf": sf,
         "queries_timed": len(timings),
         "queries_registered": len(entrymod.queries()),
