@@ -733,11 +733,57 @@ def bpe_merge_candidates(
 BPE_SEP = "\x1f"  # unit separator: never occurs in tokenized text
 
 
+def _bpe_train_local(
+    words: list[tuple[str, int, str]], n_merges: int
+) -> tuple[list[tuple[str, str]], list[tuple[str, int, str]]]:
+    """Driver-side finish of the BPE merge loop for sub-threshold
+    vocabularies — bit-identical to the distributed lane: the same
+    separator-string representation, the same left-to-right
+    non-overlapping ``str.replace`` (== Column ``replace``), and the
+    same (count desc, left asc, right asc) tie-break (Python tuple
+    comparison on str == Spark binary UTF8 ordering, both code-point
+    order). Pair counts are maintained INCREMENTALLY: only words
+    containing the just-merged pair are re-counted, so an iteration
+    costs O(changed words), not O(vocabulary) — the classic fast-BPE
+    bookkeeping, and what keeps the 65k-row threshold cheap."""
+    from collections import Counter
+
+    s2 = BPE_SEP + BPE_SEP
+
+    def pairs_of(s: str) -> list[tuple[str, str]]:
+        syms = [x for x in s.split(s2) if x]
+        return [(syms[i], syms[i + 1]) for i in range(len(syms) - 1)]
+
+    pc: Counter = Counter()
+    for _w, n, s in words:
+        for p in pairs_of(s):
+            pc[p] += n
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        pc = +pc  # drop pairs whose count fell to zero after merges
+        if not pc:
+            break  # every word is a single symbol: nothing to merge
+        pa, pb = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append((pa, pb))
+        old = BPE_SEP + pa + s2 + pb + BPE_SEP
+        new = BPE_SEP + pa + pb + BPE_SEP
+        for idx, (w, n, s) in enumerate(words):
+            if old in s:
+                for p in pairs_of(s):
+                    pc[p] -= n
+                s = s.replace(old, new)
+                for p in pairs_of(s):
+                    pc[p] += n
+                words[idx] = (w, n, s)
+    return merges, words
+
+
 def bpe_train(
     docs,  # DataFrame
     *,
     text_col: str = "text",
     n_merges: int = 32,
+    local_finish_threshold: int = 65536,
 ):
     """The FULL byte-pair-encoding training loop (Sennrich et al.
     2016): iterate ``bpe_merge_candidates``'s most-frequent-pair
@@ -768,6 +814,15 @@ def bpe_train(
     lineage every few iterations so iteration cost stays O(vocab x
     small-constant), never O(vocab x merges-so-far); materializing
     every iteration would instead pay one extra job per merge.
+
+    When the vocabulary fits under ``local_finish_threshold`` rows,
+    the merge loop runs driver-side instead (``_bpe_train_local``,
+    bit-identical semantics): the distributed loop costs ~1 job +
+    1 collect per merge regardless of data size, so a sub-65k-row
+    vocabulary pays n_merges scheduler round-trips to iterate a
+    frame that fits in L2 — the same threshold-gated local finisher
+    the k-means lane uses. At 100 TB the vocabulary (~1e7) exceeds
+    the threshold and the distributed lane runs unchanged.
     """
     from pyspark.sql import functions as F
 
@@ -794,6 +849,16 @@ def bpe_train(
         .coalesce(max(docs.sparkSession.sparkContext.defaultParallelism // 4, 8))
         .localCheckpoint()
     )
+    if local_finish_threshold and vocab.count() <= local_finish_threshold:
+        merges, rows = _bpe_train_local(
+            [(r["w"], r["n"], r["s"]) for r in vocab.select("w", "n", "s").collect()],
+            n_merges,
+        )
+        vocab_tokens = docs.sparkSession.createDataFrame(
+            [(w, n, [x for x in s.split(s2) if x]) for w, n, s in rows],
+            schema="w string, n bigint, syms array<string>",
+        )
+        return merges, vocab_tokens
     merges: list[tuple[str, str]] = []
     for _ in range(n_merges):
         syms = F.split(F.btrim(F.col("s"), F.lit(BPE_SEP)), s2)

@@ -1355,6 +1355,21 @@ def test_bpe_train_greedy_semantics_and_python_parity(spark):
     got = {r["w"]: list(r["syms"]) for r in vocab_tokens.collect()}
     assert got == syms
 
+    # lane parity: the threshold-gated driver-side finisher (default
+    # here, vocab << 65536) must equal the distributed loop
+    # (local_finish_threshold=0 forces it) row-for-row
+    d_merges, d_tokens = bpe_train(
+        docs, n_merges=12, local_finish_threshold=0
+    )
+    assert d_merges == merges
+    d_got = {
+        r["w"]: (r["n"], list(r["syms"])) for r in d_tokens.collect()
+    }
+    l_got = {
+        r["w"]: (r["n"], list(r["syms"])) for r in vocab_tokens.collect()
+    }
+    assert d_got == l_got
+
 
 def test_weighted_sample_log_lane_matches_linear_lane(spark):
     """log_weight=True with w = ln(weight) must pick the identical
