@@ -142,10 +142,28 @@ def _extract_struct(wire_struct: Column, schema: T.StructType) -> Column:
 
 def unmarshall_typed(marshalled_json: Column, schema: T.StructType) -> Column:
     """Marshalled AttributeValue JSON string -> typed struct, entirely
-    via `from_json` + projections (JVM, codegen; no Python)."""
+    via `from_json` + projections (JVM; no Python).
+
+    The parse is LET-BOUND with the higher-order-function idiom —
+    ``transform(array(from_json(..)), w -> extract(w))`` — so the
+    expression tree contains exactly ONE ``from_json`` however many
+    fields the extractor references. Without the binding, every
+    per-field null guard and value access embeds its own copy of the
+    parse, and the optimizer multiplies them further when it inlines
+    this expression into pushed-down predicates: the r14 throughput
+    harness measured 14 full parses per row in the lane's optimized
+    plan (6 in the diff projection, 8 in the pushed no-op filter) and
+    the let-binding alone halved the lane's wall time (20.7 -> 10.7 s
+    per 2M records; STREAM_BENCH_r14). ``transform``'s lambda body is
+    interpreted rather than codegen'd, but the body is cheap struct
+    assembly — the parse it de-duplicates is itself CodegenFallback,
+    so nothing that previously codegen'd stops doing so."""
     wire = F.from_json(marshalled_json, wire_schema_for(schema))
+    bound = F.transform(
+        F.array(wire), lambda w: _extract_struct(w, schema)
+    )
     return F.when(
-        marshalled_json.isNotNull(), _extract_struct(wire, schema)
+        marshalled_json.isNotNull(), F.element_at(bound, 1)
     )
 
 
@@ -234,12 +252,13 @@ def cdc_change_events_typed(
         & F.col("event_id").isNotNull()
         & (F.col("new_image").isNotNull() | F.col("old_image").isNotNull())
     )
-    # Parse each image ONCE in its own projection; the diff expressions
-    # below reference the parsed structs as column refs. Building them
-    # directly from the from_json expression objects would duplicate
-    # the parse into every field comparison (~20x per row — measured
-    # 100x slower); CollapseProject keeps this split because from_json
-    # is non-cheap and multiply-referenced.
+    # Parse each image in its own projection and reference the parsed
+    # structs as column refs below. The split alone is NOT enough
+    # protection: the optimizer inlines these aliases when it merges
+    # projections or pushes the no-op predicate down, so the real
+    # parse-once guarantee lives INSIDE unmarshall_typed's HOF
+    # let-binding — wherever the alias gets re-inlined, each inlined
+    # copy still contains exactly one from_json.
     parsed = src.select(
         "*",
         unmarshall_typed(F.col("old_image"), schema).alias("__old_t"),
@@ -262,9 +281,9 @@ def cdc_change_events_typed(
     # behaves as an empty document, exactly like the path logic).
     # Deliberately NOT size(__paths) == 0: PushDownPredicates inlines
     # alias definitions into pushed predicates unconditionally, and
-    # inlining the full diff tree re-evaluates from_json ~16x per row
-    # (measured 10x slower). This predicate inlines as just two
-    # parses.
+    # inlining the full diff tree re-evaluates the (let-bound) parse
+    # once per field comparison. This predicate inlines as one parse
+    # per image per field — the cheapest pushable form.
     fields_equal = [
         F.col("__old_t")[f.name].eqNullSafe(F.col("__new_t")[f.name])
         for f in schema.fields
