@@ -385,8 +385,15 @@ def bloom_contains(
     map-side before any expensive join (:func:`bloom_probe` is the
     relational twin for when the probe side needs per-row sketch
     columns). False positives pass (bounded rate); members always
-    pass (no false negatives)."""
-    words_lit = F.array(*[F.lit(w).cast("long") for w in words])
+    pass (no false negatives).
+
+    The packed table rides as ONE array ``Literal`` (``F.lit(list)``),
+    not a ``CreateArray`` of m/64 scalar literals: the element-wise
+    form is rebuilt per evaluation site in generated code (1024
+    assignments per probe for the 64 Kbit filter, 4 probes per key),
+    which measured ~3-4x slower than the single-literal form on the
+    decontamination gram stream — r14 optimization round."""
+    words_lit = F.lit([int(w) for w in words])
     out = None
     for s in range(k):
         pos = _bucket(key, s, m_bits, salt)

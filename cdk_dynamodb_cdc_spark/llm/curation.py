@@ -43,31 +43,46 @@ def decontaminate(
     n_shared_grams > 0 so benchmark answers can't leak into training.
 
     Returns (id_col, n_grams, n_shared_grams) — one row per corpus
-    document, including zero-overlap ones (left join, not semi), so
-    the caller can both filter and report contamination rates."""
+    document (``id_col`` is assumed unique per document, the corpus
+    PK contract), including zero-overlap ones, so the caller can both
+    filter and report contamination rates.
+
+    Single-pass shape (r14 optimization round): the corpus is shingled
+    ONCE — the gram array is materialized in one projection and feeds
+    both ``n_grams`` (its size) and the exploded gram stream — and the
+    per-document overlap count comes from one groupBy over a broadcast
+    LEFT join with a hit indicator, instead of the previous
+    two-shingle-pass shape (inner-join aggregate + corpus-keyed
+    join-back), which scanned and re-shingled the corpus twice and
+    paid an extra corpus-sized join."""
     grams = word_shingles(F.col(text_col), k)
     eval_grams = (
         eval_set.select(F.explode(grams).alias("gram")).distinct()
     )
-    doc_grams = corpus.select(
-        F.col(id_col), F.explode_outer(grams).alias("gram")
+    hit = F.broadcast(
+        eval_grams.select("gram", F.lit(1).alias("__hit"))
     )
-    shared = (
-        doc_grams.join(F.broadcast(eval_grams), "gram", "inner")
-        .groupBy(id_col)
-        .agg(F.count_distinct("gram").alias("n_shared_grams"))
-    )
-    per_doc = corpus.select(
-        F.col(id_col), F.size(grams).alias("n_grams")
+    per_gram = corpus.select(
+        F.col(id_col), grams.alias("__grams")
+    ).select(
+        id_col,
+        F.size("__grams").alias("n_grams"),
+        # explode_outer keeps zero-gram and NULL-text documents (one
+        # NULL-gram row each) so every document reaches the groupBy
+        F.explode_outer("__grams").alias("gram"),
     )
     return (
-        per_doc.join(shared, id_col, "left")
+        per_gram.join(hit, "gram", "left")
+        .groupBy(id_col, "n_grams")
+        .agg(
+            F.count_distinct(
+                F.when(F.col("__hit") == 1, F.col("gram"))
+            ).alias("n_shared_grams")
+        )
         .select(
             id_col,
             "n_grams",
-            F.coalesce("n_shared_grams", F.lit(0)).cast("long").alias(
-                "n_shared_grams"
-            ),
+            F.col("n_shared_grams").cast("long").alias("n_shared_grams"),
         )
     )
 
@@ -107,30 +122,41 @@ def decontaminate_bloom(
         bloom_bits(eval_grams, "gram", m_bits=m_bits, k=n_hashes),
         m_bits=m_bits,
     )
-    doc_grams = corpus.select(
-        F.col(id_col), F.explode_outer(grams).alias("gram")
+    hit = F.broadcast(
+        eval_grams.select("gram", F.lit(1).alias("__hit"))
     )
-    # map-side prefilter: the packed filter rides into every task as a
-    # plan literal — no shuffle, no join, just dropped rows
-    candidates = doc_grams.filter(
-        bloom_contains(
-            words, F.col("gram"), m_bits=m_bits, k=n_hashes
-        )
+    # Single corpus pass (r14, same restructure as :func:`decontaminate`):
+    # the gram array is materialized once per document and feeds both
+    # n_grams and the candidate stream; the Bloom prefilter drops
+    # non-candidate grams INSIDE the array (map-side, the packed filter
+    # riding as a plan literal — no shuffle, no join) before the
+    # explode, so only plausible grams become rows at all.
+    pred = lambda g: bloom_contains(  # noqa: E731
+        words, g, m_bits=m_bits, k=n_hashes
     )
-    shared = (
-        candidates.join(F.broadcast(eval_grams), "gram", "inner")
-        .groupBy(id_col)
-        .agg(F.count_distinct("gram").alias("n_shared_grams"))
-    )
-    per_doc = corpus.select(
-        F.col(id_col), F.size(grams).alias("n_grams")
-    )
-    return per_doc.join(shared, id_col, "left").select(
+    per_gram = corpus.select(
+        F.col(id_col), grams.alias("__grams")
+    ).select(
         id_col,
-        "n_grams",
-        F.coalesce("n_shared_grams", F.lit(0)).cast("long").alias(
-            "n_shared_grams"
-        ),
+        F.size("__grams").alias("n_grams"),
+        # explode_outer of the FILTERED array: zero-candidate documents
+        # survive as one NULL-gram row, so every document reaches the
+        # groupBy with its n_grams
+        F.explode_outer(F.filter("__grams", pred)).alias("gram"),
+    )
+    return (
+        per_gram.join(hit, "gram", "left")
+        .groupBy(id_col, "n_grams")
+        .agg(
+            F.count_distinct(
+                F.when(F.col("__hit") == 1, F.col("gram"))
+            ).alias("n_shared_grams")
+        )
+        .select(
+            id_col,
+            "n_grams",
+            F.col("n_shared_grams").cast("long").alias("n_shared_grams"),
+        )
     )
 
 

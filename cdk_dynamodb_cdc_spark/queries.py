@@ -8237,14 +8237,22 @@ def txlog_history_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey", _dec("o_totalprice").alias("p")
     )
     t = TxTable(spark, tempfile.mkdtemp(prefix="txlog_q_"))
-    t.commit(orders.filter(F.col("o_orderkey") % 10 == 0))          # v0
-    t.commit(orders.filter(F.col("o_orderkey") % 10 == 1))          # v1
+    # coalesce(4) before each commit (the txlog_version_diff_stats
+    # pattern): the loaded frame carries a 32-way repartition, so an
+    # uncoalesced lifecycle writes 32 files per ~15k-row commit and the
+    # 8-version readback below opens ~450 ~150-row files — measured
+    # ~2x the whole query (r14 optimization round). 4 files per commit
+    # keeps OPTIMIZE's compaction and the stats-pruned scan meaningful
+    # (multi-file versions) while the readback opens file counts
+    # proportional to versions, not to the loader's parallelism.
+    t.commit(orders.filter(F.col("o_orderkey") % 10 == 0).coalesce(4))  # v0
+    t.commit(orders.filter(F.col("o_orderkey") % 10 == 1).coalesce(4))  # v1
     t.commit(                                                        # v2
         t.snapshot().filter(F.col("p") >= 150000), mode="overwrite"
     )
     optimize(t, target_file_bytes=64 * 1024 * 1024)                  # v3
     restore(t, 1)                                                    # v4
-    d = orders.filter(F.col("o_orderkey") % 10 == 2)
+    d = orders.filter(F.col("o_orderkey") % 10 == 2).coalesce(4)
     assert t.commit(d, app_id="txq", batch_id=1) == 5                # v5
     assert t.commit(d, app_id="txq", batch_id=1) is None             # replay
     attach_stats(t, ["o_orderkey"])                                  # v6
@@ -16755,7 +16763,11 @@ def spearman_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_extendedprice").cast("decimal(12,2)") * 100)
         .cast("long")
         .alias("y"),
-    )
+    # the 2-long projection feeds THREE branches (vx, vy, and the
+    # rank join-back); materialize it once (the cf_holdout pattern)
+    # so the parquet scan + loader repartition run once, not three
+    # times — measured ~1 s at sf0.1 (r14 optimization round)
+    ).localCheckpoint(eager=True)
     d38 = "decimal(38,0)"
     vx = li.groupBy("x").agg(F.count(F.lit(1)).alias("c"))
     w_x = Window.orderBy("x").rowsBetween(

@@ -394,6 +394,39 @@ def test_decontaminate_flags_planted_overlap(spark):
     assert rows[2]["n_grams"] > 0
 
 
+def test_decontaminate_bloom_matches_exact_on_edge_docs(spark):
+    """The r14 single-pass rewrite must keep bloom == exact row-for-row,
+    including the edge documents the explode_outer path exists for: a
+    zero-candidate doc (every gram fails the Bloom), a doc shorter than
+    the gram width (empty gram array), and a NULL-text doc."""
+    from cdk_dynamodb_cdc_spark.llm import curation
+
+    leak = "alpha beta gamma delta epsilon zeta eta theta"
+    corpus = spark.createDataFrame(
+        [
+            (1, f"prefix words here {leak} suffix tail"),
+            (2, "totally unrelated text with no benchmark overlap at all"),
+            (3, "short text"),  # < 8 words: zero grams
+            (4, None),  # NULL text
+        ],
+        "doc_id long, text string",
+    )
+    eval_set = spark.createDataFrame(
+        [(100, f"question: {leak} answer: 42")], "doc_id long, text string"
+    )
+    exact = {tuple(r) for r in curation.decontaminate(corpus, eval_set).collect()}
+    bloom = {
+        tuple(r)
+        for r in curation.decontaminate_bloom(corpus, eval_set).collect()
+    }
+    assert exact == bloom
+    assert len(exact) == 4  # every corpus doc present exactly once
+    by_id = {r[0]: r for r in exact}
+    assert by_id[1][2] >= 1  # planted overlap flagged
+    assert by_id[2][2] == 0  # no overlap
+    assert by_id[3][2] == 0  # zero grams -> zero shared
+
+
 def test_pack_sequences_contiguous_fill_and_boundary_flag(spark):
     from cdk_dynamodb_cdc_spark.llm import curation
 
