@@ -43,24 +43,40 @@ def entry(spark: SparkSession) -> DataFrame:
 # independently.
 _GATE_PRIORITY = [
     # Round-14 ordering (new > changed > stale > fill, 50 slots).
-    # Window layout: no NEW queries this round; the 3 whose execution
-    # path CHANGED this round first (r14 ADVICE hardening), then the
-    # FULL 15-query staleness tail whose most recent driver-green row
-    # dates to r7 (the r13 verdict's rotation target), then the FULL
-    # 28-query r8-green tail, then 4 oldest r9-green fill in
-    # registration order. Every other registry entry follows in
-    # stable registration order via queries(). After this window the
-    # oldest driver-green row anywhere in the registry is r9.
+    # Window layout: no NEW queries this round; the 13 whose execution
+    # path CHANGED this round first (3 ADVICE-hardening + 10 from the
+    # optimization phase — the driver must independently re-verify
+    # every restructured plan), then the FULL 15-query staleness tail
+    # whose most recent driver-green row dates to r7 (the r13
+    # verdict's rotation target), then the oldest 22 of the r8-green
+    # tail in registration order. Every other registry entry follows
+    # in stable registration order via queries().
     # -- changed in round 14 -----------------------------------
-    # winnow_fingerprint_overlap: winnow_fingerprints now drops the
-    # NULL fingerprint a NULL-text doc hashes to (oracle inner-join
-    # parity) and validates w. kmeans_doc_clusters: kmeans_int
-    # validates iters and the local finisher refuses duplicate
-    # vec_ids. txlog_version_diff_stats: zeroed-pair guard when no
-    # version pair changed files.
+    # ADVICE hardening: winnow_fingerprints drops the NULL fp a
+    # NULL-text doc hashes to and validates w; kmeans_int validates
+    # iters and refuses duplicate vec_ids in the local finisher;
+    # txlog_version_diff_stats gains a zeroed-pair guard.
+    # Optimization phase (OPTIMIZATION_r14.md): bpe_train gained the
+    # driver-side sub-threshold merge finisher (both BPE queries);
+    # unmarshall_typed let-binds its from_json (typed/autotyped/
+    # squash lanes); decontaminate/decontaminate_bloom went
+    # single-pass with a literal Bloom table (both decontam queries
+    # + curate's contamination lane); txlog_history_stats coalesces
+    # its commit inputs; spearman_qty_price checkpoints its shared
+    # projection.
     'winnow_fingerprint_overlap',
     'kmeans_doc_clusters',
     'txlog_version_diff_stats',
+    'bpe_train_token_counts',
+    'bpe_pack_stats',
+    'cdc_change_stats_typed',
+    'cdc_change_stats_autotyped',
+    'cdc_squash_net_changes',
+    'decontam_eval_overlap',
+    'decontam_bloom_prefilter',
+    'curate_corpus_dispositions',
+    'txlog_history_stats',
+    'spearman_qty_price',
     # -- staleness tail: last driver-green r7, registration order
     'session_pattern_match_counts',
     'source_format_roundtrip',
@@ -80,7 +96,6 @@ _GATE_PRIORITY = [
     # -- staleness tail: last driver-green r8, registration order
     'embedding_jl_topk',
     'semantic_decontam_flags',
-    'decontam_bloom_prefilter',
     'weighted_sample_per_lang',
     'hbos_event_outliers',
     'user_event_diversity',
@@ -101,16 +116,6 @@ _GATE_PRIORITY = [
     'lang_id_eval_metrics',
     'brand_rule_lift',
     'poisson_bootstrap_ci',
-    'sparse_cosine_pairs',
-    'txlog_bloom_lookup',
-    'cramers_v_matrix',
-    'txlog_delete_vector_state',
-    'embedding_hamming_topk',
-    # -- rotation fill: oldest r9-green, registration order ----
-    'cdc_change_stats_autotyped',
-    'bpe_pack_stats',
-    'corr_qty_price_exact_moments',
-    'weekly_retention_cohorts',
 ]
 
 
